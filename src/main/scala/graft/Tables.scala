@@ -1,0 +1,89 @@
+package graft
+
+import graft.model.GraftDataset
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Test-table loaders + the canonical "dataset view" used by the correctness
+  * gate: a deterministic mapping of the TPC-H-ish tables onto the engine's
+  * two-table image/annotation model (orders → images, lineitem →
+  * annotations), expressible identically in ANSI SQL so every dataset
+  * operator can be validated against a DuckDB oracle over the same parquet.
+  */
+object Tables {
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(spark: SparkSession, d: String): DataFrame = table(spark, d, "lineitem")
+  def orders(spark: SparkSession, d: String): DataFrame = table(spark, d, "orders")
+  def customer(spark: SparkSession, d: String): DataFrame = table(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame = table(spark, d, "supplier")
+  def nation(spark: SparkSession, d: String): DataFrame = table(spark, d, "nation")
+  def region(spark: SparkSession, d: String): DataFrame = table(spark, d, "region")
+  def part(spark: SparkSession, d: String): DataFrame = table(spark, d, "part")
+  def events(spark: SparkSession, d: String): DataFrame = table(spark, d, "events")
+  def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
+
+  /** Label map of the dataset view: 7 categories cat_0..cat_6. */
+  val viewLabelMap: Map[Int, String] = (0 to 6).map(i => i -> s"cat_$i").toMap
+
+  /** images view over `orders`: id = o_orderkey, deterministic pixel dims,
+    * split = o_orderstatus. Mirrored 1:1 by [[imagesSql]]. */
+  def imagesView(spark: SparkSession, sfDir: String): DataFrame =
+    orders(spark, sfDir).select(
+      col("o_orderkey").as("id"),
+      (lit(640) + col("o_orderkey") % 640).cast("int").as("width"),
+      (lit(480) + col("o_orderkey") % 480).cast("int").as("height"),
+      concat(lit("img_"), col("o_orderkey"), lit(".jpg")).as("relative_path"),
+      lit("jpg").as("type"),
+      col("o_orderstatus").as("split"))
+
+  /** annotations view over `lineitem`: id = l_orderkey*8 + l_linenumber
+    * (linenumber ≤ 7 ⇒ unique), FK image_id = l_orderkey, 7-way category,
+    * box columns derived from numeric columns. Mirrored by [[annotationsSql]]. */
+  def annotationsView(spark: SparkSession, sfDir: String): DataFrame =
+    lineitem(spark, sfDir).select(
+      (col("l_orderkey") * 8 + col("l_linenumber")).as("id"),
+      col("l_orderkey").as("image_id"),
+      (col("l_partkey") % 7).cast("int").as("category_id"),
+      (col("l_partkey") % 1000).cast("double").as("box_x_min"),
+      (col("l_suppkey") % 500).cast("double").as("box_y_min"),
+      col("l_quantity").as("box_width"),
+      (col("l_partkey") % 50 + 1).cast("double").as("box_height"))
+
+  /** The full dataset view through the real model constructor — exercises
+    * category_str derivation + split propagation (broadcast join). */
+  def datasetView(spark: SparkSession, sfDir: String): GraftDataset =
+    GraftDataset.create(
+      imagesView(spark, sfDir), annotationsView(spark, sfDir),
+      viewLabelMap, imagesRoot = sfDir, datasetName = Some("tpch_view"))
+
+  // ---- SQL mirrors for the DuckDB oracle --------------------------------
+
+  val imagesSql: String =
+    """images AS (
+      |  SELECT o_orderkey AS id,
+      |         CAST(640 + o_orderkey % 640 AS INT) AS width,
+      |         CAST(480 + o_orderkey % 480 AS INT) AS height,
+      |         'img_' || o_orderkey || '.jpg' AS relative_path,
+      |         'jpg' AS type,
+      |         o_orderstatus AS split
+      |  FROM orders)""".stripMargin
+
+  val annotationsSql: String =
+    """annotations AS (
+      |  SELECT l_orderkey * 8 + l_linenumber AS id,
+      |         l_orderkey AS image_id,
+      |         CAST(l_partkey % 7 AS INT) AS category_id,
+      |         'cat_' || CAST(l_partkey % 7 AS VARCHAR) AS category_str,
+      |         CAST(l_partkey % 1000 AS DOUBLE) AS box_x_min,
+      |         CAST(l_suppkey % 500 AS DOUBLE) AS box_y_min,
+      |         l_quantity AS box_width,
+      |         CAST(l_partkey % 50 + 1 AS DOUBLE) AS box_height
+      |  FROM lineitem)""".stripMargin
+
+  /** `WITH images AS (...), annotations AS (...)` prefix for oracles. */
+  val viewCte: String = s"WITH $imagesSql, $annotationsSql"
+}

@@ -1,0 +1,105 @@
+package graft.io
+
+import graft.model.GraftDataset
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Native persistence: a directory of parquet datasets + a JSON sidecar with
+  * the driver-side metadata. Same logical layout as the reference's
+  * parquet format (lours/utils/parquet_saver.py:11-75: one file per table +
+  * metadata sidecar), but each table is a *partitioned parquet dataset* so a
+  * 100 TB annotations table writes/reads in parallel.
+  */
+object ParquetIO {
+
+  def write(ds: GraftDataset, dir: String, overwrite: Boolean = false): Unit = {
+    val mode = if (overwrite) "overwrite" else "errorifexists"
+    ds.images.write.mode(mode).parquet(s"$dir/images")
+    ds.annotations.write.mode(mode).parquet(s"$dir/annotations")
+    val meta = metadataJson(ds)
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(s"$dir/metadata.json"), meta)
+  }
+
+  def read(spark: SparkSession, dir: String): GraftDataset = {
+    val images = spark.read.parquet(s"$dir/images")
+    val annotations = spark.read.parquet(s"$dir/annotations")
+    val metaPath = Paths.get(s"$dir/metadata.json")
+    val (lm, root, name, booleanized) =
+      if (Files.exists(metaPath)) parseMetadata(Files.readString(metaPath))
+      else (Map.empty[Int, String], ".", None, Map("images" -> Set.empty[String], "annotations" -> Set.empty[String]))
+    GraftDataset(images, annotations, lm, root, name, booleanized)
+  }
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  private[graft] def metadataJson(ds: GraftDataset): String = {
+    val lm = ds.labelMap.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k": "${esc(v)}"""" }.mkString("{", ", ", "}")
+    val bool = ds.booleanized.toSeq.sortBy(_._1).map { case (t, cols) =>
+      s""""${esc(t)}": [${cols.toSeq.sorted.map(c => s""""${esc(c)}"""").mkString(", ")}]"""
+    }.mkString("{", ", ", "}")
+    val name = ds.datasetName.map(n => s""""${esc(n)}"""").getOrElse("null")
+    s"""{
+       |  "label_map": $lm,
+       |  "images_root": "${esc(ds.imagesRoot)}",
+       |  "dataset_name": $name,
+       |  "booleanized_columns": $bool
+       |}""".stripMargin
+  }
+
+  /** Minimal JSON parsing for our own sidecar format (no JSON lib in the
+    * dependency budget). Tolerates whitespace; assumes the structure written
+    * by [[metadataJson]]. */
+  private[graft] def parseMetadata(json: String)
+      : (Map[Int, String], String, Option[String], Map[String, Set[String]]) = {
+    def strField(name: String): Option[String] = {
+      val m = ("\"" + name + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r.findFirstMatchIn(json)
+      m.map(g => unesc(g.group(1)))
+    }
+    def objField(name: String): Option[String] = {
+      val m = ("\"" + name + "\"\\s*:\\s*(\\{[^}]*\\})").r.findFirstMatchIn(json)
+      m.map(_.group(1))
+    }
+    val lm = objField("label_map").map { body =>
+      "\"(-?\\d+)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(body)
+        .map(m => m.group(1).toInt -> unesc(m.group(2))).toMap
+    }.getOrElse(Map.empty)
+    val root = strField("images_root").getOrElse(".")
+    val name = strField("dataset_name")
+    val bool = objField("booleanized_columns").map { body =>
+      "\"(\\w+)\"\\s*:\\s*\\[([^\\]]*)\\]".r.findAllMatchIn(body).map { m =>
+        val cols = "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(m.group(2)).map(g => unesc(g.group(1))).toSet
+        m.group(1) -> cols
+      }.toMap
+    }.getOrElse(Map("images" -> Set.empty[String], "annotations" -> Set.empty[String]))
+    (lm, root, name, bool)
+  }
+
+  private def unesc(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb += '\n'; i += 2
+          case 'r' => sb += '\r'; i += 2
+          case 't' => sb += '\t'; i += 2
+          case 'u' => sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case other => sb += other; i += 2
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+}

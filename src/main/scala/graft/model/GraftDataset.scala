@@ -1,0 +1,216 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The engine's fundamental abstraction: a typed two-table relational model —
+  * one `images` row per image, one `annotations` row per object instance,
+  * joined by the FK `annotations.image_id -> images.id`, plus a tiny category
+  * dimension (`labelMap`).
+  *
+  * Semantics follow the reference `Dataset` (lours/dataset/dataset.py:34-70)
+  * but the physical layer is Spark: both tables are lazy DataFrames, every
+  * operator returns a new immutable `GraftDataset`, FK lookups are broadcast
+  * joins, and constructor invariants are *explicit* validation actions
+  * (`validated()`) rather than eager per-construction scans — at 100 TB an
+  * O(N) integrity pass must be opt-in, not implicit.
+  *
+  * @param images        one row per image; core schema in [[Schemas.ImageCore]]
+  * @param annotations   one row per annotation; core schema in [[Schemas.AnnotCore]]
+  * @param labelMap      category_id -> category_str dimension (driver-side; tiny)
+  * @param imagesRoot    root folder all `relative_path`s are relative to
+  * @param datasetName   optional name (concatenated on merge, `A+B`)
+  * @param booleanized   which multi-valued attribute columns have been pivoted
+  *                      into boolean column families, per table
+  *                      (keys: "images" | "annotations")
+  */
+case class GraftDataset(
+    images: DataFrame,
+    annotations: DataFrame,
+    labelMap: Map[Int, String],
+    imagesRoot: String = ".",
+    datasetName: Option[String] = None,
+    booleanized: Map[String, Set[String]] =
+      Map("images" -> Set.empty, "annotations" -> Set.empty)
+) {
+  import Schemas._
+
+  def spark: SparkSession = images.sparkSession
+
+  /** Attribute (non-core) columns — reference dataset.py:1543-1635. */
+  def imageAttributes: Seq[String] =
+    images.columns.filterNot(imageCoreNames.contains).toSeq
+  def annotationAttributes: Seq[String] =
+    annotations.columns.filterNot(annotCoreNames.contains).toSeq
+
+  /** Row counts (actions). Reference `__len__`/`len_annot`. */
+  def numImages: Long = images.count()
+  def numAnnotations: Long = annotations.count()
+
+  // --------------------------------------------------------------------
+  // Derived-column maintenance
+  // --------------------------------------------------------------------
+
+  /** Recompute the denormalized `category_str` column from the label map
+    * (reference dataset.py:1012-1014). Uses a literal map expression —
+    * no shuffle, fully codegen'd, works at any scale because the label
+    * map is a driver-side dimension. */
+  def withCategoryStr: GraftDataset = {
+    val expr = GraftDataset.labelMapColumn(labelMap, col("category_id"))
+    copy(annotations = annotations.withColumn("category_str", expr))
+  }
+
+  /** Re-propagate `split` from images to annotations via broadcast FK join
+    * (reference dataset.py:1015-1018). */
+  def withSplitPropagated: GraftDataset = {
+    val im = broadcastIfSmall(images.select(col("id").as("__img_id"), col("split").as("__img_split")))
+    val ann = annotations
+      .drop("split")
+      .join(im, col("image_id") === col("__img_id"), "left")
+      .withColumn("split", col("__img_split"))
+      .drop("__img_id", "__img_split")
+    copy(annotations = ann).reordered
+  }
+
+  /** images is usually ≪ annotations; hint broadcast so split/category
+    * propagation never shuffles the fact table. AQE will demote the hint
+    * if the build side is genuinely too large. */
+  private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
+
+  /** Canonical column order: core first, attributes after
+    * (utils/dataframe_formatter.py:7-34). */
+  def reordered: GraftDataset = {
+    val im = images.select(canonicalOrder(images.columns.toSeq, imageCoreNames).map(c => col(quoted(c))): _*)
+    val an = annotations.select(canonicalOrder(annotations.columns.toSeq, annotCoreNames).map(c => col(quoted(c))): _*)
+    copy(images = im, annotations = an)
+  }
+
+  private def quoted(c: String): String = s"`$c`"
+
+  // --------------------------------------------------------------------
+  // Validation (reference constructor invariants, as explicit actions)
+  // --------------------------------------------------------------------
+
+  /** Run the reference's constructor invariants as distributed checks and
+    * throw on the first violation. Mirrors init_images/init_annotations
+    * (dataset.py:937-1037) + assert_ids_well_formed (utils/testing.py:407-456).
+    * Each check is a count over an aggregated/anti-joined plan — they run as
+    * a handful of Spark jobs, all shuffle-light. */
+  def validated(): GraftDataset = {
+    // unique image ids (dataset.py:949-953)
+    val dupImg = images.groupBy("id").count().filter(col("count") > 1).limit(1).count()
+    require(dupImg == 0, "images: duplicate ids")
+    // unique annotation ids (dataset.py:1024-1029 resets instead; we enforce)
+    val dupAnn = annotations.groupBy("id").count().filter(col("count") > 1).limit(1).count()
+    require(dupAnn == 0, "annotations: duplicate ids")
+    // FK integrity (dataset.py:990-998): every image_id exists in images
+    val orphan = annotations
+      .join(images.select(col("id")), annotations("image_id") === images("id"), "left_anti")
+      .limit(1).count()
+    require(orphan == 0, "annotations: image_id not present in images (FK violation)")
+    // category ids covered by the label map (dataset.py:1001-1010)
+    val knownIds = labelMap.keySet
+    val unknownCat = annotations
+      .select(col("category_id")).distinct()
+      .filter(!col("category_id").isin(knownIds.toSeq: _*))
+      .limit(1).count()
+    require(unknownCat == 0 || labelMap.isEmpty, "annotations: category_id missing from label map")
+    this
+  }
+
+  /** Complete the label map with stringified ids for categories present in the
+    * data but absent from the map (reference warns + completes,
+    * dataset.py:1001-1010). Collects only the *distinct unknown ids* (tiny). */
+  def withCompletedLabelMap(): GraftDataset = {
+    val known = labelMap.keySet
+    val present = annotations.select("category_id").distinct().collect().map(_.getInt(0)).toSet
+    val missing = present -- known
+    if (missing.isEmpty) this
+    else copy(labelMap = labelMap ++ missing.map(i => i -> i.toString))
+  }
+
+  // --------------------------------------------------------------------
+  // Persistence (native format) — see graft.io.ParquetIO
+  // --------------------------------------------------------------------
+  def toParquet(dir: String, overwrite: Boolean = false): Unit =
+    graft.io.ParquetIO.write(this, dir, overwrite)
+
+  def cache(): GraftDataset =
+    copy(images = images.cache(), annotations = annotations.cache())
+}
+
+object GraftDataset {
+  import Schemas._
+
+  /** Literal map lookup column for the category dimension: `element_at(map, key)`.
+    * Broadcast-free and codegen-friendly — a label map is O(100) entries. */
+  def labelMapColumn(labelMap: Map[Int, String], key: Column): Column =
+    if (labelMap.isEmpty) lit(null).cast(StringType)
+    else {
+      val entries = labelMap.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+      element_at(map(entries: _*), key.cast(IntegerType))
+    }
+
+  /** Construct with the reference's defaulting semantics
+    * (init_images dataset.py:937-970, init_annotations dataset.py:972-1037):
+    * derive `type` from the path suffix, default `split` to null, derive
+    * `category_str` from the label map, propagate `split` images→annotations,
+    * enforce core dtypes and canonical column order. Validation is separate
+    * ([[GraftDataset.validated]]). */
+  def create(
+      images: DataFrame,
+      annotations: DataFrame,
+      labelMap: Map[Int, String] = Map.empty,
+      imagesRoot: String = ".",
+      datasetName: Option[String] = None,
+      booleanized: Map[String, Set[String]] =
+        Map("images" -> Set.empty, "annotations" -> Set.empty)
+  ): GraftDataset = {
+    val im0 = defaultImageColumns(images)
+    val ds = GraftDataset(im0, defaultAnnotColumns(annotations), labelMap,
+      imagesRoot, datasetName, booleanized)
+    ds.withCategoryStr.withSplitPropagated.reordered
+  }
+
+  /** Apply image-table defaults + dtype coercion. */
+  def defaultImageColumns(df: DataFrame): DataFrame = {
+    var out = df
+    require(imageRequired.subsetOf(out.columns.toSet),
+      s"images missing required columns: ${imageRequired -- out.columns.toSet}")
+    if (!out.columns.contains("id"))
+      out = out.withColumn("id",
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy("relative_path")).cast(LongType) - 1)
+    // type derived from path suffix (dataset.py:960-961)
+    if (!out.columns.contains("type"))
+      out = out.withColumn("type", regexp_extract(col("relative_path"), "\\.([^.]+)$", 1))
+    if (!out.columns.contains("split"))
+      out = out.withColumn("split", lit(null).cast(StringType))
+    coerce(out, ImageCore)
+  }
+
+  /** Apply annotation-table defaults + dtype coercion (category_str/split are
+    * recomputed by `create`). */
+  def defaultAnnotColumns(df: DataFrame): DataFrame = {
+    var out = df
+    require(annotRequired.subsetOf(out.columns.toSet),
+      s"annotations missing required columns: ${annotRequired -- out.columns.toSet}")
+    if (!out.columns.contains("id"))
+      out = out.withColumn("id",
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy("image_id")).cast(LongType) - 1)
+    if (!out.columns.contains("category_str")) out = out.withColumn("category_str", lit(null).cast(StringType))
+    if (!out.columns.contains("split")) out = out.withColumn("split", lit(null).cast(StringType))
+    coerce(out, AnnotCore)
+  }
+
+  private def coerce(df: DataFrame, core: Seq[StructField]): DataFrame = {
+    val byName = core.map(f => f.name -> f.dataType).toMap
+    val cols = df.columns.map { c =>
+      byName.get(c) match {
+        case Some(dt) if df.schema(c).dataType != dt => col(s"`$c`").cast(dt).as(c)
+        case _ => col(s"`$c`")
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+}

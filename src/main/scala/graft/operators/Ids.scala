@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.model.GraftDataset
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Id assignment / remapping (reference reset_index family,
+  * lours/dataset/dataset.py:1883-2201; merge collision shift merge.py:199-203).
+  *
+  * pandas gets dense sequential ids for free from `reset_index`; on Spark a
+  * dense total-order id is a global `row_number` — a single-partition window
+  * unless we order by something. We order by explicit sort keys with `id` as
+  * final tiebreaker so the result is deterministic under any partitioning.
+  * NOTE: a global row_number serializes through one task; it's the price of
+  * *dense* ids. For scale paths that only need *unique* ids, use
+  * [[uniqueIds]] (monotonically_increasing_id, fully parallel).
+  */
+object Ids {
+
+  /** Sort then assign dense sequential ids from `start`; rewrite annotation
+    * FK via an old→new id map join (reset_index, dataset.py:1883-2020). */
+  def resetIndex(ds: GraftDataset, startImageId: Long = 0, startAnnotationId: Long = 0,
+      sortImagesBy: Seq[String] = Seq("id"), sortAnnotationsBy: Seq[String] = Seq("id"))
+      : GraftDataset = {
+    val imgW = Window.orderBy((sortImagesBy :+ "id").distinct.map(col): _*)
+    val newImages = ds.images
+      .withColumn("__new_id", row_number().over(imgW).cast("long") - 1 + startImageId)
+    val idMap = newImages.select(col("id").as("__old_id"), col("__new_id"))
+    val annW = Window.orderBy((sortAnnotationsBy :+ "id").distinct.map(col): _*)
+    val newAnn = ds.annotations
+      .join(broadcast(idMap), ds.annotations("image_id") === col("__old_id"), "left")
+      .withColumn("image_id", col("__new_id"))
+      .drop("__old_id", "__new_id")
+      .withColumn("id", row_number().over(annW).cast("long") - 1 + startAnnotationId)
+    GraftDataset(
+      newImages.withColumn("id", col("__new_id")).drop("__new_id"),
+      newAnn, ds.labelMap, ds.imagesRoot, ds.datasetName, ds.booleanized).reordered
+  }
+
+  /** Remap image ids from an explicit mapping table (old_id, new_id).
+    * Unmapped images either get fresh ids after max(new_id) or are dropped
+    * (reset_index_from_mapping, dataset.py:2022-2201). */
+  def resetIndexFromMapping(ds: GraftDataset, mapping: DataFrame,
+      removeUnmapped: Boolean = false): GraftDataset = {
+    val m = broadcast(mapping.toDF("__old_id", "__new_id"))
+    val joined = ds.images.join(m, ds.images("id") === col("__old_id"), "left")
+    val (mappedImages, annSource) =
+      if (removeUnmapped) {
+        val im = joined.filter(col("__new_id").isNotNull)
+        val ann = ds.annotations.join(m, ds.annotations("image_id") === col("__old_id"), "inner")
+        (im, ann)
+      } else {
+        // fresh ids after the max mapped id for unmapped rows
+        val maxMapped = mapping.agg(max(mapping.columns(1))).collect()(0).getLong(0)
+        val unmappedW = Window.orderBy(col("id"))
+        val im = joined.withColumn("__new_id",
+          when(col("__new_id").isNotNull, col("__new_id"))
+            .otherwise(row_number().over(unmappedW).cast("long") + maxMapped))
+        // rebuild the effective full mapping from the images themselves
+        val fullMap = im.select(col("id").as("__old_id2"), col("__new_id").as("__new_id2"))
+        val ann = ds.annotations.join(broadcast(fullMap),
+          ds.annotations("image_id") === col("__old_id2"), "left")
+          .withColumnRenamed("__new_id2", "__new_id")
+          .drop("__old_id2")
+        (im, ann)
+      }
+    val newImages = mappedImages.withColumn("id", col("__new_id")).drop("__old_id", "__new_id")
+    val newAnn = annSource.withColumn("image_id", col("__new_id")).drop("__old_id", "__new_id")
+    ds.copy(images = newImages, annotations = newAnn).reordered
+  }
+
+  /** Globally-unique (non-dense) ids, fully parallel — the 100 TB-scale
+    * alternative to resetIndex when density doesn't matter. */
+  def uniqueIds(df: DataFrame, idCol: String = "id"): DataFrame =
+    df.withColumn(idCol, monotonically_increasing_id())
+
+  /** Shift all ids by a constant (merge collision handling,
+    * merge.py:199-203). */
+  def shiftIds(ds: GraftDataset, imageOffset: Long, annotationOffset: Long): GraftDataset =
+    ds.copy(
+      images = ds.images.withColumn("id", col("id") + imageOffset),
+      annotations = ds.annotations
+        .withColumn("id", col("id") + annotationOffset)
+        .withColumn("image_id", col("image_id") + imageOffset))
+
+  /** Realign this dataset's image ids to another's by joining on an anchor
+    * column, e.g. relative_path (match_index, dataset.py:2203-2334).
+    * Uniqueness of the anchor is asserted on both sides. */
+  def matchIndex(ds: GraftDataset, other: GraftDataset, on: String = "relative_path",
+      removeUnmatched: Boolean = false): GraftDataset = {
+    def assertUnique(df: DataFrame, side: String): Unit = {
+      val dups = df.groupBy(on).count().filter(col("count") > 1).limit(1).count()
+      require(dups == 0, s"match_index: anchor column '$on' not unique on $side side")
+    }
+    assertUnique(ds.images, "left")
+    assertUnique(other.images, "right")
+    val mapping = ds.images.select(col(on).as("__anchor"), col("id").as("__old"))
+      .join(other.images.select(col(on).as("__anchor"), col("id").as("__new")), Seq("__anchor"))
+      .select(col("__old"), col("__new"))
+    resetIndexFromMapping(ds, mapping, removeUnmapped = removeUnmatched)
+  }
+}

@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.model.GraftDataset
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Row-selection operators with relational cascade semantics.
+  *
+  * Reference: DatasetImLocator / DatasetAnnotLocator (lours/dataset/
+  * indexing.py:14-126) and the filter_images/filter_annotations methods
+  * (dataset.py:672-877). All cascades are semi/anti joins — never a
+  * collect — so they distribute at any scale.
+  */
+object Locators {
+
+  /** Filter images by predicate and cascade-drop annotations of removed
+    * images (indexing.py:14-56): `annotations LEFT SEMI JOIN kept_images`. */
+  def filterImages(ds: GraftDataset, pred: Column): GraftDataset = {
+    val kept = ds.images.filter(pred)
+    val ann = ds.annotations.join(
+      kept.select(col("id").as("__kept_id")),
+      col("image_id") === col("__kept_id"), "left_semi")
+    ds.copy(images = kept, annotations = ann)
+  }
+
+  /** Select images by id membership (reference `loc`). For big id sets pass
+    * a DataFrame via [[filterImagesByIdDf]] instead of a literal list. */
+  def filterImagesByIds(ds: GraftDataset, ids: Seq[Long]): GraftDataset =
+    filterImages(ds, col("id").isin(ids: _*))
+
+  def filterImagesByIdDf(ds: GraftDataset, ids: DataFrame): GraftDataset = {
+    val kept = ds.images.join(ids.select(ids.columns.head).toDF("id"), Seq("id"), "left_semi")
+    val ann = ds.annotations.join(kept.select(col("id").as("__kept_id")),
+      col("image_id") === col("__kept_id"), "left_semi")
+    ds.copy(images = kept, annotations = ann)
+  }
+
+  /** Positional selection over a total order (reference `iloc` /
+    * `__getitem__` slices, dataset.py:1637-1654): stable `row_number`
+    * (ordered by id) then a [start, stop) + step filter. */
+  def ilocImages(ds: GraftDataset, start: Long, stop: Long, step: Long = 1): GraftDataset = {
+    val w = Window.orderBy(col("id"))
+    val pos = row_number().over(w).cast("long") - 1
+    val kept = ds.images
+      .withColumn("__pos", pos)
+      .filter(col("__pos") >= start && col("__pos") < stop &&
+        (col("__pos") - start) % step === 0)
+      .drop("__pos")
+    val ann = ds.annotations.join(kept.select(col("id").as("__kept_id")),
+      col("image_id") === col("__kept_id"), "left_semi")
+    ds.copy(images = kept, annotations = ann)
+  }
+
+  /** Filter annotations; optionally drop images *emptied by this filter*
+    * while keeping images that had no annotations to begin with
+    * (indexing.py:106-119): kept = (images ⋉ newAnnots) ∪ (images ▷ oldAnnots).
+    */
+  def filterAnnotations(ds: GraftDataset, pred: Column,
+      removeEmptiedImages: Boolean = false): GraftDataset = {
+    val newAnn = ds.annotations.filter(pred)
+    if (!removeEmptiedImages) ds.copy(annotations = newAnn)
+    else {
+      val stillHas = ds.images.join(newAnn.select(col("image_id")),
+        ds.images("id") === col("image_id"), "left_semi")
+      val wasEmpty = ds.images.join(ds.annotations.select(col("image_id")),
+        ds.images("id") === col("image_id"), "left_anti")
+      ds.copy(images = stillHas.unionByName(wasEmpty), annotations = newAnn)
+    }
+  }
+
+  /** Keep images that have at least one annotation
+    * (remove_empty_images, dataset.py:2863-2917). */
+  def removeEmptyImages(ds: GraftDataset): GraftDataset = {
+    val kept = ds.images.join(ds.annotations.select(col("image_id")),
+      ds.images("id") === col("image_id"), "left_semi")
+    ds.copy(images = kept)
+  }
+
+  /** Keep images, truncate the annotations table preserving schema
+    * (empty_annotations, dataset.py:879-935). */
+  def emptyAnnotations(ds: GraftDataset): GraftDataset =
+    ds.copy(annotations = ds.annotations.limit(0))
+
+  /** Null-safe split selection (dataset.py:1745-1881): `split <=> value`,
+    * where value may be null. */
+  def getSplit(ds: GraftDataset, split: Option[String]): GraftDataset = {
+    val v: Column = split.map(lit(_)).getOrElse(lit(null))
+    val im = ds.images.filter(col("split") <=> v)
+    val ann = ds.annotations.filter(col("split") <=> v)
+    ds.copy(images = im, annotations = ann)
+  }
+
+  /** Distinct split values (for iter_splits), tiny collect. */
+  def splitValues(ds: GraftDataset): Seq[Option[String]] =
+    ds.images.select("split").distinct().collect()
+      .map(r => Option(r.getString(0))).toSeq
+
+  /** Drop malformed bboxes (remove_invalid_annotations, dataset.py:1233-1405;
+    * predicate kernel utils/testing.py:477-577): negative coords, non-positive
+    * size (unless keypoints allowed: zero-size ok), out-of-image bounds. */
+  def removeInvalidAnnotations(ds: GraftDataset, allowKeypoints: Boolean = false,
+      removeEmptiedImages: Boolean = false): GraftDataset = {
+    val dims = broadcast(ds.images.select(col("id").as("__iid"),
+      col("width").as("__w"), col("height").as("__h")))
+    val joined = ds.annotations.join(dims, col("image_id") === col("__iid"), "left")
+    val sizeOk =
+      if (allowKeypoints) col("box_width") >= 0 && col("box_height") >= 0
+      else col("box_width") > 0 && col("box_height") > 0
+    val valid = col("box_x_min") >= 0 && col("box_y_min") >= 0 && sizeOk &&
+      (col("box_x_min") + col("box_width")) <= col("__w") &&
+      (col("box_y_min") + col("box_height")) <= col("__h")
+    val newAnn = joined.filter(valid).drop("__iid", "__w", "__h")
+    if (!removeEmptiedImages) ds.copy(annotations = newAnn)
+    else {
+      // same emptied-image cascade as filterAnnotations (indexing.py:106-119)
+      val stillHas = ds.images.join(newAnn.select(col("image_id")),
+        ds.images("id") === col("image_id"), "left_semi")
+      val wasEmpty = ds.images.join(ds.annotations.select(col("image_id")),
+        ds.images("id") === col("image_id"), "left_anti")
+      ds.copy(images = stillHas.unionByName(wasEmpty), annotations = newAnn)
+    }
+  }
+
+  /** Error-report table for malformed boxes (get_malformed_bounding_boxes,
+    * utils/testing.py:477-577): one boolean column per failure mode. */
+  def malformedBoxReport(ds: GraftDataset, keypointsOk: Boolean = false): DataFrame = {
+    val dims = broadcast(ds.images.select(col("id").as("__iid"),
+      col("width").as("__w"), col("height").as("__h")))
+    val joined = ds.annotations.join(dims, col("image_id") === col("__iid"), "left")
+    val zeroOk = if (keypointsOk) lit(true) else (col("box_width") > 0 && col("box_height") > 0)
+    joined.select(
+      col("id"), col("image_id"),
+      (col("box_x_min") < 0 || col("box_y_min") < 0).as("negative_coordinates"),
+      (col("box_width") < 0 || col("box_height") < 0).as("negative_size"),
+      (!zeroOk && (col("box_width") === 0 || col("box_height") === 0)).as("zero_size"),
+      ((col("box_x_min") + col("box_width")) > col("__w") ||
+        (col("box_y_min") + col("box_height")) > col("__h")).as("out_of_image")
+    ).filter(col("negative_coordinates") || col("negative_size") ||
+      col("zero_size") || col("out_of_image"))
+  }
+}
