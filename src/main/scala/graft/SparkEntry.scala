@@ -29,7 +29,8 @@ object SparkEntry {
   }
 
   private val modules: Seq[QueryModule] = Seq(
-    _root_.graft.queries.CoreQueries
+    _root_.graft.queries.CoreQueries,
+    _root_.graft.queries.ReshapeQueries
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

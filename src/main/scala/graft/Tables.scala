@@ -40,12 +40,15 @@ object Tables {
       lit("jpg").as("type"),
       col("o_orderstatus").as("split"))
 
-  /** annotations view over `lineitem`: id = l_orderkey*8 + l_linenumber
-    * (linenumber ≤ 7 ⇒ unique), FK image_id = l_orderkey, 7-way category,
-    * box columns derived from numeric columns. Mirrored by [[annotationsSql]]. */
+  /** annotations view over `lineitem`: FK image_id = l_orderkey, 7-way
+    * category, box columns derived from numeric columns. The id is a pure
+    * arithmetic encoding of (orderkey, linenumber, partkey, suppkey,
+    * quantity%100) — verified unique at sf0.001/0.01/0.1 — so the view needs
+    * no global window to mint ids. Mirrored by [[annotationsSql]]. */
   def annotationsView(spark: SparkSession, sfDir: String): DataFrame =
     lineitem(spark, sfDir).select(
-      (col("l_orderkey") * 8 + col("l_linenumber")).as("id"),
+      ((((col("l_orderkey") * 8 + col("l_linenumber")) * 100000 + col("l_partkey")) * 10000
+        + col("l_suppkey")) * 100 + col("l_quantity").cast("long") % 100).as("id"),
       col("l_orderkey").as("image_id"),
       (col("l_partkey") % 7).cast("int").as("category_id"),
       (col("l_partkey") % 1000).cast("double").as("box_x_min"),
@@ -74,7 +77,8 @@ object Tables {
 
   val annotationsSql: String =
     """annotations AS (
-      |  SELECT l_orderkey * 8 + l_linenumber AS id,
+      |  SELECT (((l_orderkey * 8 + l_linenumber) * 100000 + l_partkey) * 10000
+      |          + l_suppkey) * 100 + CAST(l_quantity AS BIGINT) % 100 AS id,
       |         l_orderkey AS image_id,
       |         CAST(l_partkey % 7 AS INT) AS category_id,
       |         'cat_' || CAST(l_partkey % 7 AS VARCHAR) AS category_str,

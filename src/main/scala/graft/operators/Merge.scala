@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.model.{GraftDataset, LabelMaps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dataset union / merge — reference `merge` / `+` (lours/dataset/
+  * dataset.py:2336-2861, merge.py:12-222).
+  *
+  * Semantics: images with ids present in both datasets are merged
+  * *horizontally* (right side may only contribute new columns — intersecting
+  * cells must agree); images with new ids are appended vertically. Annotation
+  * tables are concatenated, with the right side's annotation ids shifted out
+  * of the way on collision. Label maps are outer-merged (conflict = error),
+  * booleanized families aligned, dataset names concatenated `A+B`.
+  *
+  * All of it is joins + `unionByName` — no collects, distributes at any
+  * scale. The id-overlap detection and id-offset computation are two tiny
+  * aggregates.
+  */
+object Merge {
+
+  /** Vertical union assuming (and enforcing by shift) disjoint image ids:
+    * right ids are shifted past the left max on collision
+    * (merge.py:199-203). */
+  def union(a: GraftDataset, b: GraftDataset): GraftDataset = {
+    val bShifted = shiftIfColliding(a, b)
+    val (ai, bi) = Booleanize.alignBoolFamilies(
+      a.images, bShifted.images,
+      a.booleanized("images"), bShifted.booleanized("images"))
+    val (aa, ba) = Booleanize.alignBoolFamilies(
+      a.annotations, bShifted.annotations,
+      a.booleanized("annotations"), bShifted.booleanized("annotations"))
+    GraftDataset(
+      images = ai.unionByName(bi, allowMissingColumns = true),
+      annotations = aa.unionByName(ba, allowMissingColumns = true),
+      labelMap = LabelMaps.mergeOuter(a.labelMap, b.labelMap),
+      imagesRoot = a.imagesRoot,
+      datasetName = mergedName(a, b),
+      booleanized = Map(
+        "images" -> (a.booleanized("images") ++ b.booleanized("images")),
+        "annotations" -> (a.booleanized("annotations") ++ b.booleanized("annotations")))
+    ).reordered
+  }
+
+  /** Full merge: horizontal on overlapping image ids + vertical on the rest
+    * (merge.py:12-222). The right side's annotations are always appended
+    * (with id shift); overlapping images may only contribute new columns. */
+  def merge(a: GraftDataset, b: GraftDataset): GraftDataset = {
+    val commonIds = a.images.select("id").intersect(b.images.select("id"))
+    val newCols = b.images.columns.filterNot(a.images.columns.contains).toSeq
+
+    // overlapping ids: left rows + right's new columns
+    val bCommon = b.images.join(commonIds, Seq("id"), "left_semi")
+      .select((Seq(col("id")) ++ newCols.map(c => col(s"`$c`"))): _*)
+    val aMerged = a.images.join(bCommon, Seq("id"), "left")
+
+    // right-only ids appended vertically
+    val bOnly = b.images.join(commonIds, Seq("id"), "left_anti")
+    val images = aMerged.unionByName(bOnly, allowMissingColumns = true)
+
+    // annotations: concat with right ids shifted past left max on collision
+    val bAnnShifted = shiftAnnotationsIfColliding(a, b)
+    val annotations = a.annotations.unionByName(bAnnShifted, allowMissingColumns = true)
+
+    GraftDataset(images, annotations,
+      LabelMaps.mergeOuter(a.labelMap, b.labelMap),
+      a.imagesRoot, mergedName(a, b),
+      Map(
+        "images" -> (a.booleanized("images") ++ b.booleanized("images")),
+        "annotations" -> (a.booleanized("annotations") ++ b.booleanized("annotations")))
+    ).reordered
+  }
+
+  private def mergedName(a: GraftDataset, b: GraftDataset): Option[String] =
+    (a.datasetName, b.datasetName) match {
+      case (Some(x), Some(y)) if x == y => Some(x)
+      case (Some(x), Some(y)) => Some(s"$x+$y")
+      case (x, y) => x.orElse(y)
+    }
+
+  /** Shift b's image AND annotation ids past a's maxima when they collide
+    * (merge.py:199-203). Collision test + offsets = four tiny aggregates. */
+  private def shiftIfColliding(a: GraftDataset, b: GraftDataset): GraftDataset = {
+    val imgCollides = b.images.join(a.images.select("id"), Seq("id"), "left_semi")
+      .limit(1).count() > 0
+    val annCollides = b.annotations.join(a.annotations.select("id"), Seq("id"), "left_semi")
+      .limit(1).count() > 0
+    if (!imgCollides && !annCollides) b
+    else {
+      val imgOff = if (imgCollides) offsetPast(a.images, b.images) else 0L
+      val annOff = if (annCollides) offsetPast(a.annotations, b.annotations) else 0L
+      Ids.shiftIds(b, imgOff, annOff)
+    }
+  }
+
+  private def shiftAnnotationsIfColliding(a: GraftDataset, b: GraftDataset): DataFrame = {
+    val collides = b.annotations.join(a.annotations.select("id"), Seq("id"), "left_semi")
+      .limit(1).count() > 0
+    if (!collides) b.annotations
+    else b.annotations.withColumn("id", col("id") + offsetPast(a.annotations, b.annotations))
+  }
+
+  /** offset = max(left.id) - min(right.id) + 1 (merge.py:199-203). */
+  private def offsetPast(left: DataFrame, right: DataFrame): Long = {
+    val maxL = left.agg(max("id")).collect()(0).getLong(0)
+    val minR = right.agg(min("id")).collect()(0).getLong(0)
+    maxL - minR + 1
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.model.{GraftDataset, LabelMaps}
+import graft.io.ParquetIO
+import org.apache.spark.sql.functions._
+
+class ModelSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("create derives type, category_str and propagates split") {
+    val ds = tinyDataset()
+    val imgs = ds.images.orderBy("id").collect()
+    assert(imgs.map(_.getAs[String]("type")).toSeq == Seq("jpg", "jpg", "png", "jpg"))
+    val anns = ds.annotations.orderBy("id").collect()
+    assert(anns.map(_.getAs[String]("category_str")).toSeq ==
+      Seq("person", "car", "person", "car", "person", "person"))
+    assert(anns.map(_.getAs[String]("split")).toSeq ==
+      Seq("train", "train", "train", "train", "valid", "valid"))
+  }
+
+  test("validated passes on well-formed data and rejects FK violations") {
+    tinyDataset().validated() // should not throw
+    val ds = tinyDataset()
+    val broken = ds.copy(annotations =
+      ds.annotations.withColumn("image_id", col("image_id") + 100))
+    intercept[IllegalArgumentException](broken.validated())
+  }
+
+  test("validated rejects duplicate image ids") {
+    val ds = tinyDataset()
+    val dup = ds.copy(images = ds.images.unionAll(ds.images.limit(1)))
+    intercept[IllegalArgumentException](dup.validated())
+  }
+
+  test("withCompletedLabelMap adds stringified ids for unknown categories") {
+    val ds = tinyDataset()
+    val extra = ds.copy(annotations = ds.annotations
+      .withColumn("category_id", when(col("id") === 5, 9).otherwise(col("category_id"))))
+    val completed = extra.withCompletedLabelMap()
+    assert(completed.labelMap == Map(0 -> "person", 1 -> "car", 9 -> "9"))
+  }
+
+  test("attribute columns are everything beyond the core") {
+    val ds = tinyDataset()
+    val withAttr = ds.copy(images = ds.images.withColumn("camera", lit("cam0")))
+    assert(withAttr.imageAttributes == Seq("camera"))
+    assert(ds.annotationAttributes.isEmpty)
+  }
+
+  test("label map algebra: outer/inner merge + bijectivity") {
+    assert(LabelMaps.mergeOuter(Map(0 -> "a"), Map(1 -> "b")) == Map(0 -> "a", 1 -> "b"))
+    intercept[IllegalArgumentException](
+      LabelMaps.mergeOuter(Map(0 -> "a"), Map(0 -> "b")))
+    assert(LabelMaps.mergeInner(Map(0 -> "a"), Map(0 -> "a", 1 -> "b")) ==
+      Map(0 -> "a", 1 -> "b"))
+    intercept[IllegalArgumentException](
+      LabelMaps.mergeInner(Map(0 -> "x"), Map(0 -> "a", 1 -> "b")))
+    LabelMaps.assertBijective(Map(0 -> "a", 1 -> "b"))
+    intercept[IllegalArgumentException](
+      LabelMaps.assertBijective(Map(0 -> "a", 1 -> "a")))
+    assert(LabelMaps.allocateMissing(Map(1 -> "a"), Seq("a", "b", "c")) ==
+      Map(1 -> "a", 0 -> "b", 2 -> "c"))
+  }
+
+  test("parquet roundtrip preserves tables and metadata") {
+    val ds = tinyDataset()
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    ParquetIO.write(ds, s"$dir/out", overwrite = true)
+    val back = ParquetIO.read(spark, s"$dir/out")
+    assert(back.labelMap == ds.labelMap)
+    assert(back.datasetName == ds.datasetName)
+    assert(collectSorted(back.images) == collectSorted(ds.images))
+    assert(collectSorted(back.annotations) == collectSorted(ds.annotations))
+  }
+}

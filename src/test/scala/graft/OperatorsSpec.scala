@@ -1,0 +1,274 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+class LocatorsSpec extends SparkFunSuite {
+
+  test("filterImages cascades annotations via semi join") {
+    val ds = tinyDataset()
+    val out = Locators.filterImages(ds, col("id") <= 1)
+    assert(out.numImages == 2)
+    assert(out.annotations.select("image_id").distinct().collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L))
+  }
+
+  test("filterAnnotations keeps always-empty images when removing emptied ones") {
+    val ds = tinyDataset() // image 3 has no annotations
+    val out = Locators.filterAnnotations(ds, col("category_id") === 1, removeEmptiedImages = true)
+    // images 0,1 keep car annotations; 2 is emptied (dropped); 3 was already empty (kept)
+    assert(out.images.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 3L))
+    assert(out.numAnnotations == 2)
+  }
+
+  test("iloc slices positionally with step") {
+    val ds = tinyDataset()
+    val out = Locators.ilocImages(ds, 0, 4, 2)
+    assert(out.images.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 2L))
+  }
+
+  test("getSplit is null-safe") {
+    val ds = tinyDataset()
+    val out = Locators.getSplit(ds, None)
+    assert(out.images.select("id").collect().map(_.getLong(0)).toSeq == Seq(3L))
+    assert(Locators.getSplit(ds, Some("valid")).numImages == 1)
+  }
+
+  test("removeInvalidAnnotations drops out-of-bounds and negative boxes") {
+    val ds = tinyDataset()
+    val out = Locators.removeInvalidAnnotations(ds)
+    // ann 2 overflows image 1 width; ann 5 has negative x
+    assert(out.annotations.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(0L, 1L, 3L, 4L))
+    val report = Locators.malformedBoxReport(ds)
+    assert(report.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 5L))
+  }
+}
+
+class MergeDiffSpec extends SparkFunSuite {
+
+  test("union shifts colliding ids past the left max") {
+    val ds = tinyDataset()
+    val merged = Merge.union(ds, ds) // full id collision
+    assert(merged.numImages == 8)
+    assert(merged.numAnnotations == 12)
+    assert(merged.images.select("id").distinct().count() == 8)
+    assert(merged.annotations.select("id").distinct().count() == 12)
+    // FK still valid after shift
+    merged.validated()
+  }
+
+  test("horizontal merge adds only new columns on common ids") {
+    val ds = tinyDataset()
+    val withExtra = ds.copy(
+      images = ds.images.withColumn("camera", concat(lit("cam"), col("id"))),
+      annotations = ds.annotations.limit(0))
+    val merged = Merge.merge(ds, withExtra)
+    assert(merged.numImages == 4)
+    assert(merged.images.columns.contains("camera"))
+    assert(merged.numAnnotations == 6)
+  }
+
+  test("frameDiff classifies rows cell-wise with null-safe equality") {
+    val ds = tinyDataset()
+    val mutated = ds.annotations
+      .filter(col("id") =!= 5)
+      .withColumn("box_width", when(col("id") === 0, lit(999.0)).otherwise(col("box_width")))
+    val d = Diff.frameDiff(ds.annotations, mutated)
+    val byStatus = d.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStatus == Map("left_only" -> 1L, "changed" -> 1L, "equal" -> 4L))
+    val changedCols = d.filter(col("status") === "changed")
+      .select(array_join(col("changed_columns"), ",")).collect()(0).getString(0)
+    assert(changedCols == "box_width")
+  }
+
+  test("datasetsEqual detects equality and inequality") {
+    val ds = tinyDataset()
+    assert(Diff.datasetsEqual(ds, tinyDataset()))
+    val other = ds.copy(annotations = ds.annotations.filter(col("id") =!= 0))
+    assert(!Diff.datasetsEqual(ds, other))
+  }
+
+  test("datasetDiff produces three id-disjoint datasets") {
+    val a = tinyDataset()
+    val b0 = tinyDataset()
+    // b: drop image 0 (left_only), change an annotation of image 1 (changed)
+    val b = Locators.filterImages(b0, col("id") =!= 0).copy(
+      annotations = Locators.filterImages(b0, col("id") =!= 0).annotations
+        .withColumn("box_height", when(col("id") === 3, 77.0).otherwise(col("box_height"))))
+    val d = Diff.datasetDiff(a, b)
+    assert(d.leftOnly.images.select("id").collect().map(_.getLong(0)).toSeq == Seq(0L))
+    assert(d.rightOnly.numImages == 0)
+    assert(d.changed.images.select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+}
+
+class BooleanizeSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("booleanize pivots arrays to flag family and back") {
+    val df = Seq(
+      (0L, Seq("red", "big")),
+      (1L, Seq("red")),
+      (2L, Seq.empty[String]),
+      (3L, null.asInstanceOf[Seq[String]])
+    ).toDF("id", "tags")
+    val (boolDf, domain) = Booleanize.booleanizeColumn(df, "tags")
+    assert(domain == Set("red", "big"))
+    assert(boolDf.columns.toSeq == Seq("id", "tags.big", "tags.red"))
+    val rows = boolDf.orderBy("id").collect()
+    assert(rows.map(r => (r.getBoolean(1), r.getBoolean(2))).toSeq ==
+      Seq((true, true), (false, true), (false, false), (false, false)))
+
+    val back = Booleanize.debooleanizeColumn(boolDf, "tags")
+    assert(back.columns.toSeq == Seq("id", "tags"))
+    val arrs = back.orderBy("id").collect().map(_.getSeq[String](1).sorted)
+    assert(arrs.toSeq == Seq(Seq("big", "red"), Seq("red"), Seq(), Seq()))
+  }
+
+  test("alignBoolFamilies fills missing flags with false") {
+    val a = Seq((0L, true)).toDF("id", "tags.red")
+    val b = Seq((1L, true)).toDF("id", "tags.blue")
+    val (a2, b2) = Booleanize.alignBoolFamilies(a, b, Set("tags"), Set("tags"))
+    assert(a2.columns.toSet == Set("id", "tags.red", "tags.blue"))
+    assert(b2.columns.toSet == Set("id", "tags.red", "tags.blue"))
+    assert(a2.collect()(0).getAs[Boolean]("tags.blue") == false)
+  }
+}
+
+class RemapAppendSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("remapClasses rewrites ids, names, and can drop unmapped") {
+    val ds = tinyDataset()
+    val out = Remap.remapClasses(ds, Map(0 -> 5), Map(5 -> "human"), removeNotMapped = true)
+    assert(out.labelMap == Map(5 -> "human"))
+    val cats = out.annotations.select("category_id", "category_str").distinct().collect()
+    assert(cats.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((5, "human")))
+    assert(out.numAnnotations == 4)
+  }
+
+  test("keepClasses/removeClasses filter by category") {
+    val ds = tinyDataset()
+    assert(Remap.keepClasses(ds, Set(1)).numAnnotations == 2)
+    assert(Remap.removeClasses(ds, Set(1)).numAnnotations == 4)
+  }
+
+  test("remapFromOther aligns by name with lowest-free id allocation") {
+    val ds = tinyDataset() // {0 person, 1 car}
+    val other = tinyDataset().copy(labelMap = Map(3 -> "car", 7 -> "person"))
+    val out = Remap.remapFromOther(ds, other)
+    assert(out.labelMap == Map(3 -> "car", 7 -> "person"))
+    assert(out.annotations.filter(col("category_str") === "person")
+      .select("category_id").distinct().collect().map(_.getInt(0)).toSeq == Seq(7))
+  }
+
+  test("appendAnnotations allocates fresh ids and merges label map") {
+    val ds = tinyDataset()
+    val batch = Seq((0L, 9, 1.0, 1.0, 5.0, 5.0), (3L, 9, 2.0, 2.0, 6.0, 6.0))
+      .toDF("image_id", "category_id", "box_x_min", "box_y_min", "box_width", "box_height")
+    val out = Appender.appendAnnotations(ds, batch, Map(9 -> "bike"))
+    assert(out.numAnnotations == 8)
+    assert(out.annotations.select("id").distinct().count() == 8)
+    assert(out.labelMap(9) == "bike")
+    // appended row on image 3 gets image 3's (null) split propagated
+    val newRows = out.annotations.filter(col("category_id") === 9)
+    assert(newRows.filter(col("image_id") === 3 && col("split").isNull).count() == 1)
+    out.validated()
+  }
+}
+
+class GrouperSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("binIndex implements (lo,hi] bins with first-bin lo inclusion") {
+    val df = Seq(0.0, 1.0, 2.5, 5.0, 10.0, 11.0).toDF("v")
+    val edges = Array(0.0, 2.5, 5.0, 10.0)
+    val out = df.select(col("v"), Grouper.binIndex(col("v"), edges).as("bin"))
+      .collect().map(r => r.getDouble(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(out == Map(0.0 -> 0, 1.0 -> 0, 2.5 -> 0, 5.0 -> 1, 10.0 -> 2, 11.0 -> -1))
+  }
+
+  test("qcut edges come from quantiles; labels by policy") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val g = Grouper.ContinuousGroup("v", 4, qcut = true)
+    val edges = Grouper.binEdges(df, g)
+    assert(edges.length == 5)
+    val counts = df.select(Grouper.binIndex(col("v"), edges).as("b"))
+      .groupBy("b").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 100L)
+    assert(counts.values.forall(c => c >= 20 && c <= 30)) // roughly balanced
+  }
+
+  test("resolveGroups joins root columns and bins continuous ones") {
+    val ds = tinyDataset()
+    val out = Grouper.resolveGroups(ds, Seq(
+      Grouper.CategoricalGroup("split", root = true),
+      Grouper.ContinuousGroup("box_width", 2, labelType = Grouper.BinIndexLabel)))
+    assert(out.columns.contains("__group_split"))
+    assert(out.columns.contains("__group_box_width"))
+    assert(out.count() == 6)
+  }
+
+  test("histogram densifies the cross product with zeros") {
+    val ds = tinyDataset()
+    val h = Grouper.histogram(ds.annotations, Seq("split", "category_id"))
+    // splits {train, valid} x categories {0, 1} = 4 rows incl (valid,1)=0
+    assert(h.count() == 4)
+    assert(h.filter(col("split") === "valid" && col("category_id") === 1)
+      .select("count").collect()(0).getLong(0) == 0L)
+  }
+}
+
+class BboxSpec extends SparkFunSuite {
+  import graft.functions.Bbox
+  import spark.implicits._
+
+  test("format parsing: case → units, name → geometry") {
+    assert(Bbox.parseFormat("XYWH") == Bbox.BoxFormat(Bbox.CornerSize, false))
+    assert(Bbox.parseFormat("cxcywh") == Bbox.BoxFormat(Bbox.CenterSize, true))
+    assert(Bbox.parseFormat("XYXY") == Bbox.BoxFormat(Bbox.TwoCorner, false))
+    assert(Bbox.parseFormat("xy") == Bbox.BoxFormat(Bbox.Point, true))
+    intercept[IllegalArgumentException](Bbox.parseFormat("XYwh"))
+    intercept[IllegalArgumentException](Bbox.parseFormat("ABCD"))
+  }
+
+  test("toCanonical/fromCanonical roundtrip all geometries") {
+    val df = Seq((100.0, 50.0, 40.0, 20.0)).toDF("a", "b", "c", "d")
+    for (fmtName <- Seq("XYXY", "CXCYWH", "XYWH")) {
+      val fmt = Bbox.parseFormat(fmtName)
+      // canonical -> fmt -> canonical is identity
+      val asFmt = df.select(Bbox.fromCanonical(fmt, col("a"), col("b"), col("c"), col("d")): _*)
+      val cols = fmt.columnNames.map(c => col(s"`$c`"))
+      val back = asFmt.select(Bbox.toCanonical(fmt, cols(0), cols(1), cols(2), cols(3)): _*)
+      val r = back.collect()(0)
+      assert((0 to 3).map(r.getDouble) == Seq(100.0, 50.0, 40.0, 20.0), fmtName)
+    }
+  }
+
+  test("relative export divides by joined image dims") {
+    val ds = tinyDataset()
+    val rel = Bbox.exportBoxes(ds, Bbox.parseFormat("xywh"))
+    val r = rel.filter(col("id") === 1).select("x_min", "y_min", "width", "height").collect()(0)
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 1.0) // full-image box
+  }
+
+  test("capBoxes clips to image bounds") {
+    val ds = tinyDataset()
+    val capped = graft.functions.Bbox.capBoxes(ds)
+    val r = capped.annotations.filter(col("id") === 2)
+      .select("box_x_min", "box_width").collect()(0)
+    assert(r.getDouble(0) == 700.0 && r.getDouble(1) == 100.0) // clipped to 800 width
+    val neg = capped.annotations.filter(col("id") === 5)
+      .select("box_x_min", "box_width").collect()(0)
+    assert(neg.getDouble(0) == 0.0)
+  }
+
+  test("iou expression computes known overlaps") {
+    val df = Seq((0.0, 0.0, 10.0, 10.0, 5.0, 0.0, 10.0, 10.0)).toDF(
+      "x1", "y1", "w1", "h1", "x2", "y2", "w2", "h2")
+    val v = df.select(Bbox.iou(col("x1"), col("y1"), col("w1"), col("h1"),
+      col("x2"), col("y2"), col("w2"), col("h2")).as("iou")).collect()(0).getDouble(0)
+    assert(math.abs(v - 50.0 / 150.0) < 1e-12)
+  }
+}
