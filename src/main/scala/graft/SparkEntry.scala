@@ -30,7 +30,8 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     _root_.graft.queries.CoreQueries,
-    _root_.graft.queries.ReshapeQueries
+    _root_.graft.queries.ReshapeQueries,
+    _root_.graft.queries.EvalQueries
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

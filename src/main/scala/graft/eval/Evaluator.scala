@@ -1,0 +1,139 @@
+package graft.eval
+
+import graft.model.GraftDataset
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Detection evaluator — reference `Evaluator`/`DetectionEvaluator`
+  * (lours/evaluation/evaluator.py:13-198,
+  * lours/evaluation/detection/detection_evaluator.py).
+  *
+  * One images table + one groundtruth annotations table + N named prediction
+  * tables sharing the image PK space and label map. Match tables are cached
+  * per (model, agnostic) like the reference's `matches` dict
+  * (detection_evaluator.py:32-39) — here as persisted DataFrames.
+  */
+class DetectionEvaluator(
+    val images: DataFrame,
+    val groundtruth: DataFrame,
+    val predictions: Map[String, DataFrame],
+    val labelMap: Map[Int, String]) {
+
+  predictions.foreach { case (name, df) =>
+    require(df.columns.contains("confidence"),
+      s"prediction set '$name' lacks a confidence column (evaluator.py:117-123)")
+  }
+
+  private val matchCache =
+    scala.collection.mutable.Map[(String, Boolean), Dataset[MatchRow]]()
+
+  /** Matches for one prediction set, cached (detection_evaluator.py:54-179). */
+  def matches(model: String, minIou: Double = 0.0,
+      categoryAgnostic: Boolean = false): Dataset[MatchRow] =
+    matchCache.getOrElseUpdate((model, categoryAgnostic),
+      Matching.computeMatches(groundtruth, predictions(model), minIou, categoryAgnostic)
+        .persist())
+
+  /** Assemble the evaluation result table (detection_evaluator.py:584-616):
+    * one row per groundtruth (confidence of its matched prediction, else 0)
+    * + one row per unmatched prediction (FP). Carries `category_id` for
+    * grouping. Two broadcast-sized joins against the match table. */
+  def results(model: String, categoryAgnostic: Boolean = false): DataFrame = {
+    val m = matches(model, 0.0, categoryAgnostic).toDF()
+    val conf = predictions(model)
+      .select(col("id").as("prediction_id"), col("confidence").cast("double"))
+    val gtRows = m.filter(col("groundtruth_id").isNotNull)
+      .join(conf, Seq("prediction_id"), "left")
+      .select(
+        col("image_id"), col("category_id"),
+        lit(true).as("groundtruth"),
+        col("iou"),
+        coalesce(col("confidence"), lit(0.0)).as("confidence"))
+    val fpRows = m.filter(col("groundtruth_id").isNull && col("prediction_id").isNotNull)
+      .join(conf, Seq("prediction_id"), "left")
+      .select(
+        col("image_id"), col("category_id"),
+        lit(false).as("groundtruth"),
+        col("iou"),
+        coalesce(col("confidence"), lit(0.0)).as("confidence"))
+    gtRows.unionByName(fpRows)
+  }
+
+  /** PR curves + AP per category (compute_precision_recall,
+    * detection_evaluator.py:382-682) for one model. */
+  def precisionRecall(model: String, minIou: Double = 0.0,
+      reindexBins: Option[Array[Double]] = Some(PrCurve.defaultBins))
+      : (DataFrame, DataFrame) = {
+    val res = results(model)
+    val pr = PrCurve.compute(res, Seq("category_id"), minIou, reindexBins)
+      .withColumn("model", lit(model))
+      .withColumn("category_str",
+        GraftDataset.labelMapColumn(labelMap, col("category_id")))
+    val ap = PrCurve.averagePrecision(pr, Seq("category_id", "model", "category_str"))
+    (pr, ap)
+  }
+
+  /** Row-normalized confusion matrix in long form
+    * (compute_confusion_matrix, detection_evaluator.py:181-380; kernel
+    * util.py:359-388): match gt/pred labels (unmatched side → "None"),
+    * count pairs, normalize by the gt-label row total. Pure relational —
+    * two broadcast label joins, one groupBy, one window. */
+  def confusionMatrix(model: String, minIou: Double = 0.0,
+      categoryAgnostic: Boolean = true): DataFrame = {
+    val m = Matching.computeMatches(groundtruth, predictions(model), minIou,
+      categoryAgnostic).toDF()
+    val gtLabel = groundtruth.select(col("id").as("groundtruth_id"),
+      GraftDataset.labelMapColumn(labelMap, col("category_id")).as("groundtruth_label"))
+    val predLabel = predictions(model).select(col("id").as("prediction_id"),
+      GraftDataset.labelMapColumn(labelMap, col("category_id")).as("prediction_label"))
+    val labeled = m
+      .join(gtLabel, Seq("groundtruth_id"), "left")
+      .join(predLabel, Seq("prediction_id"), "left")
+      .select(
+        coalesce(col("groundtruth_label"), lit("None")).as("groundtruth_label"),
+        coalesce(col("prediction_label"), lit("None")).as("prediction_label"))
+    val counts = labeled.groupBy("groundtruth_label", "prediction_label").count()
+    val w = Window.partitionBy("groundtruth_label")
+    counts.withColumn("share",
+      col("count") / sum(col("count")).over(w)).drop("count")
+  }
+
+  /** Count-error metrics (compute_count_error,
+    * crowd_detection_evaluator.py:30-236): per (category, image) the
+    * detected-count-vs-threshold curve, joined to gt counts, then per
+    * (category, threshold) MAE/RMSE/std/quantiles + relative variants.
+    * Fully relational: the threshold sweep is an explode over a literal
+    * bin array — scales as #images × #bins. */
+  def countError(model: String,
+      confidences: Array[Double] = PrCurve.defaultBins): DataFrame = {
+    val binsCol = array(confidences.map(lit): _*)
+    val predCounts = predictions(model)
+      .select(col("category_id"), col("image_id"), col("confidence").cast("double"))
+      .withColumn("confidence_threshold", explode(binsCol))
+      .groupBy("category_id", "image_id", "confidence_threshold")
+      .agg(sum(when(col("confidence") >= col("confidence_threshold"), 1L)
+        .otherwise(0L)).as("count"))
+    val gtCounts = groundtruth.groupBy(col("category_id"), col("image_id"))
+      .agg(count(lit(1)).as("gt_count"))
+    // left join mirrors the reference: images with zero predictions for a
+    // category do not contribute rows (prediction_counts.join(gt_count),
+    // crowd_detection_evaluator.py:193)
+    val joined = predCounts.join(gtCounts, Seq("category_id", "image_id"), "left")
+      .na.fill(0L, Seq("count", "gt_count"))
+      .withColumn("error", col("count") - col("gt_count"))
+      .withColumn("rel_error",
+        when(col("gt_count") > 0, col("error") / col("gt_count")))
+    joined
+      .filter(col("confidence_threshold").isNotNull)
+      .groupBy("category_id", "confidence_threshold")
+      .agg(
+        avg(abs(col("error"))).as("MAE"),
+        sqrt(avg(col("error") * col("error"))).as("RMSE"),
+        stddev(col("error")).as("std"),
+        percentile_approx(col("error"), lit(0.5), lit(10000)).as("q0_50"),
+        avg(abs(col("rel_error"))).as("MRE"),
+        sqrt(avg(col("rel_error") * col("rel_error"))).as("RMSRE"))
+      .withColumn("model", lit(model))
+  }
+}
