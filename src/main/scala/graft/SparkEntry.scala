@@ -31,7 +31,8 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     _root_.graft.queries.CoreQueries,
     _root_.graft.queries.ReshapeQueries,
-    _root_.graft.queries.EvalQueries
+    _root_.graft.queries.EvalQueries,
+    _root_.graft.queries.SplitQueries
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
