@@ -32,7 +32,8 @@ object SparkEntry {
     _root_.graft.queries.CoreQueries,
     _root_.graft.queries.ReshapeQueries,
     _root_.graft.queries.EvalQueries,
-    _root_.graft.queries.SplitQueries
+    _root_.graft.queries.SplitQueries,
+    _root_.graft.queries.LlmQueries
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

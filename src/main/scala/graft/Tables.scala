@@ -22,7 +22,14 @@ object Tables {
   def nation(spark: SparkSession, d: String): DataFrame = table(spark, d, "nation")
   def region(spark: SparkSession, d: String): DataFrame = table(spark, d, "region")
   def part(spark: SparkSession, d: String): DataFrame = table(spark, d, "part")
-  def events(spark: SparkSession, d: String): DataFrame = table(spark, d, "events")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects; read nanos as long and convert to a microsecond timestamp
+    * (sub-microsecond precision is irrelevant to every consumer here). */
+  def events(spark: SparkSession, d: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, d, "events")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
 

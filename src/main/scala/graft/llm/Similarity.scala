@@ -1,0 +1,95 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`ArrayType(FloatType)`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact — broadcast the (small) query set against
+  *    the corpus, cosine per pair, window top-k. Scales linearly in corpus
+  *    size × queries; the corpus is never shuffled.
+  *  - [[lshTopK]]: approximate scale path — random-hyperplane signatures
+  *    bucket the corpus; queries only score their own bucket's rows.
+  *    Bucket count 2^planes; the cross join disappears into an equality
+  *    join on the bucket key.
+  *
+  * Cosine is a zip_with + aggregate expression — codegen'd, no UDF.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float/double arrays (0 when either norm is 0). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val na = aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val nb = aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    when(na === 0 || nb === 0, 0.0).otherwise(dot / (sqrt(na) * sqrt(nb)))
+  }
+
+  /** Dot product (for pre-normalized embeddings — one pass instead of
+    * three). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** `planes`-bit random-hyperplane signature: bit p = sign of ⟨v, h_p⟩,
+    * with pseudo-random plane components derived deterministically from
+    * xxhash64(dim, plane) — no RNG state, partitioning-invariant, identical
+    * across runs and cluster sizes. */
+  def hyperplaneSignature(v: Column, planes: Int = 16): Column = {
+    val withIdx = zip_with(v, sequence(lit(0), size(v) - 1),
+      (x, i) => struct(x.cast("double").as("x"), i.as("i")))
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(withIdx, lit(0.0), (acc, e) => {
+        val h = xxhash64(e.getField("i"), lit(p))
+        // hash → pseudo-uniform in [-0.5, 0.5)
+        val coef = (pmod(h, lit(1000003L)).cast("double") / 1000003.0) - 0.5
+        acc + e.getField("x") * coef
+      })
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Exact top-k nearest neighbors by cosine for each query vector.
+    * `queries` must be small enough to broadcast (the usual case: a probe
+    * set). Returns (query_id, neighbor_id, cosine, rank). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Approximate top-k: queries only score corpus rows sharing their LSH
+    * bucket (equality join on the signature). Recall grows with fewer
+    * planes / more probes; this is the 1000-executor-scale path where the
+    * corpus is too big to cross join. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+      planes: Int = 8, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      hyperplaneSignature(col(vecCol), planes).as("sig"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      hyperplaneSignature(col(vecCol), planes).as("sig")))
+    val scored = c.join(q, Seq("sig"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,116 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, n-gram language ID, fingerprinting.
+  *
+  * All operators are pure column expressions (whole-stage codegen, no UDFs,
+  * no shuffles) — at 100 TB they run as a single map over the scan with
+  * full predicate/column pushdown preserved.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count estimate: words + punctuation marks + digit runs
+    * counted as separate tokens (a cheap, deterministic proxy for a real
+    * tokenizer's token count). */
+  def subwordCountEstimate(text: Column): Column =
+    size(split(trim(text), "\\s+")) +
+      length(regexp_replace(text, "[^\\p{Punct}]", "")) +
+      size(filter(split(text, "[^0-9]+"), x => length(x) > 0))
+
+  /** Character-class ratios. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") / length(text))
+
+  def digitRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(length(regexp_replace(text, "[^0-9]", "")).cast("double") / length(text))
+
+  def upperRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(length(regexp_replace(text, "[^A-Z]", "")).cast("double") / length(text))
+
+  /** Mean word length over whitespace tokens. */
+  def meanWordLength(text: Column): Column = {
+    val words = split(trim(text), "\\s+")
+    when(size(words) === 0, 0.0)
+      .otherwise(aggregate(words, lit(0), (acc, w) => acc + length(w)).cast("double")
+        / size(words))
+  }
+
+  /** English stopword share of tokens — the classic quality signal. */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "at", "by", "be", "this", "are")
+
+  def stopwordRatio(text: Column): Column = {
+    val words = split(lower(trim(text)), "\\s+")
+    when(size(words) === 0, 0.0)
+      .otherwise(size(filter(words, w => w.isInCollection(stopwords))).cast("double")
+        / size(words))
+  }
+
+  /** Composite quality score in [0,1]: length band + stopword presence −
+    * punctuation/digit noise. Deterministic and monotone in each signal;
+    * thresholds follow common web-corpus filtering heuristics. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val lengthScore = when(nTok >= 20 && nTok <= 10000, 1.0)
+      .when(nTok >= 5, 0.5).otherwise(0.0)
+    val swScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val noise = least(punctRatio(text) * 3.0 + digitRatio(text) * 2.0, lit(1.0))
+    greatest(lit(0.0), least(lit(1.0),
+      lengthScore * 0.4 + swScore * 0.4 + (lit(1.0) - noise) * 0.2))
+  }
+
+  /** Tiny per-language function-word vocabularies for the n-gram/stopword
+    * language-ID heuristic. */
+  val langVocab: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "for", "it"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "des", "est", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"),
+    "es" -> Seq("el", "la", "los", "las", "de", "y", "un", "una", "es", "que"))
+
+  /** Per-language hit count, argmax (ties → lexicographically first lang,
+    * deterministic), "und" (undetermined) when nothing matches. */
+  def langId(text: Column): Column = {
+    val words = split(lower(trim(text)), "\\s+")
+    val scores = langVocab.toSeq.sortBy(_._1).map { case (lang, vocab) =>
+      lang -> size(filter(words, w => w.isInCollection(vocab)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(when(best <= 0, "und")) { case (acc, (lang, s)) =>
+      acc.when(s === best, lang)
+    }.otherwise("und")
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text —
+    * stable across engines (md5 is bit-identical everywhere), suitable as an
+    * exact-dedup key at any corpus size (128-bit: no birthday collisions at
+    * trillions of docs, unlike xxhash64). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Full per-document stats projection. */
+  def documentStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col("*"),
+      tokenCount(t).as("n_tokens"),
+      meanWordLength(t).as("mean_word_len"),
+      punctRatio(t).as("punct_ratio"),
+      digitRatio(t).as("digit_ratio"),
+      stopwordRatio(t).as("stopword_ratio"),
+      qualityScore(t).as("quality"),
+      langId(t).as("lang_pred"),
+      fingerprint(t).as("fingerprint"))
+  }
+}

@@ -1,0 +1,183 @@
+package graft
+
+import graft.llm.{Dedup, Similarity, TextAnalysis, Multimodal}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def docs() = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 0
+    (2L, "the quick brown fox jumps over the sleepy dog"), // near dup
+    (3L, "completely different text about spark engines and shuffles"),
+    (4L, "THE  Quick Brown   Fox jumps over the lazy dog") // dup modulo case/ws
+  ).toDF("doc_id", "text")
+
+  test("exactDedup groups by normalized content, keeps min id") {
+    val groups = Dedup.exactGroups(docs()).collect()
+    assert(groups.length == 3)
+    val big = groups.find(_.getAs[Long]("n_dups") == 3).get
+    assert(big.getAs[Long]("keep_id") == 0L) // 0, 1, 4 collapse
+    val deduped = Dedup.exactDedup(docs())
+    assert(deduped.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 2L, 3L))
+  }
+
+  test("identical texts share MinHash signatures; near-dups found above threshold") {
+    val sigs = docs().select(col("doc_id"),
+      Dedup.minHashSignature(col("text"), k = 16).as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(0L) == sigs(1L))
+    assert(sigs(0L) == sigs(4L)) // normalization folds case/whitespace
+    assert(sigs(0L) != sigs(3L))
+    val pairs = Dedup.minHashNearDups(docs(), k = 16, bands = 4, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) == 1.0)
+    assert(!pairs.keys.exists { case (a, b) => b == 3L || a == 3L })
+  }
+
+  test("SimHash: identical → 0 hamming, different → large hamming") {
+    val sigs = docs().select(col("doc_id"), Dedup.simHash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) == sigs(1L))
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(3L)) > 8)
+    val nd = Dedup.simHashNearDups(docs(), maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd.contains((0L, 1L)))
+  }
+
+  test("jaccard expression on word sets") {
+    val df = Seq(("a b c", "b c d")).toDF("x", "y")
+    val j = df.select(Dedup.jaccard(
+      array_distinct(split(col("x"), " ")),
+      array_distinct(split(col("y"), " "))).as("j")).collect()(0).getDouble(0)
+    assert(j == 0.5) // |{b,c}| / |{a,b,c,d}|
+  }
+
+  test("embedding near-dups: identical vectors found with cosine 1") {
+    val embs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val nd = Dedup.embeddingNearDups(embs, threshold = 0.99, planes = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(nd.toSeq == Seq((0L, 1L, 1.0)))
+  }
+}
+
+class SimilaritySpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("cosine of known vectors") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      (Seq(1.0f, 1.0f), Seq(1.0f, 1.0f)),
+      (Seq(1.0f, 0.0f), Seq(1.0f, 1.0f))).toDF("a", "b")
+    val vals = df.select(Similarity.cosine(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(vals(0) == 0.0)
+    assert(math.abs(vals(1) - 1.0) < 1e-12)
+    assert(math.abs(vals(2) - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks by cosine, excludes self") {
+    val embs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") === 0), k = 3)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id"))
+    assert(top.toSeq == Seq(1L, 3L, 2L))
+  }
+
+  test("lshTopK finds the identical vector (same bucket) as top hit") {
+    val embs = (0 until 50).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => ((i * 7 + j * 13) % 17 - 8).toFloat))).toDF("vec_id", "embedding")
+    val withDup = embs.unionByName(
+      Seq((100L, Seq.tabulate(8)(j => ((3 * 7 + j * 13) % 17 - 8).toFloat))).toDF("vec_id", "embedding"))
+    val res = Similarity.lshTopK(withDup, withDup.filter(col("vec_id") === 100L), k = 5, planes = 4)
+      .filter(col("rank") === 1).collect()
+    assert(res.length == 1)
+    assert(res(0).getAs[Long]("neighbor_id") == 3L) // the identical vector
+    assert(math.abs(res(0).getAs[Double]("cosine") - 1.0) < 1e-12)
+  }
+}
+
+class TextAnalysisSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("tokenCount handles empties and multi-space") {
+    val df = Seq("", "  ", "a", "a  b", "a b c").toDF("t")
+    val counts = df.select(TextAnalysis.tokenCount(col("t"))).collect().map(_.getInt(0))
+    assert(counts.toSeq == Seq(0, 0, 1, 2, 3))
+  }
+
+  test("ratios and mean word length") {
+    val df = Seq("ab cd!").toDF("t")
+    val r = df.select(
+      TextAnalysis.punctRatio(col("t")),
+      TextAnalysis.meanWordLength(col("t"))).collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0 / 6) < 1e-12)
+    assert(r.getDouble(1) == 2.5) // ("ab"=2 + "cd!"=3) / 2
+  }
+
+  test("langId picks the vocabulary with most hits, und when none") {
+    val df = Seq(
+      "the cat and the dog of the house",
+      "le chat et la maison de la ville est que",
+      "der hund und die katze ist ein tier",
+      "xyzzy qwerty").toDF("t")
+    val langs = df.select(TextAnalysis.langId(col("t"))).collect().map(_.getString(0))
+    assert(langs.toSeq == Seq("en", "fr", "de", "und"))
+  }
+
+  test("fingerprint is whitespace/case-normalized md5") {
+    val df = Seq(("Hello  World", "hello world")).toDF("a", "b")
+    val r = df.select(TextAnalysis.fingerprint(col("a")).as("fa"),
+      TextAnalysis.fingerprint(col("b")).as("fb")).collect()(0)
+    assert(r.getString(0) == r.getString(1))
+  }
+
+  test("qualityScore rewards stopword-rich prose, penalizes noise") {
+    val df = Seq(
+      "the quick brown fox is on the hill and it is a fine day for all of us to be here today",
+      "!!! ### $$$ 12345 67890 @@@@").toDF("t")
+    val q = df.select(TextAnalysis.qualityScore(col("t"))).collect().map(_.getDouble(0))
+    assert(q(0) > 0.7)
+    assert(q(1) < 0.3)
+  }
+}
+
+class MultimodalSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def media() = Seq(
+    (0L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8), "image"),
+    (1L, Array[Byte](10, 20, 30), "image"),
+    (2L, Array.tabulate[Byte](64)(_.toByte), "video"),
+    (3L, null.asInstanceOf[Array[Byte]], "image")
+  ).toDF("media_id", "payload", "media_type")
+
+  test("extractFeatures is deterministic and handles nulls") {
+    val f1 = Multimodal.extractFeatures(media(), partitions = 2).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(media(), partitions = 4).collect().sortBy(_.media_id)
+    assert(f1.map(_.feature.toSeq).toSeq == f2.map(_.feature.toSeq).toSeq)
+    assert(f1.map(_.n_bytes).toSeq == Seq(8, 3, 64, 0))
+    assert(f1.last.feature.forall(_ == 0.0f))
+    assert(f1.head.feature.length == 8)
+  }
+
+  test("sampleFrames fans out n rows per video with sliced payloads") {
+    val frames = Multimodal.sampleFrames(media(), n = 4).collect()
+    assert(frames.length == 4)
+    assert(frames.map(_.getAs[Int]("frame_idx")).sorted.toSeq == Seq(0, 1, 2, 3))
+    val sizes = frames.map(r => r.getAs[Array[Byte]]("frame_payload").length)
+    assert(sizes.forall(_ == 16))
+  }
+
+  test("resizeMeta rewrites the meta struct") {
+    val m = media().withColumn("meta", struct(lit(100).as("width"), lit(50).as("height"),
+      lit(0L).as("duration_ms"), lit("png").as("format")))
+    val out = Multimodal.resizeMeta(m, 224, 224).select("meta.width", "meta.format").collect()(0)
+    assert(out.getInt(0) == 224 && out.getString(1) == "png+resized")
+  }
+}
