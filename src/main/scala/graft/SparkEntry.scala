@@ -33,7 +33,8 @@ object SparkEntry {
     _root_.graft.queries.ReshapeQueries,
     _root_.graft.queries.EvalQueries,
     _root_.graft.queries.SplitQueries,
-    _root_.graft.queries.LlmQueries
+    _root_.graft.queries.LlmQueries,
+    _root_.graft.queries.StreamQueries
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

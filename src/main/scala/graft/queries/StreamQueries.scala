@@ -1,0 +1,69 @@
+package graft.queries
+
+import graft.Tables
+import graft.streaming.EventStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Correctness-gate queries for the streaming operators run in batch mode
+  * (SURVEY §7 new scope). The same code paths power the Structured
+  * Streaming queries (StreamingSpec drives an actual readStream→memory
+  * sink); here they run over the batch events table so DuckDB can oracle
+  * them. */
+object StreamQueries extends graft.QueryModule {
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    // sliding 2h/1h window aggregate (batch mode of windowedAggregate)
+    "q39_sliding_window" -> ((s, d) => {
+      EventStream.windowedAggregate(Tables.events(s, d), "2 hours", Some("1 hour"),
+        watermark = "0 seconds")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm").as("window_start"),
+          col("event_type"), col("n"),
+          round(col("total_value"), 2).as("total_value"))
+    }),
+
+    // gap-based sessionization (flatMapGroupsWithState kernel) vs the
+    // SQL lag+cumsum formulation
+    "q40_sessionize" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val events = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[EventStream.Event]
+      EventStream.sessionize(events, gapMs = 30 * 60 * 1000L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          round(sum(col("total_value")), 2).as("total_value"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q39_sliding_window" ->
+      """WITH buckets AS (
+        |  SELECT strftime(date_trunc('hour', ts) - INTERVAL (k) HOUR,
+        |                  '%Y-%m-%d %H:%M') AS window_start,
+        |         event_type, value
+        |  FROM events CROSS JOIN (VALUES (0), (1)) AS offsets(k))
+        |SELECT window_start, event_type, count(*) AS n,
+        |       round(sum(value), 2) AS total_value
+        |FROM buckets GROUP BY 1, 2""".stripMargin,
+
+    "q40_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) <= 30*60*1000
+        |         THEN 0 ELSE 1 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id, count(DISTINCT sid) AS n_sessions,
+        |       count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM s GROUP BY user_id""".stripMargin
+  )
+}
