@@ -34,7 +34,8 @@ object SparkEntry {
     _root_.graft.queries.EvalQueries,
     _root_.graft.queries.SplitQueries,
     _root_.graft.queries.LlmQueries,
-    _root_.graft.queries.StreamQueries
+    _root_.graft.queries.StreamQueries,
+    _root_.graft.queries.IoQueries
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,137 @@
+package graft.io
+
+import graft.model.GraftDataset
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** cAIpy per-image JSON source/sink — reference from_caipy / to_caipy
+  * (lours/dataset/io/caipy.py:30-695).
+  *
+  * Layout: `{root}/Annotations/{split}/<stem>.json`, one JSON document per
+  * image: `{"image": {...}, "annotations": [{..., "attributes": {...}}]}`.
+  * Nested keys flatten to dotted column names (`attributes.tags`), the
+  * json-normalize convention all downstream code keys on.
+  *
+  * Read: `spark.read.json` over the per-split glob (distributed; one task
+  * per file group), split from `input_file_name()`. Write: per-image JSON
+  * from `foreachPartition` after a `collect_list(struct(...))` group — one
+  * shuffle, then embarrassingly parallel file IO.
+  */
+object Caipy {
+
+  /** Flatten struct columns to dotted names, recursively (the
+    * json-normalize convention, io/caipy.py:78-86). */
+  private def flatten(df: DataFrame): DataFrame = {
+    def paths(schema: StructType, prefix: String): Seq[(String, String)] =
+      schema.fields.flatMap { f =>
+        val path = if (prefix.isEmpty) s"`${f.name}`" else s"$prefix.`${f.name}`"
+        val name = if (prefix.isEmpty) f.name else
+          s"${prefix.replace("`", "")}.${f.name}".replace("`", "")
+        f.dataType match {
+          case s: StructType => paths(s, path)
+          case _ => Seq(path -> name)
+        }
+      }.toSeq
+    val sel = paths(df.schema, "").map { case (p, n) => expr(p).as(n) }
+    df.select(sel: _*)
+  }
+
+  /** Load a caipy tree: `Annotations/{split}/&#42;.json`. */
+  def fromCaipy(spark: SparkSession, root: String,
+      splits: Seq[String] = Seq("train", "valid"),
+      datasetName: Option[String] = None): GraftDataset = {
+    val perSplit = splits.filter { s =>
+      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(root, "Annotations", s))
+    }.map { s =>
+      spark.read.option("multiLine", true)
+        .json(s"$root/Annotations/$s/*.json")
+        .withColumn("split", lit(s))
+    }
+    require(perSplit.nonEmpty, s"no Annotations/{${splits.mkString(",")}} under $root")
+    val raw = perSplit.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+
+    val images = flatten(raw.select(col("image.*"), col("split")))
+      .withColumnRenamed("file_name", "relative_path")
+    val ann0 = raw.select(explode(col("annotations")).as("a"))
+      .select(col("a.*"))
+    val annotations = flatten(ann0)
+      .withColumn("box_x_min", element_at(col("bbox"), 1).cast("double"))
+      .withColumn("box_y_min", element_at(col("bbox"), 2).cast("double"))
+      .withColumn("box_width", element_at(col("bbox"), 3).cast("double"))
+      .withColumn("box_height", element_at(col("bbox"), 4).cast("double"))
+      .drop("bbox")
+    val labelMap = annotations.select(col("category_id").cast("int"),
+      col("category_str")).distinct().collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    GraftDataset.create(images, annotations, labelMap, root, datasetName)
+  }
+
+  private def jsonVal(v: Any): String = v match {
+    case null => "null"
+    case s: String => "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    case d: Double =>
+      if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString else d.toString
+    case f: Float => jsonVal(f.toDouble)
+    case s: Iterable[_] => s.map(jsonVal).mkString("[", ", ", "]")
+    case s: scala.collection.Seq[_] => s.map(jsonVal).mkString("[", ", ", "]")
+    case other => other.toString
+  }
+
+  /** Re-nest dotted names into JSON objects: `{"a.b": 1}` → `{"a": {"b": 1}}`. */
+  private def nest(pairs: Seq[(String, Any)]): String = {
+    val (leaves, nested) = pairs.partition(!_._1.contains('.'))
+    val groups = nested.groupBy(_._1.takeWhile(_ != '.'))
+      .map { case (head, kids) =>
+        head -> nest(kids.map { case (k, v) => k.drop(head.length + 1) -> v })
+      }
+    (leaves.map { case (k, v) => s"${jsonVal(k)}: ${jsonVal(v)}" } ++
+      groups.toSeq.sortBy(_._1).map { case (k, obj) => s"${jsonVal(k)}: $obj" })
+      .mkString("{", ", ", "}")
+  }
+
+  /** Write one JSON per image under `Annotations/{split}/<stem>.json`
+    * (to_caipy, io/caipy.py:352-695). */
+  def toCaipy(ds: GraftDataset, root: String): Unit = {
+    val annCols = ds.annotations.columns.filterNot(
+      Seq("box_x_min", "box_y_min", "box_width", "box_height", "split").contains)
+    val grouped = ds.annotations
+      .withColumn("bbox", array(col("box_x_min"), col("box_y_min"),
+        col("box_width"), col("box_height")))
+      .groupBy(col("image_id"))
+      .agg(sort_array(collect_list(struct((annCols.map(c => col(s"`$c`")) :+
+        col("bbox")): _*))).as("anns"))
+    val imgCols = ds.images.columns
+    val joined = ds.images.join(grouped, ds.images("id") === col("image_id"), "left")
+    val annColsB = annCols
+    joined.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      it.foreach { r =>
+        val split = Option(r.getAs[String]("split")).getOrElse("train")
+        val rel = r.getAs[String]("relative_path")
+        val stem = rel.substring(rel.lastIndexOf('/') + 1,
+          if (rel.lastIndexOf('.') > rel.lastIndexOf('/')) rel.lastIndexOf('.') else rel.length)
+        val imgJson = nest(imgCols.filterNot(_ == "split").map { c =>
+          val v = r.getAs[Any](c)
+          (if (c == "relative_path") "file_name" else c) -> v
+        }.toSeq)
+        val annsRaw = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("anns")
+        val annJson =
+          if (annsRaw == null) "[]"
+          else annsRaw.map { a =>
+            nest(annColsB.map(c => c -> a.getAs[Any](c)).toSeq :+
+              ("bbox" -> a.getAs[Any]("bbox")))
+          }.mkString("[", ", ", "]")
+        val doc = s"""{"image": $imgJson, "annotations": $annJson}"""
+        val dir = java.nio.file.Paths.get(root, "Annotations", split)
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.writeString(dir.resolve(stem + ".json"), doc)
+      }
+    }
+  }
+}

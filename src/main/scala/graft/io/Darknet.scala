@@ -1,0 +1,113 @@
+package graft.io
+
+import graft.model.GraftDataset
+import graft.functions.Bbox
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** darknet / YOLOv5 label-file source/sink — reference from_darknet family
+  * (lours/dataset/io/darknet.py:51-736).
+  *
+  * Layout: `labels/<stem>.txt` with one `class cx cy w h [conf]` line per
+  * object in image-relative coordinates; `classes.names` (one class per
+  * line, sequential ids); images listed by a split file or supplied as an
+  * images table (the txt files carry no image dimensions).
+  *
+  * Read: `spark.read.text` with `input_file_name()` → split on whitespace —
+  * fully distributed, one task per file group. Relative→pixel conversion is
+  * the standard broadcast dims join (Bbox.toCanonical).
+  */
+object Darknet {
+
+  /** Parse all label txts under `labelsDir`, joining image dimensions from
+    * `images` on the file stem ↔ image relative_path stem. */
+  def fromDarknet(spark: SparkSession, labelsDir: String, images: DataFrame,
+      classNames: Seq[String], split: Option[String] = None,
+      datasetName: Option[String] = None): GraftDataset = {
+    val labelMap = classNames.zipWithIndex.map(_.swap).toMap
+    val raw = spark.read.textFile(s"$labelsDir/*.txt").toDF("line")
+      .withColumn("file", input_file_name())
+      .filter(length(trim(col("line"))) > 0)
+      .withColumn("stem", regexp_extract(col("file"), "([^/]+)\\.txt$", 1))
+      .withColumn("parts",
+        org.apache.spark.sql.functions.split(trim(col("line")), "\\s+"))
+    val imgs = images.withColumn("stem",
+      regexp_extract(col("relative_path"), "([^/]+)\\.[^.]+$", 1))
+    val dims = broadcast(imgs.select(col("stem"), col("id").as("__img_id"),
+      col("width").as("__w"), col("height").as("__h")))
+    val joined = raw.join(dims, Seq("stem"))
+    val rel = joined.select(
+      col("__img_id").as("image_id"),
+      element_at(col("parts"), 1).cast("int").as("category_id"),
+      element_at(col("parts"), 2).cast("double").as("cx"),
+      element_at(col("parts"), 3).cast("double").as("cy"),
+      element_at(col("parts"), 4).cast("double").as("w"),
+      element_at(col("parts"), 5).cast("double").as("h"),
+      when(size(col("parts")) >= 6, element_at(col("parts"), 6).cast("double"))
+        .as("confidence"),
+      col("__w"), col("__h"))
+    val boxes = Bbox.toCanonical(Bbox.BoxFormat(Bbox.CenterSize, relative = true),
+      col("cx"), col("cy"), col("w"), col("h"), col("__w"), col("__h"))
+    val hasConf = // keep the confidence column only if any line carries one
+      rel.agg(count(col("confidence"))).collect()(0).getLong(0) > 0
+    val annotations = rel.select(
+      (Seq(col("image_id"), col("category_id")) ++ boxes ++
+        (if (hasConf) Seq(col("confidence")) else Nil)): _*)
+    val imagesWithSplit = split match {
+      case Some(s) => images.withColumn("split", lit(s))
+      case None => images
+    }
+    GraftDataset.create(imagesWithSplit, annotations, labelMap,
+      datasetName = datasetName)
+  }
+
+  /** Write `classes.names` + one `labels/<stem>.txt` per image with
+    * relative `cxcywh` lines (to_darknet / to_yolov5,
+    * dataset.py:4708-4872). Class ids are re-densified 0..K-1 in label-map
+    * order; the per-image files are written from the executors
+    * (foreachPartition) so the writer scales with the image count. */
+  def toDarknet(ds: GraftDataset, dir: String): Unit = {
+    val base = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(base.resolve("labels"))
+    val ordered = ds.labelMap.toSeq.sortBy(_._1)
+    java.nio.file.Files.writeString(base.resolve("classes.names"),
+      ordered.map(_._2).mkString("", "\n", "\n"))
+    // dense re-id map 0..K-1 (ids_map.json analogue, io/darknet.py:554-736)
+    val dense = ordered.map(_._1).zipWithIndex.toMap
+    val idsJson = ordered.zipWithIndex.map { case ((id, n), i) =>
+      s""""$i": {"id": $id, "name": "$n"}"""
+    }.mkString("{", ", ", "}")
+    java.nio.file.Files.writeString(base.resolve("ids_map.json"), idsJson)
+
+    val denseExpr = element_at(
+      map(dense.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+      col("category_id"))
+    val rel = Bbox.exportBoxes(ds, Bbox.BoxFormat(Bbox.CenterSize, relative = true))
+      .withColumn("__cls", denseExpr)
+    val stem = regexp_extract(col("relative_path"), "([^/]+)\\.[^.]+$", 1)
+    val lines = rel
+      .join(ds.images.select(col("id").as("image_id"), stem.as("stem")), Seq("image_id"))
+      .select(col("stem"),
+        concat_ws(" ", col("__cls"), col("cx"), col("cy"), col("width"), col("height"))
+          .as("line"))
+      .groupBy("stem").agg(sort_array(collect_list(col("line"))).as("lines"))
+    val labelsDir = base.resolve("labels").toString
+    lines.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      it.foreach { r =>
+        val p = java.nio.file.Paths.get(labelsDir, r.getString(0) + ".txt")
+        java.nio.file.Files.writeString(p,
+          r.getSeq[String](1).mkString("", "\n", "\n"))
+      }
+    }
+    // images with no annotations still get an (empty) label file
+    val empty = ds.images.join(ds.annotations.select("image_id"),
+      ds.images("id") === col("image_id"), "left_anti")
+      .select(regexp_extract(col("relative_path"), "([^/]+)\\.[^.]+$", 1).as("stem"))
+    empty.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      it.foreach { r =>
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(labelsDir, r.getString(0) + ".txt"), "")
+      }
+    }
+  }
+}

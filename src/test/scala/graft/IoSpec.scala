@@ -1,0 +1,214 @@
+package graft
+
+import graft.io._
+import graft.operators.Diff
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+class CocoSpec extends SparkFunSuite {
+
+  private def writeFixture(dir: String): String = {
+    val doc =
+      """{"info": {"description": "fixture"},
+        |  "images": [
+        |    {"id": 9, "file_name": "000000000009.jpg", "width": 640, "height": 480},
+        |    {"id": 12, "file_name": "000000000012.jpg", "width": 800, "height": 600}],
+        |  "annotations": [
+        |    {"id": 100, "image_id": 9, "category_id": 51, "bbox": [1.5, 187.0, 611.0, 285.0], "area": 1.0, "iscrowd": 0},
+        |    {"id": 101, "image_id": 9, "category_id": 56, "bbox": [10.0, 20.0, 30.0, 40.0], "area": 1.0, "iscrowd": 1},
+        |    {"id": 102, "image_id": 12, "category_id": 51, "bbox": [0.0, 0.0, 100.0, 100.0], "area": 1.0, "iscrowd": 0}],
+        |  "categories": [
+        |    {"id": 51, "name": "bowl", "supercategory": ""},
+        |    {"id": 56, "name": "chair", "supercategory": ""}]}""".stripMargin
+    val p = Paths.get(dir, "fixture_train.json")
+    Files.writeString(p, doc)
+    p.toString
+  }
+
+  test("fromCoco parses tables, drops iscrowd, infers split, builds label map") {
+    val dir = Files.createTempDirectory("coco").toString
+    val ds = Coco.fromCoco(spark, writeFixture(dir))
+    assert(ds.numImages == 2)
+    assert(ds.numAnnotations == 2) // iscrowd row dropped
+    assert(ds.labelMap == Map(51 -> "bowl", 56 -> "chair"))
+    val img = ds.images.filter(col("id") === 9).collect()(0)
+    assert(img.getAs[String]("split") == "train")
+    assert(img.getAs[String]("type") == "jpg")
+    val ann = ds.annotations.filter(col("id") === 100).collect()(0)
+    assert(ann.getAs[Double]("box_x_min") == 1.5)
+    assert(ann.getAs[String]("category_str") == "bowl")
+  }
+
+  test("coco roundtrip preserves the dataset") {
+    val dir = Files.createTempDirectory("coco_rt").toString
+    val ds = Coco.fromCoco(spark, writeFixture(dir))
+    val outDir = Files.createTempDirectory("coco_out").toString
+    val written = Coco.toCoco(ds.copy(datasetName = Some("fixture")), outDir, overwrite = true)
+    assert(written.length == 1 && written.head.endsWith("fixture_train.json"))
+    val back = Coco.fromCoco(spark, written.head)
+    assert(back.labelMap == ds.labelMap)
+    assert(Diff.datasetsEqual(
+      ds.copy(datasetName = None), back.copy(datasetName = None)))
+  }
+
+  test("predictions with scores become confidence") {
+    val dir = Files.createTempDirectory("coco_pred").toString
+    val doc =
+      """{"images": [{"id": 1, "file_name": "a.jpg", "width": 10, "height": 10}],
+        |  "annotations": [{"id": 1, "image_id": 1, "category_id": 0, "bbox": [1, 1, 2, 2], "score": 0.87}],
+        |  "categories": [{"id": 0, "name": "x", "supercategory": ""}]}""".stripMargin
+    Files.writeString(Paths.get(dir, "preds.json"), doc)
+    val ds = Coco.fromCoco(spark, s"$dir/preds.json")
+    assert(ds.annotations.select("confidence").collect()(0).getDouble(0) == 0.87)
+  }
+}
+
+class DarknetSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("fromDarknet parses relative boxes against image dims; roundtrip") {
+    val dir = Files.createTempDirectory("darknet").toString
+    Files.createDirectories(Paths.get(dir, "labels"))
+    // image 100x200; box center (0.5, 0.5), size (0.2, 0.1) → x=40 y=90 w=20 h=20
+    Files.writeString(Paths.get(dir, "labels", "img1.txt"),
+      "0 0.5 0.5 0.2 0.1\n1 0.25 0.25 0.5 0.5\n")
+    Files.writeString(Paths.get(dir, "labels", "img2.txt"), "")
+    val images = Seq(
+      (0L, 100, 200, "img1.jpg"), (1L, 100, 100, "img2.jpg")
+    ).toDF("id", "width", "height", "relative_path")
+    val ds = Darknet.fromDarknet(spark, dir + "/labels", images,
+      Seq("cat", "dog"), split = Some("train"))
+    assert(ds.numAnnotations == 2)
+    assert(ds.labelMap == Map(0 -> "cat", 1 -> "dog"))
+    val a = ds.annotations.filter(col("category_id") === 0).collect()(0)
+    assert(a.getAs[Double]("box_x_min") == 40.0)
+    assert(a.getAs[Double]("box_y_min") == 90.0)
+    assert(a.getAs[Double]("box_width") == 20.0)
+    assert(a.getAs[Double]("box_height") == 20.0)
+
+    val outDir = Files.createTempDirectory("darknet_out").toString
+    Darknet.toDarknet(ds, outDir)
+    assert(Files.readString(Paths.get(outDir, "classes.names")) == "cat\ndog\n")
+    val lines = Files.readString(Paths.get(outDir, "labels", "img1.txt")).trim.split("\n")
+    assert(lines.length == 2)
+    assert(lines.exists(_.startsWith("0 0.5 0.5 0.2 0.1")))
+    assert(Files.exists(Paths.get(outDir, "labels", "img2.txt"))) // empty image
+    val back = Darknet.fromDarknet(spark, outDir + "/labels", images,
+      Seq("cat", "dog"), split = Some("train"))
+    assert(Diff.datasetsEqual(
+      ds.copy(annotations = ds.annotations.drop("id")).reordered
+        .copy(annotations = graft.model.GraftDataset.defaultAnnotColumns(
+          ds.annotations.drop("id"))),
+      back.copy(annotations = graft.model.GraftDataset.defaultAnnotColumns(
+        back.annotations.drop("id")))))
+  }
+}
+
+class CaipySpec extends SparkFunSuite {
+
+  private def writeFixture(root: String): Unit = {
+    Files.createDirectories(Paths.get(root, "Annotations", "train"))
+    Files.createDirectories(Paths.get(root, "Annotations", "valid"))
+    Files.writeString(Paths.get(root, "Annotations", "train", "img9.json"),
+      """{"image": {"id": 9, "file_name": "img9.jpg", "width": 640, "height": 480},
+        |  "annotations": [
+        |    {"id": 1, "image_id": 9, "category_id": 51, "category_str": "bowl",
+        |     "bbox": [1.0, 2.0, 30.0, 40.0], "attributes": {"occluded": true}}]}""".stripMargin)
+    Files.writeString(Paths.get(root, "Annotations", "valid", "img12.json"),
+      """{"image": {"id": 12, "file_name": "img12.jpg", "width": 800, "height": 600},
+        |  "annotations": [
+        |    {"id": 2, "image_id": 12, "category_id": 56, "category_str": "chair",
+        |     "bbox": [5.0, 6.0, 70.0, 80.0], "attributes": {"occluded": false}}]}""".stripMargin)
+  }
+
+  test("fromCaipy loads per-split files and flattens nested attributes") {
+    val root = Files.createTempDirectory("caipy").toString
+    writeFixture(root)
+    val ds = Caipy.fromCaipy(spark, root)
+    assert(ds.numImages == 2 && ds.numAnnotations == 2)
+    assert(ds.labelMap == Map(51 -> "bowl", 56 -> "chair"))
+    assert(ds.annotations.columns.contains("attributes.occluded"))
+    val bySplit = ds.images.select("split").collect().map(_.getString(0)).sorted
+    assert(bySplit.toSeq == Seq("train", "valid"))
+    // split propagated to annotations
+    assert(ds.annotations.filter(col("image_id") === 12)
+      .select("split").collect()(0).getString(0) == "valid")
+  }
+
+  test("caipy roundtrip preserves tables") {
+    val root = Files.createTempDirectory("caipy_rt").toString
+    writeFixture(root)
+    val ds = Caipy.fromCaipy(spark, root)
+    val out = Files.createTempDirectory("caipy_out").toString
+    Caipy.toCaipy(ds, out)
+    assert(Files.exists(Paths.get(out, "Annotations", "train", "img9.json")))
+    val back = Caipy.fromCaipy(spark, out)
+    assert(back.labelMap == ds.labelMap)
+    assert(collectSorted(back.annotations.select("id", "image_id", "box_x_min", "box_width")) ==
+      collectSorted(ds.annotations.select("id", "image_id", "box_x_min", "box_width")))
+    assert(back.annotations.filter(col("`attributes.occluded`") === true).count() == 1)
+  }
+}
+
+class OtherFormatsSpec extends SparkFunSuite {
+
+  test("fromMot drops conf==0 and builds image table from frames") {
+    val dir = Files.createTempDirectory("mot").toString
+    Files.writeString(Paths.get(dir, "gt.txt"),
+      """1,1,10.0,20.0,30.0,40.0,1.0,0,0
+        |1,2,50.0,60.0,70.0,80.0,0.0,0,0
+        |2,1,15.0,25.0,35.0,45.0,0.9,0,0
+        |""".stripMargin)
+    val ds = Mot.fromMot(spark, s"$dir/gt.txt", split = Some("train"))
+    assert(ds.numImages == 2)
+    assert(ds.numAnnotations == 2) // conf==0 dropped
+    assert(ds.annotations.columns.contains("obj_id"))
+  }
+
+  test("fromCrowdHuman explodes person+head rows with visible share") {
+    val dir = Files.createTempDirectory("crowd").toString
+    Files.writeString(Paths.get(dir, "ann.odgt"),
+      """{"ID": "img_a", "gtboxes": [{"tag": "person", "fbox": [10, 20, 100, 200], "vbox": [10, 20, 50, 200], "hbox": [40, 20, 30, 30]}, {"tag": "mask", "fbox": [0, 0, 5, 5], "vbox": [0, 0, 5, 5], "hbox": [0, 0, 2, 2]}]}
+        |{"ID": "img_b", "gtboxes": [{"tag": "person", "fbox": [1, 2, 10, 20], "vbox": [1, 2, 10, 20], "hbox": [3, 2, 4, 4]}]}
+        |""".stripMargin)
+    val ds = CrowdHuman.fromCrowdHuman(spark, s"$dir/ann.odgt")
+    assert(ds.numImages == 2)
+    assert(ds.numAnnotations == 4) // 2 persons + 2 heads, mask dropped
+    val person = ds.annotations.filter(col("category_id") === 0 && col("box_width") === 100.0)
+    assert(person.select("visible_share").collect()(0).getDouble(0) == 0.5)
+  }
+
+  test("fromPascalVoc parses XML objects and infers the label map") {
+    val dir = Files.createTempDirectory("voc").toString
+    Files.writeString(Paths.get(dir, "img1.xml"),
+      """<annotation><filename>img1.jpg</filename>
+        |<size><width>640</width><height>480</height><depth>3</depth></size>
+        |<object><name>dog</name><difficult>0</difficult>
+        |  <bndbox><xmin>10</xmin><ymin>20</ymin><xmax>110</xmax><ymax>220</ymax></bndbox></object>
+        |<object><name>cat</name><difficult>1</difficult>
+        |  <bndbox><xmin>5</xmin><ymin>6</ymin><xmax>55</xmax><ymax>66</ymax></bndbox></object>
+        |</annotation>""".stripMargin)
+    val ds = PascalVoc.fromPascalVoc(spark, dir, split = Some("train"))
+    assert(ds.numImages == 1 && ds.numAnnotations == 2)
+    assert(ds.labelMap == Map(0 -> "cat", 1 -> "dog"))
+    val dog = ds.annotations.filter(col("category_str") === "dog").collect()(0)
+    assert(dog.getAs[Double]("box_width") == 100.0)
+    assert(dog.getAs[Double]("box_height") == 200.0)
+    assert(!dog.getAs[Boolean]("difficult"))
+  }
+
+  test("fromFolder probes PNG dimensions from headers") {
+    val dir = Files.createTempDirectory("folder").toString
+    // minimal valid PNG header: signature + IHDR with width=3, height=2
+    val png = Array[Int](
+      0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0, 3, 0, 0, 0, 2, 8, 6, 0, 0, 0).map(_.toByte)
+    Files.write(Paths.get(dir, "tiny.png"), png)
+    val ds = ImagesFolder.fromFolder(spark, dir, "*.png", split = Some("train"))
+    assert(ds.numImages == 1)
+    val img = ds.images.collect()(0)
+    assert(img.getAs[Int]("width") == 3 && img.getAs[Int]("height") == 2)
+    assert(ds.numAnnotations == 0)
+  }
+}
