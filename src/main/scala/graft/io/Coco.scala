@@ -122,23 +122,41 @@ object Coco {
       .map(r => Option(r.getString(0))).toSeq
     val hasConf = ds.annotations.columns.contains("confidence")
     splits.map { split =>
-      val imgs = ds.images.filter(col("split") <=> split.map(lit(_)).getOrElse(lit(null)))
+      val splitImages = ds.images
+        .filter(col("split") <=> split.map(lit(_)).getOrElse(lit(null)))
+      val imgs = splitImages
         .select("id", "width", "height", "relative_path").orderBy("id").collect()
-      val imgIds = imgs.map(_.getLong(0)).toSet
+      // semi join, NOT isin: a literal id list would make the predicate
+      // O(#images) per row and blow up at scale
       val anns = ds.annotations
-        .filter(col("image_id").isin(imgIds.toSeq: _*))
+        .join(splitImages.select(col("id").as("__sid")),
+          col("image_id") === col("__sid"), "left_semi")
         .select((Seq("id", "image_id", "category_id", "box_x_min", "box_y_min",
           "box_width", "box_height") ++ (if (hasConf) Seq("confidence") else Nil))
           .map(col): _*)
         .orderBy("id").collect()
-      val imagesJson = imgs.map { r =>
-        s"""{"id": ${r.getLong(0)}, "width": ${r.getInt(1)}, "height": ${r.getInt(2)}, "file_name": "${esc(r.getString(3))}"}"""
-      }.mkString("[", ", ", "]")
-      val annJson = anns.map { r =>
+      val sb = new StringBuilder(64 + imgs.length * 96 + anns.length * 144)
+      sb.append("[")
+      var first = true
+      imgs.foreach { r =>
+        if (!first) sb.append(", ")
+        first = false
+        sb.append(s"""{"id": ${r.getLong(0)}, "width": ${r.getInt(1)}, "height": ${r.getInt(2)}, "file_name": "${esc(r.getString(3))}"}""")
+      }
+      sb.append("]")
+      val imagesJson = sb.toString
+      val ab = new StringBuilder(2 + anns.length * 144)
+      ab.append("[")
+      first = true
+      anns.foreach { r =>
+        if (!first) ab.append(", ")
+        first = false
         val score = if (hasConf && !r.isNullAt(7)) s""", "score": ${r.getDouble(7)}""" else ""
-        s"""{"id": ${r.getLong(0)}, "image_id": ${r.getLong(1)}, "category_id": ${r.getInt(2)}, """ +
-          s""""bbox": [${num(r.getDouble(3))}, ${num(r.getDouble(4))}, ${num(r.getDouble(5))}, ${num(r.getDouble(6))}], "iscrowd": 0$score}"""
-      }.mkString("[", ", ", "]")
+        ab.append(s"""{"id": ${r.getLong(0)}, "image_id": ${r.getLong(1)}, "category_id": ${r.getInt(2)}, """ +
+          s""""bbox": [${num(r.getDouble(3))}, ${num(r.getDouble(4))}, ${num(r.getDouble(5))}, ${num(r.getDouble(6))}], "iscrowd": 0$score}""")
+      }
+      ab.append("]")
+      val annJson = ab.toString
       val catJson = ds.labelMap.toSeq.sortBy(_._1).map { case (id, n) =>
         s"""{"id": $id, "name": "${esc(n)}", "supercategory": ""}"""
       }.mkString("[", ", ", "]")

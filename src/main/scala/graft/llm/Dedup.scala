@@ -46,12 +46,29 @@ object Dedup {
   }
 
   /** K-element MinHash signature: sig_k = min over shingles of
-    * xxhash64(shingle, k). One expression per k — all map-side. */
+    * xxhash64(shingle, k). One expression per k — all map-side.
+    *
+    * NOTE: do NOT apply this to a *computed* shingle expression inside one
+    * projection — Catalyst's CollapseProject inlines the shingle
+    * construction into all K branches (K× re-evaluation). For bulk corpora
+    * use the explode→groupBy path ([[minHashSignatures]]), which hashes
+    * each shingle exactly once. */
   def minHashSignature(text: Column, k: Int = 32, shingleN: Int = 3): Column = {
     val sh = array_distinct(shingles(text, shingleN))
     array((0 until k).map { i =>
       array_min(transform(sh, s => xxhash64(s, lit(i))))
     }: _*)
+  }
+
+  /** Bulk MinHash signatures: explode the (already materialized) shingle
+    * column → K min-aggregates with map-side partial combine. Each shingle
+    * is hashed exactly K times, once — no expression re-inlining. Returns
+    * (id, sig) with sig ordered k = 0..K-1. */
+  def minHashSignatures(shingled: DataFrame, k: Int = 32): DataFrame = {
+    val exploded = shingled.select(col("id"), explode(col("sh")).as("s"))
+    val aggs = (0 until k).map(i => min(xxhash64(col("s"), lit(i))).as(s"__h$i"))
+    exploded.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"__h$i")): _*).as("sig"))
   }
 
   /** LSH band keys: the signature split into `bands` bands of `k/bands`
@@ -73,28 +90,56 @@ object Dedup {
     when(uni === 0, 0.0).otherwise(inter.cast("double") / uni)
   }
 
+  /** Estimated Jaccard from two MinHash signatures: the share of equal
+    * positions (the unbiased MinHash estimator). 32 long compares — far
+    * cheaper than intersecting shingle sets. */
+  def estimatedJaccard(sigA: Column, sigB: Column): Column =
+    aggregate(zip_with(sigA, sigB, (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / size(sigA)
+
   /** MinHash-LSH near-duplicate pairs verified by exact shingle Jaccard.
     * Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
     *
-    * Plan shape: signature map → explode bands (×bands rows) → self-join on
-    * (band, bucket) → distinct candidate pairs → Jaccard verify. Shuffles:
-    * one on the band key, one distinct. No cross join anywhere. */
+    * Plan shape, staged to keep the wide arrays OFF the exploded join:
+    *   1. band keys explode (ids only) → self-join on (band, bucket) →
+    *      distinct candidate id pairs (one shuffle on the short band key)
+    *   2. attach the 32-long signatures, drop pairs whose ESTIMATED Jaccard
+    *      is far below threshold (kills the quadratic bucket noise a
+    *      self-similar corpus produces, at 32 compares/pair)
+    *   3. attach shingle sets only for survivors → exact Jaccard ≥ threshold
+    * No cross join anywhere; array payloads touch only candidate pairs. */
   def minHashNearDups(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", k: Int = 32, bands: Int = 8,
       threshold: Double = 0.7, shingleN: Int = 3): DataFrame = {
-    val withSig = docs.select(
+    // materialize shingles once (cache = optimizer fence: nothing re-inlines
+    // the shingle construction), then bulk signatures via explode→agg
+    val shingled = docs.select(
       col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), shingleN)).as("sh"),
-      minHashSignature(col(textCol), k, shingleN).as("sig"))
-    val banded = withSig.select(col("id"), col("sh"),
+      array_distinct(shingles(col(textCol), shingleN)).as("sh"))
+      .cache()
+    val base = shingled.join(minHashSignatures(shingled, k), Seq("id")).cache()
+    val banded = base.select(col("id"),
       explode(bandKeys(col("sig"), k, bands)).as("bk"))
-    val l = banded.select(col("id").as("id_a"), col("sh").as("sh_a"), col("bk"))
-    val r = banded.select(col("id").as("id_b"), col("sh").as("sh_b"), col("bk"))
-    val pairs = l.join(r, l("bk") === r("bk") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+    val pairs = banded.select(col("id").as("id_a"), col("bk"))
+      .join(banded.select(col("id").as("id_b"), col("bk")),
+        Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    pairs.select(col("id_a"), col("id_b"),
-      jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+    val sigT = base.select(col("id"), col("sig"))
+    // stage 2: signature-estimated prefilter (margin below the threshold so
+    // estimator variance at k=32 cannot drop true positives)
+    val estFiltered = pairs
+      .join(sigT.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigT.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .filter(estimatedJaccard(col("sig_a"), col("sig_b")) >= threshold - 0.35)
+      .select("id_a", "id_b")
+    val shT = base.select(col("id"), col("sh"))
+    estFiltered
+      .join(shT.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shT.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -114,6 +159,23 @@ object Dedup {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Bulk SimHash: explode tokens → hash once → 64 vote-sum aggregates
+    * (map-side combine) → assemble the 64-bit signature. Avoids the same
+    * K-fold expression re-inlining as [[minHashSignatures]]. */
+  def simHashes(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__b$j"))
+    val agg = tok.groupBy("id").agg(votes.head, votes.tail: _*)
+    val sig = (0 until 64).map(j =>
+      when(col(s"__b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    agg.select(col("id"), sig.as("sig"))
+  }
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -122,7 +184,7 @@ object Dedup {
     * for maxDist ≤ 3, approximate above). */
   def simHashNearDups(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxDist: Int = 3): DataFrame = {
-    val sigs = docs.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+    val sigs = simHashes(docs, textCol, idCol)
     val banded = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),

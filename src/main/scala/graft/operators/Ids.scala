@@ -18,21 +18,41 @@ import org.apache.spark.sql.expressions.Window
   */
 object Ids {
 
+  /** Dense sequential ids over a total order, WITHOUT a single-partition
+    * global window: range-partitioned sort, then `zipWithIndex` (one light
+    * count job + one map job over the SAME sorted RDD — the sort shuffle is
+    * computed once and reused, and the partitioning is identical across the
+    * two jobs by construction). This is the 1000-executor path: every stage
+    * is parallel; the only driver data is one count per partition. */
+  def denseIds(df: DataFrame, sortCols: Seq[String], start: Long,
+      idName: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val order = sortCols.map(c => col(s"`$c`"))
+    val sorted = df.orderBy(order: _*)
+    val schema = sorted.schema.add(StructField(idName, LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (row, idx) =>
+      Row.fromSeq(row.toSeq :+ (idx + start))
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** Sort then assign dense sequential ids from `start`; rewrite annotation
     * FK via an old→new id map join (reset_index, dataset.py:1883-2020). */
   def resetIndex(ds: GraftDataset, startImageId: Long = 0, startAnnotationId: Long = 0,
       sortImagesBy: Seq[String] = Seq("id"), sortAnnotationsBy: Seq[String] = Seq("id"))
       : GraftDataset = {
-    val imgW = Window.orderBy((sortImagesBy :+ "id").distinct.map(col): _*)
-    val newImages = ds.images
-      .withColumn("__new_id", row_number().over(imgW).cast("long") - 1 + startImageId)
+    val newImages = denseIds(ds.images,
+      (sortImagesBy :+ "id").distinct, startImageId, "__new_id")
     val idMap = newImages.select(col("id").as("__old_id"), col("__new_id"))
-    val annW = Window.orderBy((sortAnnotationsBy :+ "id").distinct.map(col): _*)
-    val newAnn = ds.annotations
+    val newAnn0 = ds.annotations
       .join(broadcast(idMap), ds.annotations("image_id") === col("__old_id"), "left")
       .withColumn("image_id", col("__new_id"))
       .drop("__old_id", "__new_id")
-      .withColumn("id", row_number().over(annW).cast("long") - 1 + startAnnotationId)
+    val newAnn = denseIds(newAnn0.withColumnRenamed("id", "__old_ann_id"),
+      (sortAnnotationsBy :+ "id").distinct.map(c => if (c == "id") "__old_ann_id" else c),
+      startAnnotationId, "id")
+      .drop("__old_ann_id")
     GraftDataset(
       newImages.withColumn("id", col("__new_id")).drop("__new_id"),
       newAnn, ds.labelMap, ds.imagesRoot, ds.datasetName, ds.booleanized).reordered
