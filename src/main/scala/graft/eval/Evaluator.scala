@@ -74,6 +74,24 @@ class DetectionEvaluator(
     (pr, ap)
   }
 
+  /** Multi-model × multi-IoU PR/AP sweep (compute_precision_recall's full
+    * shape, detection_evaluator.py:382-682): the cross of prediction sets
+    * and IoU thresholds, each a separate curve set, unioned with
+    * `iou_threshold`/`model` discriminator columns. */
+  def precisionRecallAll(
+      models: Seq[String] = Nil,
+      ious: Seq[Double] = Seq(0.0),
+      reindexBins: Option[Array[Double]] = Some(PrCurve.defaultBins))
+      : (DataFrame, DataFrame) = {
+    val ms = if (models.nonEmpty) models else predictions.keys.toSeq.sorted
+    val results = for (m <- ms; iou <- ious) yield {
+      val (pr, ap) = precisionRecall(m, iou, reindexBins)
+      (pr, ap.withColumn("iou_threshold", lit(iou)))
+    }
+    (results.map(_._1).reduce(_ unionByName _),
+      results.map(_._2).reduce(_ unionByName _))
+  }
+
   /** Row-normalized confusion matrix in long form
     * (compute_confusion_matrix, detection_evaluator.py:181-380; kernel
     * util.py:359-388): match gt/pred labels (unmatched side → "None"),

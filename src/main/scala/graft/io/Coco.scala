@@ -173,3 +173,21 @@ object Coco {
     }
   }
 }
+
+/** COCO keypoints variant — reference from_coco_keypoints
+  * (lours/dataset/io/coco.py:136-174): annotations are points (XY, zero
+  * size), single category. */
+object CocoKeypoints {
+  def fromCocoKeypoints(spark: org.apache.spark.sql.SparkSession, cocoJson: String,
+      imagesRoot: String = ".", categoryName: String = "keypoint")
+      : graft.model.GraftDataset = {
+    import org.apache.spark.sql.functions._
+    val ds = Coco.fromCoco(spark, cocoJson, imagesRoot)
+    // zero-size (point) boxes: keep x/y, force w = h = 0
+    val ann = ds.annotations
+      .withColumn("box_width", lit(0.0))
+      .withColumn("box_height", lit(0.0))
+    ds.copy(annotations = ann,
+      labelMap = if (ds.labelMap.isEmpty) Map(0 -> categoryName) else ds.labelMap)
+  }
+}

@@ -111,3 +111,33 @@ object Darknet {
     }
   }
 }
+
+/** YOLOv5 layout variant — reference to_darknet_yolov5
+  * (lours/dataset/io/darknet.py:554-736): same label files plus a
+  * `data.yaml` (paths + names) and per-split image list files. */
+object Yolov5 {
+  def toYolov5(ds: graft.model.GraftDataset, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    Darknet.toDarknet(ds, dir)
+    val base = java.nio.file.Paths.get(dir)
+    val ordered = ds.labelMap.toSeq.sortBy(_._1)
+    val names = ordered.map { case (_, n) => s"  - $n" }.mkString("\n")
+    val splits = ds.images.select("split").distinct().collect()
+      .flatMap(r => Option(r.getString(0))).sorted.toSeq
+    splits.foreach { s =>
+      val paths = ds.images.filter(col("split") === s)
+        .select(concat(lit("images/"), col("relative_path")))
+        .orderBy("relative_path").collect().map(_.getString(0))
+      java.nio.file.Files.writeString(base.resolve(s"$s.txt"),
+        paths.mkString("", "\n", "\n"))
+    }
+    val splitLines = splits.map(s => s"$s: $s.txt").mkString("\n")
+    java.nio.file.Files.writeString(base.resolve("data.yaml"),
+      s"""path: $dir
+         |$splitLines
+         |nc: ${ordered.length}
+         |names:
+         |$names
+         |""".stripMargin)
+  }
+}

@@ -153,7 +153,7 @@ object PascalVoc {
 object ImagesFolder {
 
   /** Minimal header probe: PNG and JPEG dimensions; (0,0) if unknown. */
-  private[io] def probeDims(bytes: Array[Byte]): (Int, Int) = {
+  private[graft] def probeDims(bytes: Array[Byte]): (Int, Int) = {
     def u16(i: Int) = ((bytes(i) & 0xFF) << 8) | (bytes(i + 1) & 0xFF)
     def i32(i: Int) = ((bytes(i) & 0xFF) << 24) | ((bytes(i + 1) & 0xFF) << 16) |
       ((bytes(i + 2) & 0xFF) << 8) | (bytes(i + 3) & 0xFF)
