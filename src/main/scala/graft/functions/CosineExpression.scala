@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Fused cosine-similarity Catalyst expression over two numeric arrays.
+  *
+  * The built-in formulation (`zip_with` + three `aggregate`s,
+  * [[graft.llm.Similarity.cosine]]) materializes an intermediate array and
+  * walks the inputs four times through interpreted higher-order-function
+  * plumbing; this expression is one fused loop with full whole-stage
+  * codegen — the (b) tier of the custom-operator ladder (custom
+  * `Expression` before custom plan, after built-ins).
+  *
+  * Semantics: identical accumulation order to the built-in formulation
+  * (sequential left-to-right double sums), so results are bit-identical —
+  * required by the DuckDB oracle on q32. Array elements must be non-null;
+  * a null array yields null. Mismatched lengths use the common prefix
+  * (zip_with semantics).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires float/double arrays, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val (lf, rf) = (elemIsFloat(left), elemIsFloat(right))
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xv * yv
+      na += xv * xv
+      nb += yv * yv
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
+    val rGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = (double) $a.$lGet($i);
+         |  double $yv = (double) $b.$rGet($i);
+         |  $dot += $xv * $yv;
+         |  $na += $xv * $xv;
+         |  $nb += $yv * $yv;
+         |}
+         |${ev.value} = ($na == 0.0 || $nb == 0.0)
+         |  ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_cosine"
+}
+
+/** Registration + Column-level access for the engine's native expressions. */
+object GraftFunctions {
+  val CosineName = "graft_cosine"
+
+  /** Idempotent per-session registration into the function registry (also
+    * makes the function available to `spark.sql`). */
+  def ensureRegistered(spark: SparkSession): Unit =
+    if (!spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(CosineName))) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        CosineName,
+        exprs => CosineSimilarity(exprs(0), exprs(1)),
+        "built-in")
+    }
+
+  /** Fused cosine as a Column; the session must be registered first
+    * (call [[ensureRegistered]] — the llm operators do it for you). */
+  def cosine(spark: SparkSession, a: Column, b: Column): Column = {
+    ensureRegistered(spark)
+    org.apache.spark.sql.functions.call_function(CosineName, a, b)
+  }
+}

@@ -62,10 +62,12 @@ object Similarity {
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // fused native expression (bit-identical to `cosine`, one codegen loop)
+    val cosExpr = graft.functions.GraftFunctions.cosine(
+      corpus.sparkSession, col("qv"), col("cv"))
     val scored = c.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("cosine"))
+      .select(col("query_id"), col("neighbor_id"), cosExpr.as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("cosine"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -86,7 +88,8 @@ object Similarity {
     val scored = c.join(q, Seq("sig"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("cosine"))
+        graft.functions.GraftFunctions.cosine(
+          corpus.sparkSession, col("qv"), col("cv")).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("cosine"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -181,3 +181,43 @@ class MultimodalSpec extends SparkFunSuite {
     assert(out.getInt(0) == 224 && out.getString(1) == "png+resized")
   }
 }
+
+class CosineExpressionSpec extends SparkFunSuite {
+  import spark.implicits._
+  import graft.functions.GraftFunctions
+
+  test("fused expression is bit-identical to the built-in formulation") {
+    val embs = (0 until 200).map(i =>
+      (i.toLong, Seq.tabulate(64)(j => (((i * 31 + j * 7) % 1000) / 999.0f - 0.5f))))
+      .toDF("vec_id", "embedding")
+    val pairs = embs.select(col("vec_id").as("ia"), col("embedding").as("a"))
+      .crossJoin(embs.select(col("vec_id").as("ib"), col("embedding").as("b")))
+      .filter(col("ia") < col("ib")).limit(500)
+    val both = pairs.select(
+      graft.llm.Similarity.cosine(col("a"), col("b")).as("builtin"),
+      GraftFunctions.cosine(spark, col("a"), col("b")).as("fused"))
+    assert(both.filter(col("builtin") =!= col("fused")).count() == 0)
+  }
+
+  test("zero-norm and null handling match") {
+    val df = Seq(
+      (Seq(0.0f, 0.0f), Seq(1.0f, 2.0f)),
+      (Seq(1.0f, 1.0f), Seq(1.0f, 1.0f))
+    ).toDF("a", "b")
+    val vals = df.select(GraftFunctions.cosine(spark, col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    assert(vals(0) == 0.0)
+    assert(math.abs(vals(1) - 1.0) < 1e-12)
+    val withNull = df.withColumn("a", org.apache.spark.sql.functions.lit(null)
+      .cast("array<float>"))
+    assert(withNull.select(GraftFunctions.cosine(spark, col("a"), col("b")))
+      .collect().forall(_.isNullAt(0)))
+  }
+
+  test("registered function is callable from SQL") {
+    GraftFunctions.ensureRegistered(spark)
+    val r = spark.sql(
+      "SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 1.0D)) AS c").collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+}
