@@ -35,7 +35,8 @@ object SparkEntry {
     _root_.graft.queries.SplitQueries,
     _root_.graft.queries.LlmQueries,
     _root_.graft.queries.StreamQueries,
-    _root_.graft.queries.IoQueries
+    _root_.graft.queries.IoQueries,
+    _root_.graft.queries.ExtraQueries
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,118 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Ids, Booleanize}
+import graft.functions.Bbox
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Additional oracle-gated queries widening SURVEY §2 coverage:
+  * match_index, reset_index_from_mapping, debooleanize, bbox import,
+  * grouped top-k. */
+object ExtraQueries extends graft.QueryModule {
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    // §2.4 match_index: realign ids to another dataset via relative_path
+    "q42_match_index" -> ((s, d) => {
+      val ds = Tables.datasetView(s, d)
+      // the "other" dataset: same images, ids shifted by 7
+      val other = ds.copy(images = ds.images.withColumn("id", col("id") + 7))
+      Ids.matchIndex(ds, other, on = "relative_path")
+        .annotations.groupBy(col("image_id") % 10).count()
+        .withColumnRenamed("(image_id % 10)", "bucket")
+    }),
+
+    // §2.6 reset_index_from_mapping with removeUnmapped
+    "q43_reset_from_mapping" -> ((s, d) => {
+      val ds = Tables.datasetView(s, d)
+      val mapping = ds.images.filter(col("id") % 2 === 0)
+        .select(col("id").as("old_id"), (col("id") / 2).cast("long").as("new_id"))
+      Ids.resetIndexFromMapping(ds, mapping, removeUnmapped = true)
+        .annotations.select(col("id"), col("image_id"), col("category_id"))
+    }),
+
+    // §2.8 debooleanize: flag family → array column (roundtrip through both)
+    "q44_debooleanize" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val tagged = li.select(
+        (((col("l_orderkey") * 8 + col("l_linenumber")) * 100000 + col("l_partkey")) * 10000
+          + col("l_suppkey")).as("id"),
+        array_compact(array(
+          when(col("l_returnflag") === "R", "returned"),
+          when(col("l_quantity") > 25, "bulk"))).as("tags"))
+      val (boolDf, _) = Booleanize.booleanizeColumn(tagged, "tags",
+        Some(Seq("bulk", "returned")))
+      Booleanize.debooleanizeColumn(boolDf, "tags")
+        .select(col("id"), concat_ws(",", col("tags")).as("tags_str"))
+    }),
+
+    // §2.9 bbox import: two-corner pixels → canonical XYWH
+    "q45_bbox_import" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val xyxy = li.select(
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("rid"),
+        (col("l_partkey") % 500).cast("double").as("x1"),
+        (col("l_suppkey") % 300).cast("double").as("y1"),
+        (col("l_partkey") % 500 + col("l_quantity")).cast("double").as("x2"),
+        (col("l_suppkey") % 300 + 10.0).as("y2"))
+      xyxy.select((col("rid") +:
+        Bbox.toCanonical(Bbox.parseFormat("XYXY"),
+          col("x1"), col("y1"), col("x2"), col("y2"))): _*)
+    }),
+
+    // §2.6 grouped top-k: 3 priciest lineitems per order
+    "q46_group_topk" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy(desc("l_extendedprice"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      li.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("top3_price"))
+    })
+  )
+
+  import Tables.viewCte
+
+  val oracles: Map[String, String] = Map(
+    "q42_match_index" ->
+      s"""$viewCte
+         |SELECT (a.image_id + 7) % 10 AS bucket, count(*) AS count
+         |FROM annotations a GROUP BY 1""".stripMargin,
+
+    "q43_reset_from_mapping" ->
+      s"""$viewCte
+         |SELECT a.id, a.image_id // 2 AS image_id, a.category_id
+         |FROM annotations a WHERE a.image_id % 2 = 0""".stripMargin,
+
+    "q44_debooleanize" ->
+      """SELECT ((l_orderkey * 8 + l_linenumber) * 100000 + l_partkey) * 10000
+        |       + l_suppkey AS id,
+        |  CASE WHEN l_quantity > 25 AND l_returnflag = 'R' THEN 'bulk,returned'
+        |       WHEN l_quantity > 25 THEN 'bulk'
+        |       WHEN l_returnflag = 'R' THEN 'returned'
+        |       ELSE '' END AS tags_str
+        |FROM lineitem""".stripMargin,
+
+    "q45_bbox_import" ->
+      """SELECT l_orderkey * 8 + l_linenumber AS rid,
+        |  CAST(l_partkey % 500 AS DOUBLE) AS box_x_min,
+        |  CAST(l_suppkey % 300 AS DOUBLE) AS box_y_min,
+        |  CAST(l_partkey % 500 + l_quantity AS DOUBLE)
+        |    - CAST(l_partkey % 500 AS DOUBLE) AS box_width,
+        |  (CAST(l_suppkey % 300 AS DOUBLE) + 10.0)
+        |    - CAST(l_suppkey % 300 AS DOUBLE) AS box_height
+        |FROM lineitem""".stripMargin,
+
+    "q46_group_topk" ->
+      """WITH ranked AS (
+        |  SELECT l_orderkey, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_extendedprice DESC, l_linenumber, l_partkey, l_suppkey) AS rk
+        |  FROM lineitem)
+        |SELECT l_orderkey, count(*) AS n, round(sum(l_extendedprice), 2) AS top3_price
+        |FROM ranked WHERE rk <= 3 GROUP BY l_orderkey""".stripMargin
+  )
+}
