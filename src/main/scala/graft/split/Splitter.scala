@@ -72,6 +72,16 @@ object Splitter {
     * column, repeated to fixpoint. */
   def makeAtomicChunks(df: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "need at least one keep-separate column")
+    if (keyCols.size == 1) {
+      // single key: components ARE the key groups — one windowless pass
+      // (min id per key), no iteration needed
+      val k = keyCols.head
+      val minPerKey = df.groupBy(col(s"`$k`").as("__k"))
+        .agg(min(col("id").cast("long")).as("__atom_min"))
+      return df.join(minPerKey, df(s"`$k`") === col("__k"), "left")
+        .withColumn("__atom", coalesce(col("__atom_min"), col("id").cast("long")))
+        .drop("__k", "__atom_min")
+    }
     var cur = df.withColumn("__atom", col("id").cast("long"))
     var changed = 1L
     var iters = 0

@@ -122,3 +122,30 @@ class SplitterSpec extends SparkFunSuite {
     assert(video0.length == 1)
   }
 }
+
+class ExtensionsSpec extends SparkFunSuite {
+  test("GraftExtensions injects graft_cosine at session build") {
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.GraftExtensions)
+      .getOrCreate()
+    // note: getOrCreate may return the existing session; the function must
+    // resolve either way (injected or registry-registered)
+    graft.functions.GraftFunctions.ensureRegistered(s2)
+    val r = s2.sql("SELECT graft_cosine(array(3.0D, 4.0D), array(3.0D, 4.0D)) AS c")
+      .collect()(0).getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+
+  test("single-key atomize fast path equals the iterative result") {
+    import spark.implicits._
+    val df = Seq((0L, "a"), (1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "g")
+    val fast = graft.split.Splitter.makeAtomicChunks(df, Seq("g"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("__atom")).toMap
+    assert(fast(0L) == fast(1L))
+    assert(fast(2L) == 2L)
+    assert(fast(3L) == 3L) // null key: own atom
+  }
+}
