@@ -74,6 +74,69 @@ class DetectionEvaluator(
     (pr, ap)
   }
 
+  /** Validate a prediction set against the groundtruth side — reference
+    * Evaluator.__init__ checks (evaluator.py:45-198): confidence present
+    * (constructor), prediction image ids ⊆ gt image ids, categories within
+    * the label map. */
+  def validatePredictions(model: String): Unit = {
+    val p = predictions(model)
+    val orphan = p.select(col("image_id"))
+      .join(images.select(col("id")), p("image_id") === images("id"), "left_anti")
+      .limit(1).count()
+    require(orphan == 0, s"'$model': prediction image_id not in images")
+    if (labelMap.nonEmpty) {
+      val unknown = p.select("category_id").distinct()
+        .filter(!col("category_id").isin(labelMap.keySet.toSeq: _*))
+        .limit(1).count()
+      require(unknown == 0, s"'$model': prediction category_id not in label map")
+    }
+  }
+
+  /** PR curves grouped by arbitrary group specs (compute_precision_recall's
+    * `groups` parameter, detection_evaluator.py:382-682 + grouper
+    * resolution): image-level (root) columns resolve through the FK;
+    * annotation-level columns come from the GROUNDTRUTH row for matched/FN
+    * entries and from the PREDICTION row for FP entries (the reference's
+    * documented FP rule). Continuous groups bin via the Grouper. */
+  def precisionRecallGrouped(model: String,
+      groups: Seq[graft.operators.Grouper.GroupSpec],
+      minIou: Double = 0.0,
+      reindexBins: Option[Array[Double]] = Some(PrCurve.defaultBins))
+      : (DataFrame, DataFrame) = {
+    import graft.operators.Grouper
+    val m = matches(model, 0.0, categoryAgnostic = false).toDF()
+    val conf = predictions(model)
+      .select(col("id").as("prediction_id"), col("confidence").cast("double"))
+    // resolve group columns on both annotation tables (root cols via images)
+    val gtResolved = Grouper.resolveGroups(
+      new graft.model.GraftDataset(images, groundtruth, labelMap), groups)
+    val predResolved = Grouper.resolveGroups(
+      new graft.model.GraftDataset(images, predictions(model), labelMap), groups)
+    val groupCols = groups.map(g => s"__group_${g.name}")
+    def pick(df: DataFrame, idAlias: String) =
+      df.select((col("id").as(idAlias) +: groupCols.map(c => col(s"`$c`"))): _*)
+    val gtRows = m.filter(col("groundtruth_id").isNotNull)
+      .join(conf, Seq("prediction_id"), "left")
+      .join(pick(gtResolved, "groundtruth_id"), Seq("groundtruth_id"))
+      .select((Seq(lit(true).as("groundtruth"), col("iou"),
+        coalesce(col("confidence"), lit(0.0)).as("confidence")) ++
+        groupCols.map(c => col(s"`$c`"))): _*)
+    val fpRows = m.filter(col("groundtruth_id").isNull && col("prediction_id").isNotNull)
+      .join(conf, Seq("prediction_id"), "left")
+      .join(pick(predResolved, "prediction_id"), Seq("prediction_id"))
+      .select((Seq(lit(false).as("groundtruth"), col("iou"),
+        coalesce(col("confidence"), lit(0.0)).as("confidence")) ++
+        groupCols.map(c => col(s"`$c`"))): _*)
+    val results = gtRows.unionByName(fpRows)
+    val pr = PrCurve.compute(results, groupCols, minIou, reindexBins)
+      .withColumn("model", lit(model))
+    val renamed = groups.foldLeft(pr)((d, g) =>
+      d.withColumnRenamed(s"__group_${g.name}", g.name))
+    val ap = PrCurve.averagePrecision(renamed,
+      groups.map(_.name) :+ "model")
+    (renamed, ap)
+  }
+
   /** Multi-model × multi-IoU PR/AP sweep (compute_precision_recall's full
     * shape, detection_evaluator.py:382-682): the cross of prediction sets
     * and IoU thresholds, each a separate curve set, unioned with

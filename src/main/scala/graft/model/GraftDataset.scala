@@ -130,6 +130,20 @@ case class GraftDataset(
     else copy(labelMap = labelMap ++ missing.map(i => i -> i.toString))
   }
 
+  /** Re-root all relative paths against a new images root
+    * (reset_images_root, dataset.py:1039-1123): the old→new prefix is
+    * computed once on the driver; the rewrite is a string concat column. */
+  def resetImagesRoot(newRoot: String): GraftDataset = {
+    val oldP = java.nio.file.Paths.get(imagesRoot).toAbsolutePath.normalize
+    val newP = java.nio.file.Paths.get(newRoot).toAbsolutePath.normalize
+    val prefix = newP.relativize(oldP).toString
+    val im =
+      if (prefix.isEmpty) images
+      else images.withColumn("relative_path",
+        concat(lit(prefix + "/"), col("relative_path")))
+    copy(images = im, imagesRoot = newRoot)
+  }
+
   // --------------------------------------------------------------------
   // Persistence (native format) — see graft.io.ParquetIO
   // --------------------------------------------------------------------

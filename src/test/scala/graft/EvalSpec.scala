@@ -171,3 +171,53 @@ class EvaluatorSpec extends SparkFunSuite {
     assert(ce.map(_.getAs[Double]("MAE")).toSeq == Seq(0.0, 0.0, 1.0))
   }
 }
+
+class GroupedPrSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("grouped PR resolves root (image) columns and uses FP prediction attrs") {
+    val images = Seq(
+      (0L, 100, 100, "a.jpg", "cam0"),
+      (1L, 100, 100, "b.jpg", "cam1")
+    ).toDF("id", "width", "height", "relative_path", "camera")
+    val gt = Seq(
+      (0L, 0L, 0, 0.0, 0.0, 10.0, 10.0),
+      (1L, 1L, 0, 0.0, 0.0, 10.0, 10.0)
+    ).toDF("id", "image_id", "category_id", "box_x_min", "box_y_min", "box_width", "box_height")
+    val preds = Seq(
+      (10L, 0L, 0, 0.0, 0.0, 10.0, 10.0, 0.9), // TP on cam0
+      (11L, 1L, 0, 50.0, 50.0, 10.0, 10.0, 0.8) // FP on cam1 (gt1 missed)
+    ).toDF("id", "image_id", "category_id", "box_x_min", "box_y_min", "box_width", "box_height", "confidence")
+    val ev = new graft.eval.DetectionEvaluator(images, gt, Map("m" -> preds), Map(0 -> "person"))
+    val (pr, ap) = ev.precisionRecallGrouped("m",
+      Seq(graft.operators.Grouper.CategoricalGroup("camera", root = true)), minIou = 0.5)
+    val byCam = ap.collect().map(r => r.getAs[String]("camera") -> r.getAs[Double]("AP")).toMap
+    assert(math.abs(byCam("cam0") - 0.99) < 1e-9) // perfect single detection, 101 bins
+    assert(byCam("cam1") == 0.0)                  // FN + FP only
+    assert(pr.columns.contains("camera"))
+  }
+
+  test("validatePredictions rejects foreign image ids") {
+    val images = Seq((0L, 10, 10, "a.jpg")).toDF("id", "width", "height", "relative_path")
+    val gt = Seq((0L, 0L, 0, 1.0, 1.0, 2.0, 2.0))
+      .toDF("id", "image_id", "category_id", "box_x_min", "box_y_min", "box_width", "box_height")
+    val badPreds = Seq((1L, 99L, 0, 1.0, 1.0, 2.0, 2.0, 0.5))
+      .toDF("id", "image_id", "category_id", "box_x_min", "box_y_min", "box_width", "box_height", "confidence")
+    val ev = new graft.eval.DetectionEvaluator(images, gt, Map("m" -> badPreds), Map(0 -> "x"))
+    intercept[IllegalArgumentException](ev.validatePredictions("m"))
+  }
+}
+
+class ResetRootSpec extends SparkFunSuite {
+  test("resetImagesRoot rewrites relative paths against the new root") {
+    val ds = tinyDataset().copy(imagesRoot = "/data/sets/d1")
+    val out = ds.resetImagesRoot("/data")
+    assert(out.imagesRoot == "/data")
+    val paths = out.images.select("relative_path").collect().map(_.getString(0))
+    assert(paths.forall(_.startsWith("sets/d1/")))
+    // re-rooting to the same root is a no-op
+    val same = ds.resetImagesRoot("/data/sets/d1")
+    assert(same.images.select("relative_path").collect().map(_.getString(0)).toSet ==
+      ds.images.select("relative_path").collect().map(_.getString(0)).toSet)
+  }
+}
