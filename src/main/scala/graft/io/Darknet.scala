@@ -141,3 +141,60 @@ object Yolov5 {
          |""".stripMargin)
   }
 }
+
+/** darknet `.data` / YOLOv5 `data.yaml` config loaders — the *_generic
+  * entry points (io/darknet.py:171-553): resolve class names + label dirs
+  * from the config file, then delegate to [[Darknet.fromDarknet]]. */
+object DarknetConfig {
+
+  /** Parse a `key = value` darknet .data file. */
+  private[graft] def parseDataFile(path: String): Map[String, String] =
+    java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path)).toArray
+      .map(_.toString.trim).filter(l => l.nonEmpty && l.contains("="))
+      .map { l =>
+        val Array(k, v) = l.split("=", 2)
+        k.trim -> v.trim
+      }.toMap
+
+  /** Minimal YAML subset parser for data.yaml: `key: value` scalars and
+    * `names:` either inline `[a, b]` or indented `- a` list items. */
+  private[graft] def parseDataYaml(path: String): (Map[String, String], Seq[String]) = {
+    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+      .toArray.map(_.toString)
+    val scalars = scala.collection.mutable.Map[String, String]()
+    val names = scala.collection.mutable.ArrayBuffer[String]()
+    var inNames = false
+    lines.foreach { raw =>
+      val line = raw.replaceAll("#.*$", "")
+      if (line.trim.startsWith("- ") && inNames) names += line.trim.drop(2).trim
+      else if (line.contains(":")) {
+        val Array(k, v) = line.split(":", 2)
+        inNames = k.trim == "names"
+        if (inNames && v.trim.startsWith("["))
+          names ++= v.trim.stripPrefix("[").stripSuffix("]").split(",").map(_.trim)
+        else if (!inNames && v.trim.nonEmpty) scalars(k.trim) = v.trim
+      }
+    }
+    (scalars.toMap, names.toSeq)
+  }
+
+  /** from_darknet_generic: .data config → names file → fromDarknet. */
+  def fromDarknetData(spark: SparkSession, dataFile: String, labelsDir: String,
+      images: DataFrame, split: Option[String] = None): GraftDataset = {
+    val cfg = parseDataFile(dataFile)
+    val namesFile = cfg.getOrElse("names",
+      throw new IllegalArgumentException(s"$dataFile lacks a 'names' entry"))
+    val classNames = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(namesFile)).toArray
+      .map(_.toString.trim).filter(_.nonEmpty).toSeq
+    Darknet.fromDarknet(spark, labelsDir, images, classNames, split)
+  }
+
+  /** from_darknet_yolov5: data.yaml → names list → fromDarknet. */
+  def fromDataYaml(spark: SparkSession, yamlFile: String, labelsDir: String,
+      images: DataFrame, split: Option[String] = None): GraftDataset = {
+    val (_, names) = parseDataYaml(yamlFile)
+    require(names.nonEmpty, s"$yamlFile lacks a names list")
+    Darknet.fromDarknet(spark, labelsDir, images, names, split)
+  }
+}

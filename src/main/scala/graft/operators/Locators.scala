@@ -140,3 +140,44 @@ object Locators {
       col("zero_size") || col("out_of_image"))
   }
 }
+
+/** Positional + export-stub extensions of the locator surface. */
+object LocatorsExtra {
+  import org.apache.spark.sql.expressions.Window
+  import org.apache.spark.sql.functions._
+  import graft.model.GraftDataset
+
+  /** Positional annotation selection (iloc_annot, indexing.py:59-126):
+    * row_number over id order, [start, stop) with step, plus the standard
+    * emptied-image option. */
+  def ilocAnnotations(ds: GraftDataset, start: Long, stop: Long, step: Long = 1,
+      removeEmptiedImages: Boolean = false): GraftDataset = {
+    val pos = row_number().over(Window.orderBy(col("id"))).cast("long") - 1
+    val kept = ds.annotations.withColumn("__pos", pos)
+      .filter(col("__pos") >= start && col("__pos") < stop &&
+        (col("__pos") - start) % step === 0)
+      .drop("__pos")
+    if (!removeEmptiedImages) ds.copy(annotations = kept)
+    else {
+      val stillHas = ds.images.join(kept.select(col("image_id")),
+        ds.images("id") === col("image_id"), "left_semi")
+      val wasEmpty = ds.images.join(ds.annotations.select(col("image_id")),
+        ds.images("id") === col("image_id"), "left_anti")
+      ds.copy(images = stillHas.unionByName(wasEmpty), annotations = kept)
+    }
+  }
+
+  /** Union of many datasets — the `sum(datasets)` convenience
+    * (dataset.py `__radd__`). */
+  def unionAll(datasets: Seq[GraftDataset]): GraftDataset = {
+    require(datasets.nonEmpty, "unionAll of zero datasets")
+    datasets.reduce(graft.operators.Merge.union)
+  }
+
+  /** FiftyOne export stub (to_fiftyone, dataset.py:5052-5134): external
+    * visualization service — intentionally out of the engine's scope. */
+  def toFiftyone(ds: GraftDataset): Nothing =
+    throw new UnsupportedOperationException(
+      "to_fiftyone targets an external visualization service and is out of " +
+        "scope for the engine; export to COCO/parquet and ingest from there")
+}

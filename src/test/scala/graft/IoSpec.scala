@@ -212,3 +212,60 @@ class OtherFormatsSpec extends SparkFunSuite {
     assert(ds.numAnnotations == 0)
   }
 }
+
+class DarknetConfigSpec extends SparkFunSuite {
+  import spark.implicits._
+  import java.nio.file.{Files, Paths}
+
+  test("fromDarknetData resolves names file from .data config") {
+    val dir = Files.createTempDirectory("dkcfg").toString
+    Files.createDirectories(Paths.get(dir, "labels"))
+    Files.writeString(Paths.get(dir, "labels", "img1.txt"), "0 0.5 0.5 0.2 0.2\n")
+    Files.writeString(Paths.get(dir, "obj.names"), "cat\ndog\n")
+    Files.writeString(Paths.get(dir, "train.data"),
+      s"classes = 2\nnames = $dir/obj.names\n")
+    val images = Seq((0L, 100, 100, "img1.jpg")).toDF("id", "width", "height", "relative_path")
+    val ds = graft.io.DarknetConfig.fromDarknetData(spark,
+      s"$dir/train.data", s"$dir/labels", images)
+    assert(ds.labelMap == Map(0 -> "cat", 1 -> "dog"))
+    assert(ds.numAnnotations == 1)
+  }
+
+  test("fromDataYaml parses both inline and indented names lists") {
+    val dir = Files.createTempDirectory("dkyaml").toString
+    Files.createDirectories(Paths.get(dir, "labels"))
+    Files.writeString(Paths.get(dir, "labels", "img1.txt"), "1 0.5 0.5 0.2 0.2\n")
+    Files.writeString(Paths.get(dir, "data.yaml"),
+      "path: .\ntrain: train.txt\nnc: 2\nnames:\n  - cat\n  - dog\n")
+    val images = Seq((0L, 100, 100, "img1.jpg")).toDF("id", "width", "height", "relative_path")
+    val ds = graft.io.DarknetConfig.fromDataYaml(spark,
+      s"$dir/data.yaml", s"$dir/labels", images)
+    assert(ds.labelMap == Map(0 -> "cat", 1 -> "dog"))
+    assert(ds.annotations.select("category_str").collect()(0).getString(0) == "dog")
+    val (scalars, names) = graft.io.DarknetConfig.parseDataYaml(s"$dir/data.yaml")
+    assert(scalars("nc") == "2" && names == Seq("cat", "dog"))
+  }
+}
+
+class LocatorsExtraSpec extends SparkFunSuite {
+  import graft.operators.LocatorsExtra
+
+  test("ilocAnnotations slices positionally with emptied-image cascade") {
+    val ds = tinyDataset()
+    val out = LocatorsExtra.ilocAnnotations(ds, 0, 2, removeEmptiedImages = true)
+    assert(out.numAnnotations == 2)
+    // only image 0 has surviving annotations; image 3 was always empty
+    assert(out.images.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 3L))
+  }
+
+  test("unionAll folds many datasets with id shifting") {
+    val merged = LocatorsExtra.unionAll(Seq(tinyDataset(), tinyDataset(), tinyDataset()))
+    assert(merged.numImages == 12)
+    assert(merged.images.select("id").distinct().count() == 12)
+    merged.validated()
+  }
+
+  test("toFiftyone is an explicit out-of-scope stub") {
+    intercept[UnsupportedOperationException](LocatorsExtra.toFiftyone(tinyDataset()))
+  }
+}
