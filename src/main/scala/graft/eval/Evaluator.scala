@@ -218,3 +218,28 @@ class DetectionEvaluator(
       .withColumn("model", lit(model))
   }
 }
+
+/** Post-processing helpers over PR-curve frames. */
+object EvalReports {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.expressions.Window
+
+  /** Best-F1 operating point per group (the doc-example groupby-idxmax,
+    * detection_evaluator.py:517-521): the row with max f1 per group, ties
+    * to higher confidence. */
+  def bestF1(prCurve: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(c => col(s"`$c`")): _*)
+      .orderBy(desc("f1_score"), desc("confidence_threshold"))
+    prCurve.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1).drop("__rk")
+  }
+
+  /** Pivot the long-form confusion matrix to the wide label×label shape
+    * (one row per groundtruth label, one column per prediction label). */
+  def confusionWide(longForm: DataFrame): DataFrame =
+    longForm.groupBy("groundtruth_label")
+      .pivot("prediction_label")
+      .agg(first("share"))
+      .na.fill(0.0)
+}

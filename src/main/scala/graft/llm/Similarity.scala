@@ -96,3 +96,70 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 }
+
+/** IVF (inverted-file) approximate nearest neighbor — the classic
+  * centroid-bucketed scale path: k-means centroids partition the corpus;
+  * each query scores only the rows assigned to its `nprobe` nearest
+  * centroids. Centroids come from MLlib KMeans (seeded → deterministic);
+  * corpus assignment and probing are plain joins — no cross join, and the
+  * corpus shuffles once (on centroid id) regardless of query count. */
+object Ivf {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.expressions.Window
+
+  case class IvfIndex(centroids: Array[(Int, Array[Double])], assigned: DataFrame)
+
+  /** Build the index: fit seeded KMeans on the corpus embeddings, assign
+    * every row to its centroid. `assigned` = corpus + `centroid_id`. */
+  def build(corpus: DataFrame, nCentroids: Int = 16, seed: Long = 42,
+      vecCol: String = "embedding", idCol: String = "vec_id"): IvfIndex = {
+    val withVec = corpus.withColumn("__vec",
+      org.apache.spark.ml.functions.array_to_vector(col(vecCol)))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nCentroids).setSeed(seed).setFeaturesCol("__vec")
+      .setPredictionCol("centroid_id")
+    val model = km.fit(withVec)
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => i -> v.toArray }
+    val assigned = model.transform(withVec).drop("__vec")
+    IvfIndex(centroids, assigned)
+  }
+
+  private def cosineArr(a: Array[Double], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val y = b(i).toDouble
+      dot += a(i) * y; na += a(i) * a(i); nb += y * y; i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Probe: each query scores rows of its `nprobe` closest centroids.
+    * Query→centroid distances are driver-side (centroid count is tiny);
+    * the scoring join is an equality join on centroid_id. */
+  def topK(index: IvfIndex, queries: DataFrame, k: Int = 10, nprobe: Int = 4,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect()
+    val probes = qRows.flatMap { case (qid, qv) =>
+      index.centroids
+        .map { case (cid, cv) => (cid, cosineArr(cv, qv)) }
+        .sortBy(-_._2).take(nprobe)
+        .map { case (cid, _) => (qid, cid) }
+    }.toSeq.toDF("query_id", "centroid_id")
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .join(probes, Seq("query_id")))
+    val scored = index.assigned
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("centroid_id"))
+      .join(q, Seq("centroid_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.GraftFunctions.cosine(spark, col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -112,3 +112,18 @@ object EventStream {
       .start()
   }
 }
+
+/** Streaming deduplication — the streaming face of the dedup ladder:
+  * watermark-bounded exact dedup on the content fingerprint (state expires
+  * with the watermark, so memory is bounded at any stream rate). */
+object StreamDedup {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+
+  def dedupExact(stream: DataFrame, textCol: String = "text",
+      tsCol: String = "ts", watermark: String = "1 hour"): DataFrame =
+    stream
+      .withColumn("fingerprint", graft.llm.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("fingerprint")
+}

@@ -52,3 +52,53 @@ class StreamingSpec extends SparkFunSuite {
     assert(sessions(2).user_id == 2 && sessions(2).total_value == 1.0)
   }
 }
+
+class IvfStreamDedupSpec extends SparkFunSuite {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("IVF index probes centroid buckets and finds the identical vector") {
+    val d = "/root/testdata/sf0.001"
+    val embs = Tables.embeddings(spark, d)
+    val index = graft.llm.Ivf.build(embs, nCentroids = 8, seed = 42)
+    assert(index.centroids.length == 8)
+    val queries = embs.filter(col("vec_id") < 3)
+    val res = graft.llm.Ivf.topK(index, queries, k = 5, nprobe = 3)
+    val byQuery = res.collect().groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet == Set(0L, 1L, 2L))
+    assert(byQuery.values.forall(_.length == 5))
+    // IVF top hit should match brute force for most queries (recall check):
+    val bf = graft.llm.Similarity.bruteForceTopK(embs, queries, k = 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val ivfTop = res.filter(col("rank") === 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val agree = bf.keys.count(q => bf(q) == ivfTop(q))
+    assert(agree >= 2, s"IVF top-1 agreed with brute force on only $agree/3")
+  }
+
+  test("streaming dedup drops same-fingerprint rows within the watermark") {
+    val docs = Seq(
+      (0L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "hello world"),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), "HELLO   world"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), "different")
+    ).toDF("doc_id", "ts", "text")
+    val out = graft.streaming.StreamDedup.dedupExact(docs)
+    assert(out.count() == 2)
+  }
+
+  test("bestF1 picks the max-f1 row per group; confusionWide pivots") {
+    val pr = Seq(
+      (0, 0.9, 0.5, 0.6, 0.8), (0, 0.8, 0.7, 0.75, 0.5), (1, 1.0, 0.1, 0.18, 0.9)
+    ).toDF("category_id", "precision", "recall", "f1_score", "confidence_threshold")
+    val best = graft.eval.EvalReports.bestF1(pr, Seq("category_id")).collect()
+      .map(r => r.getAs[Int]("category_id") -> r.getAs[Double]("f1_score")).toMap
+    assert(best == Map(0 -> 0.75, 1 -> 0.18))
+    val cm = Seq(("person", "person", 0.9), ("person", "None", 0.1), ("car", "car", 1.0))
+      .toDF("groundtruth_label", "prediction_label", "share")
+    val wide = graft.eval.EvalReports.confusionWide(cm)
+    val person = wide.filter(col("groundtruth_label") === "person").collect()(0)
+    assert(person.getAs[Double]("person") == 0.9)
+    assert(person.getAs[Double]("None") == 0.1)
+    assert(person.getAs[Double]("car") == 0.0)
+  }
+}
