@@ -36,7 +36,8 @@ object SparkEntry {
     _root_.graft.queries.LlmQueries,
     _root_.graft.queries.StreamQueries,
     _root_.graft.queries.IoQueries,
-    _root_.graft.queries.ExtraQueries
+    _root_.graft.queries.ExtraQueries,
+    _root_.graft.queries.SketchQueries
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -116,3 +116,22 @@ object ExtraQueries extends graft.QueryModule {
         |FROM ranked WHERE rk <= 3 GROUP BY l_orderkey""".stripMargin
   )
 }
+
+/** Sketch-based approximate aggregates (SURVEY §2.14 scale toolbox):
+  * HLL distinct counts vs exact — rows-only entry (sketch estimates are
+  * engine-specific by nature); the error bound is locked in tests. */
+object SketchQueries extends graft.QueryModule {
+  import org.apache.spark.sql.functions._
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_approx_distinct" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+    })
+  )
+  val oracles: Map[String, String] = Map.empty
+}
