@@ -242,4 +242,14 @@ object EvalReports {
       .pivot("prediction_label")
       .agg(first("share"))
       .na.fill(0.0)
+
+  /** Add an F_beta column to a PR-curve frame — the reference's
+    * multi-beta support (pr_curve betas parameter, util.py:274-281:
+    * (1+b^2)·p·r / (p·b^2 + r + 1e-5)). */
+  def withFBeta(prCurve: DataFrame, beta: Double): DataFrame = {
+    val b2 = beta * beta
+    prCurve.withColumn(f"f${beta}%s_score".replace(".0", ""),
+      (lit(1 + b2) * col("precision") * col("recall")) /
+        (col("precision") * lit(b2) + col("recall") + lit(1e-5)))
+  }
 }

@@ -121,3 +121,23 @@ object Grouper {
       .withColumn("count", coalesce(col("count"), lit(0L)))
   }
 }
+
+/** Statistical bin labels — the reference's mean/median label policies
+  * (cut_group label_type, grouper.py:181-186): per-bin mean or exact-median
+  * of the binned column, joined back onto the bin index. One grouped agg +
+  * a broadcast join (bin count is tiny). */
+object GrouperStats {
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.functions._
+
+  def withStatLabel(df: DataFrame, valueCol: String, binCol: String,
+      useMedian: Boolean = false, labelName: String = "bin_label"): DataFrame = {
+    val agg =
+      if (useMedian) percentile_approx(col(s"`$valueCol`").cast("double"), lit(0.5), lit(100000))
+      else avg(col(s"`$valueCol`").cast("double"))
+    val labels = df.groupBy(col(s"`$binCol`").as("__bin"))
+      .agg(agg.as(labelName))
+    df.join(broadcast(labels), df(s"`$binCol`") === col("__bin"), "left")
+      .drop("__bin")
+  }
+}

@@ -226,3 +226,25 @@ class SketchSpec extends SparkFunSuite {
     assert(math.abs(ao - eo).toDouble / eo < 0.05, s"orders: $ao vs $eo")
   }
 }
+
+class StatLabelFBetaSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("withStatLabel joins per-bin mean/median back onto rows") {
+    val df = Seq((0, 1.0), (0, 3.0), (1, 10.0)).toDF("bin", "v")
+    val mean = graft.operators.GrouperStats.withStatLabel(df, "v", "bin")
+      .collect().map(r => (r.getInt(0), r.getDouble(1)) -> r.getAs[Double]("bin_label")).toMap
+    assert(mean((0, 1.0)) == 2.0 && mean((1, 10.0)) == 10.0)
+    val med = graft.operators.GrouperStats.withStatLabel(df, "v", "bin", useMedian = true)
+      .filter(col("bin") === 0).select("bin_label").distinct().collect()
+    assert(med.length == 1)
+  }
+
+  test("withFBeta adds the reference f-beta formula") {
+    val pr = Seq((0.8, 0.5)).toDF("precision", "recall")
+    val out = graft.eval.EvalReports.withFBeta(pr, 2.0)
+    val f2 = out.collect()(0).getAs[Double]("f2_score")
+    val expected = 5.0 * 0.8 * 0.5 / (0.8 * 4 + 0.5 + 1e-5)
+    assert(math.abs(f2 - expected) < 1e-12)
+  }
+}
