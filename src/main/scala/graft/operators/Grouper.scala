@@ -43,12 +43,19 @@ object Grouper {
     } else {
       val row = df.agg(min(col(g.name).cast("double")), max(col(g.name).cast("double"))).collect()(0)
       val (lo, hi) = (row.getDouble(0), row.getDouble(1))
+      // pin the last edge to the exact max: the arithmetic form can land
+      // one ulp BELOW hi, silently null-binning the maximum value
       if (g.log) {
         require(lo > 0, s"log binning needs positive values, min=$lo")
         val (l0, l1) = (math.log10(lo), math.log10(hi))
-        (0 to g.bins).map(i => math.pow(10, l0 + (l1 - l0) * i / g.bins)).toArray
-      } else
-        (0 to g.bins).map(i => lo + (hi - lo) * i / g.bins).toArray
+        val e = (0 to g.bins).map(i => math.pow(10, l0 + (l1 - l0) * i / g.bins)).toArray
+        e(g.bins) = hi
+        e
+      } else {
+        val e = (0 to g.bins).map(i => lo + (hi - lo) * i / g.bins).toArray
+        e(g.bins) = hi
+        e
+      }
     }
   }
 

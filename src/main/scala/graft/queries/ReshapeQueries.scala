@@ -163,7 +163,7 @@ object ReshapeQueries extends graft.QueryModule {
         |  WHEN o_totalprice >  lo + (hi-lo)*6/10 AND o_totalprice <= lo + (hi-lo)*7/10 THEN 6
         |  WHEN o_totalprice >  lo + (hi-lo)*7/10 AND o_totalprice <= lo + (hi-lo)*8/10 THEN 7
         |  WHEN o_totalprice >  lo + (hi-lo)*8/10 AND o_totalprice <= lo + (hi-lo)*9/10 THEN 8
-        |  WHEN o_totalprice >  lo + (hi-lo)*9/10 AND o_totalprice <= lo + (hi-lo)*10/10 THEN 9
+        |  WHEN o_totalprice >  lo + (hi-lo)*9/10 AND o_totalprice <= hi THEN 9
         |  END AS bin, count(*) AS count
         |FROM orders, stats GROUP BY bin""".stripMargin,
 
