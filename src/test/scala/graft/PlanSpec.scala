@@ -1,0 +1,44 @@
+package graft
+
+/** Physical-plan regression tests: lock the scale-critical plan shapes so a
+  * refactor can't silently reintroduce full scans, shuffled FK lookups, or
+  * single-partition global windows. */
+class PlanSpec extends SparkFunSuite {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+
+  test("q01: shipdate filter pushes to the parquet scan; columns pruned") {
+    val plan = planOf("q01_agg_pricing")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!plan.contains("l_tax"), "unused column not pruned from scan")
+  }
+
+  test("q02: FK cascade and split propagation are broadcast joins") {
+    val plan = planOf("q02_filter_images_cascade")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"), "FK lookup fell back to sort-merge")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderstatus)"),
+      "dimension filter not pushed to orders scan")
+  }
+
+  test("q05: split-count aggregation has map-side partial aggregation") {
+    val plan = planOf("q05_split_counts")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"))
+  }
+
+  test("q06: dense-id path contains no single-partition global window") {
+    val plan = planOf("q06_reset_index")
+    // Window without partitionBy renders as "Window [..], [order]" with an
+    // empty partition spec and warns at runtime; denseIds must avoid it
+    assert(!plan.contains("Window ["), s"global window found in:\n$plan")
+  }
+
+  test("q32: fused cosine expression is in the plan (not zip_with)") {
+    val plan = planOf("q32_cosine_topk")
+    assert(plan.contains("graft_cosine"))
+    assert(!plan.contains("zip_with"))
+  }
+}
