@@ -48,10 +48,15 @@ object Coco {
         // iscrowd==1 dropped (io/coco.py:94-108)
         if (annStruct.fieldNames.contains("iscrowd"))
           exploded = exploded.filter(coalesce(col("a.iscrowd"), lit(0)) === 0)
+        // single-category files (e.g. keypoints) may omit category_id → 0
+        val catCol =
+          if (annStruct.fieldNames.contains("category_id"))
+            col("a.category_id").cast("int")
+          else lit(0)
         val base = Seq(
           col("a.id").cast("long").as("id"),
           col("a.image_id").cast("long").as("image_id"),
-          col("a.category_id").cast("int").as("category_id"),
+          catCol.as("category_id"),
           element_at(col("a.bbox"), 1).cast("double").as("box_x_min"),
           element_at(col("a.bbox"), 2).cast("double").as("box_y_min"),
           element_at(col("a.bbox"), 3).cast("double").as("box_width"),

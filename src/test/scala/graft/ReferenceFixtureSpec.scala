@@ -1,0 +1,79 @@
+package graft
+
+import graft.io.Coco
+import graft.eval.Matching
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end parity against the REFERENCE'S OWN stored COCO fixtures
+  * (test_lours/test_data/coco_dataset/, the pair used by its
+  * test_evaluation/test_matches.py pycocotools-equivalence suite):
+  * load both files through our COCO reader, run our matcher, and assert
+  * the exact (prediction_id, groundtruth_id, iou) triples the reference
+  * matcher produces on the same input (generated offline via
+  * tools/ref_pr_oracle.py machinery). Guarded: skips if the read-only
+  * reference tree is absent. */
+class ReferenceFixtureSpec extends SparkFunSuite {
+
+  private val base = "/root/reference/test_lours/test_data/coco_dataset"
+  private def available = new java.io.File(s"$base/annotations_valid_random.json").isFile
+
+  private def load() = {
+    val gt = Coco.fromCoco(spark, s"$base/annotations_valid_random.json")
+    val pr = Coco.fromCoco(spark, s"$base/predictions_valid_random.json")
+    (gt, pr)
+  }
+
+  private def run(minIou: Double): Seq[(Long, Long, Double)] = {
+    val (gt, pr) = load()
+    Matching.computeMatches(gt.annotations, pr.annotations, minIou).collect()
+      .map(r => (r.prediction_id.getOrElse(-1L), r.groundtruth_id.getOrElse(-1L),
+        math.rint(r.iou * 1e6) / 1e6))
+      .sortBy(t => (t._1, t._2)).toSeq
+  }
+
+  test("loads the reference fixture pair through fromCoco") {
+    assume(available)
+    val (gt, pr) = load()
+    assert(gt.numImages == 2 && gt.numAnnotations == 21)
+    assert(pr.numAnnotations == 21)
+    assert(pr.annotations.columns.contains("confidence")) // score renamed
+  }
+
+  test("matcher reproduces the reference's triples on its own fixtures (min_iou=0)") {
+    assume(available)
+    val m = run(0.0)
+    assert(m.length == 24)
+    assert(m.count(t => t._1 >= 0 && t._2 >= 0) == 18)
+    assert(math.abs(m.map(_._3).sum - 4.924571) < 1e-5)
+    // spot-check exact triples incl. the low-IoU greedy leftovers
+    assert(m.contains((17838L, 35802L, 0.648416)))
+    assert(m.contains((92133L, 1640282L, 0.009684)))
+    assert(m.contains((97248L, 2146194L, 0.00141)))
+    assert(m.contains((-1L, 34646L, 0.0)))
+  }
+
+  test("matcher reproduces the reference's triples at min_iou=0.5") {
+    assume(available)
+    val m = run(0.5)
+    assert(m.length == 40)
+    val matched = m.filter(t => t._1 >= 0 && t._2 >= 0)
+    assert(matched == Seq((17838L, 35802L, 0.648416), (42968L, 1669970L, 0.509091)))
+  }
+
+  test("keypoints fixture loads as zero-size point boxes") {
+    assume(new java.io.File(s"$base/annotations_keypoints.json").isFile)
+    val ds = graft.io.CocoKeypoints.fromCocoKeypoints(spark, s"$base/annotations_keypoints.json")
+    assert(ds.numAnnotations > 0)
+    import org.apache.spark.sql.functions._
+    assert(ds.annotations.filter(col("box_width") =!= 0.0).count() == 0)
+  }
+
+  test("empty and no-labelmap fixture variants load without error") {
+    assume(available)
+    val empty = Coco.fromCoco(spark, s"$base/annotations_empty.json")
+    assert(empty.numAnnotations == 0 && empty.numImages > 0)
+    val noLm = Coco.fromCoco(spark, s"$base/annotations_no_labelmap.json")
+    val completed = noLm.withCompletedLabelMap()
+    assert(completed.labelMap.nonEmpty || noLm.numAnnotations == 0)
+  }
+}
