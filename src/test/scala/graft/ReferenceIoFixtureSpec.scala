@@ -1,0 +1,83 @@
+package graft
+
+import graft.io._
+import org.apache.spark.sql.functions._
+
+/** Drive every format loader against the REFERENCE'S OWN fixture trees
+  * (test_lours/test_data/) — the strongest evidence that a user of the
+  * reference can point this engine at their existing data unchanged.
+  * Each test is guarded (assume) on fixture availability. */
+class ReferenceIoFixtureSpec extends SparkFunSuite {
+
+  private val base = "/root/reference/test_lours/test_data"
+  private def exists(p: String) = new java.io.File(s"$base/$p").exists
+
+  test("caipy: the reference caipy_dataset tree loads with both splits") {
+    assume(exists("caipy_dataset/Annotations/train"))
+    val ds = Caipy.fromCaipy(spark, s"$base/caipy_dataset")
+    assert(ds.numImages == 4)
+    assert(ds.numAnnotations > 0)
+    val splits = ds.images.select("split").distinct().collect().map(_.getString(0)).sorted
+    assert(splits.toSeq == Seq("train", "valid"))
+    assert(ds.labelMap.nonEmpty)
+    ds.validated()
+  }
+
+  test("darknet: reference label files + classes.names parse against probed dims") {
+    assume(exists("darknet_dataset/classes.names"))
+    val classNames = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(s"$base/darknet_dataset/classes.names"))
+      .toArray.map(_.toString.trim).filter(_.nonEmpty).toSeq
+    assert(classNames.nonEmpty)
+    // images: probe real dimensions from the fixture JPEGs
+    val imgDs = ImagesFolder.fromFolder(spark, s"$base/darknet_dataset/train", "*.jpg")
+    assert(imgDs.numImages == 2)
+    assert(imgDs.images.filter(col("width") > 0).count() == 2) // JPEG probe worked
+    val ds = Darknet.fromDarknet(spark, s"$base/darknet_dataset/train",
+      imgDs.images, classNames, split = Some("train"))
+    assert(ds.numAnnotations > 0)
+    // relative coords scaled into pixel bounds
+    val bad = graft.operators.Locators.malformedBoxReport(ds).count()
+    assert(bad == 0, "darknet boxes out of probed image bounds")
+  }
+
+  test("yolov5: data.yaml names + labels dirs load") {
+    assume(exists("yolov5_dataset/yolov5.yaml"))
+    val (_, names) = DarknetConfig.parseDataYaml(s"$base/yolov5_dataset/yolov5.yaml")
+    assert(names.nonEmpty)
+    val imgDs = ImagesFolder.fromFolder(spark, s"$base/yolov5_dataset/train/images", "*.jpg")
+    val ds = Darknet.fromDarknet(spark, s"$base/yolov5_dataset/train/labels",
+      imgDs.images, names, split = Some("train"))
+    assert(ds.numAnnotations > 0)
+    assert(ds.labelMap.size == names.size)
+  }
+
+  test("pascalvoc: reference XML tree parses with parts skipped") {
+    assume(exists("pascalvoc_dataset/Annotations"))
+    val ds = PascalVoc.fromPascalVoc(spark, s"$base/pascalvoc_dataset/Annotations")
+    assert(ds.numImages == 6)
+    assert(ds.numAnnotations > 0)
+    assert(ds.labelMap.nonEmpty)
+    assert(ds.annotations.filter(col("box_width") <= 0).count() == 0)
+  }
+
+  test("mot: reference gt.txt loads with conf==0 dropped") {
+    assume(exists("mot_dataset/gt.txt"))
+    val ds = Mot.fromMot(spark, s"$base/mot_dataset/gt.txt")
+    assert(ds.numImages > 0 && ds.numAnnotations > 0)
+    assert(ds.annotations.filter(col("confidence") === 0.0).count() == 0)
+  }
+
+  test("crowdhuman: reference odgt explodes person+head rows") {
+    assume(exists("crowdhuman_dataset"))
+    val odgt = new java.io.File(s"$base/crowdhuman_dataset").listFiles()
+      .find(_.getName.endsWith(".odgt"))
+    assume(odgt.isDefined)
+    val ds = CrowdHuman.fromCrowdHuman(spark, odgt.get.getAbsolutePath)
+    assert(ds.numImages > 0)
+    val cats = ds.annotations.select("category_id").distinct()
+      .collect().map(_.getInt(0)).sorted
+    assert(cats.toSeq == Seq(0, 1)) // person + head
+    assert(ds.annotations.filter(col("visible_share") > 1.0).count() == 0)
+  }
+}
