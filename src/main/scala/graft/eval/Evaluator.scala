@@ -26,12 +26,14 @@ class DetectionEvaluator(
   }
 
   private val matchCache =
-    scala.collection.mutable.Map[(String, Boolean), Dataset[MatchRow]]()
+    scala.collection.mutable.Map[(String, Boolean, Double), Dataset[MatchRow]]()
 
-  /** Matches for one prediction set, cached (detection_evaluator.py:54-179). */
+  /** Matches for one prediction set, cached per (model, agnostic, minIou)
+    * (detection_evaluator.py:54-179 — the threshold is part of the match
+    * semantics, so it must be part of the cache key). */
   def matches(model: String, minIou: Double = 0.0,
       categoryAgnostic: Boolean = false): Dataset[MatchRow] =
-    matchCache.getOrElseUpdate((model, categoryAgnostic),
+    matchCache.getOrElseUpdate((model, categoryAgnostic, minIou),
       Matching.computeMatches(groundtruth, predictions(model), minIou, categoryAgnostic)
         .persist())
 

@@ -106,7 +106,7 @@ object PrCurve {
       reindexBins: Option[Array[Double]] = Some(defaultBins)): DataFrame = {
     val spark = results.sparkSession
     import spark.implicits._
-    val sep = ""
+    val sep = "\u0001" // non-printable separator so distinct tuples never collapse
     val keyCol = concat_ws(sep, groupCols.map(c => col(s"`$c`").cast("string")): _*)
     val keyed = results.select(
       keyCol.as("key"),

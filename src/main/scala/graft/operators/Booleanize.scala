@@ -102,9 +102,12 @@ object Booleanize {
       }
       missing.foldLeft(df)((d, c) => d.withColumn(c, lit(false)))
     }
-    // a gains false-flags for b's values of families a also has, and vice versa
-    val aOut = fill(a, aFams ++ bFams, b)
-    val bOut = fill(b, aFams ++ bFams, a)
+    // a gains false-flags only for families a ITSELF booleanized (it knows
+    // those values are absent); families a never booleanized stay absent so
+    // a later unionByName null-fills them as unknown rather than asserting
+    // a definite false
+    val aOut = fill(a, aFams, b)
+    val bOut = fill(b, bFams, a)
     (aOut, bOut)
   }
 }

@@ -64,6 +64,10 @@ object Grouper {
     * or < first edge → null). Branch-free `when` chain — codegen'd, and
     * cheap because `bins` is small by construction. */
   def binIndex(c: Column, edges: Array[Double]): Column = {
+    // degenerate case: qcut on (near-)constant data collapses to one edge —
+    // everything equal to it is bin 0
+    if (edges.length < 2)
+      return when(c.cast("double") === edges(0), 0).otherwise(lit(null).cast("int"))
     val n = edges.length - 1
     // (lo, hi] semantics except the first bin which includes its lo edge
     val first = when(c >= edges(0) && c <= edges(1), 0)

@@ -63,7 +63,11 @@ object Ids {
     * (reset_index_from_mapping, dataset.py:2022-2201). */
   def resetIndexFromMapping(ds: GraftDataset, mapping: DataFrame,
       removeUnmapped: Boolean = false): GraftDataset = {
-    val m = broadcast(mapping.toDF("__old_id", "__new_id"))
+    // normalize the mapping to long columns up front: a caller-supplied
+    // Int mapping (or an empty frame) must not crash the max/getLong path
+    val m = broadcast(mapping.select(
+      col(mapping.columns(0)).cast("long").as("__old_id"),
+      col(mapping.columns(1)).cast("long").as("__new_id")))
     val joined = ds.images.join(m, ds.images("id") === col("__old_id"), "left")
     val (mappedImages, annSource) =
       if (removeUnmapped) {
@@ -71,8 +75,10 @@ object Ids {
         val ann = ds.annotations.join(m, ds.annotations("image_id") === col("__old_id"), "inner")
         (im, ann)
       } else {
-        // fresh ids after the max mapped id for unmapped rows
-        val maxMapped = mapping.agg(max(mapping.columns(1))).collect()(0).getLong(0)
+        // fresh ids after the max mapped id for unmapped rows (an empty
+        // mapping means every row is unmapped → fresh ids from 0)
+        val maxRow = m.agg(max(col("__new_id"))).collect()(0)
+        val maxMapped = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
         val unmappedW = Window.orderBy(col("id"))
         val im = joined.withColumn("__new_id",
           when(col("__new_id").isNotNull, col("__new_id"))

@@ -45,10 +45,27 @@ object Merge {
 
   /** Full merge: horizontal on overlapping image ids + vertical on the rest
     * (merge.py:12-222). The right side's annotations are always appended
-    * (with id shift); overlapping images may only contribute new columns. */
-  def merge(a: GraftDataset, b: GraftDataset): GraftDataset = {
+    * (with id shift); overlapping images may only contribute new columns —
+    * enforced by a null-safe equality check over the intersecting
+    * (ids × shared columns), mirroring the reference precondition
+    * (utils/testing.py:174-211). Set `checkIntersection = false` to skip
+    * the extra validation job on trusted inputs. */
+  def merge(a: GraftDataset, b: GraftDataset,
+      checkIntersection: Boolean = true): GraftDataset = {
     val commonIds = a.images.select("id").intersect(b.images.select("id"))
     val newCols = b.images.columns.filterNot(a.images.columns.contains).toSeq
+    if (checkIntersection) {
+      val shared = a.images.columns.toSet.intersect(b.images.columns.toSet) - "id"
+      if (shared.nonEmpty) {
+        val bad = Diff.frameDiff(
+          a.images.join(commonIds, Seq("id"), "left_semi"),
+          b.images.join(commonIds, Seq("id"), "left_semi"))
+          .filter(col("status") === "changed").limit(3).collect()
+        require(bad.isEmpty,
+          "merge: overlapping images disagree on shared columns, ids: " +
+            bad.map(_.get(0)).mkString(", "))
+      }
+    }
 
     // overlapping ids: left rows + right's new columns
     val bCommon = b.images.join(commonIds, Seq("id"), "left_semi")

@@ -158,7 +158,7 @@ object Splitter {
           .count()
         val rows = binDf.collect()
         // global bin vocabulary: one slot per distinct group-value tuple
-        val keys = rows.map(r => (1 to keepBalanced.length).map(i => String.valueOf(r.get(i))).mkString(""))
+        val keys = rows.map(r => (1 to keepBalanced.length).map(i => String.valueOf(r.get(i))).mkString("\u0001")) // non-printable separator: tuples must not collapse
         val vocab = keys.distinct.sorted
         val slot = vocab.zipWithIndex.toMap
         val m = scala.collection.mutable.Map[Long, Array[Double]]()

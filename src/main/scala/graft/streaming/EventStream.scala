@@ -121,9 +121,14 @@ object StreamDedup {
   import org.apache.spark.sql.functions._
 
   def dedupExact(stream: DataFrame, textCol: String = "text",
-      tsCol: String = "ts", watermark: String = "1 hour"): DataFrame =
-    stream
+      tsCol: String = "ts", watermark: String = "1 hour"): DataFrame = {
+    val fp = stream
       .withColumn("fingerprint", graft.llm.TextAnalysis.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermark)
-      .dropDuplicates("fingerprint")
+    // dropDuplicatesWithinWatermark is what actually bounds streaming state:
+    // a plain dropDuplicates on a non-event-time subset keeps one entry per
+    // distinct key FOREVER regardless of the watermark
+    if (fp.isStreaming) fp.dropDuplicatesWithinWatermark("fingerprint")
+    else fp.dropDuplicates("fingerprint")
+  }
 }

@@ -272,3 +272,61 @@ class BboxSpec extends SparkFunSuite {
     assert(math.abs(v - 50.0 / 150.0) < 1e-12)
   }
 }
+
+class ReviewFixesSpec extends SparkFunSuite {
+  import spark.implicits._
+  import graft.operators._
+  import graft.model.GraftDataset
+
+  test("merge rejects overlapping images that disagree on shared columns") {
+    val ds = tinyDataset()
+    val conflicting = ds.copy(
+      images = ds.images.withColumn("width", col("width") + 1),
+      annotations = ds.annotations.limit(0))
+    intercept[IllegalArgumentException](Merge.merge(ds, conflicting))
+    // agreeing intersection still merges
+    val extra = ds.copy(
+      images = ds.images.withColumn("camera", lit("c")),
+      annotations = ds.annotations.limit(0))
+    assert(Merge.merge(ds, extra).images.columns.contains("camera"))
+  }
+
+  test("resetIndexFromMapping handles empty and Int-typed mappings") {
+    val ds = tinyDataset()
+    val emptyMap = Seq.empty[(Long, Long)].toDF("old_id", "new_id")
+    val out = Ids.resetIndexFromMapping(ds, emptyMap, removeUnmapped = false)
+    assert(out.numImages == 4) // all rows unmapped → fresh ids from 0
+    assert(out.images.select("id").distinct().count() == 4)
+    val intMap = Seq((0, 100), (1, 101)).toDF("old_id", "new_id")
+    val out2 = Ids.resetIndexFromMapping(ds, intMap, removeUnmapped = true)
+    assert(out2.images.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(100L, 101L))
+  }
+
+  test("matches cache distinguishes minIou thresholds") {
+    val images = Seq((0L, 100, 100, "a.jpg")).toDF("id", "width", "height", "relative_path")
+    val gt = Seq((0L, 0L, 0, 0.0, 0.0, 10.0, 10.0))
+      .toDF("id", "image_id", "category_id", "box_x_min", "box_y_min", "box_width", "box_height")
+    val preds = Seq((10L, 0L, 0, 0.0, 0.0, 20.0, 10.0, 0.9)) // iou 0.5
+      .toDF("id", "image_id", "category_id", "box_x_min", "box_y_min", "box_width", "box_height", "confidence")
+    val ev = new graft.eval.DetectionEvaluator(images, gt, Map("m" -> preds), Map(0 -> "x"))
+    val loose = ev.matches("m", minIou = 0.0).collect()
+    val strict = ev.matches("m", minIou = 0.5).collect()
+    assert(loose.exists(r => r.prediction_id.isDefined && r.groundtruth_id.isDefined))
+    assert(!strict.exists(r => r.prediction_id.isDefined && r.groundtruth_id.isDefined))
+  }
+
+  test("alignBoolFamilies leaves foreign families absent") {
+    val a = Seq((0L, "x")).toDF("id", "other")           // never booleanized
+    val b = Seq((1L, true)).toDF("id", "tags.red")        // has tags family
+    val (a2, b2) = Booleanize.alignBoolFamilies(a, b, Set.empty, Set("tags"))
+    assert(!a2.columns.contains("tags.red")) // stays absent → null after union
+    assert(b2.columns.contains("tags.red"))
+  }
+
+  test("qcut binning of constant data yields a single bin, not a crash") {
+    val df = Seq(5.0, 5.0, 5.0).toDF("v")
+    val edges = Grouper.binEdges(df, Grouper.ContinuousGroup("v", 4, qcut = true))
+    val out = df.select(Grouper.binIndex(col("v"), edges).as("b")).collect()
+    assert(out.forall(_.getInt(0) == 0))
+  }
+}
