@@ -103,3 +103,34 @@ object ParquetIO {
     sb.toString
   }
 }
+
+/** Bucketed persistence — the co-located-join scale path: images bucketed
+  * by `id` and annotations by `image_id` into the SAME bucket count land
+  * FK-join-aligned on disk, so every images⋈annotations (and any
+  * repeated per-image kernel) runs WITHOUT a shuffle exchange on the fact
+  * table. This is the 100 TB answer to "the FK join side no longer fits
+  * broadcast". Requires a table catalog (saveAsTable), which Spark's
+  * default in-memory/derby catalog provides. */
+object BucketedIO {
+  import org.apache.spark.sql.SparkSession
+  import graft.model.GraftDataset
+
+  /** Persist as bucketed tables `<name>_images` / `<name>_annotations`. */
+  def writeBucketed(ds: GraftDataset, name: String, buckets: Int = 32): Unit = {
+    ds.images.write.format("parquet")
+      .bucketBy(buckets, "id").sortBy("id")
+      .mode("overwrite").saveAsTable(s"${name}_images")
+    ds.annotations.write.format("parquet")
+      .bucketBy(buckets, "image_id").sortBy("image_id")
+      .mode("overwrite").saveAsTable(s"${name}_annotations")
+  }
+
+  /** Reload; joins on images.id = annotations.image_id use the bucket
+    * layout (no Exchange on either side when bucket counts match). */
+  def readBucketed(spark: SparkSession, name: String,
+      labelMap: Map[Int, String] = Map.empty): GraftDataset =
+    GraftDataset(
+      spark.table(s"${name}_images"),
+      spark.table(s"${name}_annotations"),
+      labelMap)
+}

@@ -42,3 +42,23 @@ class PlanSpec extends SparkFunSuite {
     assert(!plan.contains("zip_with"))
   }
 }
+
+class BucketedJoinSpec extends SparkFunSuite {
+  test("bucketed tables FK-join without a shuffle exchange") {
+    val ds = tinyDataset()
+    graft.io.BucketedIO.writeBucketed(ds, "bkt_test", buckets = 4)
+    val back = graft.io.BucketedIO.readBucketed(spark, "bkt_test", ds.labelMap)
+    assert(back.numImages == 4 && back.numAnnotations == 6)
+    // force a non-broadcast join to expose the bucket layout
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = back.annotations.join(back.images,
+        back.annotations("image_id") === back.images("id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == 6)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+}
