@@ -330,3 +330,22 @@ class ReviewFixesSpec extends SparkFunSuite {
     assert(out.forall(_.getInt(0) == 0))
   }
 }
+
+class SkewJoinSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("saltedJoin equals a plain join and spreads the hot key") {
+    // 1000 fact rows, 990 of them on one hot key
+    val fact = spark.range(1000).select(
+      when(col("id") < 990, 7L).otherwise(col("id")).as("k"), col("id").as("v"))
+    val dim = Seq((7L, "hot"), (995L, "cold")).toDF("dk", "name")
+    val plain = fact.join(dim, fact("k") === dim("dk")).count()
+    val salted = graft.operators.SkewJoin.saltedJoin(fact, dim, "k", "dk", salts = 8)
+    assert(salted.count() == plain)
+    assert(salted.count() == 991)
+    // left join keeps unmatched fact rows exactly once
+    val left = graft.operators.SkewJoin.saltedJoin(fact, dim, "k", "dk", salts = 4, "left")
+    assert(left.count() == 1000)
+    assert(left.filter(col("name").isNull).count() == 9)
+  }
+}
