@@ -109,11 +109,24 @@ class DetectionEvaluator(
     val m = matches(model, 0.0, categoryAgnostic = false).toDF()
     val conf = predictions(model)
       .select(col("id").as("prediction_id"), col("confidence").cast("double"))
+    // continuous-group bin edges are computed ONCE over the COMBINED
+    // gt+prediction values (reference bins the assembled results frame,
+    // detection_evaluator.py:620) — independent per-table edges would give
+    // the FP rows bin labels disjoint from the groundtruth rows'
+    val sharedEdges: Map[String, Array[Double]] = groups.collect {
+      case cg: Grouper.ContinuousGroup =>
+        val srcName = cg.name
+        val combined =
+          if (cg.root) images.select(col(s"`$srcName`"))
+          else groundtruth.select(col(s"`$srcName`"))
+            .unionByName(predictions(model).select(col(s"`$srcName`")))
+        cg.name -> Grouper.binEdges(combined, cg.copy(root = false))
+    }.toMap
     // resolve group columns on both annotation tables (root cols via images)
     val gtResolved = Grouper.resolveGroups(
-      new graft.model.GraftDataset(images, groundtruth, labelMap), groups)
+      new graft.model.GraftDataset(images, groundtruth, labelMap), groups, sharedEdges)
     val predResolved = Grouper.resolveGroups(
-      new graft.model.GraftDataset(images, predictions(model), labelMap), groups)
+      new graft.model.GraftDataset(images, predictions(model), labelMap), groups, sharedEdges)
     val groupCols = groups.map(g => s"__group_${g.name}")
     def pick(df: DataFrame, idAlias: String) =
       df.select((col("id").as(idAlias) +: groupCols.map(c => col(s"`$c`"))): _*)

@@ -107,7 +107,10 @@ object PrCurve {
     val spark = results.sparkSession
     import spark.implicits._
     val sep = "\u0001" // non-printable separator so distinct tuples never collapse
-    val keyCol = concat_ws(sep, groupCols.map(c => col(s"`$c`").cast("string")): _*)
+    // coalesce each value: concat_ws SKIPS nulls, which would collapse
+    // (null, "a") and ("a", null) into the same key
+    val keyCol = concat_ws(sep, groupCols.map(c =>
+      coalesce(col(s"`$c`").cast("string"), lit("\u0000null"))): _*)
     val keyed = results.select(
       keyCol.as("key"),
       col("groundtruth").cast("boolean").as("groundtruth"),

@@ -115,8 +115,24 @@ object BucketedIO {
   import org.apache.spark.sql.SparkSession
   import graft.model.GraftDataset
 
-  /** Persist as bucketed tables `<name>_images` / `<name>_annotations`. */
+  /** Persist as bucketed tables `<name>_images` / `<name>_annotations`.
+    * Overwrites both the catalog entries AND any stale warehouse location
+    * left by a previous session (an in-memory catalog forgets tables on
+    * restart but their directories survive, which otherwise fails the
+    * write with LOCATION_ALREADY_EXISTS). */
   def writeBucketed(ds: GraftDataset, name: String, buckets: Int = 32): Unit = {
+    val spark = ds.spark
+    Seq(s"${name}_images", s"${name}_annotations").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      val leftover = java.nio.file.Paths.get(warehouse, t)
+      if (java.nio.file.Files.isDirectory(leftover)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(leftover).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
     ds.images.write.format("parquet")
       .bucketBy(buckets, "id").sortBy("id")
       .mode("overwrite").saveAsTable(s"${name}_images")

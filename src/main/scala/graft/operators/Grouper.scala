@@ -92,8 +92,14 @@ object Grouper {
   /** Resolve group specs against a dataset's annotations table, joining
     * root (image-level) columns through the FK with a broadcast join
     * (group_relational_data, grouper.py:188-361). Returns the annotations
-    * frame extended with one `__group_<name>` column per spec. */
-  def resolveGroups(ds: GraftDataset, specs: Seq[GroupSpec]): DataFrame = {
+    * frame extended with one `__group_<name>` column per spec.
+    *
+    * `sharedEdges` supplies pre-computed bin edges per continuous group —
+    * REQUIRED when the same specs must label several tables compatibly
+    * (e.g. groundtruth and predictions in an evaluator): edges computed
+    * independently per table would yield disjoint bin labels. */
+  def resolveGroups(ds: GraftDataset, specs: Seq[GroupSpec],
+      sharedEdges: Map[String, Array[Double]] = Map.empty): DataFrame = {
     val rootCols = specs.filter(isRoot(specs, _)).map(_.name).distinct
     val base =
       if (rootCols.isEmpty) ds.annotations
@@ -108,7 +114,8 @@ object Grouper {
       g match {
         case CategoricalGroup(n, _) => df.withColumn(s"__group_$n", src)
         case cg @ ContinuousGroup(n, _, _, _, labelType, _) =>
-          val edges = binEdges(df.select(src.as(n)), cg.copy(root = false))
+          val edges = sharedEdges.getOrElse(n,
+            binEdges(df.select(src.as(n)), cg.copy(root = false)))
           val idx = binIndex(src.cast("double"), edges)
           df.withColumn(s"__group_$n", binLabel(idx, edges, labelType))
       }
@@ -128,8 +135,12 @@ object Grouper {
     val counts = df.groupBy(keys.map(c => col(s"`$c`")): _*).count()
     val full = keys.map(k => df.select(col(s"`$k`")).distinct())
       .reduce((a, b) => a.crossJoin(b))
-    full.join(counts, keys, "left")
-      .withColumn("count", coalesce(col("count"), lit(0L)))
+    // null-SAFE join keys: a plain equality join would never match the
+    // null group (e.g. unassigned split) and silently zero its count
+    val cond = keys.map(k => full(s"`$k`") <=> counts(s"`$k`")).reduce(_ && _)
+    full.join(counts, cond, "left")
+      .select((keys.map(k => full(s"`$k`")) :+
+        coalesce(counts("count"), lit(0L)).as("count")): _*)
   }
 }
 

@@ -76,13 +76,16 @@ object Ids {
         (im, ann)
       } else {
         // fresh ids after the max mapped id for unmapped rows (an empty
-        // mapping means every row is unmapped → fresh ids from 0)
+        // mapping means every row is unmapped → fresh ids from 0).
+        // denseIds (range sort + zipWithIndex), NOT a partitionless window —
+        // the unmapped set can be the whole table.
         val maxRow = m.agg(max(col("__new_id"))).collect()(0)
         val maxMapped = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
-        val unmappedW = Window.orderBy(col("id"))
-        val im = joined.withColumn("__new_id",
-          when(col("__new_id").isNotNull, col("__new_id"))
-            .otherwise(row_number().over(unmappedW).cast("long") + maxMapped))
+        val mapped = joined.filter(col("__new_id").isNotNull)
+        val unmapped = denseIds(
+          joined.filter(col("__new_id").isNull).drop("__new_id"),
+          Seq("id"), maxMapped + 1, "__new_id")
+        val im = mapped.unionByName(unmapped)
         // rebuild the effective full mapping from the images themselves
         val fullMap = im.select(col("id").as("__old_id2"), col("__new_id").as("__new_id2"))
         val ann = ds.annotations.join(broadcast(fullMap),

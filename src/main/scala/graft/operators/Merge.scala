@@ -72,13 +72,20 @@ object Merge {
       .select((Seq(col("id")) ++ newCols.map(c => col(s"`$c`"))): _*)
     val aMerged = a.images.join(bCommon, Seq("id"), "left")
 
-    // right-only ids appended vertically
+    // right-only ids appended vertically, boolean families aligned first
+    // (same contract as union: a side's own families gain false flags,
+    // foreign families null-fill through unionByName)
     val bOnly = b.images.join(commonIds, Seq("id"), "left_anti")
-    val images = aMerged.unionByName(bOnly, allowMissingColumns = true)
+    val (aImgAligned, bImgAligned) = Booleanize.alignBoolFamilies(
+      aMerged, bOnly, a.booleanized("images"), b.booleanized("images"))
+    val images = aImgAligned.unionByName(bImgAligned, allowMissingColumns = true)
 
     // annotations: concat with right ids shifted past left max on collision
     val bAnnShifted = shiftAnnotationsIfColliding(a, b)
-    val annotations = a.annotations.unionByName(bAnnShifted, allowMissingColumns = true)
+    val (aAnnAligned, bAnnAligned) = Booleanize.alignBoolFamilies(
+      a.annotations, bAnnShifted,
+      a.booleanized("annotations"), b.booleanized("annotations"))
+    val annotations = aAnnAligned.unionByName(bAnnAligned, allowMissingColumns = true)
 
     GraftDataset(images, annotations,
       LabelMaps.mergeOuter(a.labelMap, b.labelMap),

@@ -99,10 +99,13 @@ object Splitter {
       }
       next = next.cache()
       // labels only ever decrease, so the label sum strictly decreases
-      // exactly when something changed — one cheap agg per iteration
-      val before = cur.agg(sum("__atom")).collect()(0).getLong(0)
-      val after = next.agg(sum("__atom")).collect()(0).getLong(0)
-      changed = if (after < before) 1L else 0L
+      // exactly when something changed — summed in DECIMAL(38) because
+      // hash-derived ids span the full signed-64-bit range and a Long sum
+      // would overflow and break the comparison
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val before = cur.agg(sum(col("__atom").cast(dec))).collect()(0).getDecimal(0)
+      val after = next.agg(sum(col("__atom").cast(dec))).collect()(0).getDecimal(0)
+      changed = if (after.compareTo(before) < 0) 1L else 0L
       cur.unpersist()
       cur = next
       iters += 1
@@ -159,18 +162,25 @@ object Splitter {
         val rows = binDf.collect()
         // global bin vocabulary: one slot per distinct group-value tuple
         val keys = rows.map(r => (1 to keepBalanced.length).map(i => String.valueOf(r.get(i))).mkString("\u0001")) // non-printable separator: tuples must not collapse
-        val vocab = keys.distinct.sorted
+        // EMD requires a NUMERIC bin order and only makes sense over one
+        // continuous dimension; the flattened tuple space (or any
+        // categorical dimension) uses KL over an arbitrary-but-fixed order.
+        val singleContinuous = keepBalanced.sizeIs == 1 &&
+          keepBalanced.head.isInstanceOf[Grouper.ContinuousGroup]
+        val vocab =
+          if (singleContinuous)
+            keys.distinct.sortBy(k => scala.util.Try(k.toDouble).getOrElse(
+              // IntervalLabel strings "(lo, hi]" sort by their lower bound
+              scala.util.Try(k.stripPrefix("(").takeWhile(_ != ',').toDouble)
+                .getOrElse(Double.MaxValue)))
+          else keys.distinct.sorted
         val slot = vocab.zipWithIndex.toMap
         val m = scala.collection.mutable.Map[Long, Array[Double]]()
         rows.zip(keys).foreach { case (r, k) =>
           val arr = m.getOrElseUpdate(r.getLong(0), Array.fill(vocab.length)(0.0))
           arr(slot(k)) += r.getLong(keepBalanced.length + 1).toDouble
         }
-        // continuous specs use EMD over ordered bins; categorical use KL.
-        // With one spec the bins are that spec's values; with several, the
-        // flattened tuple space is treated as categorical (KL).
-        val kinds = Array.fill(vocab.length)(
-          keepBalanced.forall(_.isInstanceOf[Grouper.ContinuousGroup]))
+        val kinds = Array.fill(vocab.length)(singleContinuous)
         (m.toMap, vocab.length, kinds)
       }
 
@@ -208,9 +218,10 @@ object Splitter {
     }
     ordered.foreach { case (atom, size, _) =>
       val cand = histsByAtom.getOrElse(atom, Array.fill(nBins)(0.0))
-      val best = names.minBy { s =>
-        // hist cost: sum over splits of the post-assignment distances,
-        // where only the winner's hist changes (get_winner incremental form)
+      // per-candidate consolidated costs (get_winner): infinite hist costs
+      // stay infinite UNLESS every candidate is infinite, in which case the
+      // decision falls back to share cost alone (dataset_splitter.py:108-114)
+      val costs = names.map { s =>
         val hCost =
           if (nBins == 0) 0.0
           else names.map { s2 =>
@@ -225,9 +236,13 @@ object Splitter {
         val shCost = Costs.shareDistance(
           Costs.normalize(newSizes.toArray),
           names.map(targetShares).toArray)
-        val h = if (hCost.isInfinite) 0.0 else histCostWeight * hCost
-        h + shareCostWeight * shCost
+        s -> (hCost, shCost)
       }
+      val allInfinite = costs.forall(_._2._1.isInfinite)
+      val best = costs.minBy { case (_, (hCost, shCost)) =>
+        if (allInfinite) shareCostWeight * shCost
+        else histCostWeight * hCost + shareCostWeight * shCost
+      }._1
       assignment(atom) = best
       splitSizes(best) += size
       val t = splitHists(best)

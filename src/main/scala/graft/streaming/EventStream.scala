@@ -58,10 +58,10 @@ object EventStream {
   case class Session(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Int, total_value: Double)
 
-  /** Gap-based sessionization per user via flatMapGroupsWithState: a session
-    * closes when no event arrives within `gapMs` (enforced by processing-
-    * time timeout in streaming mode; by end-of-group in batch-driven
-    * tests). Emits one row per closed session. */
+  /** BATCH gap-based sessionization per user via flatMapGroupsWithState:
+    * the whole group arrives at once, so trailing sessions close at
+    * end-of-group. For STREAMING input use [[sessionizeStream]] — this
+    * variant would split sessions across micro-batches. */
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)
       : Dataset[Session] = {
     val spark = events.sparkSession
@@ -95,6 +95,51 @@ object EventStream {
           }
           state.remove()
           out.iterator
+      }
+  }
+
+  /** STREAMING gap sessionization: state persists across micro-batches and
+    * a session closes only via event-time timeout (watermark passes
+    * last_event + gap). The input must carry a watermark on `ts`. Emits one
+    * row per CLOSED session; open sessions stay in state. */
+  def sessionizeStream(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)
+      : Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.last), s.n, s.value))
+          } else {
+            val sorted = it.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer[Session]()
+            var cur: Option[SessionState] = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1, value = s.value + e.value))
+                case Some(s) =>
+                  out += Session(userId, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.last), s.n, s.value)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            // keep the trailing session OPEN in state until the watermark
+            // passes its gap deadline
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            out.iterator
+          }
       }
   }
 
