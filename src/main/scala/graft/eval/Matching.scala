@@ -129,6 +129,11 @@ object Matching {
     predRows ++ fnRows
   }
 
+  /** Test-only access to the per-group kernel (property suites exercise
+    * it directly without a SparkSession). */
+  private[graft] def testMatchGroup(boxes: Iterator[EvalBox], minIou: Double)
+      : Iterator[MatchRow] = matchGroup(boxes, minIou)
+
   /** Normalize an annotations frame to the matcher's input shape. */
   private def toEvalBoxes(df: DataFrame, groundtruth: Boolean): DataFrame = {
     val conf =

@@ -1,0 +1,132 @@
+package graft
+
+import graft.eval.{Matching, EvalBox}
+import graft.split.Costs
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Seeded generator sampling without the scalatestplus bridge (not in the
+  * offline dependency cache): draw n deterministic samples from a Gen. */
+trait GenSampling {
+  def forAllSampled[T](gen: Gen[T], n: Int = 200)(check: T => Unit): Unit = {
+    var seed = Seed(42L)
+    var drawn = 0
+    while (drawn < n) {
+      gen.apply(Gen.Parameters.default, seed).foreach { t => check(t); drawn += 1 }
+      seed = seed.next
+    }
+  }
+}
+
+/** Property-based invariants over the non-relational kernels — the
+  * structural guarantees that must hold for EVERY input, not just the
+  * fixtures: matcher bijectivity, PR monotonicity, cost-kernel axioms. */
+class MatcherPropertySpec extends AnyFunSuite with GenSampling {
+
+  private val boxGen = for {
+    x <- Gen.choose(0.0, 90.0)
+    y <- Gen.choose(0.0, 90.0)
+    w <- Gen.choose(1.0, 30.0)
+    h <- Gen.choose(1.0, 30.0)
+  } yield (x, y, w, h)
+
+  private val scenarioGen = for {
+    nGt <- Gen.choose(0, 8)
+    nPred <- Gen.choose(0, 12)
+    gts <- Gen.listOfN(nGt, boxGen)
+    preds <- Gen.listOfN(nPred, boxGen)
+    confs <- Gen.listOfN(nPred, Gen.choose(0.0, 1.0))
+    minIou <- Gen.oneOf(0.0, 0.3, 0.5)
+  } yield (gts, preds.zip(confs), minIou)
+
+  test("matcher: every box appears exactly once; matches are 1:1; iou respects threshold") {
+    forAllSampled(scenarioGen) { case (gts, preds, minIou) =>
+      val boxes =
+        gts.zipWithIndex.map { case ((x, y, w, h), i) =>
+          EvalBox(i.toLong, 0L, 0, x, y, w, h, 0.0, groundtruth = true) } ++
+        preds.zipWithIndex.map { case (((x, y, w, h), c), i) =>
+          EvalBox(100L + i, 0L, 0, x, y, w, h, c, groundtruth = false) }
+      val rows = MatchAccess.matchGroup(boxes.iterator, minIou).toSeq
+
+      // every prediction appears exactly once
+      val predIds = rows.flatMap(_.prediction_id)
+      assert(predIds.sorted == preds.indices.map(100L + _).sorted)
+      // every gt appears exactly once (matched or as FN row)
+      val gtIds = rows.flatMap(_.groundtruth_id)
+      assert(gtIds.sorted == gts.indices.map(_.toLong).sorted)
+      // matches are one-to-one
+      val matchedGt = rows.filter(_.prediction_id.isDefined).flatMap(_.groundtruth_id)
+      assert(matchedGt.distinct.size == matchedGt.size)
+      // every committed match is strictly above the threshold
+      rows.filter(r => r.prediction_id.isDefined && r.groundtruth_id.isDefined)
+        .foreach(r => assert(r.iou > minIou))
+    }
+  }
+}
+
+/** Expose the private matcher kernel to the property suite. */
+object MatchAccess {
+  def matchGroup(boxes: Iterator[EvalBox], minIou: Double) =
+    graft.eval.Matching.testMatchGroup(boxes, minIou)
+}
+
+class CostPropertySpec extends AnyFunSuite with GenSampling {
+
+  private val histGen = Gen.choose(2, 12).flatMap(n =>
+    Gen.listOfN(n, Gen.choose(0.0, 100.0)).map(_.toArray))
+
+  test("KL is non-negative and zero iff identical distributions") {
+    forAllSampled(histGen) { h =>
+      if (h.sum > 0) {
+        val p = Costs.normalize(h)
+        assert(Costs.klDivergence(p, p) < 1e-12)
+        assert(Costs.klDivergence(p, p) >= 0.0)
+      }
+    }
+  }
+
+  test("EMD is symmetric, non-negative, and zero on identical histograms") {
+    forAllSampled(Gen.zip(histGen, histGen)) { case (a0, b0) =>
+      val n = math.min(a0.length, b0.length)
+      if (n >= 2 && a0.take(n).sum > 0 && b0.take(n).sum > 0) {
+        val p = Costs.normalize(a0.take(n))
+        val q = Costs.normalize(b0.take(n))
+        val d1 = Costs.emd1d(p, q)
+        val d2 = Costs.emd1d(q, p)
+        assert(math.abs(d1 - d2) < 1e-9)
+        assert(d1 >= -1e-12)
+        assert(Costs.emd1d(p, p) < 1e-12)
+      }
+    }
+  }
+
+  test("share distance is in [0,1] and zero iff proportional") {
+    forAllSampled(histGen) { h =>
+      if (h.length >= 2 && h.sum > 0) {
+        val p = Costs.normalize(h)
+        assert(Costs.shareDistance(p, p) < 1e-12)
+        val d = Costs.shareDistance(p, Costs.normalize(h.reverse))
+        assert(d >= -1e-12 && d <= 1.0 + 1e-12)
+      }
+    }
+  }
+}
+
+class BinningPropertySpec extends AnyFunSuite with GenSampling {
+  import graft.operators.Grouper
+
+  test("equal-width edges are monotone, span [min,max], and end exactly at max") {
+    forAllSampled(Gen.zip(Gen.listOfN(30, Gen.choose(-1000.0, 1000.0)), Gen.choose(2, 10))) {
+      case (vals, bins) =>
+        if (vals.nonEmpty && vals.distinct.size > 1) {
+          val lo = vals.min
+          val hi = vals.max
+          val edges = (0 to bins).map(i => lo + (hi - lo) * i / bins).toArray
+          edges(bins) = hi // the Grouper's pinning rule
+          assert(edges.head == lo && edges.last == hi)
+          assert(edges.sliding(2).forall(a => a(0) <= a(1)))
+        }
+    }
+  }
+}
