@@ -87,3 +87,30 @@ object Frames {
     ds.copy(images = kept, annotations = ann)
   }
 }
+
+/** Exhaustive folder sweep — the check_exhaustive half of
+  * get_invalid_images (utils/testing.py:252-404): files present under the
+  * images root that no image row references (orphans), via a distributed
+  * binaryFile listing anti-joined to the images table. */
+object FolderSweep {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+
+  def orphanFiles(ds: graft.model.GraftDataset,
+      pattern: String = "*.{png,jpg,jpeg}"): DataFrame = {
+    val spark = ds.spark
+    // strip by the filesystem path, not the URI: Hadoop renders file URIs
+    // with a different slash count (file:/x) than java.nio (file:///x)
+    val rootPath = java.nio.file.Paths.get(ds.imagesRoot).toAbsolutePath.normalize.toString
+    val listing = spark.read.format("binaryFile")
+      .option("pathGlobFilter", pattern)
+      .option("recursiveFileLookup", "true")
+      .load(ds.imagesRoot)
+      .select(col("path"))
+      .withColumn("relative_path",
+        regexp_replace(col("path"),
+          "^.*" + java.util.regex.Pattern.quote(rootPath) + "/", ""))
+    listing.join(ds.images.select("relative_path"), Seq("relative_path"), "left_anti")
+      .select("relative_path")
+  }
+}

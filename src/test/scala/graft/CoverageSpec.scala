@@ -248,3 +248,20 @@ class StatLabelFBetaSpec extends SparkFunSuite {
     assert(math.abs(f2 - expected) < 1e-12)
   }
 }
+
+class FolderSweepSpec extends SparkFunSuite {
+  test("orphanFiles reports files on disk not referenced by any image row") {
+    val root = java.nio.file.Files.createTempDirectory("sweep").toString
+    val png = Array[Int](0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R', 0, 0, 0, 3, 0, 0, 0, 2, 8, 6, 0, 0, 0).map(_.toByte)
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "known.png"), png)
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "orphan.png"), png)
+    import spark.implicits._
+    val images = Seq((0L, 3, 2, "known.png")).toDF("id", "width", "height", "relative_path")
+    val ds = graft.model.GraftDataset.create(images,
+      tinyDataset().annotations.limit(0), Map.empty, imagesRoot = root)
+    val orphans = graft.operators.FolderSweep.orphanFiles(ds, "*.png")
+      .collect().map(_.getString(0))
+    assert(orphans.toSeq == Seq("orphan.png"))
+  }
+}
