@@ -50,7 +50,14 @@ object Caipy {
     }
     require(perSplit.nonEmpty, s"no Annotations/{${splits.mkString(",")}} under $root")
     val raw = perSplit.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    buildFromRaw(spark, raw, root, datasetName)
+  }
 
+  /** Build the two-table dataset from a raw per-image-document frame
+    * carrying `image` struct, `annotations` array, and a `split` column —
+    * shared by the split-tree and generic loaders. */
+  private[io] def buildFromRaw(spark: SparkSession, raw: DataFrame,
+      root: String, datasetName: Option[String] = None): GraftDataset = {
     val images = flatten(raw.select(col("image.*"), col("split")))
       .withColumnRenamed("file_name", "relative_path")
     val ann0 = raw.select(explode(col("annotations")).as("a"))
@@ -132,6 +139,41 @@ object Caipy {
         java.nio.file.Files.createDirectories(dir)
         java.nio.file.Files.writeString(dir.resolve(stem + ".json"), doc)
       }
+    }
+  }
+}
+
+/** Generic (flat-layout) caipy loading + JSON-schema-driven enforcement —
+  * reference from_caipy_generic (io/caipy.py:153-349): annotation JSONs in
+  * one directory (no per-split subdirs), optional schema supplying dtypes,
+  * defaults, and enum-array booleanization. */
+object CaipyGeneric {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import org.apache.spark.sql.functions._
+  import graft.model.GraftDataset
+
+  def fromCaipyGeneric(spark: SparkSession, annotationsDir: String,
+      split: Option[String] = None,
+      schemaJson: Option[String] = None): GraftDataset = {
+    val raw0 = spark.read.option("multiLine", true).json(s"$annotationsDir/*.json")
+    val raw = split match {
+      case Some(s) => raw0.withColumn("split", lit(s))
+      case None => raw0.withColumn("split", lit(null).cast("string"))
+    }
+    val base = Caipy.buildFromRaw(spark, raw, annotationsDir, None)
+    schemaJson match {
+      case None => base
+      case Some(js) =>
+        // enforce annotation-level dtypes/defaults + booleanize enum arrays
+        val annSchema = CaipySchema.annotationSubschema(js)
+        val withEnforced = annSchema.map(s =>
+          SchemaUtil.enforce(base.annotations, s)).getOrElse(base.annotations)
+        val (boolAnn, fams) = annSchema.map(s =>
+          SchemaUtil.booleanizeBySchema(withEnforced, s))
+          .getOrElse((withEnforced, Set.empty[String]))
+        base.copy(annotations = boolAnn,
+          booleanized = base.booleanized.updated("annotations",
+            base.booleanized("annotations") ++ fams))
     }
   }
 }

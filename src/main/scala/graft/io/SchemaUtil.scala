@@ -111,3 +111,33 @@ object SchemaUtil {
       case (acc, _) => acc
     }
 }
+
+/** Sub-schema navigation for the caipy document layout: the per-image JSON
+  * schema nests the image fields under `properties.image` and annotation
+  * fields under `properties.annotations.items` (array-of-object). */
+object CaipySchema {
+  private val mapper = new ObjectMapper()
+
+  private def navigate(schemaJson: String, path: Seq[String]): Option[String] = {
+    var node = mapper.readTree(schemaJson)
+    for (step <- path) {
+      node = Option(node.get("properties")).map(_.get(step)).orNull
+      if (node == null) return None
+      if (Option(node.get("type")).exists(_.asText() == "array"))
+        node = node.get("items")
+      if (node == null) return None
+    }
+    Some(node.toString)
+  }
+
+  /** Field specs of the image sub-document. */
+  def imageSpecs(schemaJson: String): Seq[SchemaUtil.FieldSpec] =
+    navigate(schemaJson, Seq("image")).map(SchemaUtil.fieldSpecs).getOrElse(Nil)
+
+  /** Field specs of one annotation element. */
+  def annotationSpecs(schemaJson: String): Seq[SchemaUtil.FieldSpec] =
+    navigate(schemaJson, Seq("annotations")).map(SchemaUtil.fieldSpecs).getOrElse(Nil)
+
+  def imageSubschema(schemaJson: String): Option[String] = navigate(schemaJson, Seq("image"))
+  def annotationSubschema(schemaJson: String): Option[String] = navigate(schemaJson, Seq("annotations"))
+}

@@ -81,3 +81,28 @@ class ReferenceIoFixtureSpec extends SparkFunSuite {
     assert(ds.annotations.filter(col("visible_share") > 1.0).count() == 0)
   }
 }
+
+/** Tagged caipy fixture + its custom JSON schema — schema-driven loading
+  * against the reference's own tagged dataset. */
+class CaipyTaggedFixtureSpec extends SparkFunSuite {
+  private val base = "/root/reference/test_lours/test_data/caipy_dataset/tags"
+
+  test("from_caipy_generic with the reference custom schema booleanizes enum arrays") {
+    assume(new java.io.File(s"$base/custom_schema.json").isFile &&
+      new java.io.File(s"$base/small_tagged_dataset/Annotations").isDirectory)
+    val schema = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$base/custom_schema.json"))
+    val enums = graft.io.SchemaUtil.enumArrayFields(
+      graft.io.CaipySchema.annotationSubschema(schema).get)
+    assert(enums.contains("attributes.colors"))
+    val ds = graft.io.CaipyGeneric.fromCaipyGeneric(spark,
+      s"$base/small_tagged_dataset/Annotations", split = Some("train"),
+      schemaJson = Some(schema))
+    assert(ds.numImages == 2 && ds.numAnnotations > 0)
+    // enum arrays pivoted into boolean families per the schema
+    assert(ds.booleanized("annotations").contains("attributes.colors"))
+    assert(ds.annotations.columns.contains("attributes.colors.red"))
+    import org.apache.spark.sql.functions._
+    assert(ds.annotations.filter(col("`attributes.colors.red`")).count() >= 1)
+  }
+}
