@@ -6,13 +6,20 @@ import org.apache.spark.sql.SparkSession
   * prints ONE JSON line {"metric":"total", ...} for the driver.
   *
   * Methodology: one untimed warmup pass at sf0.001 (JIT + codegen caches;
-  * plan shapes are identical across scale factors), then the timed pass at
-  * the target SF. The cache catalog is cleared between queries so one
-  * query's persisted intermediates can't evict or skew another's run. */
+  * plan shapes are identical across scale factors), then SPARK_GRAFT_REPS
+  * (default 3) timed passes at the target SF — per-query MEDIAN is reported,
+  * since run-to-run variance of ±30% was observed on this box. The cache
+  * catalog is cleared between queries so one query's persisted intermediates
+  * can't evict or skew another's run.
+  *
+  * Optional CLI args narrow the run to the named queries (local iteration);
+  * the driver invokes it with no args = full suite.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,7 +29,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names = {
+      val all = SparkEntry.queries.keys.toSeq.sorted
+      if (args.nonEmpty) all.filter(args.contains) else all
+    }
     // warmup: identical plan shapes at the smallest SF, untimed
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
@@ -33,7 +43,7 @@ object Bench {
       }
     }
 
-    val results = names.map { name =>
+    def timedPass(): Seq[(String, Double)] = names.map { name =>
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val ok =
@@ -45,10 +55,19 @@ object Bench {
       // a failed query must not masquerade as a fast one
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+
+    val passes = (1 to reps).map(_ => timedPass().toMap)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      s(s.length / 2)
+    }
+    val results = names.map(n => n -> median(passes.map(_(n))))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val repTotals = passes.map(_.values.sum)
+      .map(v => f"$v%.2f").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"rep_totals":$repTotals}""")
     spark.stop()
   }
 }

@@ -4,10 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-/** One assembled evaluation result row entering the PR computation:
-  * a groundtruth row (with the confidence of its matching prediction, or 0)
-  * or an unmatched-prediction (FP) row. */
-case class ResultRow(key: String, groundtruth: Boolean, iou: Double, confidence: Double)
+/** One compressed curve bin entering the per-group kernel: the aggregate of
+  * all result rows of one evaluation group at one distinct confidence value.
+  * `tp` = rows counting as true positives (groundtruth & iou > minIou),
+  * `n` = all rows, `gt` = groundtruth rows (any iou). */
+case class CurveBin(key: String, confidence: Double, tp: Long, n: Long, gt: Long)
 
 /** One PR-curve point. */
 case class PrPoint(key: String, precision: Double, recall: Double,
@@ -19,36 +20,42 @@ case class PrPoint(key: String, precision: Double, recall: Double,
   * running-max precision, collinear-point dropping, optional 101-recall-bin
   * ffill reindex (pycocotools-compatible), right-Riemann AP.
   *
-  * Shape: per evaluation group (category × user groups × model), the curve
-  * is computed in a typed `flatMapGroups` kernel — one shuffle on the group
-  * key. Groups are category-level: result sets are evaluation-sized (≪
-  * training data), so per-group vectors fit comfortably; the operator
-  * parallelizes across groups.
-  */
+  * Shape: the expensive part — the confidence-desc sweep over every result
+  * row — is algebraic (cumulative sums of per-confidence counts), so it runs
+  * as a distributed `groupBy(group, confidence)` aggregate: map-side partial
+  * aggregation compresses each partition to one row per distinct
+  * (group, confidence) before the shuffle, exactly the "keep last index of
+  * each distinct confidence" compression the reference does serially
+  * (util.py:219-227). Only the compressed bins (≤ #distinct confidences per
+  * group) reach the per-group kernel that does the small padding / collinear
+  * / reindex finishing — parallelism of the heavy stage is bounded by data
+  * size, not by group count. */
 object PrCurve {
 
-  /** The kernel (util.py:189-299). `reindexBins` = recall bins (e.g. 101
-    * points 0..1) or None for exact curve points. */
-  private[eval] def prPoints(key: String, rows0: Iterator[ResultRow], minIou: Double,
+  /** Finishing kernel over one group's compressed bins (util.py:189-299).
+    * Input: one bin per distinct confidence; cumulative sums over the
+    * confidence-desc order reproduce the reference's per-row sweep.
+    * `reindexBins` = recall bins (e.g. 101 points 0..1) or None for exact
+    * curve points. */
+  private[eval] def curvePoints(key: String, bins0: Iterator[CurveBin],
       reindexBins: Option[Array[Double]]): Iterator[PrPoint] = {
-    val rows = rows0.toArray.sortBy(r => -r.confidence)
-    if (rows.isEmpty) return Iterator.empty
-    val nTargets = rows.count(_.groundtruth)
+    val bins = bins0.toArray.sortBy(b => -b.confidence)
+    if (bins.isEmpty) return Iterator.empty
+    val nTargets = bins.iterator.map(_.gt).sum
 
-    // distinct-confidence compression: keep last index of each distinct value
-    val n = rows.length
-    val keep = Array.tabulate(n)(i => i == n - 1 || rows(i + 1).confidence != rows(i).confidence)
-    var tp = 0
-    val tpAt = new Array[Int](n)
-    for (i <- 0 until n) {
-      if (rows(i).groundtruth && rows(i).iou > minIou) tp += 1
-      tpAt(i) = tp
+    val m = bins.length
+    val rawPrecision = new Array[Double](m)
+    val rawRecall = new Array[Double](m)
+    val rawConf = new Array[Double](m)
+    var cumTp = 0L
+    var cumN = 0L
+    for (i <- 0 until m) {
+      cumTp += bins(i).tp
+      cumN += bins(i).n
+      rawPrecision(i) = cumTp.toDouble / cumN
+      rawRecall(i) = if (nTargets > 0) cumTp.toDouble / nTargets else Double.NaN
+      rawConf(i) = bins(i).confidence
     }
-    val idxs = (0 until n).filter(keep)
-    val rawPrecision = idxs.map(i => tpAt(i).toDouble / (i + 1)).toArray
-    val rawRecall = idxs.map(i =>
-      if (nTargets > 0) tpAt(i).toDouble / nTargets else Double.NaN).toArray
-    val rawConf = idxs.map(rows(_).confidence).toArray
 
     // endpoint padding (util.py:244-260)
     val precision = Array(1.0, rawPrecision.headOption.getOrElse(0.0)) ++
@@ -79,18 +86,22 @@ object PrCurve {
 
     reindexBins match {
       case None => pts.iterator
-      case Some(bins) =>
-        // set_index(recall), drop duplicated recall keep last, ffill-reindex
-        val dedup = pts.zipWithIndex
-          .filterNot { case (p, i) => pts.indexWhere(_.recall == p.recall, i + 1) >= 0 }
-          .map(_._1)
-        bins.iterator.map { b =>
-          // last point with recall <= b (ffill on ascending recall index)
-          val prev = dedup.reverseIterator.find(_.recall <= b)
-          prev match {
-            case Some(p) => PrPoint(key, p.precision, b, p.confidence_threshold, p.f1_score)
-            case None => PrPoint(key, 0.0, b, 0.0, 0.0)
-          }
+      case Some(rbins) =>
+        // set_index(recall), drop duplicated recall keep last, ffill-reindex.
+        // recall is non-decreasing along the curve, so duplicates are
+        // contiguous: keep the last point of each equal-recall run
+        val dedup = pts.indices.collect {
+          case i if i == pts.length - 1 || pts(i + 1).recall != pts(i).recall => pts(i)
+        }
+        // ffill over the ascending recall index: two-pointer walk since the
+        // requested bins are ascending too
+        var j = -1
+        rbins.iterator.map { b =>
+          while (j + 1 < dedup.length && dedup(j + 1).recall <= b) j += 1
+          if (j >= 0) {
+            val p = dedup(j)
+            PrPoint(key, p.precision, b, p.confidence_threshold, p.f1_score)
+          } else PrPoint(key, 0.0, b, 0.0, 0.0)
         }
     }
   }
@@ -111,13 +122,23 @@ object PrCurve {
     // (null, "a") and ("a", null) into the same key
     val keyCol = concat_ws(sep, groupCols.map(c =>
       coalesce(col(s"`$c`").cast("string"), lit("\u0000null"))): _*)
-    val keyed = results.select(
-      keyCol.as("key"),
-      col("groundtruth").cast("boolean").as("groundtruth"),
-      col("iou").cast("double").as("iou"),
-      col("confidence").cast("double").as("confidence")).as[ResultRow]
-    val curves = keyed.groupByKey(_.key)
-      .flatMapGroups((k, it) => prPoints(k, it, minIou, reindexBins))
+    // distributed distinct-confidence compression: one row out per
+    // (group, confidence) — partial aggregation makes this scale with data
+    // size rather than with the number of evaluation groups
+    val bins = results
+      .select(
+        keyCol.as("key"),
+        col("groundtruth").cast("boolean").as("groundtruth"),
+        col("iou").cast("double").as("iou"),
+        col("confidence").cast("double").as("confidence"))
+      .groupBy(col("key"), col("confidence"))
+      .agg(
+        sum(when(col("groundtruth") && col("iou") > lit(minIou), 1L).otherwise(0L)).as("tp"),
+        count(lit(1)).as("n"),
+        sum(when(col("groundtruth"), 1L).otherwise(0L)).as("gt"))
+      .as[CurveBin]
+    val curves = bins.groupByKey(_.key)
+      .flatMapGroups((k, it) => curvePoints(k, it, reindexBins))
       .toDF()
     val groupTable = results.select(
       (groupCols.map(c => col(s"`$c`")) :+ keyCol.as("key")): _*).distinct()

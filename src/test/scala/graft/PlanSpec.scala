@@ -36,6 +36,15 @@ class PlanSpec extends SparkFunSuite {
     assert(!plan.contains("Window ["), s"global window found in:\n$plan")
   }
 
+  test("q23: PR curve pre-aggregates per (group, confidence) before the kernel") {
+    // the heavy stage must be a distributed hash aggregate keyed on
+    // (key, confidence) — NOT a groupByKey(key) that bounds parallelism by
+    // the number of evaluation groups (7 categories)
+    val plan = planOf("q23_pr_ap")
+    assert("HashAggregate\\(keys=\\[key#\\d+, confidence#\\d+".r.findFirstIn(plan).isDefined,
+      s"distributed distinct-confidence compression missing from:\n$plan")
+  }
+
   test("q32: fused cosine expression is in the plan (not zip_with)") {
     val plan = planOf("q32_cosine_topk")
     assert(plan.contains("graft_cosine"))
