@@ -147,30 +147,45 @@ object Dedup {
 
   // -------------------------------------------------------------- SimHash
 
+  /** The 64-bit word hash behind SimHash: the first 16 hex chars of
+    * md5(word). md5 is bit-identical in every engine (unlike xxhash64),
+    * which makes the whole SimHash pipeline reproducible by the DuckDB
+    * correctness oracle. Bit `b` lives in 1-indexed hex char `16 - b/4`,
+    * at nibble position `b % 4`. */
+  private def md5NibbleBit(hex: Column, b: Int): Column =
+    shiftright(conv(substring(hex, 16 - b / 4, 1), 16, 10).cast("int"), b % 4)
+      .bitwiseAND(1)
+
   /** 64-bit SimHash of the token multiset: per bit, the sign of the sum of
-    * ±1 votes from each token hash. 64 aggregate expressions over the token
-    * array — map-side only, codegen'd, no explode, no shuffle. */
+    * ±1 votes from each token's md5-derived hash bit. 64 aggregate
+    * expressions over the token array — map-side only, codegen'd, no
+    * explode, no shuffle. */
   def simHash(text: Column): Column = {
     val tokens = split(lower(trim(text)), "\\s+")
-    val hashes = transform(tokens, t => xxhash64(t))
+    val hexes = transform(tokens, t => md5(t))
     val bits = (0 until 64).map { bit =>
-      val vote = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1) === 1, 1).otherwise(-1))
+      val vote = aggregate(hexes, lit(0),
+        (acc, h) => acc + when(md5NibbleBit(h, bit) === 1, 1).otherwise(-1))
       when(vote > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** Bulk SimHash: explode tokens → hash once → 64 vote-sum aggregates
-    * (map-side combine) → assemble the 64-bit signature. Avoids the same
-    * K-fold expression re-inlining as [[minHashSignatures]]. */
+  /** Bulk SimHash: explode tokens → hash once → 16 nibble columns → 64
+    * vote-sum aggregates (map-side combine) → assemble the 64-bit
+    * signature. Avoids the same K-fold expression re-inlining as
+    * [[minHashSignatures]]. */
   def simHashes(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val tok = docs.select(col(idCol).as("id"),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
-    val votes = (0 until 64).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__b$j"))
+      .select(col("id"), md5(col("t")).as("h"))
+      .select(col("id") +: (1 to 16).map(c =>
+        conv(substring(col("h"), c, 1), 16, 10).cast("int").as(s"__n$c")): _*)
+    val votes = (0 until 64).map { b =>
+      val nib = col(s"__n${16 - b / 4}")
+      sum(when(shiftright(nib, b % 4).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__b$b")
+    }
     val agg = tok.groupBy("id").agg(votes.head, votes.tail: _*)
     val sig = (0 until 64).map(j =>
       when(col(s"__b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
@@ -194,7 +209,11 @@ object Dedup {
       }: _*)).as("bk"))
     val l = banded.select(col("id").as("id_a"), col("sig").as("sig_a"), col("bk"))
     val r = banded.select(col("id").as("id_b"), col("sig").as("sig_b"), col("bk"))
-    l.join(r, l("bk") === r("bk") && col("id_a") < col("id_b"))
+    // USING-style join: one equi-key, no same-lineage ambiguity (a
+    // `l("bk") === r("bk")` condition warns "trivially true" and is one
+    // refactor away from a silent cross join)
+    l.join(r, Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         hamming(col("sig_a"), col("sig_b")).as("hamming"))
@@ -227,7 +246,8 @@ object Dedup {
       }: _*)).as("bk"))
     val l = banded.select(col("id").as("id_a"), col("v").as("v_a"), col("bk"))
     val r = banded.select(col("id").as("id_b"), col("v").as("v_b"), col("bk"))
-    l.join(r, l("bk") === r("bk") && col("id_a") < col("id_b"))
+    l.join(r, Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))

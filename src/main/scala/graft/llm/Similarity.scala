@@ -37,17 +37,21 @@ object Similarity {
       lit(0.0), (acc, x) => acc + x)
 
   /** `planes`-bit random-hyperplane signature: bit p = sign of ⟨v, h_p⟩,
-    * with pseudo-random plane components derived deterministically from
-    * xxhash64(dim, plane) — no RNG state, partitioning-invariant, identical
-    * across runs and cluster sizes. */
+    * with pseudo-random plane components from pure integer arithmetic
+    * (Knuth multiplicative LCG mod the prime 1000003) — no RNG state,
+    * partitioning-invariant, identical across runs and cluster sizes, and
+    * reproducible in any engine (the DuckDB correctness oracle recomputes
+    * the same signatures from the same formula). */
   def hyperplaneSignature(v: Column, planes: Int = 16): Column = {
     val withIdx = zip_with(v, sequence(lit(0), size(v) - 1),
       (x, i) => struct(x.cast("double").as("x"), i.as("i")))
     val bits = (0 until planes).map { p =>
       val proj = aggregate(withIdx, lit(0.0), (acc, e) => {
-        val h = xxhash64(e.getField("i"), lit(p))
-        // hash → pseudo-uniform in [-0.5, 0.5)
-        val coef = (pmod(h, lit(1000003L)).cast("double") / 1000003.0) - 0.5
+        // pseudo-uniform in [-0.5, 0.5): ((i·2654435761 + p·40503 + 12345)
+        // mod 1000003) / 1000003 − 0.5 — exact integer ops in any engine
+        val m = pmod(e.getField("i").cast("long") * lit(2654435761L)
+          + lit(p * 40503L + 12345L), lit(1000003L))
+        val coef = m.cast("double") / 1000003.0 - 0.5
         acc + e.getField("x") * coef
       })
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))

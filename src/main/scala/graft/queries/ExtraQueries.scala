@@ -118,20 +118,33 @@ object ExtraQueries extends graft.QueryModule {
 }
 
 /** Sketch-based approximate aggregates (SURVEY §2.14 scale toolbox):
-  * HLL distinct counts vs exact — rows-only entry (sketch estimates are
-  * engine-specific by nature); the error bound is locked in tests. */
+  * HLL distinct counts vs exact. The raw sketch estimate is
+  * engine-specific by nature, so the ORACLE-comparable output is the exact
+  * count plus a boolean asserting the sketch landed within 5× the
+  * configured 1% rsd — deterministic for fixed data, and a real bound
+  * check rather than a rows-only row count. */
 object SketchQueries extends graft.QueryModule {
   import org.apache.spark.sql.functions._
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_approx_distinct" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
+      def withinBound(c: String) =
+        abs(approx_count_distinct(col(c), 0.01) - countDistinct(col(c)))
+          .cast("double") / countDistinct(col(c)) <= 0.05
       li.agg(
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
-        countDistinct(col("l_orderkey")).as("exact_orders"))
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        withinBound("l_partkey").as("parts_within_bound"),
+        withinBound("l_orderkey").as("orders_within_bound"))
     })
   )
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "q47_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+        |       count(DISTINCT l_orderkey) AS exact_orders,
+        |       true AS parts_within_bound,
+        |       true AS orders_within_bound
+        |FROM lineitem""".stripMargin
+  )
 }

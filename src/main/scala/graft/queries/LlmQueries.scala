@@ -30,17 +30,22 @@ object LlmQueries extends graft.QueryModule {
         .select(col("fingerprint"), col("keep_id"), col("n_dups"))
     }),
 
-    // MinHash+LSH near-dup (xxhash64 → rows-only; LlmSpec locks semantics)
+    // MinHash+LSH near-dup: the VERIFIED pairs with their exact shingle
+    // Jaccard — full DuckDB oracle (all-pairs exact Jaccard at gate scale;
+    // the corpus' ≥0.7 pairs all sit at j ≥ 0.9 where 8×4 banding recall
+    // is 1-(1-j⁴)⁸ ≈ 0.9998 per pair, verified exhaustively on this data)
     "q29_minhash_neardup" -> ((s, d) => {
       Dedup.minHashNearDups(docsWithDups(s, d), threshold = 0.7)
-        .agg(count(lit(1)).as("n_pairs"),
-          round(sum(col("jaccard")), 4).as("jaccard_sum"))
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
-    // SimHash near-dup (rows-only)
+    // SimHash near-dup pairs — full DuckDB oracle: the md5-nibble word hash
+    // is bit-identical in both engines, so the oracle recomputes the whole
+    // 64-bit simhash + all-pairs hamming exhaustively (banding is
+    // pigeonhole-exact for maxDist ≤ 3, so pair sets must agree)
     "q30_simhash_neardup" -> ((s, d) => {
       Dedup.simHashNearDups(docsWithDups(s, d), maxDist = 3)
-        .agg(count(lit(1)).as("n_pairs"), sum(col("hamming")).as("hamming_sum"))
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
     }),
 
     // n-gram (word-set) Jaccard of consecutive doc pairs — full oracle
@@ -72,13 +77,21 @@ object LlmQueries extends graft.QueryModule {
           col("rank").cast("long").as("rank"))
     }),
 
-    // LSH-bucketed ANN (xxhash64 planes → rows-only)
+    // LSH-bucketed ANN — full DuckDB oracle: hyperplane coefficients are
+    // pure integer arithmetic (see Similarity.hyperplaneSignature), so the
+    // oracle recomputes signature → bucket join → exact cosine → top-k.
+    // Rank on the ROUNDED cosine + id tiebreak (same discipline as q32).
     "q33_lsh_topk" -> ((s, d) => {
       val embs = Tables.embeddings(s, d)
       val queries = embs.filter(col("vec_id") < 5)
-      Similarity.lshTopK(embs, queries, k = 10, planes = 6)
-        .groupBy(col("query_id"))
-        .agg(count(lit(1)).as("n_found"), round(max(col("cosine")), 4).as("best"))
+      val scored = Similarity.lshTopK(embs, queries, k = Int.MaxValue, planes = 6)
+        .withColumn("cosine", round(col("cosine"), 4))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"),
+          col("rk").cast("long").as("rank"))
     }),
 
     // per-language text statistics — full oracle
@@ -130,7 +143,88 @@ object LlmQueries extends graft.QueryModule {
   private def vocabList(lang: String) =
     TextAnalysis.langVocab(lang).map(s => s"'$s'").mkString(", ")
 
+  /** DuckDB replication of the md5-nibble SimHash (Dedup.simHashes): 16
+    * nibble columns from the first 16 hex chars of md5(token), 64 vote sums,
+    * signature assembled as two positive 32-bit halves (hi = bits 32..63,
+    * lo = bits 0..31) so no BIGINT sign edge cases arise; hamming is the
+    * sum of the two halves' xor popcounts. */
+  private val simhashNibSql = (1 to 16).map(c =>
+    s"strpos('0123456789abcdef', substr(h, $c, 1)) - 1 AS n$c").mkString(", ")
+  private val simhashVoteSql = (0 until 64).map { b =>
+    val c = 16 - b / 4; val div = 1 << (b % 4)
+    s"sum(CASE WHEN (n$c // $div) % 2 = 1 THEN 1 ELSE -1 END) AS v$b"
+  }.mkString(", ")
+  private def simhashHalfSql(lo: Int): String = (lo until lo + 32).map { b =>
+    s"(CASE WHEN v$b > 0 THEN ${1L << (b - lo)} ELSE 0 END)"
+  }.mkString(" + ")
+
+  /** DuckDB replication of Similarity.hyperplaneSignature for `planes`
+    * planes over a DOUBLE[] column named v (1-indexed in DuckDB, so the
+    * coefficient uses i-1 to match Spark's 0-based element index). */
+  private def hyperplaneSigSql(planes: Int): String = (0 until planes).map { p =>
+    val add = p * 40503L + 12345L
+    s"(CASE WHEN list_sum(list_transform(range(1, len(v) + 1), " +
+      s"i -> v[i] * ((((i - 1) * 2654435761 + $add) % 1000003) / 1000003.0 - 0.5))) > 0 " +
+      s"THEN ${1L << p} ELSE 0 END)"
+  }.mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    "q29_minhash_neardup" ->
+      """WITH alldocs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM
+        |    (SELECT * FROM documents ORDER BY doc_id LIMIT 20)),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(range(1, len(w) - 1),
+        |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |        FROM alldocs)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |           / len(list_distinct(list_concat(a.s, b.s))) AS j
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.7""".stripMargin,
+
+    "q30_simhash_neardup" ->
+      s"""WITH alldocs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text FROM
+         |    (SELECT * FROM documents ORDER BY doc_id LIMIT 20)),
+         |words AS (
+         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+         |  FROM alldocs),
+         |nibs AS (SELECT doc_id, $simhashNibSql
+         |         FROM (SELECT doc_id, md5(t) AS h FROM words)),
+         |votes AS (SELECT doc_id, $simhashVoteSql FROM nibs GROUP BY doc_id),
+         |sigs AS (SELECT doc_id, ${simhashHalfSql(32)} AS hi,
+         |                        ${simhashHalfSql(0)} AS lo FROM votes)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT)
+         |         AS hamming
+         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3""".stripMargin,
+
+    "q33_lsh_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sigs AS (SELECT vec_id, v, ${hyperplaneSigSql(6)} AS sig FROM e),
+         |q AS (SELECT vec_id AS query_id, v AS qv, sig FROM sigs WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.query_id, s.vec_id AS neighbor_id,
+         |         round(list_cosine_similarity(q.qv, s.v), 4) AS cosine
+         |  FROM sigs s JOIN q ON s.sig = q.sig AND s.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 10""".stripMargin,
+
     "q28_dedup_exact" ->
       """WITH alldocs AS (
         |  SELECT doc_id, text FROM documents
