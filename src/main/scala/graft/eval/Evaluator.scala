@@ -227,7 +227,10 @@ class DetectionEvaluator(
         avg(abs(col("error"))).as("MAE"),
         sqrt(avg(col("error") * col("error"))).as("RMSE"),
         stddev(col("error")).as("std"),
-        percentile_approx(col("error"), lit(0.5), lit(10000)).as("q0_50"),
+        // exact median (pandas .quantile semantics): count errors are
+        // small integers — few distinct values per group, so the exact
+        // aggregate stays cheap at any scale
+        percentile(col("error"), lit(0.5)).as("q0_50"),
         avg(abs(col("rel_error"))).as("MRE"),
         sqrt(avg(col("rel_error") * col("rel_error"))).as("RMSRE"))
       .withColumn("model", lit(model))

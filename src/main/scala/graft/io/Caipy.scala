@@ -44,8 +44,13 @@ object Caipy {
     val perSplit = splits.filter { s =>
       java.nio.file.Files.isDirectory(java.nio.file.Paths.get(root, "Annotations", s))
     }.map { s =>
+      // recursive lookup: reference trees keep each image's subdirectory
+      // structure under the split dir (caipy.py:464-492) — a flat glob
+      // would silently skip nested JSONs
       spark.read.option("multiLine", true)
-        .json(s"$root/Annotations/$s/*.json")
+        .option("recursiveFileLookup", true)
+        .option("pathGlobFilter", "*.json")
+        .json(s"$root/Annotations/$s")
         .withColumn("split", lit(s))
     }
     require(perSplit.nonEmpty, s"no Annotations/{${splits.mkString(",")}} under $root")
@@ -58,20 +63,44 @@ object Caipy {
     * shared by the split-tree and generic loaders. */
   private[io] def buildFromRaw(spark: SparkSession, raw: DataFrame,
       root: String, datasetName: Option[String] = None): GraftDataset = {
+    import org.apache.spark.sql.types._
     val images = flatten(raw.select(col("image.*"), col("split")))
       .withColumnRenamed("file_name", "relative_path")
-    val ann0 = raw.select(explode(col("annotations")).as("a"))
-      .select(col("a.*"))
-    val annotations = flatten(ann0)
-      .withColumn("box_x_min", element_at(col("bbox"), 1).cast("double"))
-      .withColumn("box_y_min", element_at(col("bbox"), 2).cast("double"))
-      .withColumn("box_width", element_at(col("bbox"), 3).cast("double"))
-      .withColumn("box_height", element_at(col("bbox"), 4).cast("double"))
-      .drop("bbox")
-    val labelMap = annotations.select(col("category_id").cast("int"),
-      col("category_str")).distinct().collect()
-      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    // a tree whose documents carry no annotations at all (or no bboxes)
+    // loads as an images-only dataset, like the Coco loader
+    val annotations =
+      if (!raw.columns.contains("annotations")) emptyAnnotations(spark)
+      else {
+        val ann0 = raw.select(explode(col("annotations")).as("a"))
+          .select(col("a.*"))
+        if (!ann0.columns.contains("bbox")) emptyAnnotations(spark)
+        else flatten(ann0)
+          .withColumn("box_x_min", element_at(col("bbox"), 1).cast("double"))
+          .withColumn("box_y_min", element_at(col("bbox"), 2).cast("double"))
+          .withColumn("box_width", element_at(col("bbox"), 3).cast("double"))
+          .withColumn("box_height", element_at(col("bbox"), 4).cast("double"))
+          .drop("bbox")
+      }
+    // null-safe label-map collect: an annotation with absent category
+    // fields must not NPE the loader
+    val labelMap =
+      if (!annotations.columns.contains("category_id") ||
+          !annotations.columns.contains("category_str")) Map.empty[Int, String]
+      else annotations.select(col("category_id").cast("int"), col("category_str"))
+        .filter(col("category_id").isNotNull && col("category_str").isNotNull)
+        .distinct().collect()
+        .map(r => r.getInt(0) -> r.getString(1)).toMap
     GraftDataset.create(images, annotations, labelMap, root, datasetName)
+  }
+
+  private def emptyAnnotations(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("id", LongType), StructField("image_id", LongType),
+        StructField("category_id", IntegerType),
+        StructField("box_x_min", DoubleType), StructField("box_y_min", DoubleType),
+        StructField("box_width", DoubleType), StructField("box_height", DoubleType))))
   }
 
   private def jsonVal(v: Any): String = v match {
@@ -121,7 +150,10 @@ object Caipy {
       it.foreach { r =>
         val split = Option(r.getAs[String]("split")).getOrElse("train")
         val rel = r.getAs[String]("relative_path")
-        val stem = rel.substring(rel.lastIndexOf('/') + 1,
+        // preserve the image's subdirectory structure under the split dir
+        // (caipy.py:464-492): 'a/img.jpg' and 'b/img.jpg' must not collide
+        // on one Annotations/{split}/img.json
+        val stem = rel.substring(0,
           if (rel.lastIndexOf('.') > rel.lastIndexOf('/')) rel.lastIndexOf('.') else rel.length)
         val imgJson = nest(imgCols.filterNot(_ == "split").map { c =>
           val v = r.getAs[Any](c)
@@ -135,9 +167,10 @@ object Caipy {
               ("bbox" -> a.getAs[Any]("bbox")))
           }.mkString("[", ", ", "]")
         val doc = s"""{"image": $imgJson, "annotations": $annJson}"""
-        val dir = java.nio.file.Paths.get(root, "Annotations", split)
-        java.nio.file.Files.createDirectories(dir)
-        java.nio.file.Files.writeString(dir.resolve(stem + ".json"), doc)
+        val out = java.nio.file.Paths.get(root, "Annotations", split)
+          .resolve(stem + ".json")
+        java.nio.file.Files.createDirectories(out.getParent)
+        java.nio.file.Files.writeString(out, doc)
       }
     }
   }

@@ -119,7 +119,12 @@ object Coco {
 
   /** Write one COCO JSON per split under `dir` as
     * `<name>_<split>.json` (to_coco, io/coco.py:177-336). `confidence`
-    * exports as `score`. Per-split collect — see class doc. */
+    * exports as `score`.
+    *
+    * A COCO document is one JSON object per split, so a single writer
+    * assembles each file — but rows STREAM through `toLocalIterator`
+    * (sorted → range-partitioned → global order preserved), so the driver
+    * holds one partition at a time, never the whole table. */
   def toCoco(ds: GraftDataset, dir: String, overwrite: Boolean = false): Seq[String] = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     val name = ds.datasetName.getOrElse("dataset")
@@ -130,7 +135,7 @@ object Coco {
       val splitImages = ds.images
         .filter(col("split") <=> split.map(lit(_)).getOrElse(lit(null)))
       val imgs = splitImages
-        .select("id", "width", "height", "relative_path").orderBy("id").collect()
+        .select("id", "width", "height", "relative_path").orderBy("id")
       // semi join, NOT isin: a literal id list would make the predicate
       // O(#images) per row and blow up at scale
       val anns = ds.annotations
@@ -139,33 +144,10 @@ object Coco {
         .select((Seq("id", "image_id", "category_id", "box_x_min", "box_y_min",
           "box_width", "box_height") ++ (if (hasConf) Seq("confidence") else Nil))
           .map(col): _*)
-        .orderBy("id").collect()
-      val sb = new StringBuilder(64 + imgs.length * 96 + anns.length * 144)
-      sb.append("[")
-      var first = true
-      imgs.foreach { r =>
-        if (!first) sb.append(", ")
-        first = false
-        sb.append(s"""{"id": ${r.getLong(0)}, "width": ${r.getInt(1)}, "height": ${r.getInt(2)}, "file_name": "${esc(r.getString(3))}"}""")
-      }
-      sb.append("]")
-      val imagesJson = sb.toString
-      val ab = new StringBuilder(2 + anns.length * 144)
-      ab.append("[")
-      first = true
-      anns.foreach { r =>
-        if (!first) ab.append(", ")
-        first = false
-        val score = if (hasConf && !r.isNullAt(7)) s""", "score": ${r.getDouble(7)}""" else ""
-        ab.append(s"""{"id": ${r.getLong(0)}, "image_id": ${r.getLong(1)}, "category_id": ${r.getInt(2)}, """ +
-          s""""bbox": [${num(r.getDouble(3))}, ${num(r.getDouble(4))}, ${num(r.getDouble(5))}, ${num(r.getDouble(6))}], "iscrowd": 0$score}""")
-      }
-      ab.append("]")
-      val annJson = ab.toString
+        .orderBy("id")
       val catJson = ds.labelMap.toSeq.sortBy(_._1).map { case (id, n) =>
         s"""{"id": $id, "name": "${esc(n)}", "supercategory": ""}"""
       }.mkString("[", ", ", "]")
-      val doc = s"""{"images": $imagesJson, "annotations": $annJson, "categories": $catJson}"""
       val fileName = split match {
         case Some(s) => s"${name}_$s.json"
         case None => s"$name.json"
@@ -173,7 +155,26 @@ object Coco {
       val path = java.nio.file.Paths.get(dir, fileName)
       if (!overwrite && java.nio.file.Files.exists(path))
         throw new IllegalStateException(s"$path exists (overwrite=false)")
-      java.nio.file.Files.writeString(path, doc)
+      val w = java.nio.file.Files.newBufferedWriter(path)
+      try {
+        w.write("""{"images": [""")
+        var first = true
+        imgs.toLocalIterator().forEachRemaining { r =>
+          if (!first) w.write(", ")
+          first = false
+          w.write(s"""{"id": ${r.getLong(0)}, "width": ${r.getInt(1)}, "height": ${r.getInt(2)}, "file_name": "${esc(r.getString(3))}"}""")
+        }
+        w.write("""], "annotations": [""")
+        first = true
+        anns.toLocalIterator().forEachRemaining { r =>
+          if (!first) w.write(", ")
+          first = false
+          val score = if (hasConf && !r.isNullAt(7)) s""", "score": ${r.getDouble(7)}""" else ""
+          w.write(s"""{"id": ${r.getLong(0)}, "image_id": ${r.getLong(1)}, "category_id": ${r.getInt(2)}, """ +
+            s""""bbox": [${num(r.getDouble(3))}, ${num(r.getDouble(4))}, ${num(r.getDouble(5))}, ${num(r.getDouble(6))}], "iscrowd": 0$score}""")
+        }
+        w.write(s"""], "categories": $catJson}""")
+      } finally w.close()
       path.toString
     }
   }

@@ -99,6 +99,7 @@ object FolderSweep {
   def orphanFiles(ds: graft.model.GraftDataset,
       pattern: String = "*.{png,jpg,jpeg}"): DataFrame = {
     val spark = ds.spark
+    import spark.implicits._
     // strip by the filesystem path, not the URI: Hadoop renders file URIs
     // with a different slash count (file:/x) than java.nio (file:///x)
     val rootPath = java.nio.file.Paths.get(ds.imagesRoot).toAbsolutePath.normalize.toString
@@ -106,10 +107,19 @@ object FolderSweep {
       .option("pathGlobFilter", pattern)
       .option("recursiveFileLookup", "true")
       .load(ds.imagesRoot)
-      .select(col("path"))
-      .withColumn("relative_path",
-        regexp_replace(col("path"),
-          "^.*" + java.util.regex.Pattern.quote(rootPath) + "/", ""))
+      .select(col("path")).as[String]
+      // binaryFile's `path` is a percent-encoded URI: decode it (URI.getPath
+      // keeps '+' literal, unlike URLDecoder) so files with spaces or
+      // non-ASCII names match images.relative_path, then strip the root by
+      // plain prefix — no regex, so a root with metacharacters can't break it
+      .map { p =>
+        val fsPath =
+          try new java.net.URI(p).getPath
+          catch { case _: java.net.URISyntaxException => p.stripPrefix("file:") }
+        if (fsPath.startsWith(rootPath + "/")) fsPath.substring(rootPath.length + 1)
+        else fsPath
+      }
+      .toDF("relative_path")
     listing.join(ds.images.select("relative_path"), Seq("relative_path"), "left_anti")
       .select("relative_path")
   }

@@ -34,10 +34,13 @@ object Grouper {
     * space — or quantile edges (exact percentiles, one agg job). */
   def binEdges(df: DataFrame, g: ContinuousGroup): Array[Double] = {
     if (g.qcut) {
+      // EXACT percentiles (pandas qcut semantics) — percentile_approx at
+      // any accuracy can deviate on high-cardinality data and change bin
+      // edges / IntervalLabel strings vs the reference
       val probs = (0 to g.bins).map(_.toDouble / g.bins)
       val row = df.select(
-        percentile_approx(col(g.name).cast("double"),
-          array(probs.map(lit): _*), lit(10000)).as("q"))
+        percentile(col(g.name).cast("double"),
+          array(probs.map(lit): _*)).as("q"))
         .collect()(0)
       row.getSeq[Double](0).toArray.distinct
     } else {
@@ -155,7 +158,7 @@ object GrouperStats {
   def withStatLabel(df: DataFrame, valueCol: String, binCol: String,
       useMedian: Boolean = false, labelName: String = "bin_label"): DataFrame = {
     val agg =
-      if (useMedian) percentile_approx(col(s"`$valueCol`").cast("double"), lit(0.5), lit(100000))
+      if (useMedian) percentile(col(s"`$valueCol`").cast("double"), lit(0.5))
       else avg(col(s"`$valueCol`").cast("double"))
     val labels = df.groupBy(col(s"`$binCol`").as("__bin"))
       .agg(agg.as(labelName))

@@ -22,6 +22,12 @@ object SkewJoin {
       factKey: String, dimKey: String, salts: Int = 8,
       joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // the salting construction is only correct fact-side-preserving:
+    // 'right'/'full' would emit each unmatched dim row `salts` times, and
+    // semi/anti variants are wrong as well
+    require(Set("inner", "left", "leftouter")
+      .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left joins only, got '$joinType'")
     val salted = fact.withColumn("__salt",
       pmod(xxhash64(col(s"`$factKey`"), monotonically_increasing_id()), lit(salts))
         .cast("int"))

@@ -1,38 +1,220 @@
 package graft.queries
 
 import graft.Tables
-import graft.io.Coco
+import graft.io.{Caipy, Coco, CrowdHuman, Darknet, DarknetConfig, ImagesFolder, Mot, ParquetIO, Yolov5}
+import graft.model.GraftDataset
 import graft.operators.Locators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Correctness-gate query for the format hub (SURVEY §2.1/§2.2): a full
-  * write→read COCO round-trip of the dataset view, oracled by computing the
-  * same aggregate directly from the source tables in DuckDB — if any stage
-  * of the serializer/parser drops or mangles rows, the hash differs. */
+/** Correctness-gate queries for the format hub (SURVEY §2.1/§2.2).
+  *
+  * Pattern: derive a deterministic dataset from the sfDir parquet tables,
+  * push it THROUGH the format (our sink → our loader, or a
+  * Spark-constructed fixture file → our loader), and aggregate the loaded
+  * canonical tables. The DuckDB oracle computes the same aggregate straight
+  * from the parquet tables — if any stage of the serializer/parser drops,
+  * mangles, or re-types rows, the hash differs. This is the reference's own
+  * IO integration bar (test_lours/test_dataset/test_io.py:38-129),
+  * cross-engine-verified instead of fixture-pinned.
+  */
 object IoQueries extends graft.QueryModule {
   type Q = (SparkSession, String) => DataFrame
 
+  /** 'P' split ∩ id%10=0 — small enough that per-image-file formats don't
+    * dominate the bench. */
+  private def subset(s: SparkSession, d: String, mod: Int = 10): GraftDataset =
+    Locators.filterImages(
+      Locators.getSplit(Tables.datasetView(s, d), Some("P")),
+      col("id") % mod === 0)
+      .copy(datasetName = Some("rt"))
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** The standard roundtrip aggregate: per category, row count + box sums +
+    * distinct-image count (image ids may be re-minted by a loader, but
+    * their cardinality must survive). */
+  private def annAgg(ann: DataFrame): DataFrame =
+    ann.groupBy(col("category_id"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("box_width")), 2).as("w_sum"),
+        round(sum(col("box_x_min")), 2).as("x_sum"),
+        countDistinct(col("image_id")).as("n_images"))
+
   val defs: Map[String, Q] = Map(
     "q41_coco_roundtrip" -> ((s, d) => {
-      // 'P' split ∩ id%10=0 — small enough that the (inherently single-task)
-      // multiLine JSON re-read doesn't dominate the bench
-      val ds = Locators.filterImages(
-        Locators.getSplit(Tables.datasetView(s, d), Some("P")),
-        org.apache.spark.sql.functions.col("id") % 10 === 0)
-        .copy(datasetName = Some("rt"))
-      val dir = java.nio.file.Files.createTempDirectory("graft_coco_rt").toString
-      val written = Coco.toCoco(ds, dir, overwrite = true)
+      val ds = subset(s, d)
+      val written = Coco.toCoco(ds, tmp("graft_coco_rt"), overwrite = true)
       val back = Coco.fromCoco(s, written.head)
       back.annotations
         .groupBy(col("category_id"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("box_width")), 2).as("w_sum"),
           round(sum(col("box_x_min")), 2).as("x_sum"))
+    }),
+
+    // §2.1/2.2 caipy: per-image JSON tree write → read
+    "q49_caipy_roundtrip" -> ((s, d) => {
+      val ds = subset(s, d, mod = 20)
+      val dir = tmp("graft_caipy_rt")
+      Caipy.toCaipy(ds, dir)
+      val back = Caipy.fromCaipy(s, dir, splits = Seq("P"))
+      annAgg(back.annotations)
+    }),
+
+    // §2.1/2.2 darknet: label txts + classes.names write → read (box pixel
+    // ↔ relative conversion roundtrips through full-precision doubles)
+    "q50_darknet_roundtrip" -> ((s, d) => {
+      val ds = subset(s, d, mod = 20)
+      val dir = tmp("graft_darknet_rt")
+      Darknet.toDarknet(ds, dir)
+      val back = Darknet.fromDarknet(s, s"$dir/labels", ds.images,
+        classNames = (0 to 6).map(i => s"cat_$i"), split = Some("P"))
+      annAgg(back.annotations)
+    }),
+
+    // §2.1/2.2 yolov5: data.yaml + split lists + labels write → generic
+    // yaml-config read
+    "q51_yolov5_roundtrip" -> ((s, d) => {
+      val ds = subset(s, d, mod = 20)
+      val dir = tmp("graft_yolo_rt")
+      Yolov5.toYolov5(ds, dir)
+      val back = DarknetConfig.fromDataYaml(s, s"$dir/data.yaml", s"$dir/labels",
+        ds.images, split = Some("P"))
+      annAgg(back.annotations)
+    }),
+
+    // §2.1 MOT: headerless CSV constructed by Spark's csv writer (a code
+    // path disjoint from the parser), conf==0 rows must be dropped
+    "q52_mot_io" -> ((s, d) => {
+      val ann = Tables.annotationsView(s, d).filter(col("image_id") % 10 === 0)
+      val dir = tmp("graft_mot_io")
+      ann.select(
+        col("image_id"), col("id").as("obj_id"),
+        col("box_x_min"), col("box_y_min"), col("box_width"), col("box_height"),
+        (col("category_id") % 3).cast("double").as("confidence"),
+        lit(0.5).as("x_world"), (col("box_y_min") / 2).as("y_world"))
+        .write.mode("overwrite").csv(dir)
+      val back = Mot.fromMot(s, dir, split = Some("train"))
+      back.annotations.groupBy(col("confidence"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("box_width")), 2).as("w_sum"),
+          round(sum(col("y_world")), 2).as("yw_sum"),
+          countDistinct(col("image_id")).as("n_images"))
+    }),
+
+    // §2.1 CrowdHuman: ODGT JSONL constructed by Spark's json writer;
+    // person/head fan-out, non-person tags dropped, visible share derived
+    "q53_crowdhuman_io" -> ((s, d) => {
+      val ann = Tables.annotationsView(s, d).filter(col("image_id") % 20 === 0)
+      val dir = tmp("graft_ch_io")
+      ann.select(
+        concat(lit("img"), col("image_id")).as("ID"),
+        struct(
+          when(col("category_id") < 5, "person").otherwise("mask").as("tag"),
+          array(col("box_x_min"), col("box_y_min"),
+            col("box_width"), col("box_height")).as("fbox"),
+          array(col("box_x_min"), col("box_y_min"),
+            col("box_width") / 2, col("box_height")).as("vbox"),
+          when(col("category_id") % 2 === 0,
+            array(col("box_x_min"), col("box_y_min"),
+              col("box_width") / 4, col("box_height") / 4)).as("hbox")).as("b"))
+        .groupBy("ID").agg(collect_list(col("b")).as("gtboxes"))
+        .write.mode("overwrite").json(dir)
+      val back = CrowdHuman.fromCrowdHuman(s, dir)
+      back.annotations.groupBy(col("category_id"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("box_width")), 2).as("w_sum"),
+          round(sum(col("visible_share")), 4).as("vs_sum"),
+          countDistinct(col("image_id")).as("n_images"))
+    }),
+
+    // §2.1 PascalVOC: per-image XML constructed row-wise (string building,
+    // disjoint from the DOM parser), label map inferred from sorted names
+    "q54_pascalvoc_io" -> ((s, d) => {
+      val ds = subset(s, d, mod = 20)
+      val dir = tmp("graft_voc_io")
+      val objXml = format_string(
+        "<object><name>cat_%d</name><difficult>%d</difficult><truncated>0</truncated>" +
+          "<bndbox><xmin>%d</xmin><ymin>%d</ymin><xmax>%d</xmax><ymax>%d</ymax></bndbox></object>",
+        col("category_id"),
+        (col("id") % 2 === 0).cast("int"),
+        col("box_x_min").cast("long"), col("box_y_min").cast("long"),
+        (col("box_x_min") + col("box_width")).cast("long"),
+        (col("box_y_min") + col("box_height")).cast("long"))
+      val docs = ds.annotations.select(col("image_id"), objXml.as("obj"))
+        .groupBy("image_id").agg(sort_array(collect_list(col("obj"))).as("objs"))
+        .join(ds.images.select(col("id").as("image_id"),
+          col("width"), col("height"),
+          regexp_extract(col("relative_path"), "([^/]+)\\.[^.]+$", 1).as("stem")),
+          Seq("image_id"))
+        .select(col("stem"), format_string(
+          "<annotation><size><width>%d</width><height>%d</height><depth>3</depth></size>%s</annotation>",
+          col("width"), col("height"), concat_ws("", col("objs"))).as("xml"))
+      docs.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach { r =>
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(dir, r.getString(0) + ".xml"), r.getString(1))
+        }
+      }
+      val back = graft.io.PascalVoc.fromPascalVoc(s, dir, split = Some("P"))
+      back.annotations.groupBy(col("category_id"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("box_width")), 2).as("w_sum"),
+          sum(when(col("difficult"), 1L).otherwise(0L)).as("n_difficult"),
+          countDistinct(col("image_id")).as("n_images"))
+    }),
+
+    // §2.1 from_folder: fabricated PNG headers probed for dimensions inside
+    // the distributed binaryFile scan
+    "q55_folder_io" -> ((s, d) => {
+      val imgs = Tables.imagesView(s, d)
+        .filter(col("split") === "P" && col("id") % 100 === 0)
+        .select(col("id"), col("width"), col("height"))
+      val dir = tmp("graft_folder_io")
+      imgs.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach { r =>
+          val (id, w, h) = (r.getLong(0), r.getInt(1), r.getInt(2))
+          val b = java.nio.ByteBuffer.allocate(25)
+          b.put(Array[Int](0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+          b.putInt(13).put("IHDR".getBytes("US-ASCII")).putInt(w).putInt(h).put(8.toByte)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"img_$id.png"), b.array())
+        }
+      }
+      val back = ImagesFolder.fromFolder(s, dir)
+      back.images.agg(count(lit(1)).as("n"),
+        sum(col("width")).as("w_sum"), sum(col("height")).as("h_sum"))
+    }),
+
+    // §2.1/2.2 native parquet persistence: exact roundtrip incl. ids
+    "q56_parquet_roundtrip" -> ((s, d) => {
+      val ds = subset(s, d)
+      val dir = tmp("graft_pq_rt")
+      ParquetIO.write(ds, dir, overwrite = true)
+      val back = ParquetIO.read(s, dir)
+      back.annotations.groupBy(col("category_id"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("box_width")), 2).as("w_sum"),
+          sum(col("id")).as("id_sum"),
+          countDistinct(col("image_id")).as("n_images"))
     })
   )
 
   import Tables.viewCte
+
+  /** Shared oracle body: the standard roundtrip aggregate over the 'P' ∩
+    * id%mod=0 subset. */
+  private def annAggSql(mod: Int): String =
+    s"""$viewCte
+       |SELECT a.category_id, count(*) AS n,
+       |       round(sum(a.box_width), 2) AS w_sum,
+       |       round(sum(a.box_x_min), 2) AS x_sum,
+       |       count(DISTINCT a.image_id) AS n_images
+       |FROM annotations a JOIN images i ON a.image_id = i.id
+       |WHERE i.split = 'P' AND i.id % $mod = 0
+       |GROUP BY a.category_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q41_coco_roundtrip" -> (
@@ -40,6 +222,67 @@ object IoQueries extends graft.QueryModule {
          |SELECT a.category_id, count(*) AS n,
          |       round(sum(a.box_width), 2) AS w_sum,
          |       round(sum(a.box_x_min), 2) AS x_sum
+         |FROM annotations a JOIN images i ON a.image_id = i.id
+         |WHERE i.split = 'P' AND i.id % 10 = 0
+         |GROUP BY a.category_id""".stripMargin),
+
+    "q49_caipy_roundtrip" -> annAggSql(20),
+    "q50_darknet_roundtrip" -> annAggSql(20),
+    "q51_yolov5_roundtrip" -> annAggSql(20),
+
+    "q52_mot_io" -> (
+      s"""$viewCte
+         |SELECT CAST(a.category_id % 3 AS DOUBLE) AS confidence, count(*) AS n,
+         |       round(sum(a.box_width), 2) AS w_sum,
+         |       round(sum(a.box_y_min / 2), 2) AS yw_sum,
+         |       count(DISTINCT a.image_id) AS n_images
+         |FROM annotations a
+         |WHERE a.image_id % 10 = 0 AND a.category_id % 3 <> 0
+         |GROUP BY 1""".stripMargin),
+
+    "q53_crowdhuman_io" -> (
+      s"""$viewCte,
+         |src AS (SELECT * FROM annotations WHERE image_id % 20 = 0),
+         |person AS (
+         |  SELECT 0 AS category_id, box_width AS w, 0.5 AS vs, image_id
+         |  FROM src WHERE category_id < 5),
+         |head AS (
+         |  SELECT 1 AS category_id, box_width / 4 AS w, 1.0 AS vs, image_id
+         |  FROM src WHERE category_id < 5 AND category_id % 2 = 0)
+         |SELECT category_id, count(*) AS n, round(sum(w), 2) AS w_sum,
+         |       round(sum(vs), 4) AS vs_sum,
+         |       count(DISTINCT image_id) AS n_images
+         |FROM (SELECT * FROM person UNION ALL SELECT * FROM head)
+         |GROUP BY category_id""".stripMargin),
+
+    // the VOC loader infers label ids from SORTED DISTINCT names present →
+    // dense-rank the category over the ones that appear in the subset
+    "q54_pascalvoc_io" -> (
+      s"""$viewCte,
+         |g AS (
+         |  SELECT a.category_id AS orig, count(*) AS n,
+         |         round(sum(CAST(CAST(a.box_x_min + a.box_width AS BIGINT) AS DOUBLE)
+         |                   - CAST(CAST(a.box_x_min AS BIGINT) AS DOUBLE)), 2) AS w_sum,
+         |         CAST(sum(CASE WHEN a.id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_difficult,
+         |         count(DISTINCT a.image_id) AS n_images
+         |  FROM annotations a JOIN images i ON a.image_id = i.id
+         |  WHERE i.split = 'P' AND i.id % 20 = 0
+         |  GROUP BY a.category_id)
+         |SELECT CAST(dense_rank() OVER (ORDER BY orig) - 1 AS INT) AS category_id,
+         |       n, w_sum, n_difficult, n_images
+         |FROM g""".stripMargin),
+
+    "q55_folder_io" -> (
+      s"""$viewCte
+         |SELECT count(*) AS n, CAST(sum(width) AS BIGINT) AS w_sum, CAST(sum(height) AS BIGINT) AS h_sum
+         |FROM images WHERE split = 'P' AND id % 100 = 0""".stripMargin),
+
+    "q56_parquet_roundtrip" -> (
+      s"""$viewCte
+         |SELECT a.category_id, count(*) AS n,
+         |       round(sum(a.box_width), 2) AS w_sum,
+         |       CAST(sum(a.id) AS BIGINT) AS id_sum,
+         |       count(DISTINCT a.image_id) AS n_images
          |FROM annotations a JOIN images i ON a.image_id = i.id
          |WHERE i.split = 'P' AND i.id % 10 = 0
          |GROUP BY a.category_id""".stripMargin)

@@ -220,10 +220,9 @@ class SketchSpec extends SparkFunSuite {
   test("approx_count_distinct stays within the configured error bound") {
     val r = graft.queries.SketchQueries.defs("q47_approx_distinct")(
       spark, "/root/testdata/sf0.001").collect()(0)
-    val (ap, ep) = (r.getAs[Long]("approx_parts"), r.getAs[Long]("exact_parts"))
-    val (ao, eo) = (r.getAs[Long]("approx_orders"), r.getAs[Long]("exact_orders"))
-    assert(math.abs(ap - ep).toDouble / ep < 0.05, s"parts: $ap vs $ep")
-    assert(math.abs(ao - eo).toDouble / eo < 0.05, s"orders: $ao vs $eo")
+    assert(r.getAs[Long]("exact_parts") > 0 && r.getAs[Long]("exact_orders") > 0)
+    assert(r.getAs[Boolean]("parts_within_bound"), "parts sketch out of bound")
+    assert(r.getAs[Boolean]("orders_within_bound"), "orders sketch out of bound")
   }
 }
 
