@@ -49,7 +49,8 @@ object Bench {
       val ok =
         try { SparkEntry.queries(name)(spark, sfDir).count(); true }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          System.err.println(s"[bench] FAILED query=$name: $e")
+          e.printStackTrace()
           false
         }
       // a failed query must not masquerade as a fast one
@@ -61,13 +62,20 @@ object Bench {
       val s = xs.sorted
       s(s.length / 2)
     }
-    val results = names.map(n => n -> median(passes.map(_(n))))
+    // A query that failed in ANY rep reports -1: an intermittent failure
+    // must not hide behind a healthy-looking median of the passing reps.
+    val failures = names.map(n => n -> passes.count(_(n) < 0)).filter(_._2 > 0)
+    val results = names.map { n =>
+      n -> (if (passes.exists(_(n) < 0)) -1.0 else median(passes.map(_(n))))
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val repTotals = passes.map(_.values.sum)
       .map(v => f"$v%.2f").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"rep_totals":$repTotals}""")
+    val failJson = failures.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"rep_totals":$repTotals,"failed_reps":$failJson}""")
     spark.stop()
   }
 }

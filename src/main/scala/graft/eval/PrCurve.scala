@@ -87,6 +87,11 @@ object PrCurve {
     reindexBins match {
       case None => pts.iterator
       case Some(rbins) =>
+        // the two-pointer ffill below requires ascending bins (the old
+        // reverse-scan tolerated any order; this one would silently emit
+        // wrong points for an unsorted bins argument)
+        require(rbins.indices.forall(i => i == 0 || rbins(i - 1) <= rbins(i)),
+          "reindexBins must be ascending")
         // set_index(recall), drop duplicated recall keep last, ffill-reindex.
         // recall is non-decreasing along the curve, so duplicates are
         // contiguous: keep the last point of each equal-recall run

@@ -19,20 +19,32 @@ import org.apache.spark.sql.functions._
   */
 object Darknet {
 
-  /** Parse all label txts under `labelsDir`, joining image dimensions from
-    * `images` on the file stem ↔ image relative_path stem. */
+  /** relative_path minus its final extension, subdirectories preserved —
+    * the label-file key. `[^./]` keeps a dot in a directory name (e.g.
+    * `v1.2/img`) from being mistaken for an extension. */
+  private def stemOf(path: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(path, "\\.[^./]+$", "")
+
+  /** Parse all label txts under `labelsDir` (recursively — the darknet
+    * label tree mirrors the image tree's subdirectories), joining image
+    * dimensions on the labelsDir-relative file stem ↔ image relative_path
+    * stem. Full-path stems, not basenames: images `a/img.jpg` and
+    * `b/img.jpg` map to distinct `a/img.txt` / `b/img.txt` label files. */
   def fromDarknet(spark: SparkSession, labelsDir: String, images: DataFrame,
       classNames: Seq[String], split: Option[String] = None,
       datasetName: Option[String] = None): GraftDataset = {
     val labelMap = classNames.zipWithIndex.map(_.swap).toMap
-    val raw = spark.read.textFile(s"$labelsDir/*.txt").toDF("line")
-      .withColumn("file", input_file_name())
+    val dirAbs = java.nio.file.Paths.get(labelsDir).toAbsolutePath.normalize.toString
+      .stripSuffix("/")
+    val raw = spark.read.option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.txt").textFile(labelsDir).toDF("line")
+      .withColumn("file", regexp_replace(input_file_name(), "^file:/+", "/"))
       .filter(length(trim(col("line"))) > 0)
-      .withColumn("stem", regexp_extract(col("file"), "([^/]+)\\.txt$", 1))
+      .withColumn("stem", regexp_extract(col("file"),
+        "^" + java.util.regex.Pattern.quote(dirAbs) + "/(.+)\\.txt$", 1))
       .withColumn("parts",
         org.apache.spark.sql.functions.split(trim(col("line")), "\\s+"))
-    val imgs = images.withColumn("stem",
-      regexp_extract(col("relative_path"), "([^/]+)\\.[^.]+$", 1))
+    val imgs = images.withColumn("stem", stemOf(col("relative_path")))
     val dims = broadcast(imgs.select(col("stem"), col("id").as("__img_id"),
       col("width").as("__w"), col("height").as("__h")))
     val joined = raw.join(dims, Seq("stem"))
@@ -84,9 +96,12 @@ object Darknet {
       col("category_id"))
     val rel = Bbox.exportBoxes(ds, Bbox.BoxFormat(Bbox.CenterSize, relative = true))
       .withColumn("__cls", denseExpr)
-    val stem = regexp_extract(col("relative_path"), "([^/]+)\\.[^.]+$", 1)
+    // full-path stems: subdirectory structure is preserved under labels/
+    // so basename collisions across image subdirectories can't overwrite
+    // each other's label files (mirrors the caipy writer)
     val lines = rel
-      .join(ds.images.select(col("id").as("image_id"), stem.as("stem")), Seq("image_id"))
+      .join(ds.images.select(col("id").as("image_id"),
+        stemOf(col("relative_path")).as("stem")), Seq("image_id"))
       .select(col("stem"),
         concat_ws(" ", col("__cls"), col("cx"), col("cy"), col("width"), col("height"))
           .as("line"))
@@ -95,6 +110,7 @@ object Darknet {
     lines.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       it.foreach { r =>
         val p = java.nio.file.Paths.get(labelsDir, r.getString(0) + ".txt")
+        java.nio.file.Files.createDirectories(p.getParent)
         java.nio.file.Files.writeString(p,
           r.getSeq[String](1).mkString("", "\n", "\n"))
       }
@@ -102,11 +118,12 @@ object Darknet {
     // images with no annotations still get an (empty) label file
     val empty = ds.images.join(ds.annotations.select("image_id"),
       ds.images("id") === col("image_id"), "left_anti")
-      .select(regexp_extract(col("relative_path"), "([^/]+)\\.[^.]+$", 1).as("stem"))
+      .select(stemOf(col("relative_path")).as("stem"))
     empty.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       it.foreach { r =>
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(labelsDir, r.getString(0) + ".txt"), "")
+        val p = java.nio.file.Paths.get(labelsDir, r.getString(0) + ".txt")
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, "")
       }
     }
   }

@@ -117,9 +117,17 @@ object PascalVoc {
   def fromPascalVoc(spark: SparkSession, annotationsDir: String,
       split: Option[String] = None): GraftDataset = {
     import spark.implicits._
-    val files = spark.read.option("wholetext", true).text(s"$annotationsDir/*.xml")
-      .withColumn("file", input_file_name())
-      .select(regexp_extract(col("file"), "([^/]+)\\.xml$", 1).as("stem"), col("value"))
+    // recursive + dir-relative stems: nested XML trees load, and images in
+    // different subdirectories with the same basename keep distinct ids
+    val dirAbs = java.nio.file.Paths.get(annotationsDir).toAbsolutePath
+      .normalize.toString.stripSuffix("/")
+    val files = spark.read.option("wholetext", true)
+      .option("recursiveFileLookup", "true").option("pathGlobFilter", "*.xml")
+      .text(annotationsDir)
+      .withColumn("file", regexp_replace(input_file_name(), "^file:/+", "/"))
+      .select(regexp_extract(col("file"),
+        "^" + java.util.regex.Pattern.quote(dirAbs) + "/(.+)\\.xml$", 1).as("stem"),
+        col("value"))
       .as[(String, String)]
     val rows = files.mapPartitions(_.flatMap { case (stem, xml) => parseDoc(stem, xml) })
       .toDF()

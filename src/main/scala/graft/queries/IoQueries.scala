@@ -21,8 +21,8 @@ import org.apache.spark.sql.functions._
 object IoQueries extends graft.QueryModule {
   type Q = (SparkSession, String) => DataFrame
 
-  /** 'P' split ∩ id%10=0 — small enough that per-image-file formats don't
-    * dominate the bench. */
+  /** 'P' split ∩ id%mod=0 — per-image-file formats take a larger mod so
+    * file-count overhead doesn't dominate the timed bench (ADVICE r2). */
   private def subset(s: SparkSession, d: String, mod: Int = 10): GraftDataset =
     Locators.filterImages(
       Locators.getSplit(Tables.datasetView(s, d), Some("P")),
@@ -54,9 +54,12 @@ object IoQueries extends graft.QueryModule {
           round(sum(col("box_x_min")), 2).as("x_sum"))
     }),
 
-    // §2.1/2.2 caipy: per-image JSON tree write → read
+    // §2.1/2.2 caipy: per-image JSON tree write → read. mod=100: the
+    // multiLine read costs 3 passes over the file tree (schema inference,
+    // label-map collect, aggregate), so the caipy gate gets the smallest
+    // subset to keep file-IO overhead from dominating the engine bench.
     "q49_caipy_roundtrip" -> ((s, d) => {
-      val ds = subset(s, d, mod = 20)
+      val ds = subset(s, d, mod = 100)
       val dir = tmp("graft_caipy_rt")
       Caipy.toCaipy(ds, dir)
       val back = Caipy.fromCaipy(s, dir, splits = Seq("P"))
@@ -66,7 +69,7 @@ object IoQueries extends graft.QueryModule {
     // §2.1/2.2 darknet: label txts + classes.names write → read (box pixel
     // ↔ relative conversion roundtrips through full-precision doubles)
     "q50_darknet_roundtrip" -> ((s, d) => {
-      val ds = subset(s, d, mod = 20)
+      val ds = subset(s, d, mod = 50)
       val dir = tmp("graft_darknet_rt")
       Darknet.toDarknet(ds, dir)
       val back = Darknet.fromDarknet(s, s"$dir/labels", ds.images,
@@ -77,7 +80,7 @@ object IoQueries extends graft.QueryModule {
     // §2.1/2.2 yolov5: data.yaml + split lists + labels write → generic
     // yaml-config read
     "q51_yolov5_roundtrip" -> ((s, d) => {
-      val ds = subset(s, d, mod = 20)
+      val ds = subset(s, d, mod = 50)
       val dir = tmp("graft_yolo_rt")
       Yolov5.toYolov5(ds, dir)
       val back = DarknetConfig.fromDataYaml(s, s"$dir/data.yaml", s"$dir/labels",
@@ -133,7 +136,7 @@ object IoQueries extends graft.QueryModule {
     // §2.1 PascalVOC: per-image XML constructed row-wise (string building,
     // disjoint from the DOM parser), label map inferred from sorted names
     "q54_pascalvoc_io" -> ((s, d) => {
-      val ds = subset(s, d, mod = 20)
+      val ds = subset(s, d, mod = 50)
       val dir = tmp("graft_voc_io")
       val objXml = format_string(
         "<object><name>cat_%d</name><difficult>%d</difficult><truncated>0</truncated>" +
@@ -226,9 +229,9 @@ object IoQueries extends graft.QueryModule {
          |WHERE i.split = 'P' AND i.id % 10 = 0
          |GROUP BY a.category_id""".stripMargin),
 
-    "q49_caipy_roundtrip" -> annAggSql(20),
-    "q50_darknet_roundtrip" -> annAggSql(20),
-    "q51_yolov5_roundtrip" -> annAggSql(20),
+    "q49_caipy_roundtrip" -> annAggSql(100),
+    "q50_darknet_roundtrip" -> annAggSql(50),
+    "q51_yolov5_roundtrip" -> annAggSql(50),
 
     "q52_mot_io" -> (
       s"""$viewCte
@@ -266,7 +269,7 @@ object IoQueries extends graft.QueryModule {
          |         CAST(sum(CASE WHEN a.id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_difficult,
          |         count(DISTINCT a.image_id) AS n_images
          |  FROM annotations a JOIN images i ON a.image_id = i.id
-         |  WHERE i.split = 'P' AND i.id % 20 = 0
+         |  WHERE i.split = 'P' AND i.id % 50 = 0
          |  GROUP BY a.category_id)
          |SELECT CAST(dense_rank() OVER (ORDER BY orig) - 1 AS INT) AS category_id,
          |       n, w_sum, n_difficult, n_images

@@ -15,8 +15,18 @@ object LlmQueries extends graft.QueryModule {
   type Q = (SparkSession, String) => DataFrame
 
   /** documents ∪ copies of the 20 lowest-id docs (ids +1,000,000) — a
-    * deterministic corpus that GUARANTEES near-duplicates exist at any sf. */
-  private def docsWithDups(s: SparkSession, d: String): DataFrame = {
+    * deterministic corpus that GUARANTEES near-duplicates exist at any sf.
+    *
+    * DATA-REGENERATION CAVEAT (q29): the Spark side is probabilistic (8×4
+    * banding + a signature-estimate prefilter) while the DuckDB oracle is
+    * exact all-pairs Jaccard. The gate is deterministic only because the
+    * CURRENT corpus has no pairs in the banding-miss-prone band — every
+    * ≥0.7 pair sits at j ≥ 0.9 where per-pair recall is ≈0.9998. A spec
+    * (DedupSpec "q29 corpus…") asserts that property against the sf0.01
+    * testdata; if the documents table is ever regenerated, that spec
+    * failing means q29's oracle can flake and the corpus (or threshold)
+    * must be adjusted. */
+  private[graft] def docsWithDups(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val copies = docs.orderBy("doc_id").limit(20)
       .withColumn("doc_id", col("doc_id") + 1000000L)

@@ -54,6 +54,29 @@ class DedupSpec extends SparkFunSuite {
     assert(j == 0.5) // |{b,c}| / |{a,b,c,d}|
   }
 
+  test("q29 corpus has no pairs in the banding-miss-prone Jaccard band") {
+    // q29's gate is probabilistic-vs-exact (8×4 banding + estimate
+    // prefilter vs all-pairs DuckDB Jaccard); it is only deterministic
+    // because every ≥0.55 pair in the corpus sits at j ≥ 0.9, where
+    // per-pair banding recall is 1-(1-j⁴)⁸ ≈ 0.9998. This test pins that
+    // property so a regenerated documents table can't silently turn the
+    // gate flaky (see LlmQueries.docsWithDups).
+    assume(new java.io.File("/root/testdata/sf0.01").isDirectory)
+    val docs = graft.queries.LlmQueries.docsWithDups(spark, "/root/testdata/sf0.01")
+    val sh = docs.select(col("doc_id").as("id"),
+      array_distinct(Dedup.shingles(col("text"))).as("sh"))
+    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    val risky = a.join(b, col("id_a") < col("id_b"))
+      .select(Dedup.jaccard(col("sh_a"), col("sh_b")).as("j"))
+      .filter(col("j") >= 0.55 && col("j") < 0.9)
+      .count()
+    assert(risky == 0,
+      "documents corpus now has near-dup pairs in [0.55, 0.9) where LSH " +
+        "banding recall is materially < 1 — q29's exact oracle can flake; " +
+        "regenerate the corpus or adjust the q29 threshold/banding")
+  }
+
   test("embedding near-dups: identical vectors found with cosine 1") {
     val embs = Seq(
       (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
