@@ -14,36 +14,37 @@ import org.apache.spark.sql.types.{IntegerType, StringType}
   */
 object Remap {
 
-  /** Rewrite `category_id` through `mapping`; annotations whose category is
-    * not mapped are dropped when `removeNotMapped`, else keep their id and
-    * (optionally renamed) entry. `newNames` gives names for output ids not
-    * already named by the current label map (dataset.py:3340-3579). */
+  /** Rewrite `category_id` through `mapping` (dataset.py:3340-3579,
+    * reference default `remove_not_mapped=True`). Mirrors the reference's
+    * edge semantics exactly:
+    *   - `removeNotMapped = false` extends the mapping with identity
+    *     entries for every CURRENT label-map id not already mapped — so an
+    *     annotation whose category is in neither the mapping nor the label
+    *     map is dropped either way (pandas `isin(class_mapping)`);
+    *   - the new label map takes `out -> labelMap(in)` only for mapped ids
+    *     PRESENT in the current label map, then overlays ALL `newNames`
+    *     entries (which may introduce ids no annotation carries). */
   def remapClasses(
       ds: GraftDataset,
       mapping: Map[Int, Int],
       newNames: Map[Int, String] = Map.empty,
-      removeNotMapped: Boolean = false,
+      removeNotMapped: Boolean = true,
       removeEmptiedImages: Boolean = false): GraftDataset = {
-    val newLabelMap: Map[Int, String] = {
-      val mapped = mapping.map { case (in, out) =>
-        out -> newNames.getOrElse(out,
-          ds.labelMap.getOrElse(in, out.toString))
-      }
-      val kept =
-        if (removeNotMapped) Map.empty[Int, String]
-        else ds.labelMap.view.filterKeys(k => !mapping.contains(k)).toMap
-      kept ++ mapped
-    }
+    val effMapping: Map[Int, Int] =
+      if (removeNotMapped) mapping
+      else mapping ++ ds.labelMap.keysIterator
+        .filterNot(mapping.contains).map(k => k -> k)
+    val newLabelMap: Map[Int, String] =
+      effMapping.collect {
+        case (in, out) if ds.labelMap.contains(in) => out -> ds.labelMap(in)
+      } ++ newNames
     val mapExpr =
-      if (mapping.isEmpty) lit(null).cast(IntegerType)
+      if (effMapping.isEmpty) lit(null).cast(IntegerType)
       else element_at(
-        map(mapping.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+        map(effMapping.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
         col("category_id"))
-    val remapped0 = ds.annotations.withColumn("__new_cat",
-      when(mapExpr.isNotNull, mapExpr).otherwise(
-        if (removeNotMapped) lit(null).cast(IntegerType) else col("category_id")))
-    val remapped = (if (removeNotMapped) remapped0.filter(col("__new_cat").isNotNull)
-                    else remapped0)
+    val remapped = ds.annotations.withColumn("__new_cat", mapExpr)
+      .filter(col("__new_cat").isNotNull)
       .withColumn("category_id", col("__new_cat"))
       .drop("__new_cat")
       .withColumn("category_str",
@@ -73,18 +74,50 @@ object Remap {
       removeEmptiedImages: Boolean = false): GraftDataset =
     keepClasses(ds, ds.labelMap.keySet -- ids, removeEmptiedImages)
 
-  /** Remap from a mapping table `(input_category_id, output_category_id,
-    * output_category_name)` (remap_from_dataframe, dataset.py:3633-3792).
-    * The table is a dimension — collected to the driver (tiny by contract). */
+  /** Remap from a mapping table with columns `input_category_id`,
+    * `output_category_id` and (optionally) `output_category_name`
+    * (remap_from_dataframe, dataset.py:3633-3792; reference default
+    * `remove_not_mapped=True`). The table is a dimension — collected to
+    * the driver (tiny by contract). Name resolution is first-occurrence
+    * per output id, matching the reference's `groupby(...).first()`. */
   def remapFromDataFrame(ds: GraftDataset, df: DataFrame,
-      removeNotMapped: Boolean = false): GraftDataset = {
+      removeNotMapped: Boolean = true,
+      removeEmptiedImages: Boolean = false): GraftDataset = {
+    val nameCol =
+      if (df.columns.contains("output_category_name"))
+        col("output_category_name").cast(StringType)
+      else lit(null).cast(StringType)
     val rows = df.select(
       col("input_category_id").cast(IntegerType),
       col("output_category_id").cast(IntegerType),
-      col("output_category_name").cast(StringType)).collect()
+      nameCol.as("output_category_name")).collect()
     val mapping = rows.map(r => r.getInt(0) -> r.getInt(1)).toMap
-    val names = rows.map(r => r.getInt(1) -> r.getString(2)).toMap
-    remapClasses(ds, mapping, names, removeNotMapped)
+    val names = rows.foldLeft(Map.empty[Int, String]) { (acc, r) =>
+      if (r.isNullAt(2) || acc.contains(r.getInt(1))) acc
+      else acc + (r.getInt(1) -> r.getString(2))
+    }
+    remapClasses(ds, mapping, names, removeNotMapped, removeEmptiedImages)
+  }
+
+  /** Remap from a CSV file with the [[remapFromDataFrame]] column contract
+    * (remap_from_csv, dataset.py:3690-3792). Read through `spark.read.csv`
+    * so quoting, globs, and remote filesystems all behave. */
+  def remapFromCsv(ds: GraftDataset, csvPath: String,
+      removeNotMapped: Boolean = true,
+      removeEmptiedImages: Boolean = false): GraftDataset =
+    remapFromDataFrame(ds,
+      ds.images.sparkSession.read.option("header", "true").csv(csvPath),
+      removeNotMapped, removeEmptiedImages)
+
+  /** Remap through a packaged preset, addressed as (from, to) label-map
+    * names (remap_from_preset, dataset.py:3581-3631). */
+  def remapFromPreset(ds: GraftDataset, inputMap: String, outputMap: String,
+      removeNotMapped: Boolean = true,
+      removeEmptiedImages: Boolean = false): GraftDataset = {
+    val p = RemapPresets.presets.getOrElse((inputMap, outputMap),
+      throw new IllegalArgumentException(
+        s"Preset not available. Available presets are:\n${RemapPresets.listAvailablePresets}"))
+    remapClasses(ds, p.mapping, p.names, removeNotMapped, removeEmptiedImages)
   }
 
   /** Align this dataset's category ids to another's label map by name;
@@ -99,4 +132,67 @@ object Remap {
     }
     remapClasses(ds, mapping, target, removeNotMapped)
   }
+}
+
+/** Packaged remap presets — reference `remap_presets/__init__.py:14-53`.
+  *
+  * Each `<from>_to_<to>.csv` resource is parsed once at first use into an
+  * `old_id -> new_id` mapping plus `new_id -> name` names (first occurrence
+  * per output id, the reference's `groupby(...).first()`). A preset whose
+  * output ids are unique is additionally registered INVERTED under
+  * `(to, from)` — so `coco_to_pascalvoc.csv` also provides
+  * (pascalvoc, coco), while the non-injective supercategory preset does
+  * not invert. All driver-side: the presets are ≤100-row dimensions.
+  */
+object RemapPresets {
+
+  final case class Preset(mapping: Map[Int, Int], names: Map[Int, String])
+
+  /** Registered resource files (the classpath can't be globbed portably,
+    * so additions register here). */
+  private val presetFiles = Seq("coco_to_pascalvoc.csv", "coco_to_supercategory.csv")
+
+  /** (input_id, input_name, output_id, output_name) rows, CSV order. */
+  private def parse(resource: String): Seq[(Int, String, Int, String)] = {
+    val in = getClass.getResourceAsStream(s"/graft/remap_presets/$resource")
+    require(in != null, s"missing preset resource $resource")
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+    val header = lines.head.split(",", -1).map(_.trim).zipWithIndex.toMap
+    lines.tail.filter(_.nonEmpty).map { l =>
+      val f = l.split(",", -1).map(_.trim)
+      (f(header("input_category_id")).toInt, f(header("input_category_name")),
+        f(header("output_category_id")).toInt, f(header("output_category_name")))
+    }
+  }
+
+  private def firstWins(pairs: Seq[(Int, String)]): Map[Int, String] =
+    pairs.foldLeft(Map.empty[Int, String]) { (acc, kv) =>
+      if (acc.contains(kv._1)) acc else acc + kv
+    }
+
+  lazy val presets: Map[(String, String), Preset] =
+    presetFiles.foldLeft(Map.empty[(String, String), Preset]) { (acc, file) =>
+      val stem = file.stripSuffix(".csv")
+      val parts = stem.split("_to_")
+      require(parts.length == 2,
+        s"badly named preset file (want <a>_to_<b>.csv): $file")
+      val rows = parse(file)
+      val fwd = (parts(0), parts(1)) -> Preset(
+        rows.map(r => r._1 -> r._3).toMap,
+        firstWins(rows.map(r => r._3 -> r._4)))
+      val outIds = rows.map(_._3)
+      val invertible = outIds.distinct.length == outIds.length
+      val inv =
+        if (invertible && !acc.contains((parts(1), parts(0))))
+          Seq((parts(1), parts(0)) -> Preset(
+            rows.map(r => r._3 -> r._1).toMap,
+            firstWins(rows.map(r => r._1 -> r._2))))
+        else Nil
+      acc + fwd ++ inv
+    }
+
+  def listAvailablePresets: String =
+    presets.keys.toSeq.sorted.map { case (a, b) => s"$a\t->\t$b" }.mkString("\n")
 }

@@ -49,6 +49,43 @@ object EvalQueries extends graft.QueryModule {
       ap.select(col("category_id"), col("category_str"), round(col("AP"), 6).as("ap"))
     }),
 
+    // §2.5 row-normalized confusion matrix — FULL DuckDB oracle via a
+    // forced-matching construction: every box is disjoint within its image
+    // (x = 100·row_number), predictions reuse their gt's box exactly, so
+    // the greedy matcher's assignment is analytically determined (IoU is 1
+    // on the diagonal, 0 elsewhere, minIou=0.5) and the matrix reduces to
+    // relational algebra both engines can compute. gt ids ≡ 0 (mod 3) get
+    // no prediction → (gt_label, 'None'); ids ≡ 0 (mod 5) also emit a
+    // far-offset false prediction → ('None', pred_label).
+    "q58_confusion_matrix" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("image_id").orderBy("id")
+      val based = Tables.annotationsView(s, d)
+        .select(col("id"), col("image_id"), col("category_id"))
+        .withColumn("rn", row_number().over(w))
+      def box(x: org.apache.spark.sql.Column) = Seq(
+        x.cast("double").as("box_x_min"), lit(0.0).as("box_y_min"),
+        lit(50.0).as("box_width"), lit(50.0).as("box_height"))
+      val gt = based.select(
+        (Seq(col("id"), col("image_id"), col("category_id")) ++
+          box(col("rn") * 100)): _*)
+      val matchedPreds = based.filter(col("id") % 3 =!= 0).select(
+        (Seq((col("id") * 2).as("id"), col("image_id"),
+          ((col("category_id") + col("id") % 2) % 7).cast("int").as("category_id")) ++
+          box(col("rn") * 100) :+
+          ((col("id") % 97).cast("double") / 96.0).as("confidence")): _*)
+      val falsePreds = based.filter(col("id") % 5 === 0).select(
+        (Seq((col("id") * 2 + 1).as("id"), col("image_id"), col("category_id")) ++
+          box(col("rn") * 100 + 10000000) :+
+          lit(0.4).as("confidence")): _*)
+      val ev = new DetectionEvaluator(
+        Tables.imagesView(s, d), gt,
+        Map("m" -> matchedPreds.unionByName(falsePreds)), Tables.viewLabelMap)
+      ev.confusionMatrix("m", minIou = 0.5)
+        .select(col("groundtruth_label"), col("prediction_label"),
+          round(col("share"), 6).as("share"))
+    }),
+
     // §2.5/§2.11 count-error metrics — fully relational, DuckDB oracle
     "q24_count_error" -> ((s, d) => {
       val ev = new DetectionEvaluator(
@@ -63,6 +100,25 @@ object EvalQueries extends graft.QueryModule {
   import Tables.viewCte
 
   val oracles: Map[String, String] = Map(
+    // replicates the forced-matching construction: the greedy matcher is
+    // fully determined (diagonal IoU 1, off-diagonal 0), so the matrix is
+    // pure counting + a row-normalizing window in both engines
+    "q58_confusion_matrix" ->
+      s"""$viewCte,
+         |pairs AS (
+         |  SELECT 'cat_' || CAST(category_id AS VARCHAR) AS g,
+         |         'cat_' || CAST((category_id + id % 2) % 7 AS VARCHAR) AS p
+         |  FROM annotations WHERE id % 3 <> 0
+         |  UNION ALL
+         |  SELECT 'cat_' || CAST(category_id AS VARCHAR) AS g, 'None' AS p
+         |  FROM annotations WHERE id % 3 = 0
+         |  UNION ALL
+         |  SELECT 'None' AS g, 'cat_' || CAST(category_id AS VARCHAR) AS p
+         |  FROM annotations WHERE id % 5 = 0)
+         |SELECT g AS groundtruth_label, p AS prediction_label,
+         |       round(count(*) / sum(count(*)) OVER (PARTITION BY g), 6) AS share
+         |FROM pairs GROUP BY g, p""".stripMargin,
+
     "q24_count_error" ->
       s"""$viewCte,
          |preds AS (

@@ -100,6 +100,18 @@ object ReshapeQueries extends graft.QueryModule {
     "q21_histogram" -> ((s, d) => {
       val ds = Tables.datasetView(s, d)
       Grouper.histogram(ds.annotations, Seq("split", "category_id"))
+    }),
+
+    // §2.10 packaged preset remap: coco→supercategory fuses categories
+    // 2..6 into 'vehicle' (id 2), keeps 1 as 'person', drops unmapped 0
+    // (reference remap_presets/__init__.py:14-53 + dataset.py:3581-3631)
+    "q57_remap_preset" -> ((s, d) => {
+      val ds = Tables.datasetView(s, d)
+      graft.operators.Remap.remapFromPreset(ds, "coco", "supercategory")
+        .annotations
+        .groupBy(col("category_id").cast("int").as("category_id"),
+          col("category_str"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("image_id")).as("n_images"))
     })
   )
 
@@ -124,6 +136,18 @@ object ReshapeQueries extends graft.QueryModule {
          |              WHEN category_id = 3 AND box_width <> 0 THEN 'changed'
          |              ELSE 'equal' END AS status
          |  FROM annotations) GROUP BY status""".stripMargin,
+
+    // the oracle hard-codes the preset's semantics on the view's id range
+    // (coco ids 1='person'; 2..6 all map to supercategory 2='vehicle';
+    // category 0 is not a coco id → dropped by remove_not_mapped)
+    "q57_remap_preset" ->
+      s"""$viewCte
+         |SELECT CAST(CASE WHEN category_id = 1 THEN 1 ELSE 2 END AS INT) AS category_id,
+         |       CASE WHEN category_id = 1 THEN 'person' ELSE 'vehicle' END AS category_str,
+         |       count(*) AS n, count(DISTINCT image_id) AS n_images
+         |FROM annotations
+         |WHERE category_id BETWEEN 1 AND 6
+         |GROUP BY 1, 2""".stripMargin,
 
     "q16_booleanize" ->
       """SELECT l_orderkey * 8 + l_linenumber AS id,

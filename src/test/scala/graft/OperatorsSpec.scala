@@ -154,6 +154,55 @@ class RemapAppendSpec extends SparkFunSuite {
     assert(Remap.removeClasses(ds, Set(1)).numAnnotations == 4)
   }
 
+  test("remap presets: registry, auto-inversion, and preset remap") {
+    import graft.operators.RemapPresets
+    // both packaged presets register forward; only the injective
+    // coco_to_pascalvoc also registers inverted (reference
+    // remap_presets/__init__.py:37-49 — supercategory fuses ids, so no
+    // (supercategory, coco) entry)
+    assert(RemapPresets.presets.contains(("coco", "supercategory")))
+    assert(RemapPresets.presets.contains(("coco", "pascalvoc")))
+    assert(RemapPresets.presets.contains(("pascalvoc", "coco")))
+    assert(!RemapPresets.presets.contains(("supercategory", "coco")))
+    val fwd = RemapPresets.presets(("coco", "pascalvoc"))
+    val inv = RemapPresets.presets(("pascalvoc", "coco"))
+    assert(fwd.mapping(1) == 15 && fwd.names(15) == "person")
+    assert(inv.mapping(15) == 1 && inv.names(1) == "person")
+    assert(fwd.mapping.forall { case (k, v) => inv.mapping(v) == k })
+
+    val ds = tinyDataset().copy(labelMap = Map(0 -> "unmapped_zero", 1 -> "person"))
+    // coco id 1 = person → supercategory 1 'person'; id 0 isn't a coco id.
+    // The preset's new_names overlay ALL output categories onto the label
+    // map (reference remap_classes: `{**new_label_map, **new_names}`),
+    // even ones no annotation carries.
+    val out = Remap.remapFromPreset(ds, "coco", "supercategory")
+    assert(out.labelMap(1) == "person" && out.labelMap(2) == "vehicle")
+    assert(out.labelMap.size ==
+      RemapPresets.presets(("coco", "supercategory")).names.size)
+    assert(out.annotations.select("category_id").distinct()
+      .collect().map(_.getInt(0)).toSeq == Seq(1))
+
+    val err = intercept[IllegalArgumentException] {
+      Remap.remapFromPreset(ds, "coco", "nonexistent")
+    }
+    assert(err.getMessage.contains("coco\t->\tpascalvoc"))
+  }
+
+  test("remapFromCsv reads the mapping table through spark.read.csv") {
+    val dir = java.nio.file.Files.createTempDirectory("remap_csv")
+    val p = dir.resolve("m.csv")
+    java.nio.file.Files.writeString(p,
+      "input_category_id,output_category_id,output_category_name\n0,10,thing\n1,10,thing\n")
+    val out = Remap.remapFromCsv(tinyDataset(), p.toString)
+    assert(out.labelMap == Map(10 -> "thing"))
+    assert(out.numAnnotations == tinyDataset().numAnnotations) // fused, none dropped
+    // keep-unmapped variant: only id 1 remaps, id 0 stays
+    java.nio.file.Files.writeString(p,
+      "input_category_id,output_category_id,output_category_name\n1,10,thing\n")
+    val kept = Remap.remapFromCsv(tinyDataset(), p.toString, removeNotMapped = false)
+    assert(kept.labelMap.keySet == Set(0, 10))
+  }
+
   test("remapFromOther aligns by name with lowest-free id allocation") {
     val ds = tinyDataset() // {0 person, 1 car}
     val other = tinyDataset().copy(labelMap = Map(3 -> "car", 7 -> "person"))
