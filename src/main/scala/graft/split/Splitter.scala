@@ -82,11 +82,22 @@ object Splitter {
         .withColumn("__atom", coalesce(col("__atom_min"), col("id").cast("long")))
         .drop("__k", "__atom_min")
     }
+    // labels only ever decrease, so the label sum strictly decreases
+    // exactly when something changed — summed in DECIMAL(38) because
+    // hash-derived ids span the full signed-64-bit range and a Long sum
+    // would overflow and break the comparison
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def atomSum(d: DataFrame, c: String): java.math.BigDecimal =
+      d.agg(sum(col(c).cast(dec))).collect()(0).getDecimal(0)
+
     var cur = df.withColumn("__atom", col("id").cast("long"))
-    var changed = 1L
+    var prevSum = atomSum(cur, "__atom")
+    var converged = prevSum == null // empty input: nothing to do
     var iters = 0
-    while (changed > 0 && iters < 50) {
-      var next = cur
+    var prevCached: DataFrame = null
+    while (!converged && iters < 50) {
+      // one min-label pass per key column (full-row shuffles)
+      var next = cur.withColumn("__atom_prev", col("__atom"))
       for (k <- keyCols) {
         val minPerKey = next.groupBy(col(s"`$k`").as("__k"))
           .agg(min("__atom").as("__atom_min"))
@@ -97,19 +108,57 @@ object Splitter {
           .drop("__k", "__atom_min")
           .withColumn("__atom", col("__atom2")).drop("__atom2")
       }
-      next = next.cache()
-      // labels only ever decrease, so the label sum strictly decreases
-      // exactly when something changed — summed in DECIMAL(38) because
-      // hash-derived ids span the full signed-64-bit range and a Long sum
-      // would overflow and break the comparison
-      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-      val before = cur.agg(sum(col("__atom").cast(dec))).collect()(0).getDecimal(0)
-      val after = next.agg(sum(col("__atom").cast(dec))).collect()(0).getDecimal(0)
-      changed = if (after.compareTo(before) < 0) 1L else 0L
-      cur.unpersist()
-      cur = next
+      // label-graph contraction: this pass's merges form `old label → new
+      // label` edges; pointer-jump that (much smaller) parent table to its
+      // roots so a chain of D pairwise merges collapses in O(log D) small
+      // self-joins rather than D more full-row passes. Without this, a
+      // high-diameter component (e.g. a 1000-link chain of shared key
+      // values) would exhaust any iteration cap and silently leak across
+      // atoms. Every new label is a min of old labels, so parent values
+      // are themselves labels and the inner join below is total.
+      // localCheckpoint (NOT cache) per jump: the self-join nests the
+      // previous parents plan twice, so without lineage truncation the
+      // logical plan grows 2^jumps and OOMs the driver
+      var parents = next
+        .groupBy(col("__atom_prev").as("label")).agg(min("__atom").as("parent"))
+        .filter(col("label") =!= col("parent")).localCheckpoint()
+      var pSum = atomSum(parents, "parent")
+      var jumps = 0
+      while (pSum != null && jumps < 64) {
+        val jumped = parents.as("a")
+          .join(parents.as("b"), col("a.parent") === col("b.label"), "left")
+          .select(col("a.label").as("label"),
+            coalesce(col("b.parent"), col("a.parent")).as("parent"))
+          .localCheckpoint()
+        val s = atomSum(jumped, "parent")
+        val stable = s == null || s.compareTo(pSum) == 0
+        parents = jumped
+        pSum = s
+        jumps += 1
+        if (stable) jumps = 64
+      }
+      val applied0 = next
+        .join(parents.select(col("label").as("__atom"), col("parent").as("__root")),
+          Seq("__atom"), "left")
+        .withColumn("__atom", coalesce(col("__root"), col("__atom")))
+        .drop("__root", "__atom_prev")
+      // lineage fence: the per-iteration joins nest plans ~keyCols deep
+      // each round; localCheckpoint truncates lineage before plan depth /
+      // optimizer cost blows up on long convergence runs
+      val applied =
+        if (iters % 4 == 3) applied0.localCheckpoint() else applied0.cache()
+      val after = atomSum(applied, "__atom") // single convergence aggregate
+      converged = after.compareTo(prevSum) == 0
+      prevSum = after
+      if (prevCached != null) prevCached.unpersist()
+      prevCached = applied
+      cur = applied
       iters += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"makeAtomicChunks: no fixpoint after $iters rounds — returning " +
+          "partial atoms would leak rows across keep-separate components")
     cur
   }
 

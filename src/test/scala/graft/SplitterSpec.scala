@@ -83,6 +83,20 @@ class SplitterSpec extends SparkFunSuite {
     assert(out(0L) != out(3L))
   }
 
+  test("makeAtomicChunks: 1000-link chain collapses to one atom (contraction)") {
+    // a path-graph component of diameter ~1000: rows 2j,2j+1 share ka=j;
+    // rows 2j+1,2j+2 share kb=j+1. Plain min-label propagation needs
+    // ~D/2 full passes (any fixed iteration cap silently under-merges);
+    // the label-graph contraction must collapse it in a handful of
+    // rounds without plan-depth blowup.
+    val n = 1000
+    val df = (0 until n).map(i => (i.toLong, (i / 2).toLong, ((i + 1) / 2).toLong))
+      .toDF("id", "ka", "kb")
+    val out = Splitter.makeAtomicChunks(df, Seq("ka", "kb"))
+    assert(out.select("__atom").distinct().count() == 1)
+    assert(out.agg(min("__atom")).collect()(0).getLong(0) == 0L)
+  }
+
   test("split with keepSeparate never splits a video across splits") {
     val ds = mediumDataset()
     val out = Splitter.split(ds, seed = 7, Seq("train", "valid"), Seq(0.8, 0.2),
