@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.llm.{Dedup, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Ivf, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -95,6 +95,42 @@ object LlmQueries extends graft.QueryModule {
       val embs = Tables.embeddings(s, d)
       val queries = embs.filter(col("vec_id") < 5)
       val scored = Similarity.lshTopK(embs, queries, k = Int.MaxValue, planes = 6)
+        .withColumn("cosine", round(col("cosine"), 4))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"),
+          col("rk").cast("long").as("rank"))
+    }),
+
+    // embedding near-dup via hyperplane-LSH banding — FULL oracle: the
+    // hyperplane coefficients are exact integer arithmetic (reproducible
+    // in DuckDB), so the oracle replicates the 16-plane/4-band candidate
+    // generation bit-for-bit and then the exact-cosine verify. Corpus =
+    // embeddings ∪ exact copies of the 20 lowest vec_ids (+1,000,000):
+    // the copies are the guaranteed pairs (cosine 1), and all natural
+    // pairs sit ≤ ~0.51 — far from the 0.95 threshold, so cross-engine
+    // float noise cannot flip a boundary pair
+    "q59_embedding_neardup" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      val copies = embs.orderBy("vec_id").limit(20)
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+      Dedup.embeddingNearDups(embs.unionByName(copies),
+        threshold = 0.95, planes = 16, bands = 4)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // IVF ANN probing ALL centroids — FULL oracle: with nprobe = K the
+    // candidate set is the whole corpus, so the result must equal exact
+    // brute-force top-k. This pins the index plumbing (assignment loses no
+    // rows, probe join neither drops nor duplicates candidates, ranking is
+    // total); bucketed-recall behavior at nprobe < K is spec-locked
+    "q60_ivf_topk" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      val queries = embs.filter(col("vec_id") < 5)
+      val idx = Ivf.build(embs, nCentroids = 16, seed = 42)
+      val scored = Ivf.topK(idx, queries, k = Int.MaxValue, nprobe = 16)
         .withColumn("cosine", round(col("cosine"), 4))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
@@ -234,6 +270,43 @@ object LlmQueries extends graft.QueryModule {
          |  FROM scored)
          |SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
          |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "q59_embedding_neardup" ->
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |allv AS (SELECT * FROM base
+         |         UNION ALL
+         |         SELECT vec_id + 1000000 AS vec_id, v FROM
+         |           (SELECT * FROM base ORDER BY vec_id LIMIT 20)),
+         |sigs AS (SELECT vec_id, v, ${hyperplaneSigSql(16)} AS sig FROM allv),
+         |banded AS (
+         |  SELECT vec_id, v, b, (sig >> (b * 4)) & 15 AS bucket
+         |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+         |pairs AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.b = b.b AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |j AS (
+         |  SELECT p.id_a, p.id_b, list_cosine_similarity(x.v, y.v) AS cosine
+         |  FROM pairs p JOIN allv x ON p.id_a = x.vec_id
+         |               JOIN allv y ON p.id_b = y.vec_id)
+         |SELECT id_a, id_b, round(cosine, 6) AS cosine
+         |FROM j WHERE cosine >= 0.95""".stripMargin,
+
+    // exact brute-force top-10 (the nprobe=K IVF result must equal this)
+    "q60_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |         round(list_cosine_similarity(q.qv, e.v), 4) AS cosine
+        |  FROM e JOIN q ON e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 10""".stripMargin,
 
     "q28_dedup_exact" ->
       """WITH alldocs AS (
