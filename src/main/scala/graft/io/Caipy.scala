@@ -54,7 +54,13 @@ object Caipy {
         .withColumn("split", lit(s))
     }
     require(perSplit.nonEmpty, s"no Annotations/{${splits.mkString(",")}} under $root")
+    // cache the parsed documents: the load itself needs two passes (label
+    // map collect + whatever the caller computes) on top of schema
+    // inference, and re-parsing thousands of small multiLine JSONs is the
+    // dominant cost. Bounded: per-image JSON trees are small-per-file by
+    // construction, and the cache is LRU-evictable under pressure.
     val raw = perSplit.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+      .cache()
     buildFromRaw(spark, raw, root, datasetName)
   }
 

@@ -236,19 +236,27 @@ object Dedup {
   def embeddingNearDups(embs: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id", threshold: Double = 0.95,
       planes: Int = 16, bands: Int = 4): DataFrame = {
-    val sigs = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
-      Similarity.hyperplaneSignature(col(vecCol), planes).as("sig"))
+    // same staged shape as [[minHashNearDups]]: cache = optimizer fence
+    // (each signature computed once — CollapseProject would otherwise
+    // re-inline the 16-aggregate projection into every band branch and
+    // BOTH join sides), band join carries ids only, the wide vector
+    // payload attaches to candidate pairs afterwards
+    val base = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.hyperplaneSignature(col(vecCol), planes).as("sig")).cache()
     val r0 = planes / bands
-    val banded = sigs.select(col("id"), col("v"),
+    val banded = base.select(col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           shiftright(col("sig"), b * r0).bitwiseAND((1L << r0) - 1).as("bucket"))
       }: _*)).as("bk"))
-    val l = banded.select(col("id").as("id_a"), col("v").as("v_a"), col("bk"))
-    val r = banded.select(col("id").as("id_b"), col("v").as("v_b"), col("bk"))
-    l.join(r, Seq("bk"))
+    val pairs = banded.select(col("id").as("id_a"), col("bk"))
+      .join(banded.select(col("id").as("id_b"), col("bk")), Seq("bk"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)

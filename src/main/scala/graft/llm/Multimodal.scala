@@ -37,13 +37,21 @@ object Multimodal {
     */
   def decodeFeatureKernel(payload: Array[Byte]): Array[Float] = {
     if (payload == null || payload.isEmpty) return Array.fill(8)(0.0f)
-    val f = new Array[Float](8)
+    // accumulate in DOUBLE, per stride, in ascending byte order: each
+    // feature's sum is then a fixed-order double reduction that the
+    // correctness oracle reproduces bit-for-bit (float32 accumulation
+    // would drift from any reimplementation); quantize to float32 once at
+    // the end
+    val acc = new Array[Double](8)
     var i = 0
     while (i < payload.length) {
-      f(i % 8) += (payload(i) & 0xFF) / 255.0f
+      acc(i % 8) += (payload(i) & 0xFF) / 255.0
       i += 1
     }
-    f.map(x => x / payload.length * 8)
+    val out = new Array[Float](8)
+    var j = 0
+    while (j < 8) { out(j) = (acc(j) / payload.length * 8).toFloat; j += 1 }
+    out
   }
 
   /** Distributed decode + featurize: repartition by media_id hash (even

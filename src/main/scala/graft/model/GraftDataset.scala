@@ -157,6 +157,25 @@ case class GraftDataset(
 object GraftDataset {
   import Schemas._
 
+  /** Sort by `sortCols` then append dense sequential longs from `start` as
+    * `idName` — via `zipWithIndex`, NOT a partition-less window: a global
+    * `row_number` funnels the whole table through one task, while
+    * zipWithIndex keeps every partition in place (one tiny job to count
+    * per-partition sizes, then a map). The scale-safe primitive behind
+    * reset_index, iloc, and id minting. */
+  def zipDenseIds(df: DataFrame, sortCols: Seq[String], start: Long,
+      idName: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val order = sortCols.map(c => col(s"`$c`"))
+    val sorted = df.orderBy(order: _*)
+    val schema = sorted.schema.add(StructField(idName, LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (row, idx) =>
+      Row.fromSeq(row.toSeq :+ (idx + start))
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** Literal map lookup column for the category dimension: `element_at(map, key)`.
     * Broadcast-free and codegen-friendly — a label map is O(100) entries. */
   def labelMapColumn(labelMap: Map[Int, String], key: Column): Column =
@@ -193,8 +212,7 @@ object GraftDataset {
     require(imageRequired.subsetOf(out.columns.toSet),
       s"images missing required columns: ${imageRequired -- out.columns.toSet}")
     if (!out.columns.contains("id"))
-      out = out.withColumn("id",
-        row_number().over(org.apache.spark.sql.expressions.Window.orderBy("relative_path")).cast(LongType) - 1)
+      out = zipDenseIds(out, Seq("relative_path"), 0, "id")
     // type derived from path suffix (dataset.py:960-961)
     if (!out.columns.contains("type"))
       out = out.withColumn("type", regexp_extract(col("relative_path"), "\\.([^.]+)$", 1))
@@ -210,8 +228,7 @@ object GraftDataset {
     require(annotRequired.subsetOf(out.columns.toSet),
       s"annotations missing required columns: ${annotRequired -- out.columns.toSet}")
     if (!out.columns.contains("id"))
-      out = out.withColumn("id",
-        row_number().over(org.apache.spark.sql.expressions.Window.orderBy("image_id")).cast(LongType) - 1)
+      out = zipDenseIds(out, Seq("image_id"), 0, "id")
     if (!out.columns.contains("category_str")) out = out.withColumn("category_str", lit(null).cast(StringType))
     if (!out.columns.contains("split")) out = out.withColumn("split", lit(null).cast(StringType))
     coerce(out, AnnotCore)

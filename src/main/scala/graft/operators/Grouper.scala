@@ -135,15 +135,20 @@ object Grouper {
     * split/balanced_groups.py:286-317). Only used where the result is
     * driver-sized (splitter cost inputs). */
   def histogram(df: DataFrame, keys: Seq[String]): DataFrame = {
+    // rename the counts-side keys: both join inputs derive from `df`, and
+    // same-lineage `full(k) <=> counts(k)` conditions trip Spark's
+    // "trivially true equals predicate" disambiguation (it resolves
+    // correctly today but is one refactor from a silent cross join)
     val counts = df.groupBy(keys.map(c => col(s"`$c`")): _*).count()
+      .select(keys.map(k => col(s"`$k`").as(s"__c_$k")) :+ col("count"): _*)
     val full = keys.map(k => df.select(col(s"`$k`")).distinct())
       .reduce((a, b) => a.crossJoin(b))
     // null-SAFE join keys: a plain equality join would never match the
     // null group (e.g. unassigned split) and silently zero its count
-    val cond = keys.map(k => full(s"`$k`") <=> counts(s"`$k`")).reduce(_ && _)
+    val cond = keys.map(k => col(s"`$k`") <=> col(s"`__c_$k`")).reduce(_ && _)
     full.join(counts, cond, "left")
-      .select((keys.map(k => full(s"`$k`")) :+
-        coalesce(counts("count"), lit(0L)).as("count")): _*)
+      .select((keys.map(k => col(s"`$k`")) :+
+        coalesce(col("count"), lit(0L)).as("count")): _*)
   }
 }
 

@@ -25,17 +25,8 @@ object Ids {
     * two jobs by construction). This is the 1000-executor path: every stage
     * is parallel; the only driver data is one count per partition. */
   def denseIds(df: DataFrame, sortCols: Seq[String], start: Long,
-      idName: String): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{LongType, StructField}
-    val order = sortCols.map(c => col(s"`$c`"))
-    val sorted = df.orderBy(order: _*)
-    val schema = sorted.schema.add(StructField(idName, LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex().map { case (row, idx) =>
-      Row.fromSeq(row.toSeq :+ (idx + start))
-    }
-    df.sparkSession.createDataFrame(rdd, schema)
-  }
+      idName: String): DataFrame =
+    GraftDataset.zipDenseIds(df, sortCols, start, idName)
 
   /** Sort then assign dense sequential ids from `start`; rewrite annotation
     * FK via an old→new id map join (reset_index, dataset.py:1883-2020). */
@@ -118,14 +109,21 @@ object Ids {
     * Uniqueness of the anchor is asserted on both sides. */
   def matchIndex(ds: GraftDataset, other: GraftDataset, on: String = "relative_path",
       removeUnmatched: Boolean = false): GraftDataset = {
-    def assertUnique(df: DataFrame, side: String): Unit = {
-      val dups = df.groupBy(on).count().filter(col("count") > 1).limit(1).count()
-      require(dups == 0, s"match_index: anchor column '$on' not unique on $side side")
-    }
-    assertUnique(ds.images, "left")
-    assertUnique(other.images, "right")
-    val mapping = ds.images.select(col(on).as("__anchor"), col("id").as("__old"))
-      .join(other.images.select(col(on).as("__anchor"), col("id").as("__new")), Seq("__anchor"))
+    // one aggregated pass per side + one join serves BOTH the
+    // anchor-uniqueness asserts and the id mapping (the previous shape ran
+    // two extra full groupBy jobs just for the asserts)
+    val l = ds.images.groupBy(col(s"`$on`").as("__anchor"))
+      .agg(count(lit(1)).as("__lc"), first("id").as("__old"))
+    val r = other.images.groupBy(col(s"`$on`").as("__anchor"))
+      .agg(count(lit(1)).as("__rc"), first("id").as("__new"))
+    val joined = l.join(r, Seq("__anchor"), "full_outer").cache()
+    val mx = joined.agg(max("__lc"), max("__rc")).collect()(0)
+    require(mx.isNullAt(0) || mx.getLong(0) <= 1,
+      s"match_index: anchor column '$on' not unique on left side")
+    require(mx.isNullAt(1) || mx.getLong(1) <= 1,
+      s"match_index: anchor column '$on' not unique on right side")
+    val mapping = joined
+      .filter(col("__old").isNotNull && col("__new").isNotNull)
       .select(col("__old"), col("__new"))
     resetIndexFromMapping(ds, mapping, removeUnmapped = removeUnmatched)
   }

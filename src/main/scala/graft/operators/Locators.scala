@@ -37,13 +37,12 @@ object Locators {
   }
 
   /** Positional selection over a total order (reference `iloc` /
-    * `__getitem__` slices, dataset.py:1637-1654): stable `row_number`
-    * (ordered by id) then a [start, stop) + step filter. */
+    * `__getitem__` slices, dataset.py:1637-1654): dense positions by id
+    * order via zipWithIndex (NOT a partition-less window — a global
+    * row_number funnels the full table through one task), then a
+    * [start, stop) + step filter. */
   def ilocImages(ds: GraftDataset, start: Long, stop: Long, step: Long = 1): GraftDataset = {
-    val w = Window.orderBy(col("id"))
-    val pos = row_number().over(w).cast("long") - 1
-    val kept = ds.images
-      .withColumn("__pos", pos)
+    val kept = GraftDataset.zipDenseIds(ds.images, Seq("id"), 0, "__pos")
       .filter(col("__pos") >= start && col("__pos") < stop &&
         (col("__pos") - start) % step === 0)
       .drop("__pos")
@@ -148,12 +147,11 @@ object LocatorsExtra {
   import graft.model.GraftDataset
 
   /** Positional annotation selection (iloc_annot, indexing.py:59-126):
-    * row_number over id order, [start, stop) with step, plus the standard
-    * emptied-image option. */
+    * dense positions by id order (zipWithIndex, no global window),
+    * [start, stop) with step, plus the standard emptied-image option. */
   def ilocAnnotations(ds: GraftDataset, start: Long, stop: Long, step: Long = 1,
       removeEmptiedImages: Boolean = false): GraftDataset = {
-    val pos = row_number().over(Window.orderBy(col("id"))).cast("long") - 1
-    val kept = ds.annotations.withColumn("__pos", pos)
+    val kept = GraftDataset.zipDenseIds(ds.annotations, Seq("id"), 0, "__pos")
       .filter(col("__pos") >= start && col("__pos") < stop &&
         (col("__pos") - start) % step === 0)
       .drop("__pos")

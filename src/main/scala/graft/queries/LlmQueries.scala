@@ -112,8 +112,13 @@ object LlmQueries extends graft.QueryModule {
     // the copies are the guaranteed pairs (cosine 1), and all natural
     // pairs sit ≤ ~0.51 — far from the 0.95 threshold, so cross-engine
     // float noise cannot flip a boundary pair
+    // gate corpus capped at 1000 vectors: the synthetic embeddings are
+    // clustered, so origin-hyperplane buckets are skewed and candidate
+    // noise grows ~quadratically with corpus size regardless of
+    // plane/band choice — the cap keeps the bench measuring the operator,
+    // not the corpus's (data-dependent) LSH selectivity
     "q59_embedding_neardup" -> ((s, d) => {
-      val embs = Tables.embeddings(s, d)
+      val embs = Tables.embeddings(s, d).filter(col("vec_id") < 1000)
       val copies = embs.orderBy("vec_id").limit(20)
         .withColumn("vec_id", col("vec_id") + 1000000L)
       Dedup.embeddingNearDups(embs.unionByName(copies),
@@ -138,6 +143,22 @@ object LlmQueries extends graft.QueryModule {
         .filter(col("rk") <= 10)
         .select(col("query_id"), col("neighbor_id"), col("cosine"),
           col("rk").cast("long").as("rank"))
+    }),
+
+    // multimodal feature-extraction plumbing — FULL oracle: payloads are
+    // the documents' UTF-8 bytes (pure ASCII corpus, verified), and the
+    // stub kernel's per-stride double accumulation + one final float32
+    // quantization are both exactly reproducible in SQL. Verifies the
+    // mapPartitions kernel end-to-end: payload bytes in, per-row feature
+    // vector out, no rows dropped
+    "q61_multimodal_features" -> ((s, d) => {
+      val media = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"), col("text").cast("binary").as("payload"))
+      val feats = graft.llm.Multimodal.extractFeatures(media).toDF()
+      val fCols = (0 until 8).map(j =>
+        round(element_at(col("feature"), j + 1).cast("double"), 4).as(s"f$j"))
+      feats.select((Seq(col("media_id"),
+        col("n_bytes").cast("long").as("n_bytes")) ++ fCols): _*)
     }),
 
     // per-language text statistics — full oracle
@@ -272,7 +293,8 @@ object LlmQueries extends graft.QueryModule {
          |FROM ranked WHERE rank <= 10""".stripMargin,
 
     "q59_embedding_neardup" ->
-      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |              FROM embeddings WHERE vec_id < 1000),
          |allv AS (SELECT * FROM base
          |         UNION ALL
          |         SELECT vec_id + 1000000 AS vec_id, v FROM
@@ -307,6 +329,21 @@ object LlmQueries extends graft.QueryModule {
         |  FROM scored)
         |SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    // stride-j feature: (Σ_{i ≡ j mod 8} byte_i/255) / n_bytes · 8, summed
+    // ascending in DOUBLE then quantized through float32 — the exact
+    // arithmetic of the Scala stub kernel (ascii == byte: ASCII corpus)
+    "q61_multimodal_features" -> {
+      val fCols = (0 until 8).map { j =>
+        s"round(CAST(CAST(coalesce(list_sum(list_transform(range(${j + 1}, n + 1, 8), " +
+          s"i -> ascii(substring(text, i, 1)) / 255.0)), 0) / n * 8 AS REAL) AS DOUBLE), 4) AS f$j"
+      }.mkString(",\n       ")
+      s"""WITH f AS (SELECT doc_id AS media_id, text,
+         |                  octet_length(encode(text)) AS n FROM documents)
+         |SELECT media_id, CAST(n AS BIGINT) AS n_bytes,
+         |       $fCols
+         |FROM f""".stripMargin
+    },
 
     "q28_dedup_exact" ->
       """WITH alldocs AS (

@@ -351,6 +351,21 @@ class ReviewFixesSpec extends SparkFunSuite {
     assert(out2.images.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(100L, 101L))
   }
 
+  test("matchIndex remaps via the anchor column and rejects dup anchors") {
+    val ds = tinyDataset()
+    val other = ds.copy(images = ds.images.withColumn("id", col("id") + 100))
+    val out = Ids.matchIndex(ds, other, on = "relative_path")
+    assert(out.images.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      ds.images.select("id").collect().map(_.getLong(0) + 100).sorted.toSeq)
+    // annotations follow their images
+    assert(out.annotations.select("image_id").distinct().collect()
+      .map(_.getLong(0)).forall(_ >= 100))
+    val dup = ds.copy(images = ds.images.withColumn("relative_path", lit("same.jpg")))
+    intercept[IllegalArgumentException](Ids.matchIndex(dup, other))
+    intercept[IllegalArgumentException](Ids.matchIndex(ds, dup.copy(
+      images = dup.images.withColumn("id", col("id") + 100))))
+  }
+
   test("matches cache distinguishes minIou thresholds") {
     val images = Seq((0L, 100, 100, "a.jpg")).toDF("id", "width", "height", "relative_path")
     val gt = Seq((0L, 0L, 0, 0.0, 0.0, 10.0, 10.0))

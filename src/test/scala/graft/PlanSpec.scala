@@ -36,6 +36,11 @@ class PlanSpec extends SparkFunSuite {
     assert(!plan.contains("Window ["), s"global window found in:\n$plan")
   }
 
+  test("q10: iloc positional slice contains no single-partition global window") {
+    val plan = planOf("q10_iloc_images")
+    assert(!plan.contains("Window ["), s"global window found in:\n$plan")
+  }
+
   test("q23: PR curve pre-aggregates per (group, confidence) before the kernel") {
     // the heavy stage must be a distributed hash aggregate keyed on
     // (key, confidence) — NOT a groupByKey(key) that bounds parallelism by
@@ -49,6 +54,20 @@ class PlanSpec extends SparkFunSuite {
     val plan = planOf("q32_cosine_topk")
     assert(plan.contains("graft_cosine"))
     assert(!plan.contains("zip_with"))
+  }
+
+  test("band self-joins stay hash joins — never cartesian/nested-loop") {
+    // the near-dup candidate joins are equality joins on band keys; a
+    // refactor that breaks the join condition (e.g. same-lineage column
+    // resolution collapsing to `true`) would silently plan a cross join
+    // and melt at scale. q32 is exempt: its brute-force path broadcasts a
+    // tiny query set by design.
+    for (q <- Seq("q29_minhash_neardup", "q30_simhash_neardup",
+        "q59_embedding_neardup", "q33_lsh_topk")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian join")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
+    }
   }
 }
 
