@@ -70,7 +70,11 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // any failure invalidates the headline total: summing -1 sentinels
+    // would make a BROKEN run's total smaller (= look faster) than an
+    // honest passing run
+    val total =
+      if (failures.nonEmpty) -1.0 else results.map(_._2).sum
     val repTotals = passes.map(_.values.sum)
       .map(v => f"$v%.2f").mkString("[", ",", "]")
     val failJson = failures.map { case (k, v) => "\"" + k + "\":" + v }

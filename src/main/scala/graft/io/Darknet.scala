@@ -34,14 +34,11 @@ object Darknet {
       classNames: Seq[String], split: Option[String] = None,
       datasetName: Option[String] = None): GraftDataset = {
     val labelMap = classNames.zipWithIndex.map(_.swap).toMap
-    val dirAbs = java.nio.file.Paths.get(labelsDir).toAbsolutePath.normalize.toString
-      .stripSuffix("/")
     val raw = spark.read.option("recursiveFileLookup", "true")
       .option("pathGlobFilter", "*.txt").textFile(labelsDir).toDF("line")
-      .withColumn("file", regexp_replace(input_file_name(), "^file:/+", "/"))
       .filter(length(trim(col("line"))) > 0)
-      .withColumn("stem", regexp_extract(col("file"),
-        "^" + java.util.regex.Pattern.quote(dirAbs) + "/(.+)\\.txt$", 1))
+      .withColumn("stem",
+        Stems.relativeStem(spark, labelsDir, input_file_name(), ".txt"))
       .withColumn("parts",
         org.apache.spark.sql.functions.split(trim(col("line")), "\\s+"))
     val imgs = images.withColumn("stem", stemOf(col("relative_path")))

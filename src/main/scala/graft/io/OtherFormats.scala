@@ -119,15 +119,11 @@ object PascalVoc {
     import spark.implicits._
     // recursive + dir-relative stems: nested XML trees load, and images in
     // different subdirectories with the same basename keep distinct ids
-    val dirAbs = java.nio.file.Paths.get(annotationsDir).toAbsolutePath
-      .normalize.toString.stripSuffix("/")
     val files = spark.read.option("wholetext", true)
       .option("recursiveFileLookup", "true").option("pathGlobFilter", "*.xml")
       .text(annotationsDir)
-      .withColumn("file", regexp_replace(input_file_name(), "^file:/+", "/"))
-      .select(regexp_extract(col("file"),
-        "^" + java.util.regex.Pattern.quote(dirAbs) + "/(.+)\\.xml$", 1).as("stem"),
-        col("value"))
+      .select(Stems.relativeStem(spark, annotationsDir, input_file_name(), ".xml")
+        .as("stem"), col("value"))
       .as[(String, String)]
     val rows = files.mapPartitions(_.flatMap { case (stem, xml) => parseDoc(stem, xml) })
       .toDF()

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.model.{GraftDataset, LabelMaps}
+import graft.model.GraftDataset
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StringType}
@@ -120,17 +120,36 @@ object Remap {
     remapClasses(ds, p.mapping, p.names, removeNotMapped, removeEmptiedImages)
   }
 
-  /** Align this dataset's category ids to another's label map by name;
-    * names missing from `other` get lowest-free ids
-    * (remap_from_other, dataset.py:3794-4015). */
+  /** Align this dataset's category ids to another's label map by name
+    * (remap_from_other, dataset.py:3794-4015). Mirrors the reference
+    * exactly: a name present in `other` takes other's id; an absent name
+    * (kept only when `!removeNotMapped`) keeps its own id UNLESS that id
+    * collides with one of other's ids, in which case it gets the lowest
+    * value missing from ds ids ∪ other ids ∪ already-allocated ids (first
+    * gap strictly between sorted used values, else max+1). NO new-name
+    * overlay: the result label map carries only categories this dataset
+    * actually maps — other's unmatched categories must not leak in. */
   def remapFromOther(ds: GraftDataset, other: GraftDataset,
       removeNotMapped: Boolean = false): GraftDataset = {
-    val target = LabelMaps.allocateMissing(other.labelMap, ds.labelMap.values.toSeq)
-    val byName = target.map(_.swap)
-    val mapping = ds.labelMap.collect {
-      case (id, name) if byName.contains(name) => id -> byName(name)
+    val byName = other.labelMap.map(_.swap)
+    def lowestMissing(used: Iterable[Int]): Int = {
+      val sorted = used.toSet.toSeq.sorted
+      sorted.zip(sorted.tail)
+        .collectFirst { case (a, b) if b - a > 1 => a + 1 }
+        .getOrElse(sorted.max + 1)
     }
-    remapClasses(ds, mapping, target, removeNotMapped)
+    var mapping = Map.empty[Int, Int]
+    for ((k, v) <- ds.labelMap.toSeq.sortBy(_._1)) {
+      byName.get(v) match {
+        case Some(newId) => mapping += k -> newId
+        case None if !removeNotMapped =>
+          mapping += k -> (if (other.labelMap.contains(k))
+            lowestMissing(ds.labelMap.keys ++ other.labelMap.keys ++ mapping.values)
+          else k)
+        case None => ()
+      }
+    }
+    remapClasses(ds, mapping, Map.empty, removeNotMapped)
   }
 }
 

@@ -334,9 +334,12 @@ object LlmQueries extends graft.QueryModule {
     // ascending in DOUBLE then quantized through float32 — the exact
     // arithmetic of the Scala stub kernel (ascii == byte: ASCII corpus)
     "q61_multimodal_features" -> {
+      // nullif(n, 0) + outer coalesce: an empty text must yield 0.0
+      // features exactly like the Scala kernel's empty-payload branch,
+      // not a division-by-zero
       val fCols = (0 until 8).map { j =>
-        s"round(CAST(CAST(coalesce(list_sum(list_transform(range(${j + 1}, n + 1, 8), " +
-          s"i -> ascii(substring(text, i, 1)) / 255.0)), 0) / n * 8 AS REAL) AS DOUBLE), 4) AS f$j"
+        s"round(CAST(CAST(coalesce(coalesce(list_sum(list_transform(range(${j + 1}, n + 1, 8), " +
+          s"i -> ascii(substring(text, i, 1)) / 255.0)), 0) / nullif(n, 0) * 8, 0) AS REAL) AS DOUBLE), 4) AS f$j"
       }.mkString(",\n       ")
       s"""WITH f AS (SELECT doc_id AS media_id, text,
          |                  octet_length(encode(text)) AS n FROM documents)

@@ -108,6 +108,10 @@ object Splitter {
           .drop("__k", "__atom_min")
           .withColumn("__atom", col("__atom2")).drop("__atom2")
       }
+      // cache the propagated frame: it is materialized twice per round
+      // (the parents aggregate below, then `applied`) — without this the
+      // K-join propagation pipeline recomputes for each action
+      next = next.cache()
       // label-graph contraction: this pass's merges form `old label → new
       // label` edges; pointer-jump that (much smaller) parent table to its
       // roots so a chain of D pairwise merges collapses in O(log D) small
@@ -150,6 +154,7 @@ object Splitter {
       val after = atomSum(applied, "__atom") // single convergence aggregate
       converged = after.compareTo(prevSum) == 0
       prevSum = after
+      next.unpersist()
       if (prevCached != null) prevCached.unpersist()
       prevCached = applied
       cur = applied

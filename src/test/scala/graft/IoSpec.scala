@@ -96,12 +96,35 @@ class DarknetSpec extends SparkFunSuite {
     val back = Darknet.fromDarknet(spark, outDir + "/labels", images,
       Seq("cat", "dog"), split = Some("train"))
     assert(Diff.datasetsEqual(
-      ds.copy(annotations = ds.annotations.drop("id")).reordered
-        .copy(annotations = graft.model.GraftDataset.defaultAnnotColumns(
-          ds.annotations.drop("id"))),
-      back.copy(annotations = graft.model.GraftDataset.defaultAnnotColumns(
-        back.annotations.drop("id")))))
+      dsEq1(ds), dsEq2(back)))
   }
+
+  private def dsEq1(ds: graft.model.GraftDataset) =
+    ds.copy(annotations = ds.annotations.drop("id")).reordered
+      .copy(annotations = graft.model.GraftDataset.defaultAnnotColumns(
+        ds.annotations.drop("id")))
+  private def dsEq2(back: graft.model.GraftDataset) =
+    back.copy(annotations = graft.model.GraftDataset.defaultAnnotColumns(
+      back.annotations.drop("id")))
+
+  test("fromDarknet: nested label tree under a path with a space; basename collision") {
+    // the stem join must survive (a) URI-encoded characters in the dir
+    // path and (b) same-basename label files in different subdirectories
+    val dir = Files.createTempDirectory("darknet sp").toString
+    Files.createDirectories(Paths.get(dir, "labels", "sub a"))
+    Files.writeString(Paths.get(dir, "labels", "sub a", "img1.txt"), "0 0.5 0.5 0.2 0.1\n")
+    Files.writeString(Paths.get(dir, "labels", "img1.txt"), "1 0.5 0.5 0.2 0.1\n")
+    val images = Seq(
+      (0L, 100, 200, "sub a/img1.jpg"), (1L, 100, 100, "img1.jpg")
+    ).toDF("id", "width", "height", "relative_path")
+    val ds = Darknet.fromDarknet(spark, dir + "/labels", images,
+      Seq("cat", "dog"), split = Some("train"))
+    assert(ds.numAnnotations == 2)
+    val m = ds.annotations.select("image_id", "category_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(m == Map(0L -> 0, 1L -> 1))
+  }
+
 }
 
 class CaipySpec extends SparkFunSuite {

@@ -212,6 +212,24 @@ class RemapAppendSpec extends SparkFunSuite {
       .select("category_id").distinct().collect().map(_.getInt(0)).toSeq == Seq(7))
   }
 
+  test("remapFromOther: no label leakage from other; collision gets gap id") {
+    val ds = tinyDataset() // categories 0, 1
+    // other names a category ds doesn't have ('plane') — it must NOT leak
+    // into the result label map (reference passes no new_names)
+    val other = tinyDataset().copy(
+      labelMap = Map(3 -> "car", 7 -> "person", 9 -> "plane"))
+    val out = Remap.remapFromOther(tinyDataset(), other)
+    assert(out.labelMap == Map(3 -> "car", 7 -> "person"))
+    // unmatched name whose id collides with one of other's ids → lowest
+    // value missing from the combined used set (first gap between sorted
+    // used values); non-colliding unmatched names keep identity
+    val ds2 = tinyDataset().copy(labelMap = Map(0 -> "person", 3 -> "bike"))
+    val other2 = tinyDataset().copy(labelMap = Map(3 -> "person"))
+    val out2 = Remap.remapFromOther(ds2, other2)
+    // person: 0→3; bike: id 3 collides with other's {3} → gap in {0,3,3} = 1
+    assert(out2.labelMap == Map(3 -> "person", 1 -> "bike"))
+  }
+
   test("appendAnnotations allocates fresh ids and merges label map") {
     val ds = tinyDataset()
     val batch = Seq((0L, 9, 1.0, 1.0, 5.0, 5.0), (3L, 9, 2.0, 2.0, 6.0, 6.0))
