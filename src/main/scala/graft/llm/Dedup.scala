@@ -145,6 +145,34 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Near-duplicate CLUSTERS: connected components over the verified
+    * near-dup pair graph. Every document gets `cluster_id` = the smallest
+    * doc id transitively reachable through near-dup links (singletons
+    * cluster with themselves) — the keep-one-per-cluster shape a dedup
+    * pipeline actually consumes, where A~B and B~C must collapse to ONE
+    * cluster even if A~C was never directly found.
+    *
+    * Components run through the splitter's contraction atomizer over the
+    * (node, edge) incidence frame — O(log D) convergence, fully
+    * distributed, no driver-side graph. */
+  def nearDupClusters(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", threshold: Double = 0.7): DataFrame = {
+    val pairs = minHashNearDups(docs, textCol, idCol, threshold = threshold)
+    val ek = concat_ws(":", col("id_a"), col("id_b"))
+    // localCheckpoint: the atomizer drives many small actions over its
+    // input, each of which would otherwise re-run the whole LSH pair
+    // pipeline from scratch (measured 22s → ~5s at sf0.1)
+    val incidence = pairs.select(col("id_a").as("id"), ek.as("__edge"))
+      .unionByName(pairs.select(col("id_b").as("id"), ek.as("__edge")))
+      .localCheckpoint()
+    val labeled = graft.split.Splitter.makeAtomicChunks(incidence, Seq("id", "__edge"))
+    val comp = labeled.groupBy(col("id")).agg(min("__atom").as("cluster_id"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(comp, col("doc_id") === comp("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+  }
+
   // -------------------------------------------------------------- SimHash
 
   /** The 64-bit word hash behind SimHash: the first 16 hex chars of

@@ -71,6 +71,44 @@ object TextAnalysis {
       lengthScore * 0.4 + swScore * 0.4 + (lit(1.0) - noise) * 0.2))
   }
 
+  /** Word-level repetition share: 1 − distinct/total over lowercased
+    * whitespace tokens (the Gopher-style duplicate-content signal). */
+  def repetitionRatio(text: Column): Column = {
+    val words = split(lower(trim(text)), "\\s+")
+    when(size(words) === 0, 0.0)
+      .otherwise(lit(1.0) -
+        size(array_distinct(words)).cast("double") / size(words))
+  }
+
+  /** Rule-based keep/drop verdict with machine-readable reasons — the
+    * standard pretraining-filter shape (Gopher/C4-style document rules).
+    * Returns `struct(keep boolean, reasons array<string>)`; reasons are in
+    * fixed rule order so downstream aggregation is deterministic. All
+    * signals are exact integer ratios, so verdicts are reproducible
+    * bit-for-bit in any engine. */
+  def qualityRules(text: Column,
+      minTokens: Int = 10, maxTokens: Int = 100000,
+      minMeanWordLen: Double = 2.0, maxMeanWordLen: Double = 12.0,
+      minStopwordRatio: Double = 0.0, maxRepetitionRatio: Double = 1.0): Column = {
+    val reasons = array_compact(array(
+      when(tokenCount(text) < minTokens, "too_short"),
+      when(tokenCount(text) > maxTokens, "too_long"),
+      when(meanWordLength(text) < minMeanWordLen, "words_too_short"),
+      when(meanWordLength(text) > maxMeanWordLen, "words_too_long"),
+      when(stopwordRatio(text) < minStopwordRatio, "low_stopword"),
+      when(repetitionRatio(text) > maxRepetitionRatio, "repetitive")))
+    struct((size(reasons) === 0).as("keep"), reasons.as("reasons"))
+  }
+
+  /** Apply [[qualityRules]] and keep only passing documents. */
+  def qualityFilter(docs: DataFrame, textCol: String = "text",
+      minTokens: Int = 10, maxTokens: Int = 100000,
+      minMeanWordLen: Double = 2.0, maxMeanWordLen: Double = 12.0,
+      minStopwordRatio: Double = 0.0, maxRepetitionRatio: Double = 1.0): DataFrame =
+    docs.filter(qualityRules(col(textCol), minTokens, maxTokens,
+      minMeanWordLen, maxMeanWordLen, minStopwordRatio, maxRepetitionRatio)
+      .getField("keep"))
+
   /** Tiny per-language function-word vocabularies for the n-gram/stopword
     * language-ID heuristic. */
   val langVocab: Map[String, Seq[String]] = Map(

@@ -161,6 +161,29 @@ object LlmQueries extends graft.QueryModule {
         col("n_bytes").cast("long").as("n_bytes")) ++ fCols): _*)
     }),
 
+    // near-dup CLUSTERS (connected components over the verified pair
+    // graph) — full oracle via recursive transitive closure. Transitivity
+    // makes this STRICTER than q29's pair check: A~B~C must collapse into
+    // one cluster even where A~C was never directly emitted. Same corpus
+    // caveat as q29 (see docsWithDups); clustering is additionally robust
+    // to a missed pair that is bridged by another path
+    "q62_neardup_clusters" -> ((s, d) => {
+      Dedup.nearDupClusters(docsWithDups(s, d), threshold = 0.7)
+    }),
+
+    // Gopher/C4-style rule filter — full oracle: every signal is an exact
+    // integer ratio (token counts, distinct/total), so keep/drop verdicts
+    // and machine-readable reasons reproduce bit-for-bit in SQL.
+    // Thresholds chosen to actually split the synthetic corpus
+    // (n_tok 10..99 median 56; swr median 0.06; rep median 0.54)
+    "q63_quality_rules" -> ((s, d) => {
+      val v = TextAnalysis.qualityRules(col("text"), minTokens = 25,
+        minStopwordRatio = 0.02, maxRepetitionRatio = 0.65)
+      Tables.documents(s, d).select(col("doc_id"),
+        v.getField("keep").as("keep"),
+        concat_ws(",", v.getField("reasons")).as("reasons"))
+    }),
+
     // per-language text statistics — full oracle
     "q34_text_stats" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -347,6 +370,65 @@ object LlmQueries extends graft.QueryModule {
          |       $fCols
          |FROM f""".stripMargin
     },
+
+    // recursive closure over the exact all-pairs near-dup graph:
+    // cluster_id = min doc id transitively reachable
+    "q62_neardup_clusters" ->
+      """WITH RECURSIVE alldocs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM
+        |    (SELECT * FROM documents ORDER BY doc_id LIMIT 20)),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(range(1, len(w) - 1),
+        |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |        FROM alldocs)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |          / len(list_distinct(list_concat(a.s, b.s))) >= 0.7),
+        |bidir AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM alldocs
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN bidir e ON r.b = e.a)
+        |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY a""".stripMargin,
+
+    "q63_quality_rules" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+         |    CASE WHEN len(string_split_regex(trim(text), '\\s+')) = 0 THEN 0.0
+         |         ELSE CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+         |                                           x -> length(x))) AS DOUBLE)
+         |              / len(string_split_regex(trim(text), '\\s+')) END AS mwl,
+         |    CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) = 0 THEN 0.0
+         |         ELSE CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |                                   x -> list_contains([$sw], x))) AS DOUBLE)
+         |              / len(string_split_regex(lower(trim(text)), '\\s+')) END AS swr,
+         |    CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) = 0 THEN 0.0
+         |         ELSE 1.0 - CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS DOUBLE)
+         |              / len(string_split_regex(lower(trim(text)), '\\s+')) END AS rep
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, list_filter([
+         |    CASE WHEN n_tok < 25 THEN 'too_short' END,
+         |    CASE WHEN n_tok > 100000 THEN 'too_long' END,
+         |    CASE WHEN mwl < 2.0 THEN 'words_too_short' END,
+         |    CASE WHEN mwl > 12.0 THEN 'words_too_long' END,
+         |    CASE WHEN swr < 0.02 THEN 'low_stopword' END,
+         |    CASE WHEN rep > 0.65 THEN 'repetitive' END], x -> x IS NOT NULL) AS reasons
+         |  FROM t)
+         |SELECT doc_id, len(reasons) = 0 AS keep,
+         |       coalesce(array_to_string(reasons, ','), '') AS reasons
+         |FROM r""".stripMargin,
 
     "q28_dedup_exact" ->
       """WITH alldocs AS (

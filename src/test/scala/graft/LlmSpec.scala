@@ -54,6 +54,15 @@ class DedupSpec extends SparkFunSuite {
     assert(j == 0.5) // |{b,c}| / |{a,b,c,d}|
   }
 
+  test("nearDupClusters: transitive chains collapse; singletons self-cluster") {
+    // 0~1 and 1~2 are near-dups but 0~2 may be weaker — the cluster must
+    // still unite all three (transitivity), and 3 stays alone
+    val out = Dedup.nearDupClusters(docs(), threshold = 0.4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) == 0L && out(1L) == 0L && out(2L) == 0L && out(4L) == 0L)
+    assert(out(3L) == 3L) // unrelated text: its own cluster
+  }
+
   test("q29 corpus has no pairs in the banding-miss-prone Jaccard band") {
     // q29's gate is probabilistic-vs-exact (8×4 banding + estimate
     // prefilter vs all-pairs DuckDB Jaccard); it is only deterministic
@@ -158,6 +167,33 @@ class TextAnalysisSpec extends SparkFunSuite {
     val r = df.select(TextAnalysis.fingerprint(col("a")).as("fa"),
       TextAnalysis.fingerprint(col("b")).as("fb")).collect()(0)
     assert(r.getString(0) == r.getString(1))
+  }
+
+  test("repetitionRatio: distinct share of lowercased tokens") {
+    val df = Seq("a A a b", "a b c d", "").toDF("t")
+    val r = df.select(TextAnalysis.repetitionRatio(col("t"))).collect().map(_.getDouble(0))
+    assert(r(0) == 0.5)  // {a, b} of 4 tokens
+    assert(r(1) == 0.0)
+    assert(r(2) == 0.0)
+  }
+
+  test("qualityRules emits ordered reasons and keep verdict") {
+    val df = Seq(
+      "the cat sat on the mat with a hat and a bat near the flat",  // clean
+      "spam spam spam spam spam spam",                              // repetitive+short+no stopwords
+      "ok").toDF("t")                                               // too short
+    val v = TextAnalysis.qualityRules(col("t"), minTokens = 5,
+      minStopwordRatio = 0.05, maxRepetitionRatio = 0.5)
+    val rows = df.select(v.getField("keep").as("k"),
+      concat_ws(",", v.getField("reasons")).as("r")).collect()
+    assert(rows(0).getBoolean(0) && rows(0).getString(1) == "")
+    assert(!rows(1).getBoolean(0) &&
+      rows(1).getString(1) == "low_stopword,repetitive")
+    assert(!rows(2).getBoolean(0) &&
+      rows(2).getString(1).startsWith("too_short"))
+    // qualityFilter keeps exactly the passing rows
+    assert(TextAnalysis.qualityFilter(df, "t", minTokens = 5,
+      minStopwordRatio = 0.05, maxRepetitionRatio = 0.5).count() == 1)
   }
 
   test("qualityScore rewards stopword-rich prose, penalizes noise") {
