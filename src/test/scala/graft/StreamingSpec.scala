@@ -86,6 +86,24 @@ class IvfStreamDedupSpec extends SparkFunSuite {
     assert(out.count() == 2)
   }
 
+  test("quality rules apply unchanged on a stream (stateless column exprs)") {
+    val dir = java.nio.file.Files.createTempDirectory("qr_stream").toString
+    val docs = Seq(
+      (0L, "the cat sat on the mat with a hat and a bat by the flat"),
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "ok")).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val filtered = graft.llm.TextAnalysis.qualityFilter(stream, "text",
+      minTokens = 5, minStopwordRatio = 0.05, maxRepetitionRatio = 0.5)
+    assert(filtered.isStreaming)
+    val q = filtered.writeStream.format("memory").queryName("qr_mem")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val kept = spark.table("qr_mem").collect().map(_.getAs[Long]("doc_id"))
+    assert(kept.toSeq == Seq(0L))
+  }
+
   test("bestF1 picks the max-f1 row per group; confusionWide pivots") {
     val pr = Seq(
       (0, 0.9, 0.5, 0.6, 0.8), (0, 0.8, 0.7, 0.75, 0.5), (1, 1.0, 0.1, 0.18, 0.9)
