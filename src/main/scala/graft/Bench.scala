@@ -75,7 +75,10 @@ object Bench {
     // honest passing run
     val total =
       if (failures.nonEmpty) -1.0 else results.map(_._2).sum
-    val repTotals = passes.map(_.values.sum)
+    // a rep containing any failure reports -1, not a sum with -1 sentinels
+    // folded in (which would read as a FASTER rep)
+    val repTotals = passes
+      .map(p => if (p.values.exists(_ < 0)) -1.0 else p.values.sum)
       .map(v => f"$v%.2f").mkString("[", ",", "]")
     val failJson = failures.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

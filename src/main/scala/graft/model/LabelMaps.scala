@@ -30,17 +30,4 @@ object LabelMaps {
     require(dupNames.isEmpty, s"label map not bijective: duplicate names ${dupNames.mkString(",")}")
   }
 
-  /** Allocate ids for names missing from `base`, using the lowest missing
-    * values (remap_from_other collision policy, dataset.py:3794-4015). */
-  def allocateMissing(base: Map[Int, String], names: Seq[String]): Map[Int, String] = {
-    val have = base.values.toSet
-    val used = scala.collection.mutable.Set[Int](base.keySet.toSeq: _*)
-    var next = 0
-    val added = names.filterNot(have).map { n =>
-      while (used(next)) next += 1
-      used += next
-      next -> n
-    }
-    base ++ added
-  }
 }

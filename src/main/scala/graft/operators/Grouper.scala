@@ -139,8 +139,11 @@ object Grouper {
     // same-lineage `full(k) <=> counts(k)` conditions trip Spark's
     // "trivially true equals predicate" disambiguation (it resolves
     // correctly today but is one refactor from a silent cross join)
-    val counts = df.groupBy(keys.map(c => col(s"`$c`")): _*).count()
-      .select(keys.map(k => col(s"`$k`").as(s"__c_$k")) :+ col("count"): _*)
+    // "__hist_count" rather than "count": a caller-supplied key column
+    // named "count" would otherwise make the post-join reference ambiguous
+    val counts = df.groupBy(keys.map(c => col(s"`$c`")): _*)
+      .agg(count(lit(1)).as("__hist_count"))
+      .select(keys.map(k => col(s"`$k`").as(s"__c_$k")) :+ col("__hist_count"): _*)
     val full = keys.map(k => df.select(col(s"`$k`")).distinct())
       .reduce((a, b) => a.crossJoin(b))
     // null-SAFE join keys: a plain equality join would never match the
@@ -148,7 +151,7 @@ object Grouper {
     val cond = keys.map(k => col(s"`$k`") <=> col(s"`__c_$k`")).reduce(_ && _)
     full.join(counts, cond, "left")
       .select((keys.map(k => col(s"`$k`")) :+
-        coalesce(col("count"), lit(0L)).as("count")): _*)
+        coalesce(col("__hist_count"), lit(0L)).as("count")): _*)
   }
 }
 

@@ -116,7 +116,10 @@ object Ids {
       .agg(count(lit(1)).as("__lc"), first("id").as("__old"))
     val r = other.images.groupBy(col(s"`$on`").as("__anchor"))
       .agg(count(lit(1)).as("__rc"), first("id").as("__new"))
-    val joined = l.join(r, Seq("__anchor"), "full_outer").cache()
+    // localCheckpoint, not cache: consumed by two actions here, and a
+    // CacheManager entry would pin executor memory for the session —
+    // checkpoint blocks are freed when the frame is garbage-collected
+    val joined = l.join(r, Seq("__anchor"), "full_outer").localCheckpoint()
     val mx = joined.agg(max("__lc"), max("__rc")).collect()(0)
     require(mx.isNullAt(0) || mx.getLong(0) <= 1,
       s"match_index: anchor column '$on' not unique on left side")

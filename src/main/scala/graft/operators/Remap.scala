@@ -34,9 +34,16 @@ object Remap {
       if (removeNotMapped) mapping
       else mapping ++ ds.labelMap.keysIterator
         .filterNot(mapping.contains).map(k => k -> k)
+    // deterministic fused-name deduction: iterate ascending input id with
+    // last-wins (the reference iterates class_mapping insertion order —
+    // row order of a preset/CSV, which is ascending input id in practice;
+    // raw HashMap iteration order would let an unrelated entry flip which
+    // source class names a fused output)
     val newLabelMap: Map[Int, String] =
-      effMapping.collect {
-        case (in, out) if ds.labelMap.contains(in) => out -> ds.labelMap(in)
+      effMapping.toSeq.sortBy(_._1).foldLeft(Map.empty[Int, String]) {
+        case (acc, (in, out)) if ds.labelMap.contains(in) =>
+          acc + (out -> ds.labelMap(in))
+        case (acc, _) => acc
       } ++ newNames
     val mapExpr =
       if (effMapping.isEmpty) lit(null).cast(IntegerType)
@@ -171,6 +178,32 @@ object RemapPresets {
     * so additions register here). */
   private val presetFiles = Seq("coco_to_pascalvoc.csv", "coco_to_supercategory.csv")
 
+  /** Minimal quote-aware CSV field splitter (RFC-4180 subset: double
+    * quotes guard embedded commas, "" escapes a quote) — the reference
+    * loads presets with pandas read_csv, so a future preset row like
+    * `15,"bench, long",3,outdoor` must not silently shift fields. */
+  private[graft] def splitCsvLine(line: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuotes = false
+    var i = 0
+    while (i < line.length) {
+      val c = line(i)
+      if (inQuotes) {
+        if (c == '"' && i + 1 < line.length && line(i + 1) == '"') { cur += '"'; i += 1 }
+        else if (c == '"') inQuotes = false
+        else cur += c
+      } else c match {
+        case '"' => inQuotes = true
+        case ',' => out += cur.result().trim; cur.clear()
+        case _ => cur += c
+      }
+      i += 1
+    }
+    out += cur.result().trim
+    out.result()
+  }
+
   /** (input_id, input_name, output_id, output_name) rows, CSV order. */
   private def parse(resource: String): Seq[(Int, String, Int, String)] = {
     val in = getClass.getResourceAsStream(s"/graft/remap_presets/$resource")
@@ -178,9 +211,9 @@ object RemapPresets {
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
       finally in.close()
-    val header = lines.head.split(",", -1).map(_.trim).zipWithIndex.toMap
+    val header = splitCsvLine(lines.head).zipWithIndex.toMap
     lines.tail.filter(_.nonEmpty).map { l =>
-      val f = l.split(",", -1).map(_.trim)
+      val f = splitCsvLine(l)
       (f(header("input_category_id")).toInt, f(header("input_category_name")),
         f(header("output_category_id")).toInt, f(header("output_category_name")))
     }

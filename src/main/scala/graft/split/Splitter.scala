@@ -146,11 +146,11 @@ object Splitter {
           Seq("__atom"), "left")
         .withColumn("__atom", coalesce(col("__root"), col("__atom")))
         .drop("__root", "__atom_prev")
-      // lineage fence: the per-iteration joins nest plans ~keyCols deep
-      // each round; localCheckpoint truncates lineage before plan depth /
-      // optimizer cost blows up on long convergence runs
-      val applied =
-        if (iters % 4 == 3) applied0.localCheckpoint() else applied0.cache()
+      // localCheckpoint EVERY round (not cache): truncating lineage keeps
+      // plan depth flat over long convergence runs, and — unlike a cached
+      // round layered on an earlier checkpoint — leaves no frame whose
+      // only recompute path runs through blocks a later unpersist deletes
+      val applied = applied0.localCheckpoint()
       val after = atomSum(applied, "__atom") // single convergence aggregate
       converged = after.compareTo(prevSum) == 0
       prevSum = after

@@ -58,8 +58,6 @@ class ModelSpec extends SparkFunSuite {
     LabelMaps.assertBijective(Map(0 -> "a", 1 -> "b"))
     intercept[IllegalArgumentException](
       LabelMaps.assertBijective(Map(0 -> "a", 1 -> "a")))
-    assert(LabelMaps.allocateMissing(Map(1 -> "a"), Seq("a", "b", "c")) ==
-      Map(1 -> "a", 0 -> "b", 2 -> "c"))
   }
 
   test("parquet roundtrip preserves tables and metadata") {

@@ -188,6 +188,16 @@ class RemapAppendSpec extends SparkFunSuite {
     assert(err.getMessage.contains("coco\t->\tpascalvoc"))
   }
 
+  test("preset CSV splitter honors quoted commas and escaped quotes") {
+    import graft.operators.RemapPresets
+    assert(RemapPresets.splitCsvLine("1,person,15,person") ==
+      Vector("1", "person", "15", "person"))
+    assert(RemapPresets.splitCsvLine("15,\"bench, long\",3,outdoor") ==
+      Vector("15", "bench, long", "3", "outdoor"))
+    assert(RemapPresets.splitCsvLine("1,\"say \"\"hi\"\"\",2,x") ==
+      Vector("1", "say \"hi\"", "2", "x"))
+  }
+
   test("remapFromCsv reads the mapping table through spark.read.csv") {
     val dir = java.nio.file.Files.createTempDirectory("remap_csv")
     val p = dir.resolve("m.csv")
