@@ -63,6 +63,40 @@ class DedupSpec extends SparkFunSuite {
     assert(out(3L) == 3L) // unrelated text: its own cluster
   }
 
+  test("nearDupClusters invariants on a seeded random corpus") {
+    // seeded corpus with planted duplicate groups of varying size
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "fox",
+      "golf", "hotel", "india", "juliet", "kilo", "lima", "mike")
+    def sentence() = Seq.fill(12 + rnd.nextInt(8))(
+      vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val base = (0 until 40).map(i => (i.toLong, sentence()))
+    val planted = (0 until 8).flatMap { g =>
+      val src = base(g)._2
+      (1 to 1 + g % 3).map(c => ((100 + g * 10 + c).toLong, src))
+    }
+    val docs = (base ++ planted).toDF("doc_id", "text")
+    val clusters = Dedup.nearDupClusters(docs, threshold = 0.6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // partition: every doc appears exactly once
+    assert(clusters.keySet == (base ++ planted).map(_._1).toSet)
+    // every verified near-dup pair is co-clustered
+    val pairs = Dedup.minHashNearDups(docs, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // cluster id is the minimum member id
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid, s"cluster $cid not keyed by min member")
+    }
+    // planted copies land with their source
+    (0 until 8).foreach { g =>
+      assert(clusters((100 + g * 10 + 1).toLong) == clusters(g.toLong),
+        s"planted copy of doc $g not co-clustered")
+    }
+  }
+
   test("q29 corpus has no pairs in the banding-miss-prone Jaccard band") {
     // q29's gate is probabilistic-vs-exact (8×4 banding + estimate
     // prefilter vs all-pairs DuckDB Jaccard); it is only deterministic
