@@ -139,11 +139,17 @@ object Yolov5 {
     val splits = ds.images.select("split").distinct().collect()
       .flatMap(r => Option(r.getString(0))).sorted.toSeq
     splits.foreach { s =>
-      val paths = ds.images.filter(col("split") === s)
-        .select(concat(lit("images/"), col("relative_path")))
-        .orderBy("relative_path").collect().map(_.getString(0))
-      java.nio.file.Files.writeString(base.resolve(s"$s.txt"),
-        paths.mkString("", "\n", "\n"))
+      // stream the per-split image list to the file handle instead of
+      // collecting every path to driver memory (a split list is one line
+      // per image — collect() here was the to_coco-style scale hazard);
+      // toLocalIterator pulls one partition at a time, in sort order
+      val it = ds.images.filter(col("split") === s)
+        .select(concat(lit("images/"), col("relative_path")).as("p"))
+        .orderBy("relative_path")
+        .toLocalIterator()
+      val w = java.nio.file.Files.newBufferedWriter(base.resolve(s"$s.txt"))
+      try while (it.hasNext) { w.write(it.next().getString(0)); w.write("\n") }
+      finally w.close()
     }
     val splitLines = splits.map(s => s"$s: $s.txt").mkString("\n")
     java.nio.file.Files.writeString(base.resolve("data.yaml"),
