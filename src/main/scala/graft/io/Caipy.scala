@@ -37,19 +37,27 @@ object Caipy {
     df.select(sel: _*)
   }
 
-  /** Load a caipy tree: `Annotations/{split}/&#42;.json`. */
+  /** Load a caipy tree: `Annotations/{split}/&#42;.json`.
+    *
+    * `documentSchema` (the per-document struct: `image`, `annotations`)
+    * skips multiLine schema inference — inference is a full extra parse of
+    * every file, the dominant load cost on trees of many small JSONs.
+    * Callers with a caipy JSON schema (the from_caipy_generic contract)
+    * should pass one; omitted → inferred, lossless. */
   def fromCaipy(spark: SparkSession, root: String,
       splits: Seq[String] = Seq("train", "valid"),
-      datasetName: Option[String] = None): GraftDataset = {
+      datasetName: Option[String] = None,
+      documentSchema: Option[StructType] = None): GraftDataset = {
     val perSplit = splits.filter { s =>
       java.nio.file.Files.isDirectory(java.nio.file.Paths.get(root, "Annotations", s))
     }.map { s =>
       // recursive lookup: reference trees keep each image's subdirectory
       // structure under the split dir (caipy.py:464-492) — a flat glob
       // would silently skip nested JSONs
-      spark.read.option("multiLine", true)
+      val reader = spark.read.option("multiLine", true)
         .option("recursiveFileLookup", true)
         .option("pathGlobFilter", "*.json")
+      documentSchema.fold(reader)(reader.schema)
         .json(s"$root/Annotations/$s")
         .withColumn("split", lit(s))
     }

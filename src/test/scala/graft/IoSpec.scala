@@ -171,6 +171,22 @@ class CaipySpec extends SparkFunSuite {
       collectSorted(ds.annotations.select("id", "image_id", "box_x_min", "box_width")))
     assert(back.annotations.filter(col("`attributes.occluded`") === true).count() == 1)
   }
+
+  test("fromCaipy with explicit documentSchema skips inference, loads equal") {
+    val root = Files.createTempDirectory("caipy_sch").toString
+    writeFixture(root)
+    val inferred = Caipy.fromCaipy(spark, root)
+    // reuse the inferred document schema as the explicit one: the two
+    // paths must produce identical tables (minus the added split column)
+    val docSchema = spark.read.option("multiLine", true)
+      .option("recursiveFileLookup", true).option("pathGlobFilter", "*.json")
+      .json(s"$root/Annotations/train").schema
+    val explicit = Caipy.fromCaipy(spark, root,
+      documentSchema = Some(docSchema))
+    assert(collectSorted(explicit.annotations.select("id", "image_id", "box_x_min")) ==
+      collectSorted(inferred.annotations.select("id", "image_id", "box_x_min")))
+    assert(explicit.images.count() == inferred.images.count())
+  }
 }
 
 class OtherFormatsSpec extends SparkFunSuite {
