@@ -23,6 +23,23 @@ object StreamQueries extends graft.QueryModule {
           round(col("total_value"), 2).as("total_value"))
     }),
 
+    // event-time AS-OF join (union + running-last window) vs DuckDB's
+    // native ASOF LEFT JOIN — every event ≢0 (mod 5) picks up the value
+    // of the user's latest ≡0 (mod 5) event at-or-before it. (user,ts)
+    // is unique in the events table (verified), so no tie ambiguity
+    "q64_asof_join" -> ((s, d) => {
+      val events = Tables.events(s, d)
+      val left = events.filter(col("event_id") % 5 =!= 0)
+        .select(col("event_id"), col("ts"), col("user_id"))
+      val right = events.filter(col("event_id") % 5 === 0)
+        .select(col("user_id"), col("ts"), col("value").as("ref_value"))
+      EventStream.asOfJoin(left, right, Seq("user_id"), Seq("ref_value"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          count(col("ref_value")).as("n_matched"),
+          round(coalesce(sum(col("ref_value")), lit(0.0)), 2).as("ref_sum"))
+    }),
+
     // gap-based sessionization (flatMapGroupsWithState kernel) vs the
     // SQL lag+cumsum formulation
     "q40_sessionize" -> ((s, d) => {
@@ -49,6 +66,18 @@ object StreamQueries extends graft.QueryModule {
         |SELECT window_start, event_type, count(*) AS n,
         |       round(sum(value), 2) AS total_value
         |FROM buckets GROUP BY 1, 2""".stripMargin,
+
+    "q64_asof_join" ->
+      """WITH l AS (
+        |  SELECT event_id, ts, user_id FROM events WHERE event_id % 5 <> 0),
+        |r AS (
+        |  SELECT user_id, ts, value AS ref_value FROM events
+        |  WHERE event_id % 5 = 0)
+        |SELECT l.user_id, count(*) AS n, count(r.ref_value) AS n_matched,
+        |       round(coalesce(sum(r.ref_value), 0.0), 2) AS ref_sum
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |GROUP BY l.user_id""".stripMargin,
 
     "q40_sessionize" ->
       """WITH x AS (

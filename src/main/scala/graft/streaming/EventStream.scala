@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
@@ -50,6 +51,40 @@ object EventStream {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("win.start").as("window_start"), col("win.end").as("window_end"),
         col("event_type"), col("n"), col("total_value"))
+  }
+
+  /** Event-time AS-OF join: attach to each `left` row the LATEST `right`
+    * row with `right.ts <= left.ts` on the same key — the label/feature
+    * joining shape (e.g. "the reference measurement in force when this
+    * event happened"). Spark has no native as-of join; this composes one
+    * from a tagged union + a single running-`last` window per payload
+    * column: ONE shuffle on the key, no range join, no custom planner.
+    * Right rows sort BEFORE left rows at equal ts, so ties honor `<=`.
+    *
+    * `right` must be unique per (keys, ts) — with duplicates, which one
+    * wins is partition-order-dependent. Left rows with no prior right row
+    * carry null payloads (as-of LEFT join semantics). */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      payload: Seq[String], tsCol: String = "ts"): DataFrame = {
+    require(payload.nonEmpty, "as-of join needs at least one payload column")
+    payload.foreach(c => require(!left.columns.contains(c),
+      s"payload column '$c' already exists on the left side"))
+    val keyCols = keys.map(k => col(s"`$k`"))
+    val r = right.select((keyCols :+ col(s"`$tsCol`")) ++
+      payload.map(c => col(s"`$c`")): _*)
+      .withColumn("__side", lit(0))
+    val unioned = left.withColumn("__side", lit(1))
+      .unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col(s"`$tsCol`"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"__asof_$c", last(col(s"`$c`"), ignoreNulls = true).over(w))
+    }
+    val cleaned = payload.foldLeft(carried.filter(col("__side") === 1)) {
+      (df, c) => df.drop(c).withColumnRenamed(s"__asof_$c", c)
+    }
+    cleaned.drop("__side")
   }
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -119,4 +119,46 @@ class IvfStreamDedupSpec extends SparkFunSuite {
     assert(person.getAs[Double]("None") == 0.1)
     assert(person.getAs[Double]("car") == 0.0)
   }
+
+  test("asOfJoin: latest right row at-or-before each left ts, per key") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 00:05:00"), 10L), // after r@00:00 → 1.0
+      (2L, ts("2024-01-01 00:30:00"), 10L), // ties r@00:30 → 2.0 (<= wins)
+      (3L, ts("2024-01-01 01:00:00"), 10L), // after r@00:30 → 2.0
+      (4L, ts("2023-12-31 23:00:00"), 10L), // before any right row → null
+      (5L, ts("2024-01-01 00:10:00"), 20L)  // user 20 has no right rows → null
+    ).toDF("event_id", "ts", "user_id")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:00:00"), 1.0),
+      (10L, ts("2024-01-01 00:30:00"), 2.0)
+    ).toDF("user_id", "ts", "ref_value")
+    val out = EventStream.asOfJoin(left, right, Seq("user_id"), Seq("ref_value"))
+    assert(out.count() == 5)
+    val m = out.collect().map(r =>
+      r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Double]("ref_value")).map(_.toDouble)).toMap
+    assert(m(1L).contains(1.0))
+    assert(m(2L).contains(2.0))
+    assert(m(3L).contains(2.0))
+    assert(m(4L).isEmpty)
+    assert(m(5L).isEmpty)
+    // left columns survive untouched; no helper columns leak
+    assert(out.columns.sorted.toSeq == Seq("event_id", "ref_value", "ts", "user_id"))
+  }
+
+  test("asOfJoin: multiple payload columns carried from the same right row") {
+    import spark.implicits._
+    val left = Seq((1L, ts("2024-01-01 02:00:00"), 7L))
+      .toDF("event_id", "ts", "user_id")
+    val right = Seq(
+      (7L, ts("2024-01-01 00:00:00"), 1.0, "a"),
+      (7L, ts("2024-01-01 01:00:00"), 2.0, "b")
+    ).toDF("user_id", "ts", "v", "tag")
+    val row = EventStream.asOfJoin(left, right, Seq("user_id"), Seq("v", "tag"))
+      .collect()(0)
+    assert(row.getAs[Double]("v") == 2.0 && row.getAs[String]("tag") == "b")
+  }
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 }
