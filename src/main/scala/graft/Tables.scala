@@ -23,12 +23,16 @@ object Tables {
   def region(spark: SparkSession, d: String): DataFrame = table(spark, d, "region")
   def part(spark: SparkSession, d: String): DataFrame = table(spark, d, "part")
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; read nanos as long and convert to a microsecond timestamp
-    * (sub-microsecond precision is irrelevant to every consumer here). */
+    * rejects; read nanos as long and convert to a microsecond timestamp.
+    * The ns→μs conversion MUST be integer division (`div`): `/` promotes to
+    * double, and 2024-epoch nanos (~1.7e18) exceed double's 53-bit mantissa
+    * — the ±128 ns representation error truncates to off-by-1μs timestamps
+    * for ~half the rows. The generated data is μs-clean (ns % 1000 = 0,
+    * verified at sf0.1), so `div 1000` is lossless. */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, d, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")

@@ -1,0 +1,122 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level operators for training-data pipelines: test-set
+  * decontamination, TF-IDF term scoring, and sequence packing.
+  *
+  * Scale design (100 TB corpus):
+  *  - decontamination broadcasts the TEST side (test/eval sets are small by
+  *    construction); the train corpus is never shuffled — one map-side hash
+  *    join over the scan plus a partial-agg groupBy on the matching doc ids.
+  *  - TF-IDF shuffles on (doc, term) then on term; both aggregations are
+  *    partial (map-side combine). The document-frequency table joins back on
+  *    `term` — a shuffle join keyed by term, which AQE converts to a
+  *    broadcast when the vocabulary is small.
+  *  - packing is one window per group (single shuffle on the group key);
+  *    groups are bounded (a source/shard), never the whole corpus.
+  */
+object Corpus {
+
+  /** N-gram-overlap contamination report: for every (train, test) document
+    * pair sharing at least one distinct word `n`-shingle, the number of
+    * shared shingles and the share of the TEST document's shingles covered.
+    * This is the GPT-3-style decontamination primitive (13-gram overlap in
+    * the paper; `n` is a parameter here).
+    *
+    * The test side is aggregated to (shingle → test doc ids) and broadcast;
+    * train docs stream through a map-side join, so the big side never
+    * shuffles on shingle strings.
+    */
+  def contaminationPairs(train: DataFrame, test: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleN: Int = 3): DataFrame = {
+    def shingled(df: DataFrame, as: String): DataFrame =
+      df.select(col(idCol).as(as),
+        explode(array_distinct(Dedup.shingles(col(textCol), shingleN))).as("s"))
+    val testSh = shingled(test, "test_id")
+    val testSizes = testSh.groupBy("test_id")
+      .agg(count(lit(1)).as("n_test_shingles"))
+    shingled(train, "train_id")
+      .join(broadcast(testSh), Seq("s"))
+      .groupBy(col("train_id"), col("test_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(testSizes), Seq("test_id"))
+      .select(col("train_id"), col("test_id"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_test_shingles")).as("test_share"))
+  }
+
+  /** Drop train documents contaminated by the test set: any train doc whose
+    * shared-shingle share of SOME test doc reaches `minShare`. Anti-join on
+    * the (small) contaminated-id set — the train corpus is filtered in one
+    * pass, no shuffle of the train side. */
+  def decontaminate(train: DataFrame, test: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleN: Int = 3, minShare: Double = 0.2): DataFrame = {
+    val bad = contaminationPairs(train, test, idCol, textCol, shingleN)
+      .filter(col("test_share") >= minShare)
+      .select(col("train_id").as(idCol)).distinct()
+    train.join(broadcast(bad), Seq(idCol), "left_anti")
+  }
+
+  /** Per-(doc, term) TF-IDF over whitespace tokens:
+    * `score = tf · (ln((N + 1) / (df + 1)) + 1)` (smoothed idf, sklearn
+    * convention). N is carried as a broadcast one-row frame — no driver
+    * action, the whole computation stays one lazy plan. */
+  def tfIdf(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val terms = docs.select(col(idCol),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("term"), col("tf"),
+        (col("tf") * (log((col("n_docs") + 1).cast("double") / (col("df") + 1))
+          + 1.0)).as("score"))
+  }
+
+  /** Top-`k` TF-IDF terms per document. Ranks on the score ROUNDED to 6
+    * decimals with a term tiebreak — cross-engine `ln` can differ in the
+    * last ulp, which must not flip ranks of near-tied terms. */
+  def tfIdfTopTerms(docs: DataFrame, k: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val scored = tfIdf(docs, idCol, textCol)
+      .withColumn("score", round(col("score"), 6))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(desc("score"), col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Concat-and-chunk sequence packing: within each `groupCol` shard, lay
+    * documents end to end in `orderCol` order and cut the stream into
+    * `blockTokens`-sized context windows. Each document is assigned to the
+    * pack where it STARTS (`pack_id`), with its token offset inside the
+    * stream — the standard "pack then split" LLM pretraining layout. All
+    * arithmetic is integer, so results are engine-exact. */
+  def packSequences(docs: DataFrame, blockTokens: Long,
+      groupCol: String = "source", orderCol: String = "doc_id",
+      tokensCol: String = "n_tokens"): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+    docs.withColumn("stream_end", sum(col(tokensCol)).over(w))
+      .withColumn("stream_start", col("stream_end") - col(tokensCol))
+      .withColumn("pack_id", floor(col("stream_start") / blockTokens))
+      .drop("stream_end")
+  }
+
+  /** Per-pack summary of [[packSequences]]: document count, token count and
+    * fill ratio per (group, pack). */
+  def packStats(docs: DataFrame, blockTokens: Long,
+      groupCol: String = "source", orderCol: String = "doc_id",
+      tokensCol: String = "n_tokens"): DataFrame =
+    packSequences(docs, blockTokens, groupCol, orderCol, tokensCol)
+      .groupBy(col(groupCol), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col(tokensCol)).as("n_tokens"))
+      .withColumn("fill", col("n_tokens").cast("double") / blockTokens)
+}
