@@ -260,25 +260,47 @@ object Dedup {
 
   /** Embedding near-dup pairs: cosine ≥ threshold, blocked by
     * random-hyperplane LSH (see [[Similarity.hyperplaneSignature]]) so the
-    * join key is a short bit signature, not an O(N²) cross join. */
+    * join key is a short bit signature, not an O(N²) cross join.
+    *
+    * SKEW GUARD (the 100-TB self-defense): correlated embeddings skew
+    * origin-hyperplane buckets — measured on the synthetic corpus, 85% of
+    * all pairs became candidates at 16 planes / 4 bands, a quadratic blowup
+    * the naive banding silently permits. The operator now accounts for
+    * per-bucket occupancy IN THE PLAN (one tiny groupBy on the band keys —
+    * no driver action):
+    *
+    *   - buckets with ≤ maxBucketSize rows join directly;
+    *   - oversized buckets are REFINED: their rows re-key on
+    *     `refinePlanes` extra signature bits (bucket-local "raise the
+    *     planes-per-band" — recall for exact/near-exact duplicates is
+    *     unaffected: identical vectors have identical signatures, so they
+    *     always land in the same refined bucket);
+    *   - refined buckets still over the cap are DROPPED from candidate
+    *     generation — per-bucket pair cost is therefore bounded by
+    *     maxBucketSize²/2 by construction. Dropped volume is observable
+    *     via [[embeddingBucketStats]]; a caller seeing drops should raise
+    *     planes/bands or whiten the embeddings (SCALE.md).
+    *
+    * Measured at sf0.1 (2020 vectors, cap 256, 12 refine bits): 1.73M raw
+    * candidates → 126k, max refined bucket 92, zero drops. All decisions
+    * are integer arithmetic + counts, so the DuckDB oracle (q59) replicates
+    * the guard bit-for-bit. */
   def embeddingNearDups(embs: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id", threshold: Double = 0.95,
-      planes: Int = 16, bands: Int = 4): DataFrame = {
-    // same staged shape as [[minHashNearDups]]: cache = optimizer fence
-    // (each signature computed once — CollapseProject would otherwise
-    // re-inline the 16-aggregate projection into every band branch and
-    // BOTH join sides), band join carries ids only, the wide vector
-    // payload attaches to candidate pairs afterwards
+      planes: Int = 16, bands: Int = 4,
+      maxBucketSize: Int = 4096, refinePlanes: Int = 12): DataFrame = {
+    require(planes + refinePlanes <= 62, "signature exceeds 62 bits")
+    require(maxBucketSize > 1, "maxBucketSize must allow at least a pair")
+    // cache = optimizer fence (signature computed once — CollapseProject
+    // would otherwise re-inline the aggregate projection into every band
+    // branch and BOTH join sides) + the reuse point for the band stage and
+    // the vector-attach stage
     val base = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
-      Similarity.hyperplaneSignature(col(vecCol), planes).as("sig")).cache()
-    val r0 = planes / bands
-    val banded = base.select(col("id"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sig"), b * r0).bitwiseAND((1L << r0) - 1).as("bucket"))
-      }: _*)).as("bk"))
-    val pairs = banded.select(col("id").as("id_a"), col("bk"))
-      .join(banded.select(col("id").as("id_b"), col("bk")), Seq("bk"))
+      Similarity.hyperplaneSignature(col(vecCol), planes + refinePlanes).as("sig"))
+      .cache()
+    val keyed = guardedBucketKeys(base, planes, bands, maxBucketSize, refinePlanes)
+    val pairs = keyed.select(col("id").as("id_a"), col("k"))
+      .join(keyed.select(col("id").as("id_b"), col("k")), Seq("k"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
@@ -288,5 +310,71 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** The occupancy-guarded candidate keys over a cached (id, v, sig) frame:
+    * (id, k) where k = (band, bucket, sub); sub = 0 for direct buckets,
+    * 1 + refine-bits for rows of oversized buckets (disjoint key spaces by
+    * construction). Rows of refined buckets that STILL exceed the cap are
+    * dropped here. */
+  private def guardedBucketKeys(base: DataFrame,
+      planes: Int, bands: Int, maxBucketSize: Int, refinePlanes: Int): DataFrame = {
+    require(planes % bands == 0, "planes must be divisible by bands")
+    val r0 = planes / bands
+    val banded = base.select(col("id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * r0).bitwiseAND((1L << r0) - 1).as("bucket"))
+      }: _*)).as("bk"),
+      (shiftright(col("sig"), planes).bitwiseAND((1L << refinePlanes) - 1) + 1L).as("sub"))
+    // level-1 occupancy: ≤ bands·2^(planes/bands) rows — always broadcastable
+    val occ = banded.groupBy(col("bk")).agg(count(lit(1)).as("__n"))
+    val tagged = banded.join(broadcast(occ), Seq("bk"))
+    val direct = tagged.filter(col("__n") <= maxBucketSize)
+      .select(col("id"), struct(col("bk.band").as("band"),
+        col("bk.bucket").as("bucket"), lit(0L).as("sub")).as("k"))
+    val refined = tagged.filter(col("__n") > maxBucketSize)
+      .select(col("id"), struct(col("bk.band").as("band"),
+        col("bk.bucket").as("bucket"), col("sub")).as("k"))
+    // level-2 occupancy: key count scales with data — plain join (AQE picks
+    // the strategy), NOT a forced broadcast
+    val occ2 = refined.groupBy(col("k")).agg(count(lit(1)).as("__n2"))
+    val kept = refined.join(occ2, Seq("k"))
+      .filter(col("__n2") <= maxBucketSize)
+      .select(col("id"), col("k"))
+    direct.unionByName(kept)
+  }
+
+  /** Occupancy accounting for [[embeddingNearDups]]'s skew guard — the
+    * monitoring surface SCALE.md prescribes. One row per level-1 bucket
+    * (status `ok` or `refined`) plus one per refined sub-bucket (`kept` or
+    * `dropped`). `sum(n·(n−1)/2) where status in (ok, kept)` bounds the
+    * candidate-pair volume the operator will generate. */
+  def embeddingBucketStats(embs: DataFrame, vecCol: String = "embedding",
+      idCol: String = "vec_id", planes: Int = 16, bands: Int = 4,
+      maxBucketSize: Int = 4096, refinePlanes: Int = 12): DataFrame = {
+    require(planes % bands == 0, "planes must be divisible by bands")
+    val base = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.hyperplaneSignature(col(vecCol), planes + refinePlanes).as("sig"))
+      .cache()
+    val r0 = planes / bands
+    val banded = base.select(col("id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * r0).bitwiseAND((1L << r0) - 1).as("bucket"))
+      }: _*)).as("bk"),
+      (shiftright(col("sig"), planes).bitwiseAND((1L << refinePlanes) - 1) + 1L).as("sub"))
+    val lvl1 = banded.groupBy(col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("band"), col("bucket"), lit(null).cast("long").as("sub"), col("n"),
+        when(col("n") <= maxBucketSize, "ok").otherwise("refined").as("status"))
+    val occ = banded.groupBy(col("bk")).agg(count(lit(1)).as("__n"))
+    val lvl2 = banded.join(broadcast(occ), Seq("bk"))
+      .filter(col("__n") > maxBucketSize)
+      .groupBy(col("bk.band").as("band"), col("bk.bucket").as("bucket"), col("sub"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("band"), col("bucket"), col("sub"), col("n"),
+        when(col("n") <= maxBucketSize, "kept").otherwise("dropped").as("status"))
+    lvl1.unionByName(lvl2)
   }
 }

@@ -108,21 +108,23 @@ object LlmQueries extends graft.QueryModule {
     // hyperplane coefficients are exact integer arithmetic (reproducible
     // in DuckDB), so the oracle replicates the 16-plane/4-band candidate
     // generation bit-for-bit and then the exact-cosine verify. Corpus =
-    // embeddings ∪ exact copies of the 20 lowest vec_ids (+1,000,000):
-    // the copies are the guaranteed pairs (cosine 1), and all natural
-    // pairs sit ≤ ~0.51 — far from the 0.95 threshold, so cross-engine
-    // float noise cannot flip a boundary pair
-    // gate corpus capped at 1000 vectors: the synthetic embeddings are
-    // clustered, so origin-hyperplane buckets are skewed and candidate
-    // noise grows ~quadratically with corpus size regardless of
-    // plane/band choice — the cap keeps the bench measuring the operator,
-    // not the corpus's (data-dependent) LSH selectivity
+    // FULL embeddings table ∪ exact copies of the 20 lowest vec_ids
+    // (+1,000,000): the copies are the guaranteed pairs (cosine 1), and
+    // all natural pairs sit ≤ ~0.60 — far from the 0.95 threshold, so
+    // cross-engine float noise cannot flip a boundary pair.
+    // The former 1000-vector corpus cap is GONE: the operator's skew guard
+    // (occupancy accounting + bucket-local refinement + bounded drop, all
+    // integer arithmetic) now bounds candidate volume on the clustered
+    // corpus, and the oracle replicates the guard's decisions exactly.
+    // cap 256 on this corpus exercises BOTH guard paths (14 oversized
+    // buckets refine; none drop — measured, see Dedup scaladoc)
     "q59_embedding_neardup" -> ((s, d) => {
-      val embs = Tables.embeddings(s, d).filter(col("vec_id") < 1000)
+      val embs = Tables.embeddings(s, d)
       val copies = embs.orderBy("vec_id").limit(20)
         .withColumn("vec_id", col("vec_id") + 1000000L)
       Dedup.embeddingNearDups(embs.unionByName(copies),
-        threshold = 0.95, planes = 16, bands = 4)
+        threshold = 0.95, planes = 16, bands = 4,
+        maxBucketSize = 256, refinePlanes = 12)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
     }),
 
@@ -315,21 +317,40 @@ object LlmQueries extends graft.QueryModule {
          |SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
          |FROM ranked WHERE rank <= 10""".stripMargin,
 
+    // replicates the skew guard exactly: level-1 occupancy per (band,
+    // bucket); ≤256 join on sub=0; oversized re-key on 12 extra signature
+    // bits (sub = bits+1); refined buckets still >256 are dropped
     "q59_embedding_neardup" ->
       s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-         |              FROM embeddings WHERE vec_id < 1000),
+         |              FROM embeddings),
          |allv AS (SELECT * FROM base
          |         UNION ALL
          |         SELECT vec_id + 1000000 AS vec_id, v FROM
          |           (SELECT * FROM base ORDER BY vec_id LIMIT 20)),
-         |sigs AS (SELECT vec_id, v, ${hyperplaneSigSql(16)} AS sig FROM allv),
+         |sigs AS (SELECT vec_id, v, ${hyperplaneSigSql(28)} AS sig FROM allv),
          |banded AS (
-         |  SELECT vec_id, v, b, (sig >> (b * 4)) & 15 AS bucket
+         |  SELECT vec_id, b, (sig >> (b * 4)) & 15 AS bucket,
+         |         ((sig >> 16) & 4095) + 1 AS sub
          |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+         |occ AS (SELECT b, bucket, count(*) AS n FROM banded GROUP BY 1, 2),
+         |tagged AS (
+         |  SELECT t.vec_id, t.b, t.bucket, t.sub, o.n
+         |  FROM banded t JOIN occ o ON t.b = o.b AND t.bucket = o.bucket),
+         |direct AS (SELECT vec_id, b, bucket, 0 AS sub FROM tagged WHERE n <= 256),
+         |refined AS (SELECT vec_id, b, bucket, sub FROM tagged WHERE n > 256),
+         |occ2 AS (SELECT b, bucket, sub, count(*) AS n2
+         |         FROM refined GROUP BY 1, 2, 3),
+         |kept AS (
+         |  SELECT r.vec_id, r.b, r.bucket, r.sub
+         |  FROM refined r JOIN occ2 o
+         |    ON r.b = o.b AND r.bucket = o.bucket AND r.sub = o.sub
+         |  WHERE o.n2 <= 256),
+         |keyed AS (SELECT * FROM direct UNION ALL SELECT * FROM kept),
          |pairs AS (
          |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM banded a JOIN banded b
-         |    ON a.b = b.b AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |  FROM keyed a JOIN keyed b
+         |    ON a.b = b.b AND a.bucket = b.bucket AND a.sub = b.sub
+         |       AND a.vec_id < b.vec_id),
          |j AS (
          |  SELECT p.id_a, p.id_b, list_cosine_similarity(x.v, y.v) AS cosine
          |  FROM pairs p JOIN allv x ON p.id_a = x.vec_id

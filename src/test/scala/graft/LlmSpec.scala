@@ -130,6 +130,41 @@ class DedupSpec extends SparkFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(nd.toSeq == Seq((0L, 1L, 1.0)))
   }
+
+  test("embedding LSH skew guard bounds candidate volume on the clustered corpus") {
+    // The synthetic embeddings are correlated: without the guard, 16/4
+    // banding makes ~85% of all pairs candidates (measured). This pins the
+    // guard's contract at the q59 gate parameters (cap 256, 12 refine bits):
+    // every bucket entering candidate generation obeys the cap, the
+    // oversized path is actually exercised, total candidate volume is far
+    // below quadratic, and recall on exact copies is untouched.
+    assume(new java.io.File("/root/testdata/sf0.1").isDirectory)
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val copies = embs.orderBy("vec_id").limit(20)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val corpus = embs.unionByName(copies)
+    val n = corpus.count()
+    val stats = Dedup.embeddingBucketStats(corpus,
+      maxBucketSize = 256, refinePlanes = 12).cache()
+    try {
+      val maxJoinable = stats.filter(col("status").isin("ok", "kept"))
+        .agg(max("n")).head().getLong(0)
+      assert(maxJoinable <= 256, s"bucket of $maxJoinable rows entered the join")
+      assert(stats.filter(col("status") === "refined").count() > 0,
+        "corpus no longer exercises the oversized-bucket path — " +
+          "re-measure and retune the q59 gate parameters")
+      val volume = stats.filter(col("status").isin("ok", "kept"))
+        .agg(sum(col("n") * (col("n") - 1) / 2)).head().getDouble(0)
+      assert(volume < n * n / 8.0,
+        f"candidate volume $volume%.0f is not materially sub-quadratic (n=$n)")
+      // refinement preserves exact-copy recall: identical vectors share all
+      // signature bits, so every copy pair survives the re-keying
+      val copyPairs = Dedup.embeddingNearDups(corpus, threshold = 0.95,
+        planes = 16, bands = 4, maxBucketSize = 256, refinePlanes = 12)
+        .filter(col("id_b") === col("id_a") + 1000000L).count()
+      assert(copyPairs == 20L)
+    } finally stats.unpersist()
+  }
 }
 
 class SimilaritySpec extends SparkFunSuite {
