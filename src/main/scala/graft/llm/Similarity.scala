@@ -130,36 +130,35 @@ object Ivf {
     IvfIndex(centroids, assigned)
   }
 
-  private def cosineArr(a: Array[Double], b: Array[Float]): Double = {
-    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) {
-      val y = b(i).toDouble
-      dot += a(i) * y; na += a(i) * a(i); nb += y * y; i += 1
-    }
-    if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
-  }
-
   /** Probe: each query scores rows of its `nprobe` closest centroids.
-    * Query→centroid distances are driver-side (centroid count is tiny);
-    * the scoring join is an equality join on centroid_id. */
+    *
+    * Query→centroid assignment is DISTRIBUTED: the tiny centroid table
+    * (the only driver-side artifact — it comes out of the fitted KMeans
+    * model) broadcasts against the query frame, each query ranks its
+    * centroids in-plan, and the scoring join is an equality join on
+    * centroid_id. No query row ever reaches the driver, so `queries` can
+    * be a full table, not just a probe set; the corpus shuffles once (on
+    * centroid_id) regardless of query count. */
   def topK(index: IvfIndex, queries: DataFrame, k: Int = 10, nprobe: Int = 4,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val qRows = queries.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])].collect()
-    val probes = qRows.flatMap { case (qid, qv) =>
-      index.centroids
-        .map { case (cid, cv) => (cid, cosineArr(cv, qv)) }
-        .sortBy(-_._2).take(nprobe)
-        .map { case (cid, _) => (qid, cid) }
-    }.toSeq.toDF("query_id", "centroid_id")
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .join(probes, Seq("query_id")))
+    val cents = index.centroids.toSeq.toDF("centroid_id", "cv")
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    // nprobe nearest centroids per query: broadcast nested-loop against the
+    // centroid table (|centroids| rows — intentionally tiny), window top-n.
+    // Ties break on centroid_id, matching a stable sort over model order.
+    val aw = Window.partitionBy("query_id")
+      .orderBy(desc("__csim"), col("centroid_id"))
+    val probes = q0.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("centroid_id"),
+        graft.functions.GraftFunctions.cosine(spark, col("cv"), col("qv")).as("__csim"))
+      .withColumn("__cr", row_number().over(aw))
+      .filter(col("__cr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("centroid_id"))
     val scored = index.assigned
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("centroid_id"))
-      .join(q, Seq("centroid_id"))
+      .join(probes, Seq("centroid_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         graft.functions.GraftFunctions.cosine(spark, col("qv"), col("cv")).as("cosine"))
