@@ -50,6 +50,17 @@ class PlanSpec extends SparkFunSuite {
       s"distributed distinct-confidence compression missing from:\n$plan")
   }
 
+  test("q60: IVF probe path keeps query rows off the driver") {
+    // the only LocalTableScan allowed in the IVF plan is the centroid table
+    // (driver-side by nature — it comes out of the fitted KMeans model); a
+    // local relation carrying query_id would mean query vectors were
+    // collected and re-parallelized
+    val plan = planOf("q60_ivf_topk")
+    val localScans = "LocalTableScan \\[[^\\]]*\\]".r.findAllIn(plan).toList
+    assert(!localScans.exists(_.contains("query_id")),
+      s"query-derived local relation found: $localScans")
+  }
+
   test("q32: fused cosine expression is in the plan (not zip_with)") {
     val plan = planOf("q32_cosine_topk")
     assert(plan.contains("graft_cosine"))
