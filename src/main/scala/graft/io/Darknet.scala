@@ -70,6 +70,65 @@ object Darknet {
       datasetName = datasetName)
   }
 
+  /** Darknet detector-output JSON loader — reference from_darknet_json
+    * (lours/dataset/io/darknet.py:467-551): one JSON array of frames
+    * `{"filename", "objects": [{"class_id", "name", "confidence",
+    * "relative_coordinates": {"center_x","center_y","width","height"}}]}` —
+    * the format darknet's detector emits for predictions.
+    *
+    * `idsMap` reverses the dense re-iding applied when the darknet dataset
+    * was written (the ids_map.json contract): darknet class_id →
+    * (original category_id, name). Empty → class ids pass through and the
+    * label map collects from the (class_id, name) pairs.
+    *
+    * Spark shape: one multiLine JSON read → explode(objects) → broadcast
+    * dims join on relative_path → relative→pixel conversion; the images
+    * table (reference `image_info`) supplies ids and dimensions and becomes
+    * the images side wholesale, split = `splitName` (darknet.py:546-551). */
+  def fromDarknetJson(spark: SparkSession, jsonPath: String, datasetPath: String,
+      images: DataFrame, idsMap: Map[Int, (Int, String)] = Map.empty,
+      splitName: String = "eval", datasetName: Option[String] = None): GraftDataset = {
+    val raw = spark.read.option("multiLine", true).json(jsonPath)
+    // detector filenames may be absolute under the dataset root — strip it
+    // to recover relative_path (get_relative_image_path, darknet.py:505-508)
+    val prefix = if (datasetPath.endsWith("/")) datasetPath else datasetPath + "/"
+    val relPath = when(col("filename").startsWith(prefix),
+      col("filename").substr(lit(prefix.length + 1), length(col("filename"))))
+      .otherwise(col("filename"))
+    val frames = raw.select(relPath.as("relative_path"), explode(col("objects")).as("o"))
+    val dims = broadcast(images.select(col("relative_path"),
+      col("id").as("__img_id"), col("width").as("__w"), col("height").as("__h")))
+    val joined = frames.join(dims, Seq("relative_path"))
+    val catId =
+      if (idsMap.isEmpty) col("o.class_id").cast("int")
+      else element_at(
+        map(idsMap.toSeq.flatMap { case (k, (i, _)) => Seq(lit(k), lit(i)) }: _*),
+        col("o.class_id").cast("int"))
+    val rel = joined.select(
+      col("__img_id").as("image_id"),
+      catId.as("category_id"),
+      col("o.name").as("category_str"),
+      col("o.confidence").cast("double").as("confidence"),
+      col("o.relative_coordinates.center_x").cast("double").as("cx"),
+      col("o.relative_coordinates.center_y").cast("double").as("cy"),
+      col("o.relative_coordinates.width").cast("double").as("w"),
+      col("o.relative_coordinates.height").cast("double").as("h"),
+      col("__w"), col("__h"))
+    val boxes = Bbox.toCanonical(Bbox.BoxFormat(Bbox.CenterSize, relative = true),
+      col("cx"), col("cy"), col("w"), col("h"), col("__w"), col("__h"))
+    val annotations = rel.select(
+      (Seq(col("image_id"), col("category_id"), col("category_str"),
+        col("confidence")) ++ boxes): _*)
+    val labelMap: Map[Int, String] =
+      if (idsMap.nonEmpty) idsMap.values.map { case (i, n) => i -> n }.toMap
+      else annotations.select(col("category_id"), col("category_str"))
+        .filter(col("category_id").isNotNull && col("category_str").isNotNull)
+        .distinct().collect()
+        .map(r => r.getInt(0) -> r.getString(1)).toMap
+    GraftDataset.create(images.withColumn("split", lit(splitName)),
+      annotations, labelMap, datasetName = datasetName)
+  }
+
   /** Write `classes.names` + one `labels/<stem>.txt` per image with
     * relative `cxcywh` lines (to_darknet / to_yolov5,
     * dataset.py:4708-4872). Class ids are re-densified 0..K-1 in label-map
@@ -126,32 +185,46 @@ object Darknet {
   }
 }
 
-/** YOLOv5 layout variant — reference to_darknet_yolov5
+/** YOLOv5/v7 layout variants — reference to_darknet with yolo_version 5/7
   * (lours/dataset/io/darknet.py:554-736): same label files plus a
-  * `data.yaml` (paths + names) and per-split image list files. */
+  * `data.yaml` (paths + names) and per-split image list files. The ONLY
+  * v5↔v7 difference (darknet.py:654-676, dataset.py:4833-4837): v7 writes
+  * ABSOLUTE paths, both for the split-list references inside data.yaml and
+  * for the image paths inside each list file. */
 object Yolov5 {
-  def toYolov5(ds: graft.model.GraftDataset, dir: String): Unit = {
+  def toYolov5(ds: graft.model.GraftDataset, dir: String): Unit =
+    writeYolo(ds, dir, absolute = false)
+
+  /** to_yolov7 (dataset.py:4811-4872). */
+  def toYolov7(ds: graft.model.GraftDataset, dir: String): Unit =
+    writeYolo(ds, dir, absolute = true)
+
+  private def writeYolo(ds: graft.model.GraftDataset, dir: String,
+      absolute: Boolean): Unit = {
     import org.apache.spark.sql.functions._
     Darknet.toDarknet(ds, dir)
     val base = java.nio.file.Paths.get(dir)
+    val absBase = base.toAbsolutePath.toString
     val ordered = ds.labelMap.toSeq.sortBy(_._1)
     val names = ordered.map { case (_, n) => s"  - $n" }.mkString("\n")
     val splits = ds.images.select("split").distinct().collect()
       .flatMap(r => Option(r.getString(0))).sorted.toSeq
+    val linePrefix = if (absolute) s"$absBase/images/" else "images/"
     splits.foreach { s =>
       // stream the per-split image list to the file handle instead of
       // collecting every path to driver memory (a split list is one line
       // per image — collect() here was the to_coco-style scale hazard);
       // toLocalIterator pulls one partition at a time, in sort order
       val it = ds.images.filter(col("split") === s)
-        .select(concat(lit("images/"), col("relative_path")).as("p"))
+        .select(concat(lit(linePrefix), col("relative_path")).as("p"))
         .orderBy("relative_path")
         .toLocalIterator()
       val w = java.nio.file.Files.newBufferedWriter(base.resolve(s"$s.txt"))
       try while (it.hasNext) { w.write(it.next().getString(0)); w.write("\n") }
       finally w.close()
     }
-    val splitLines = splits.map(s => s"$s: $s.txt").mkString("\n")
+    val splitLines = splits.map(s =>
+      if (absolute) s"$s: $absBase/$s.txt" else s"$s: $s.txt").mkString("\n")
     java.nio.file.Files.writeString(base.resolve("data.yaml"),
       s"""path: $dir
          |$splitLines

@@ -107,6 +107,59 @@ class DarknetSpec extends SparkFunSuite {
     back.copy(annotations = graft.model.GraftDataset.defaultAnnotColumns(
       back.annotations.drop("id")))
 
+  test("fromDarknetJson loads detector predictions with ids_map reversal") {
+    val dir = Files.createTempDirectory("dkjson").toString
+    // image 100x200; relative cxcywh (0.5, 0.5, 0.2, 0.1) → x=40 y=90 w=20 h=20
+    Files.writeString(Paths.get(dir, "preds.json"),
+      s"""[{"frame_id": 1, "filename": "$dir/img1.jpg", "objects": [
+         |   {"class_id": 0, "name": "cat", "confidence": 0.75,
+         |    "relative_coordinates": {"center_x": 0.5, "center_y": 0.5,
+         |                             "width": 0.2, "height": 0.1}}]},
+         | {"frame_id": 2, "filename": "img2.jpg", "objects": []}]""".stripMargin)
+    val images = Seq(
+      (0L, 100, 200, "img1.jpg"), (1L, 100, 100, "img2.jpg")
+    ).toDF("id", "width", "height", "relative_path")
+    val ds = Darknet.fromDarknetJson(spark, s"$dir/preds.json", dir, images,
+      idsMap = Map(0 -> (7, "cat")), splitName = "eval")
+    assert(ds.numAnnotations == 1)
+    assert(ds.labelMap == Map(7 -> "cat"))
+    val a = ds.annotations.collect()(0)
+    assert(a.getAs[Int]("category_id") == 7) // reversed via ids_map
+    assert(a.getAs[Double]("confidence") == 0.75)
+    assert(a.getAs[Double]("box_x_min") == 40.0)
+    assert(a.getAs[Double]("box_y_min") == 90.0)
+    assert(a.getAs[Double]("box_width") == 20.0)
+    assert(a.getAs[Double]("box_height") == 20.0)
+    // frames with no objects contribute no annotations but the image stays
+    assert(ds.images.count() == 2)
+    assert(ds.images.select("split").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("eval"))
+  }
+
+  test("toYolov7 writes absolute split lists; toYolov5 stays relative") {
+    val images = Seq((0L, 100, 200, "img1.jpg")).toDF("id", "width", "height", "relative_path")
+      .withColumn("split", lit("train"))
+    val ann = Seq((0L, 0L, 0, 40.0, 90.0, 20.0, 20.0))
+      .toDF("id", "image_id", "category_id", "box_x_min", "box_y_min", "box_width", "box_height")
+    val ds = graft.model.GraftDataset.create(images, ann, Map(0 -> "cat"))
+    val d5 = Files.createTempDirectory("y5").toString
+    val d7 = Files.createTempDirectory("y7").toString
+    Yolov5.toYolov5(ds, d5)
+    Yolov5.toYolov7(ds, d7)
+    val v5List = Files.readString(Paths.get(d5, "train.txt")).trim
+    val v7List = Files.readString(Paths.get(d7, "train.txt")).trim
+    assert(v5List == "images/img1.jpg")
+    assert(v7List == Paths.get(d7).toAbsolutePath.toString + "/images/img1.jpg")
+    val v5Yaml = Files.readString(Paths.get(d5, "data.yaml"))
+    val v7Yaml = Files.readString(Paths.get(d7, "data.yaml"))
+    assert(v5Yaml.contains("train: train.txt"))
+    assert(v7Yaml.contains(
+      s"train: ${Paths.get(d7).toAbsolutePath}/train.txt"))
+    // label files are identical between the two layouts
+    assert(Files.readString(Paths.get(d5, "labels", "img1.txt")) ==
+      Files.readString(Paths.get(d7, "labels", "img1.txt")))
+  }
+
   test("fromDarknet: nested label tree under a path with a space; basename collision") {
     // the stem join must survive (a) URI-encoded characters in the dir
     // path and (b) same-basename label files in different subdirectories
