@@ -174,6 +174,14 @@ object Splitter {
     * @param keepBalanced   group specs (over annotations, root = images)
     *                       whose histograms should match the global
     *                       distribution in every split
+    * @param maxAtoms       loud scale guard: the greedy assigner (reference
+    *                       get_winner semantics) is inherently sequential
+    *                       over atoms on the driver. With keep-separate
+    *                       columns, atoms ≪ images by construction; with
+    *                       `keepSeparate = Nil` every image is its OWN atom,
+    *                       so a 100× caller would otherwise collect one row
+    *                       per image and OOM the driver silently. Over the
+    *                       cap the split throws with the count instead.
     */
   def split(ds: GraftDataset, seed: Long,
       names: Seq[String] = Seq("train", "valid"),
@@ -181,7 +189,8 @@ object Splitter {
       keepSeparate: Seq[String] = Nil,
       keepBalanced: Seq[Grouper.GroupSpec] = Nil,
       histCostWeight: Double = 1.0,
-      shareCostWeight: Double = 1.0): GraftDataset = {
+      shareCostWeight: Double = 1.0,
+      maxAtoms: Int = 1000000): GraftDataset = {
     if (keepSeparate.isEmpty && keepBalanced.isEmpty)
       return simpleSplit(ds, seed, names, shares)
 
@@ -190,10 +199,21 @@ object Splitter {
       if (keepSeparate.nonEmpty) makeAtomicChunks(ds.images, keepSeparate)
       else ds.images.withColumn("__atom", col("id").cast("long"))
 
-    // 2. per-atom sizes, pre-assignments, and balance histograms
-    val atomInfo = atomized.groupBy("__atom").agg(
+    // 2. per-atom sizes, pre-assignments, and balance histograms.
+    // limit(maxAtoms + 1) bounds the driver transfer BEFORE the guard
+    // check, so an over-cap dataset fails fast instead of OOMing first.
+    val atomInfoRows = atomized.groupBy("__atom").agg(
       count(lit(1)).as("__size"),
-      collect_set(col("split")).as("__splits")).collect()
+      collect_set(col("split")).as("__splits"))
+      .limit(maxAtoms + 1).collect()
+    if (atomInfoRows.length > maxAtoms)
+      throw new IllegalArgumentException(
+        s"Splitter.split: more than $maxAtoms atoms — the greedy balanced " +
+          "assigner is sequential over atoms on the driver and cannot scale " +
+          "past the cap. Group images with keepSeparate columns (atoms ≪ " +
+          "images), use simpleSplit for unconstrained splits, or raise " +
+          "maxAtoms if the driver can hold it.")
+    val atomInfo = atomInfoRows
       .map { r =>
         val pre = r.getSeq[String](2).filter(_ != null)
         // conflicting pre-assignments demote the atom to unassigned

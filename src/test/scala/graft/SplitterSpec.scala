@@ -122,6 +122,24 @@ class SplitterSpec extends SparkFunSuite {
     }
   }
 
+  test("split fails loudly past the atom cap instead of collecting unbounded") {
+    val ds = mediumDataset()
+    // keepSeparate=Nil => one atom per image (300 atoms): over a 100-atom
+    // cap the driver-side greedy loop must refuse with actionable advice
+    val e = intercept[IllegalArgumentException] {
+      Splitter.split(ds, seed = 7, Seq("train", "valid"), Seq(0.5, 0.5),
+        keepBalanced = Seq(graft.operators.Grouper.CategoricalGroup("category_id")),
+        maxAtoms = 100)
+    }
+    assert(e.getMessage.contains("100 atoms"))
+    assert(e.getMessage.contains("keepSeparate"))
+    // under the cap the same split succeeds
+    val ok = Splitter.split(ds, seed = 7, Seq("train", "valid"), Seq(0.5, 0.5),
+      keepBalanced = Seq(graft.operators.Grouper.CategoricalGroup("category_id")),
+      maxAtoms = 300)
+    assert(ok.images.select("split").distinct().count() == 2)
+  }
+
   test("split honors pre-assigned atoms and demotes conflicts") {
     val ds = mediumDataset()
     val pre = ds.copy(images = ds.images.withColumn("split",
