@@ -62,6 +62,66 @@ object ExtraQueries extends graft.QueryModule {
           col("x1"), col("y1"), col("x2"), col("y2"))): _*)
     }),
 
+    // §2.13 remove_invalid_images + get_invalid_images + exhaustive folder
+    // sweep over a CONSTRUCTED image tree: per subset image, (id/100)%4
+    // selects valid file / wrong-dims header / undecodable bytes / no file,
+    // and every valid image also gets an unreferenced orphan twin. The
+    // operators then probe the real filesystem distributed; the oracle
+    // recomputes each bucket arithmetically.
+    "q68_invalid_images" -> ((s, d) => {
+      val ds0 = graft.operators.Locators.filterImages(
+        graft.operators.Locators.getSplit(Tables.datasetView(s, d), Some("P")),
+        col("id") % 100 === 0)
+      val dir = java.nio.file.Files.createTempDirectory("graft_inv_img").toString
+      ds0.images.select(col("id"), col("width"), col("height"), col("relative_path"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          def pngHeader(w: Int, h: Int): Array[Byte] = {
+            val b = java.nio.ByteBuffer.allocate(25)
+            b.put(Array[Int](0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+            b.putInt(13).put("IHDR".getBytes("US-ASCII")).putInt(w).putInt(h).put(8.toByte)
+            b.array()
+          }
+          it.foreach { r =>
+            val (id, w, h, rel) = (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))
+            val p = java.nio.file.Paths.get(dir, rel)
+            (id / 100) % 4 match {
+              case 0 =>
+                java.nio.file.Files.write(p, pngHeader(w, h))
+                java.nio.file.Files.write(
+                  java.nio.file.Paths.get(dir, s"orphan_$id.png"), pngHeader(w, h))
+              case 1 => java.nio.file.Files.write(p, pngHeader(w + 3, h))
+              case 2 => java.nio.file.Files.write(p, "not an image".getBytes("US-ASCII"))
+              case _ => () // missing
+            }
+          }
+        }
+      val ds = ds0.copy(imagesRoot = dir)
+      val report = graft.operators.Frames.invalidImageReport(ds)
+      val repAgg = report.agg(
+        coalesce(sum(when(col("missing"), 1L).otherwise(0L)), lit(0L)).as("n_missing"),
+        coalesce(sum(when(col("undecodable"), 1L).otherwise(0L)), lit(0L)).as("n_undecodable"),
+        coalesce(sum(when(col("size_mismatch"), 1L).otherwise(0L)), lit(0L)).as("n_mismatch"))
+      val cleaned = graft.operators.Frames.removeInvalidImages(ds)
+      val keptAgg = cleaned.images.agg(count(lit(1)).as("n_kept_images"))
+        .crossJoin(cleaned.annotations.agg(count(lit(1)).as("n_kept_anns")))
+      val orphans = graft.operators.FolderSweep.orphanFiles(ds)
+        .agg(count(lit(1)).as("n_orphans"))
+      repAgg.crossJoin(keptAgg).crossJoin(orphans)
+    }),
+
+    // §2.10 remap_from_other: id collisions force the lowest-free-id
+    // allocator (dataset.py:3794-4015) through all three branches — match
+    // by name (→ other's id), free id (→ kept), collision (→ allocated
+    // 7,8,9,10). The resulting mapping is a closed-form CASE for the oracle.
+    "q69_remap_from_other" -> ((s, d) => {
+      val ds = Tables.datasetView(s, d)
+      val other = ds.copy(labelMap =
+        Map(0 -> "cat_3", 1 -> "other_a", 2 -> "cat_5", 6 -> "other_b"))
+      graft.operators.Remap.remapFromOther(ds, other)
+        .annotations.groupBy(col("category_id"), col("category_str"))
+        .agg(count(lit(1)).as("n"), round(sum(col("box_width")), 2).as("w_sum"))
+    }),
+
     // §2.6 grouped top-k: 3 priciest lineitems per order
     "q46_group_topk" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -105,6 +165,29 @@ object ExtraQueries extends graft.QueryModule {
         |  (CAST(l_suppkey % 300 AS DOUBLE) + 10.0)
         |    - CAST(l_suppkey % 300 AS DOUBLE) AS box_height
         |FROM lineitem""".stripMargin,
+
+    "q68_invalid_images" ->
+      s"""$viewCte,
+         |sub AS (SELECT id, (id // 100) % 4 AS k FROM images
+         |        WHERE split = 'P' AND id % 100 = 0)
+         |SELECT
+         |  (SELECT count(*) FROM sub WHERE k = 3) AS n_missing,
+         |  (SELECT count(*) FROM sub WHERE k = 2) AS n_undecodable,
+         |  (SELECT count(*) FROM sub WHERE k = 1) AS n_mismatch,
+         |  (SELECT count(*) FROM sub WHERE k = 0) AS n_kept_images,
+         |  (SELECT count(*) FROM annotations a JOIN sub ON a.image_id = sub.id
+         |   WHERE sub.k = 0) AS n_kept_anns,
+         |  (SELECT count(*) FROM sub WHERE k = 0) AS n_orphans""".stripMargin,
+
+    "q69_remap_from_other" ->
+      s"""$viewCte
+         |SELECT CAST(CASE a.category_id WHEN 0 THEN 7 WHEN 1 THEN 8
+         |            WHEN 2 THEN 9 WHEN 3 THEN 0 WHEN 4 THEN 4
+         |            WHEN 5 THEN 2 WHEN 6 THEN 10 END AS INT) AS category_id,
+         |       'cat_' || CAST(a.category_id AS VARCHAR) AS category_str,
+         |       count(*) AS n, round(sum(a.box_width), 2) AS w_sum
+         |FROM annotations a
+         |GROUP BY a.category_id""".stripMargin,
 
     "q46_group_topk" ->
       """WITH ranked AS (

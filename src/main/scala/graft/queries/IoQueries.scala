@@ -259,6 +259,23 @@ object IoQueries extends graft.QueryModule {
       annAgg(back.annotations).crossJoin(lst)
     }),
 
+    // §2.1 from_coco_keypoints: the COCO keypoints variant — annotations
+    // load as POINTS (box_width = box_height forced to 0, io/coco.py:136-174)
+    // while x/y survive exactly. The fixture is a real to_coco file of the
+    // subset, so the gate exercises sink → keypoints-loader end to end; the
+    // wh_sum column asserts the zero-size rule cross-engine.
+    "q67_coco_keypoints" -> ((s, d) => {
+      val ds = subset(s, d)
+      val written = Coco.toCoco(ds, tmp("graft_kp_rt"), overwrite = true)
+      val back = graft.io.CocoKeypoints.fromCocoKeypoints(s, written.head)
+      back.annotations.groupBy(col("category_id"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("box_x_min")), 2).as("x_sum"),
+          round(sum(col("box_y_min")), 2).as("y_sum"),
+          round(sum(col("box_width") + col("box_height")), 2).as("wh_sum"),
+          countDistinct(col("image_id")).as("n_images"))
+    }),
+
     // §2.1/2.2 native parquet persistence: exact roundtrip incl. ids
     "q56_parquet_roundtrip" -> ((s, d) => {
       val ds = subset(s, d)
@@ -372,6 +389,17 @@ object IoQueries extends graft.QueryModule {
       s"""$viewCte
          |SELECT count(*) AS n, CAST(sum(width) AS BIGINT) AS w_sum, CAST(sum(height) AS BIGINT) AS h_sum
          |FROM images WHERE split = 'P' AND id % 100 = 0""".stripMargin),
+
+    "q67_coco_keypoints" -> (
+      s"""$viewCte
+         |SELECT a.category_id, count(*) AS n,
+         |       round(sum(a.box_x_min), 2) AS x_sum,
+         |       round(sum(a.box_y_min), 2) AS y_sum,
+         |       CAST(0.0 AS DOUBLE) AS wh_sum,
+         |       count(DISTINCT a.image_id) AS n_images
+         |FROM annotations a JOIN images i ON a.image_id = i.id
+         |WHERE i.split = 'P' AND i.id % 10 = 0
+         |GROUP BY a.category_id""".stripMargin),
 
     "q56_parquet_roundtrip" -> (
       s"""$viewCte
