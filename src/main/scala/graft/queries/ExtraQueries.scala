@@ -122,6 +122,49 @@ object ExtraQueries extends graft.QueryModule {
         .agg(count(lit(1)).as("n"), round(sum(col("box_width")), 2).as("w_sum"))
     }),
 
+    // §2.12 histogram distance kernels (Costs.klDivergence / emd1d /
+    // shareDistance): category histograms of splits P vs F, normalized,
+    // then KL, 1-D EMD (cumsum closed form) and 1−IoU share distance —
+    // each a closed-form SQL aggregate for the oracle. Histograms are
+    // tiny by construction (7 bins); the distributed part is the count
+    "q74_hist_distance" -> ((s, d) => {
+      import graft.split.Costs
+      val img = Tables.imagesView(s, d).select(col("id").as("image_id"), col("split"))
+      val counts = Tables.annotationsView(s, d).join(img, Seq("image_id"))
+        .filter(col("split").isin("P", "F"))
+        .groupBy("split", "category_id").count().collect()
+      def hist(sp: String): Array[Double] = (0 to 6).map(b =>
+        counts.find(r => r.getString(0) == sp && r.getInt(1) == b)
+          .map(_.getLong(2).toDouble).getOrElse(0.0)).toArray
+      val p = Costs.normalize(hist("P"))
+      val q = Costs.normalize(hist("F"))
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      import s.implicits._
+      Seq((r6(Costs.klDivergence(p, q)), r6(Costs.emd1d(p, q)),
+        r6(Costs.shareDistance(p, q))))
+        .toDF("kl", "emd", "share_dist")
+    }),
+
+    // §2.5 construct_label_map: distinct (id, name) pairs with bijectivity
+    // asserts in both directions (io/common.py:15-48)
+    "q75_label_map" -> ((s, d) => {
+      val m = graft.validate.LabelMapBuilder.constructLabelMap(
+        Tables.datasetView(s, d).annotations)
+      import s.implicits._
+      m.toSeq.sortBy(_._1).toDF("category_id", "category_str")
+    }),
+
+    // §2.9 reset_images_root: re-root /data/images → /data; the old→new
+    // prefix ("images") is driver-computed once, the rewrite is a concat
+    // column (dataset.py:1039-1123)
+    "q76_reset_images_root" -> ((s, d) => {
+      val ds = Tables.datasetView(s, d).copy(imagesRoot = "/data/images")
+      val r = ds.resetImagesRoot("/data")
+      require(r.imagesRoot == "/data", s"unexpected root ${r.imagesRoot}")
+      r.images.select(col("id"), col("relative_path"))
+    }),
+
     // §2.6 grouped top-k: 3 priciest lineitems per order
     "q46_group_topk" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -188,6 +231,36 @@ object ExtraQueries extends graft.QueryModule {
          |       count(*) AS n, round(sum(a.box_width), 2) AS w_sum
          |FROM annotations a
          |GROUP BY a.category_id""".stripMargin,
+
+    "q74_hist_distance" ->
+      s"""$viewCte,
+         |counts AS (
+         |  SELECT i.split, a.category_id, count(*) AS c
+         |  FROM annotations a JOIN images i ON a.image_id = i.id
+         |  WHERE i.split IN ('P', 'F') GROUP BY 1, 2),
+         |tot AS (SELECT split, sum(c) AS t FROM counts GROUP BY 1),
+         |h AS (SELECT category_id,
+         |        coalesce(CAST(sum(CASE WHEN split = 'P' THEN c END) AS DOUBLE), 0)
+         |          / (SELECT t FROM tot WHERE split = 'P') AS pv,
+         |        coalesce(CAST(sum(CASE WHEN split = 'F' THEN c END) AS DOUBLE), 0)
+         |          / (SELECT t FROM tot WHERE split = 'F') AS qv
+         |      FROM counts GROUP BY 1),
+         |c AS (SELECT pv, qv,
+         |        sum(pv) OVER (ORDER BY category_id) AS cp,
+         |        sum(qv) OVER (ORDER BY category_id) AS cq FROM h)
+         |SELECT round(sum(CASE WHEN pv > 0 THEN pv * ln(pv / qv) ELSE 0 END), 6) AS kl,
+         |       round(sum(abs(cp - cq)), 6) AS emd,
+         |       round(1 - sum(least(pv, qv)) / sum(greatest(pv, qv)), 6) AS share_dist
+         |FROM c""".stripMargin,
+
+    "q75_label_map" ->
+      s"""$viewCte
+         |SELECT DISTINCT category_id, category_str FROM annotations""".stripMargin,
+
+    "q76_reset_images_root" ->
+      s"""$viewCte
+         |SELECT id, 'images/img_' || id || '.jpg' AS relative_path
+         |FROM images""".stripMargin,
 
     "q46_group_topk" ->
       """WITH ranked AS (

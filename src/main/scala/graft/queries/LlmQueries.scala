@@ -213,6 +213,48 @@ object LlmQueries extends graft.QueryModule {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
     }),
 
+    // TF-IDF top-3 terms per document (Corpus.tfIdfTopTerms) — full oracle:
+    // the operator ranks on the score ROUNDED to 6 decimals (term tiebreak),
+    // which both engines agree on because every distinct (tf, df) pair is
+    // separated by ≥ idf-gap ≈ 1/(df+1) ≫ 1e-6 at gate corpus sizes
+    "q70_tfidf_topterms" -> ((s, d) => {
+      graft.llm.Corpus.tfIdfTopTerms(Tables.documents(s, d), k = 3)
+        .select(col("doc_id"), col("term"), col("tf"),
+          round(col("score"), 4).as("score"),
+          col("rank").cast("long").as("rank"))
+    }),
+
+    // concat-and-chunk sequence packing per source shard — all-integer
+    // arithmetic (window cumsum + floor-div), fill is dyadic (n/256): exact
+    "q71_pack_stats" -> ((s, d) => {
+      val docs = Tables.documents(s, d).withColumn("n_tokens",
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long"))
+      graft.llm.Corpus.packStats(docs, blockTokens = 256)
+        .select(col("source"), col("pack_id"), col("n_docs"),
+          col("n_tokens"), col("fill"))
+    }),
+
+    // GPT-3-style decontamination: word-3-shingle overlap pairs between the
+    // train corpus and a held-out test slice. test_share is a ratio of the
+    // SAME integers in both engines → bit-identical doubles, no rounding
+    "q72_decontam_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.llm.Corpus.contaminationPairs(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0))
+        .select(col("train_id"), col("test_id"), col("n_shared"), col("test_share"))
+    }),
+
+    // the filtering face of q72: drop train docs whose shared-shingle share
+    // of any test doc reaches 0.2 (anti-join on the broadcast bad-id set)
+    "q73_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.llm.Corpus.decontaminate(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), minShare = 0.2)
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+    }),
+
     // event-time tumbling daily window — full oracle
     "q37_events_daily" -> ((s, d) => {
       Tables.events(s, d)
@@ -531,6 +573,85 @@ object LlmQueries extends graft.QueryModule {
       """SELECT doc_id,
         |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents""".stripMargin,
+
+    "q70_tfidf_topterms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE len(term) > 0 GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |         round(tf.tf * (ln((n_docs + 1.0) / (df + 1)) + 1.0), 6) AS s6
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, s6,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY s6 DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+        |       round(s6, 4) AS score, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "q71_pack_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+        |           AS n_tokens
+        |  FROM documents),
+        |st AS (SELECT source, n_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+        |           AS stream_end
+        |       FROM toks)
+        |SELECT source, CAST((stream_end - n_tokens) // 256 AS BIGINT) AS pack_id,
+        |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |       CAST(sum(n_tokens) AS DOUBLE) / 256 AS fill
+        |FROM st GROUP BY 1, 2""".stripMargin,
+
+    "q72_decontam_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(range(1, len(t) - 1),
+        |                             i -> array_to_string(t[i:i+2], ' '))
+        |    END)) AS s
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(lower(trim(text)), '\s+') AS t
+        |        FROM documents)),
+        |test AS (SELECT * FROM sh WHERE doc_id % 50 = 0),
+        |train AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+        |tsize AS (SELECT doc_id AS test_id, count(*) AS n_test FROM test GROUP BY 1),
+        |pairs AS (SELECT tr.doc_id AS train_id, te.doc_id AS test_id,
+        |                 count(*) AS n_shared
+        |          FROM train tr JOIN test te ON tr.s = te.s GROUP BY 1, 2)
+        |SELECT train_id, test_id, CAST(n_shared AS BIGINT) AS n_shared,
+        |       CAST(n_shared AS DOUBLE) / n_test AS test_share
+        |FROM pairs JOIN tsize USING (test_id)""".stripMargin,
+
+    "q73_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(range(1, len(t) - 1),
+        |                             i -> array_to_string(t[i:i+2], ' '))
+        |    END)) AS s
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(lower(trim(text)), '\s+') AS t
+        |        FROM documents)),
+        |test AS (SELECT * FROM sh WHERE doc_id % 50 = 0),
+        |train AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+        |tsize AS (SELECT doc_id AS test_id, count(*) AS n_test FROM test GROUP BY 1),
+        |bad AS (
+        |  SELECT DISTINCT tr.doc_id
+        |  FROM train tr JOIN test te ON tr.s = te.s
+        |  JOIN tsize ON tsize.test_id = te.doc_id
+        |  GROUP BY tr.doc_id, te.doc_id, n_test
+        |  HAVING CAST(count(*) AS DOUBLE) / n_test >= 0.2)
+        |SELECT count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
+        |FROM documents
+        |WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
 
     "q37_events_daily" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,

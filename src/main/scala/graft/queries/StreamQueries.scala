@@ -40,6 +40,22 @@ object StreamQueries extends graft.QueryModule {
           round(coalesce(sum(col("ref_value")), lit(0.0)), 2).as("ref_sum"))
     }),
 
+    // streaming exact dedup (StreamDedup.dedupExact) run on its batch face:
+    // the same fingerprint plumbing that dropDuplicatesWithinWatermark uses
+    // in a stream, over a corpus with 20 planted duplicate docs. Output is
+    // the surviving fingerprint set — the only batch-deterministic part
+    // (which duplicate row survives is arbitrary; which fingerprints do is
+    // not)
+    "q77_stream_dedup" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+      val dups = base.orderBy("doc_id").limit(20)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val docs = base.unionByName(dups)
+        .withColumn("ts", timestamp_micros(col("doc_id") * 1000000L))
+      graft.streaming.StreamDedup.dedupExact(docs, watermark = "1 hour")
+        .select(col("fingerprint"))
+    }),
+
     // gap-based sessionization (flatMapGroupsWithState kernel) vs the
     // SQL lag+cumsum formulation
     "q40_sessionize" -> ((s, d) => {
@@ -57,6 +73,11 @@ object StreamQueries extends graft.QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q77_stream_dedup" ->
+      """SELECT DISTINCT
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents""".stripMargin,
+
     "q39_sliding_window" ->
       """WITH buckets AS (
         |  SELECT strftime(date_trunc('hour', ts) - INTERVAL (k) HOUR,
