@@ -94,6 +94,21 @@ object Corpus {
       .filter(col("rank") <= k)
   }
 
+  /** Corpus-wide top-`k` word `n`-grams by total occurrence count (ties
+    * broken by the n-gram itself), with per-gram document frequency.
+    * One explode + one partial-agg groupBy — the classic vocabulary-stats
+    * pass; the top-k is a tiny `orderBy().limit()` over the aggregated
+    * gram table, not the corpus. */
+  def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("ngram"))
+      .filter(length(col("ngram")) > 0)
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col(idCol)).as("n_docs"))
+      .orderBy(desc("n_occurrences"), col("ngram"))
+      .limit(k)
+
   /** Concat-and-chunk sequence packing: within each `groupCol` shard, lay
     * documents end to end in `orderCol` order and cut the stream into
     * `blockTokens`-sized context windows. Each document is assigned to the

@@ -165,6 +165,63 @@ object ExtraQueries extends graft.QueryModule {
       r.images.select(col("id"), col("relative_path"))
     }),
 
+    // §2.13 check / assert_ids_well_formed / assert_columns_properly_
+    // normalized / dataset_regression / assert_dataset_equal behavior gate:
+    // a clean subset must pass every check, each planted violation class
+    // must be caught, and the malformed-box count over a planted corpus is
+    // recomputed arithmetically by the oracle. Booleans are the q47-style
+    // bound pattern — semantics, not just row counts.
+    "q78_validation_report" -> ((s, d) => {
+      import graft.validate.Validation
+      import graft.operators.Locators
+      val sub = Locators.filterImages(
+        Locators.getSplit(Tables.datasetView(s, d), Some("P")),
+        col("id") % 10 === 0)
+      val clean = Locators.removeInvalidAnnotations(sub)
+      def throws(f: => Unit): Boolean =
+        try { f; false } catch { case _: IllegalArgumentException => true }
+      val cleanOk = try { Validation.check(clean); true }
+        catch { case _: Throwable => false }
+      // planted: every 97th annotation id gets a negative width
+      val badAnn = clean.annotations.withColumn("box_width",
+        when(col("id") % 97 === 0, lit(-5.0)).otherwise(col("box_width")))
+      val malformedCaught = throws(Validation.check(clean.copy(annotations = badAnn)))
+      val nMalformed = Locators.malformedBoxReport(clean.copy(annotations = badAnn))
+        .filter(col("negative_size")).count()
+      // planted: every 100th image collapses onto one path
+      val dupImages = clean.images.withColumn("relative_path",
+        when(col("id") % 100 === 0, lit("dup.jpg")).otherwise(col("relative_path")))
+      val dupCaught = throws(Validation.check(clean.copy(images = dupImages)))
+      val normCaught = throws(Validation.assertColumnsProperlyNormalized(
+        clean.images.withColumn("split.x", lit(1))))
+      // golden-parquet regression: write, re-check (equal), mutate (drift)
+      val golden = java.nio.file.Files.createTempDirectory("graft_golden").toString
+      Validation.datasetRegression(clean, golden)
+      val regressionOk = try { Validation.datasetRegression(clean, golden); true }
+        catch { case _: Throwable => false }
+      val driftCaught = throws {
+        Validation.datasetRegression(
+          clean.copy(images = clean.images.withColumn("width", col("width") + 1)),
+          golden)
+      }
+      import s.implicits._
+      Seq((cleanOk, malformedCaught, nMalformed, dupCaught, normCaught,
+        regressionOk, driftCaught))
+        .toDF("clean_ok", "malformed_caught", "n_malformed", "dup_caught",
+          "norm_caught", "regression_ok", "drift_caught")
+    }),
+
+    // §2.3 get_one_frame: the n-th image in id order plus its annotation
+    // count — driver-side single-frame access shaped into a one-row frame
+    "q79_get_one_frame" -> ((s, d) => {
+      val ds = Tables.datasetView(s, d)
+      val (img, anns) = graft.operators.Frames.getOneFrame(ds, n = 5)
+      import s.implicits._
+      Seq((img.getAs[Long]("id"), img.getAs[String]("relative_path"),
+        anns.size.toLong))
+        .toDF("id", "relative_path", "n_ann")
+    }),
+
     // §2.6 grouped top-k: 3 priciest lineitems per order
     "q46_group_topk" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -261,6 +318,26 @@ object ExtraQueries extends graft.QueryModule {
       s"""$viewCte
          |SELECT id, 'images/img_' || id || '.jpg' AS relative_path
          |FROM images""".stripMargin,
+
+    "q78_validation_report" ->
+      s"""$viewCte,
+         |sub AS (SELECT a.id FROM annotations a JOIN images i ON a.image_id = i.id
+         |        WHERE i.split = 'P' AND i.id % 10 = 0
+         |          AND a.box_x_min >= 0 AND a.box_y_min >= 0
+         |          AND a.box_width > 0 AND a.box_height > 0
+         |          AND a.box_x_min + a.box_width <= i.width
+         |          AND a.box_y_min + a.box_height <= i.height)
+         |SELECT true AS clean_ok, true AS malformed_caught,
+         |       (SELECT count(*) FROM sub WHERE id % 97 = 0) AS n_malformed,
+         |       true AS dup_caught, true AS norm_caught,
+         |       true AS regression_ok, true AS drift_caught""".stripMargin,
+
+    "q79_get_one_frame" ->
+      s"""$viewCte,
+         |sel AS (SELECT id, relative_path FROM images ORDER BY id LIMIT 1 OFFSET 5)
+         |SELECT sel.id, sel.relative_path,
+         |       (SELECT count(*) FROM annotations a WHERE a.image_id = sel.id) AS n_ann
+         |FROM sel""".stripMargin,
 
     "q46_group_topk" ->
       """WITH ranked AS (

@@ -245,6 +245,33 @@ object LlmQueries extends graft.QueryModule {
         .select(col("train_id"), col("test_id"), col("n_shared"), col("test_share"))
     }),
 
+    // PII scrub: emails/IPv4s/phones injected deterministically into every
+    // doc, then redacted + counted through the staged Scrub pipeline. The
+    // oracle replays the identical RE2-safe regexes in DuckDB — a genuine
+    // cross-engine regex-semantics check, not just arithmetic
+    "q80_pii_scrub" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact u"), col("doc_id"), lit("@ex.com from 10.0."),
+          pmod(col("doc_id"), lit(256)), lit(".7 call +1 (555) 010-1234"))
+          .as("text"))
+      val counts = graft.llm.Scrub.piiCounts(docs)
+      val red = graft.llm.Scrub.scrub(docs)
+        .select(col("doc_id"), length(col("text")).as("red_len"))
+      counts.join(red, Seq("doc_id"))
+        .select(col("doc_id"),
+          col("n_emails").cast("long").as("n_emails"),
+          col("n_ips").cast("long").as("n_ips"),
+          col("n_phones").cast("long").as("n_phones"),
+          col("red_len").cast("long").as("red_len"))
+    }),
+
+    // corpus-wide top-20 word bigrams with doc frequency — the vocabulary
+    // stats pass; tie-broken on the gram so both engines agree exactly
+    "q81_top_ngrams" -> ((s, d) => {
+      graft.llm.Corpus.topNgrams(Tables.documents(s, d), n = 2, k = 20)
+    }),
+
     // the filtering face of q72: drop train docs whose shared-shingle share
     // of any test doc reaches 0.2 (anti-join on the broadcast bad-id set)
     "q73_decontaminate" -> ((s, d) => {
@@ -629,6 +656,40 @@ object LlmQueries extends graft.QueryModule {
         |SELECT train_id, test_id, CAST(n_shared AS BIGINT) AS n_shared,
         |       CAST(n_shared AS DOUBLE) / n_test AS test_share
         |FROM pairs JOIN tsize USING (test_id)""".stripMargin,
+
+    "q80_pii_scrub" ->
+      """WITH t AS (
+        |  SELECT doc_id, text || ' contact u' || doc_id || '@ex.com from 10.0.' ||
+        |         (doc_id % 256) || '.7 call +1 (555) 010-1234' AS text
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, text,
+        |         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |                        '[EMAIL]', 'g') AS t1 FROM t),
+        |s2 AS (SELECT doc_id, text, t1,
+        |         regexp_replace(t1, '\b(\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g') AS t2
+        |       FROM s1)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t1, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(t2, '\+?\d[\d\s().-]{7,}\d')) AS BIGINT) AS n_phones,
+        |  CAST(length(regexp_replace(t2, '\+?\d[\d\s().-]{7,}\d', '[PHONE]', 'g'))
+        |       AS BIGINT) AS red_len
+        |FROM s2""".stripMargin,
+
+    "q81_top_ngrams" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, unnest(
+        |        CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+        |             ELSE list_transform(range(1, len(w)),
+        |                                 i -> array_to_string(w[i:i+1], ' '))
+        |        END) AS ngram
+        |      FROM t)
+        |SELECT ngram, count(*) AS n_occurrences,
+        |       count(DISTINCT doc_id) AS n_docs
+        |FROM g WHERE length(ngram) > 0
+        |GROUP BY 1 ORDER BY n_occurrences DESC, ngram LIMIT 20""".stripMargin,
 
     "q73_decontaminate" ->
       """WITH sh AS (
