@@ -9,7 +9,9 @@ import org.apache.spark.sql.expressions.Window
 
 /** Additional oracle-gated queries widening SURVEY §2 coverage:
   * match_index, reset_index_from_mapping, debooleanize, bbox import,
-  * grouped top-k. */
+  * grouped top-k, invalid-image sweep, remap_from_other, hist distances,
+  * construct_label_map, reset_images_root, the validation/regression
+  * report, and get_one_frame. */
 object ExtraQueries extends graft.QueryModule {
   type Q = (SparkSession, String) => DataFrame
 
@@ -174,9 +176,14 @@ object ExtraQueries extends graft.QueryModule {
     "q78_validation_report" -> ((s, d) => {
       import graft.validate.Validation
       import graft.operators.Locators
-      val sub = Locators.filterImages(
+      val sub0 = Locators.filterImages(
         Locators.getSplit(Tables.datasetView(s, d), Some("P")),
-        col("id") % 10 === 0)
+        col("id") % 100 === 0)
+      // the gate chains ~20 small driver-blocking checks; materialize the
+      // tiny subset ONCE so each check doesn't re-derive the full view
+      val sub = sub0.copy(
+        images = sub0.images.localCheckpoint(true),
+        annotations = sub0.annotations.localCheckpoint(true))
       val clean = Locators.removeInvalidAnnotations(sub)
       def throws(f: => Unit): Boolean =
         try { f; false } catch { case _: IllegalArgumentException => true }
@@ -322,7 +329,7 @@ object ExtraQueries extends graft.QueryModule {
     "q78_validation_report" ->
       s"""$viewCte,
          |sub AS (SELECT a.id FROM annotations a JOIN images i ON a.image_id = i.id
-         |        WHERE i.split = 'P' AND i.id % 10 = 0
+         |        WHERE i.split = 'P' AND i.id % 100 = 0
          |          AND a.box_x_min >= 0 AND a.box_y_min >= 0
          |          AND a.box_width > 0 AND a.box_height > 0
          |          AND a.box_x_min + a.box_width <= i.width

@@ -1,0 +1,63 @@
+package graft
+
+import graft.llm.Corpus
+import org.apache.spark.sql.functions._
+
+class CorpusSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("tfIdf matches the smoothed-idf closed form on a known corpus") {
+    val docs = Seq(
+      (1L, "a a b"),
+      (2L, "a c"),
+      (3L, "c c c")
+    ).toDF("doc_id", "text")
+    val scores = Corpus.tfIdf(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // N=3; df(a)=2, df(b)=1, df(c)=2
+    def idf(df: Int) = math.log(4.0 / (df + 1)) + 1.0
+    assert(scores((1L, "a"))._1 == 2L)
+    assert(math.abs(scores((1L, "a"))._2 - 2 * idf(2)) < 1e-12)
+    assert(math.abs(scores((1L, "b"))._2 - 1 * idf(1)) < 1e-12)
+    assert(math.abs(scores((3L, "c"))._2 - 3 * idf(2)) < 1e-12)
+  }
+
+  test("tfIdfTopTerms ranks by rounded score with term tiebreak") {
+    val docs = Seq((1L, "x x y z")).toDF("doc_id", "text")
+    // df is 1 for every term so idf is constant: ranks are tf desc, term asc
+    val top = Corpus.tfIdfTopTerms(docs, k = 2).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Int]("rank")))
+    assert(top.toSeq.sortBy(_._2) == Seq(("x", 1), ("y", 2)))
+  }
+
+  test("packSequences assigns docs to the pack where they start") {
+    val docs = Seq(
+      ("s", 1L, 100L), ("s", 2L, 100L), ("s", 3L, 100L), // starts 0,100,200
+      ("t", 4L, 300L) // its own shard
+    ).toDF("source", "doc_id", "n_tokens")
+    val packed = Corpus.packSequences(docs, blockTokens = 256)
+      .select("doc_id", "pack_id", "stream_start").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(packed(1L) == ((0L, 0L)))
+    assert(packed(2L) == ((0L, 100L)))
+    assert(packed(3L) == ((0L, 200L))) // starts at 200 < 256 → pack 0
+    assert(packed(4L) == ((0L, 0L)))
+    val stats = Corpus.packStats(docs, blockTokens = 256)
+      .filter(col("source") === "s").collect()
+    assert(stats.length == 1 && stats.head.getAs[Long]("n_tokens") == 300L)
+    assert(math.abs(stats.head.getAs[Double]("fill") - 300.0 / 256) < 1e-12)
+  }
+
+  test("contaminationPairs counts shared distinct shingles and test share") {
+    val train = Seq((10L, "a b c d e")).toDF("doc_id", "text") // shingles: abc bcd cde
+    val test = Seq((1L, "a b c d x")).toDF("doc_id", "text")   // abc bcd cdx
+    val rows = Corpus.contaminationPairs(train, test).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_shared") == 2L) // abc, bcd
+    assert(math.abs(r.getAs[Double]("test_share") - 2.0 / 3) < 1e-12)
+    // decontaminate drops the train doc at minShare <= 2/3, keeps above
+    assert(Corpus.decontaminate(train, test, minShare = 0.5).count() == 0)
+    assert(Corpus.decontaminate(train, test, minShare = 0.7).count() == 1)
+  }
+}
