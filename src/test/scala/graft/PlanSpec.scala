@@ -67,6 +67,35 @@ class PlanSpec extends SparkFunSuite {
     assert(!plan.contains("zip_with"))
   }
 
+  test("q72: decontamination joins the TEST side broadcast — train never shuffles on shingles") {
+    val plan = planOf("q72_decontam_pairs")
+    assert(plan.contains("BroadcastHashJoin"), s"test-side shingle join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "train corpus shuffled on shingle strings — broadcast contract broken")
+  }
+
+  test("q81: corpus top-k plans as TakeOrdered, not a global sort of the gram table") {
+    val plan = planOf("q81_top_ngrams")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k fell back to global sort:\n$plan")
+  }
+
+  test("PII scrub is a pure exchange-free projection over the scan") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, d)
+    val plan = graft.llm.Scrub.piiCounts(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"piiCounts introduced a shuffle:\n$plan")
+    val plan2 = graft.llm.Scrub.scrub(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan2.contains("Exchange"), s"scrub introduced a shuffle:\n$plan2")
+  }
+
+  test("q70: TF-IDF aggregations are partial (map-side combine) hash aggregates") {
+    val plan = planOf("q70_tfidf_topterms")
+    assert(plan.contains("HashAggregate"), s"no hash aggregate in tf/df stages:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "tf⋈df fell back to cartesian")
+  }
+
   test("band self-joins stay hash joins — never cartesian/nested-loop") {
     // the near-dup candidate joins are equality joins on band keys; a
     // refactor that breaks the join condition (e.g. same-lineage column
