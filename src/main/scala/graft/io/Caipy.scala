@@ -95,15 +95,14 @@ object Caipy {
           .withColumn("box_height", element_at(col("bbox"), 4).cast("double"))
           .drop("bbox")
       }
-    // null-safe label-map collect: an annotation with absent category
-    // fields must not NPE the loader
+    // null-safe label-map build through the shared builder (io/common.py's
+    // construct_label_map semantics: bijectivity asserted both directions);
+    // an annotation with absent category fields must not NPE the loader
     val labelMap =
       if (!annotations.columns.contains("category_id") ||
           !annotations.columns.contains("category_str")) Map.empty[Int, String]
-      else annotations.select(col("category_id").cast("int"), col("category_str"))
-        .filter(col("category_id").isNotNull && col("category_str").isNotNull)
-        .distinct().collect()
-        .map(r => r.getInt(0) -> r.getString(1)).toMap
+      else graft.validate.LabelMapBuilder.constructLabelMap(
+        annotations.filter(col("category_id").isNotNull && col("category_str").isNotNull))
     GraftDataset.create(images, annotations, labelMap, root, datasetName)
   }
 

@@ -98,6 +98,15 @@ object Darknet {
     val frames = raw.select(relPath.as("relative_path"), explode(col("objects")).as("o"))
     val dims = broadcast(images.select(col("relative_path"),
       col("id").as("__img_id"), col("width").as("__w"), col("height").as("__h")))
+    // a filename that resolves to no images row would silently vanish in
+    // the inner join below (the reference's image_info merge surfaces the
+    // gap) — fail loudly with examples instead
+    val unmatched = raw.select(relPath.as("relative_path")).distinct()
+      .join(dims.select(col("relative_path")), Seq("relative_path"), "left_anti")
+      .limit(5).collect().map(_.getString(0))
+    require(unmatched.isEmpty,
+      "detector frames with no matching images row (datasetPath prefix " +
+        s"mismatch?): ${unmatched.mkString(", ")}")
     val joined = frames.join(dims, Seq("relative_path"))
     val catId =
       if (idsMap.isEmpty) col("o.class_id").cast("int")
@@ -119,12 +128,12 @@ object Darknet {
     val annotations = rel.select(
       (Seq(col("image_id"), col("category_id"), col("category_str"),
         col("confidence")) ++ boxes): _*)
+    // shared builder, not an inline distinct-collect: its bijectivity
+    // asserts reject a detector emitting two names for one class id
     val labelMap: Map[Int, String] =
       if (idsMap.nonEmpty) idsMap.values.map { case (i, n) => i -> n }.toMap
-      else annotations.select(col("category_id"), col("category_str"))
-        .filter(col("category_id").isNotNull && col("category_str").isNotNull)
-        .distinct().collect()
-        .map(r => r.getInt(0) -> r.getString(1)).toMap
+      else graft.validate.LabelMapBuilder.constructLabelMap(
+        annotations.filter(col("category_id").isNotNull && col("category_str").isNotNull))
     GraftDataset.create(images.withColumn("split", lit(splitName)),
       annotations, labelMap, datasetName = datasetName)
   }

@@ -275,16 +275,21 @@ object Dedup {
     *     planes-per-band" — recall for exact/near-exact duplicates is
     *     unaffected: identical vectors have identical signatures, so they
     *     always land in the same refined bucket);
-    *   - refined buckets still over the cap are DROPPED from candidate
-    *     generation — per-bucket pair cost is therefore bounded by
-    *     maxBucketSize²/2 by construction. Dropped volume is observable
-    *     via [[embeddingBucketStats]]; a caller seeing drops should raise
-    *     planes/bands or whiten the embeddings (SCALE.md).
+    *   - refined buckets still over the cap degrade to STAR pairs: every
+    *     row pairs only with the bucket's min-id representative (linear,
+    *     n−1 pairs), so per-bucket pair cost stays bounded by
+    *     maxBucketSize²/2 by construction while a giant exact-duplicate
+    *     cluster — which no re-keying can split, since identical vectors
+    *     share every signature bit — keeps FULL recall through the
+    *     representative (all copies verify at cosine 1; CC clustering
+    *     reconnects the cluster). Star volume is observable via
+    *     [[embeddingBucketStats]]; a caller seeing `star` rows should
+    *     raise planes/bands or whiten the embeddings (SCALE.md).
     *
     * Measured at sf0.1 (2020 vectors, cap 256, 12 refine bits): 1.73M raw
-    * candidates → 126k, max refined bucket 92, zero drops. All decisions
-    * are integer arithmetic + counts, so the DuckDB oracle (q59) replicates
-    * the guard bit-for-bit. */
+    * candidates → 126k, max refined bucket 92, zero star buckets. All
+    * decisions are integer arithmetic + counts, so the DuckDB oracle (q59)
+    * replicates the guard bit-for-bit. */
   def embeddingNearDups(embs: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id", threshold: Double = 0.95,
       planes: Int = 16, bands: Int = 4,
@@ -298,12 +303,9 @@ object Dedup {
     val base = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
       Similarity.hyperplaneSignature(col(vecCol), planes + refinePlanes).as("sig"))
       .cache()
-    val keyed = guardedBucketKeys(base, planes, bands, maxBucketSize, refinePlanes)
-    val pairs = keyed.select(col("id").as("id_a"), col("k"))
-      .join(keyed.select(col("id").as("id_b"), col("k")), Seq("k"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
+    val pairs =
+      guardedCandidatePairs(base, planes, bands, maxBucketSize, refinePlanes)
+        .dropDuplicates("id_a", "id_b")
     pairs
       .join(base.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
@@ -312,24 +314,36 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
-  /** The occupancy-guarded candidate keys over a cached (id, v, sig) frame:
-    * (id, k) where k = (band, bucket, sub); sub = 0 for direct buckets,
-    * 1 + refine-bits for rows of oversized buckets (disjoint key spaces by
-    * construction). Rows of refined buckets that STILL exceed the cap are
-    * dropped here. */
-  private def guardedBucketKeys(base: DataFrame,
-      planes: Int, bands: Int, maxBucketSize: Int, refinePlanes: Int): DataFrame = {
+  /** The (id, bk = (band, bucket), sub) banding frame over a cached
+    * (id, v, sig) projection — ONE definition shared by the guard and by
+    * [[embeddingBucketStats]], so the monitoring surface can never drift
+    * from the decisions it reports on. */
+  private[llm] def bandedKeys(base: DataFrame, planes: Int, bands: Int,
+      refinePlanes: Int): DataFrame = {
     require(planes % bands == 0, "planes must be divisible by bands")
     val r0 = planes / bands
-    val banded = base.select(col("id"),
+    base.select(col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           shiftright(col("sig"), b * r0).bitwiseAND((1L << r0) - 1).as("bucket"))
       }: _*)).as("bk"),
       (shiftright(col("sig"), planes).bitwiseAND((1L << refinePlanes) - 1) + 1L).as("sub"))
+  }
+
+  /** Occupancy-guarded candidate pairs (id_a < id_b) over a cached
+    * (id, v, sig) frame. Keys k = (band, bucket, sub); sub = 0 for direct
+    * buckets, 1 + refine-bits for rows of oversized buckets (disjoint key
+    * spaces by construction). A refined bucket STILL over the cap does not
+    * vanish: its rows pair against the bucket's min-id representative
+    * (star repair — linear, so the per-bucket bound survives). */
+  private def guardedCandidatePairs(base: DataFrame,
+      planes: Int, bands: Int, maxBucketSize: Int, refinePlanes: Int): DataFrame = {
+    val banded = bandedKeys(base, planes, bands, refinePlanes)
     // level-1 occupancy: ≤ bands·2^(planes/bands) rows — always broadcastable
     val occ = banded.groupBy(col("bk")).agg(count(lit(1)).as("__n"))
-    val tagged = banded.join(broadcast(occ), Seq("bk"))
+    // slim (id + 4 numerics) and consumed by three branches — fence it so
+    // the occupancy join runs once, not once per consumer
+    val tagged = banded.join(broadcast(occ), Seq("bk")).cache()
     val direct = tagged.filter(col("__n") <= maxBucketSize)
       .select(col("id"), struct(col("bk.band").as("band"),
         col("bk.bucket").as("bucket"), lit(0L).as("sub")).as("k"))
@@ -337,33 +351,48 @@ object Dedup {
       .select(col("id"), struct(col("bk.band").as("band"),
         col("bk.bucket").as("bucket"), col("sub")).as("k"))
     // level-2 occupancy: key count scales with data — plain join (AQE picks
-    // the strategy), NOT a forced broadcast
-    val occ2 = refined.groupBy(col("k")).agg(count(lit(1)).as("__n2"))
+    // the strategy), NOT a forced broadcast; reused by kept AND star
+    val occ2 = refined.groupBy(col("k")).agg(count(lit(1)).as("__n2")).cache()
     val kept = refined.join(occ2, Seq("k"))
       .filter(col("__n2") <= maxBucketSize)
       .select(col("id"), col("k"))
-    direct.unionByName(kept)
+    // the self-join consumes keyed twice: fence it (ReuseExchange only
+    // dedupes physically identical sub-plans, which AQE re-planning breaks)
+    val keyed = direct.unionByName(kept).cache()
+    val keyedPairs = keyed.select(col("id").as("id_a"), col("k"))
+      .join(keyed.select(col("id").as("id_b"), col("k")), Seq("k"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    // STAR REPAIR: dropping a still-oversized refined bucket outright would
+    // guarantee ZERO recall on exactly the most common real dedup target —
+    // a giant exact-duplicate cluster (identical vectors share every
+    // signature bit, so no amount of re-keying can split them). Pairing the
+    // bucket against its min-id representative keeps cost linear (n−1
+    // pairs) while every identical copy verifies at cosine 1 against the
+    // representative; downstream clustering (nearDupClusters' CC) restores
+    // the full cluster through it. Near-identical members lose only
+    // member↔member edges, never membership.
+    val dropped = refined.join(occ2, Seq("k")).filter(col("__n2") > maxBucketSize)
+    val rep = dropped.groupBy(col("k")).agg(min(col("id")).as("rep_id"))
+    val star = dropped.join(rep, Seq("k"))
+      .filter(col("id") =!= col("rep_id"))
+      .select(col("rep_id").as("id_a"), col("id").as("id_b"))
+    keyedPairs.unionByName(star)
   }
 
   /** Occupancy accounting for [[embeddingNearDups]]'s skew guard — the
-    * monitoring surface SCALE.md prescribes. One row per level-1 bucket
+    * monitoring surface SCALE.md prescribes, built on the SAME
+    * [[bandedKeys]] construction the guard uses. One row per level-1 bucket
     * (status `ok` or `refined`) plus one per refined sub-bucket (`kept` or
-    * `dropped`). `sum(n·(n−1)/2) where status in (ok, kept)` bounds the
-    * candidate-pair volume the operator will generate. */
+    * `star` — still over the cap, so it degrades to representative star
+    * pairs). Candidate-pair volume is bounded by `sum(n·(n−1)/2) where
+    * status in (ok, kept)` plus `sum(n−1) where status = star`. */
   def embeddingBucketStats(embs: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id", planes: Int = 16, bands: Int = 4,
       maxBucketSize: Int = 4096, refinePlanes: Int = 12): DataFrame = {
-    require(planes % bands == 0, "planes must be divisible by bands")
-    val base = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val base = embs.select(col(idCol).as("id"),
       Similarity.hyperplaneSignature(col(vecCol), planes + refinePlanes).as("sig"))
-      .cache()
-    val r0 = planes / bands
-    val banded = base.select(col("id"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sig"), b * r0).bitwiseAND((1L << r0) - 1).as("bucket"))
-      }: _*)).as("bk"),
-      (shiftright(col("sig"), planes).bitwiseAND((1L << refinePlanes) - 1) + 1L).as("sub"))
+    val banded = bandedKeys(base, planes, bands, refinePlanes).cache()
     val lvl1 = banded.groupBy(col("bk.band").as("band"), col("bk.bucket").as("bucket"))
       .agg(count(lit(1)).as("n"))
       .select(col("band"), col("bucket"), lit(null).cast("long").as("sub"), col("n"),
@@ -374,7 +403,7 @@ object Dedup {
       .groupBy(col("bk.band").as("band"), col("bk.bucket").as("bucket"), col("sub"))
       .agg(count(lit(1)).as("n"))
       .select(col("band"), col("bucket"), col("sub"), col("n"),
-        when(col("n") <= maxBucketSize, "kept").otherwise("dropped").as("status"))
+        when(col("n") <= maxBucketSize, "kept").otherwise("star").as("status"))
     lvl1.unionByName(lvl2)
   }
 }

@@ -415,11 +415,25 @@ object LlmQueries extends graft.QueryModule {
          |    ON r.b = o.b AND r.bucket = o.bucket AND r.sub = o.sub
          |  WHERE o.n2 <= 256),
          |keyed AS (SELECT * FROM direct UNION ALL SELECT * FROM kept),
+         |dropped AS (
+         |  SELECT r.vec_id, r.b, r.bucket, r.sub
+         |  FROM refined r JOIN occ2 o
+         |    ON r.b = o.b AND r.bucket = o.bucket AND r.sub = o.sub
+         |  WHERE o.n2 > 256),
+         |rep AS (SELECT b, bucket, sub, min(vec_id) AS rep_id
+         |        FROM dropped GROUP BY 1, 2, 3),
+         |star AS (
+         |  SELECT rep.rep_id AS id_a, d.vec_id AS id_b
+         |  FROM dropped d JOIN rep
+         |    ON d.b = rep.b AND d.bucket = rep.bucket AND d.sub = rep.sub
+         |  WHERE d.vec_id <> rep.rep_id),
          |pairs AS (
-         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM keyed a JOIN keyed b
-         |    ON a.b = b.b AND a.bucket = b.bucket AND a.sub = b.sub
-         |       AND a.vec_id < b.vec_id),
+         |  SELECT DISTINCT id_a, id_b FROM (
+         |    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |    FROM keyed a JOIN keyed b
+         |      ON a.b = b.b AND a.bucket = b.bucket AND a.sub = b.sub
+         |         AND a.vec_id < b.vec_id
+         |    UNION ALL SELECT id_a, id_b FROM star)),
          |j AS (
          |  SELECT p.id_a, p.id_b, list_cosine_similarity(x.v, y.v) AS cosine
          |  FROM pairs p JOIN allv x ON p.id_a = x.vec_id

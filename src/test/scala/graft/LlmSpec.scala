@@ -131,6 +131,27 @@ class DedupSpec extends SparkFunSuite {
     assert(nd.toSeq == Seq((0L, 1L, 1.0)))
   }
 
+  test("star repair keeps full recall on an exact-dup cluster larger than the cap") {
+    // 40 identical vectors, cap 8: every level-1 bucket holds all 40 rows,
+    // and refinement cannot split them (identical vectors share every
+    // signature bit) — the pre-star guard would have dropped the bucket and
+    // returned ZERO pairs for exactly the most common real dedup target.
+    // Star repair pairs each copy with the min-id representative instead:
+    // full cluster recall at linear (n−1) pair cost.
+    val embs = (0L until 40L).map(i => (i, Seq(0.6f, 0.8f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val rows = Dedup.embeddingNearDups(embs, threshold = 0.99,
+      planes = 8, bands = 4, maxBucketSize = 8, refinePlanes = 8).collect()
+    assert(rows.forall(_.getDouble(2) > 0.999))
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (1L until 40L).map(i => (0L, i)).toSet,
+      s"expected exactly the 39 star pairs, got ${pairs.size}")
+    val stats = Dedup.embeddingBucketStats(embs,
+      planes = 8, bands = 4, maxBucketSize = 8, refinePlanes = 8)
+    assert(stats.filter(col("status") === "star").count() > 0,
+      "stats surface does not report the star-degraded bucket")
+  }
+
   test("embedding LSH skew guard bounds candidate volume on the clustered corpus") {
     // The synthetic embeddings are correlated: without the guard, 16/4
     // banding makes ~85% of all pairs candidates (measured). This pins the
