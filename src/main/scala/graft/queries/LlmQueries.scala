@@ -245,6 +245,28 @@ object LlmQueries extends graft.QueryModule {
         .select(col("train_id"), col("test_id"), col("n_shared"), col("test_share"))
     }),
 
+    // multimodal frame-sampling + resize plumbing: documents as fake video
+    // payloads (ASCII text bytes), sampleFrames' even slicing and
+    // resizeMeta's struct rewrite both replicated in SQL. char==byte on
+    // this corpus, so DuckDB's substring mirrors the binary slice exactly
+    "q82_frame_sampling" -> ((s, d) => {
+      val media = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        col("text").cast("binary").as("payload"),
+        lit("video").as("media_type"),
+        struct(lit(640).as("width"), lit(480).as("height"),
+          (col("n_chars") * 40L).as("duration_ms"),
+          lit("mp4").as("format")).as("meta"))
+      val frames = graft.llm.Multimodal.sampleFrames(media, n = 4)
+        .select(col("media_id"), col("frame_idx"),
+          length(col("frame_payload")).cast("long").as("frame_len"),
+          md5(col("frame_payload")).as("frame_hash"))
+      val resized = graft.llm.Multimodal.resizeMeta(media, 320, 240)
+        .select(col("media_id"), col("meta.width").as("r_width"),
+          col("meta.format").as("r_format"))
+      frames.join(resized, Seq("media_id"))
+    }),
+
     // PII scrub: emails/IPv4s/phones injected deterministically into every
     // doc, then redacted + counted through the staged Scrub pipeline. The
     // oracle replays the identical RE2-safe regexes in DuckDB — a genuine
@@ -670,6 +692,22 @@ object LlmQueries extends graft.QueryModule {
         |SELECT train_id, test_id, CAST(n_shared AS BIGINT) AS n_shared,
         |       CAST(n_shared AS DOUBLE) / n_test AS test_share
         |FROM pairs JOIN tsize USING (test_id)""".stripMargin,
+
+    "q82_frame_sampling" ->
+      """WITH fl AS (
+        |  SELECT doc_id AS media_id, text,
+        |         greatest(length(text) // 4, 1) AS flen
+        |  FROM documents),
+        |frames AS (
+        |  SELECT media_id, unnest(range(0, 4)) AS frame_idx, text, flen
+        |  FROM fl)
+        |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+        |       CAST(length(substring(text, CAST(frame_idx * flen + 1 AS INT), flen))
+        |            AS BIGINT) AS frame_len,
+        |       md5(substring(text, CAST(frame_idx * flen + 1 AS INT), flen))
+        |         AS frame_hash,
+        |       320 AS r_width, 'mp4+resized' AS r_format
+        |FROM frames""".stripMargin,
 
     "q80_pii_scrub" ->
       """WITH t AS (
