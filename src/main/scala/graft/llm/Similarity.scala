@@ -36,6 +36,42 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Per-dimension standardization (x − μ_d)/σ_d — the "whiten the
+    * embeddings first" hook SCALE.md prescribes against correlated-corpus
+    * LSH bucket skew (diagonal whitening: it equalizes per-dimension
+    * variance, which is what origin-hyperplane bucketing is sensitive to).
+    *
+    * One distributed pass computes the per-dimension moments (posexplode →
+    * partial-agg groupBy over at most `dim` keys), which come back as one
+    * broadcast row of aligned arrays; the rewrite is a higher-order
+    * `transform` — no driver action, no second shuffle of the corpus.
+    * σ_d = 0 dimensions divide by 1 (centered, not blown up). Output
+    * replaces `vecCol` with the standardized DOUBLE array. */
+  def standardizeEmbeddings(embs: DataFrame, vecCol: String = "embedding")
+      : DataFrame = {
+    val stats = embs
+      .select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(avg(col("x").cast("double")).as("mu"),
+        stddev_pop(col("x").cast("double")).as("sigma"))
+      .agg(
+        transform(sort_array(collect_list(struct(col("dim"), col("mu")))),
+          s => s.getField("mu")).as("__mus"),
+        transform(sort_array(collect_list(struct(col("dim"), col("sigma")))),
+          s => s.getField("sigma")).as("__sigmas"))
+    embs.crossJoin(broadcast(stats))
+      .withColumn(vecCol,
+        zip_with(
+          transform(col(vecCol), x => x.cast("double")),
+          sequence(lit(0), size(col(vecCol)) - 1),
+          (x, i) => {
+            val mu = element_at(col("__mus"), i + 1)
+            val sg = element_at(col("__sigmas"), i + 1)
+            (x - mu) / when(sg.isNull || sg === 0, 1.0).otherwise(sg)
+          }))
+      .drop("__mus", "__sigmas")
+  }
+
   /** `planes`-bit random-hyperplane signature: bit p = sign of ⟨v, h_p⟩,
     * with pseudo-random plane components from pure integer arithmetic
     * (Knuth multiplicative LCG mod the prime 1000003) — no RNG state,

@@ -201,6 +201,17 @@ object ExtraQueries extends graft.QueryModule {
       val dupCaught = throws(Validation.check(clean.copy(images = dupImages)))
       val normCaught = throws(Validation.assertColumnsProperlyNormalized(
         clean.images.withColumn("split.x", lit(1))))
+      // intersection equality: identical frames pass; a changed common row
+      // is caught
+      val afieOk = try {
+        graft.validate.Validation.assertFrameIntersectionsEqual(
+          clean.images, clean.images); true
+      } catch { case _: Throwable => false }
+      val afieCaught = throws {
+        graft.validate.Validation.assertFrameIntersectionsEqual(
+          clean.images,
+          clean.images.withColumn("height", col("height") + 1))
+      }
       // golden-parquet regression: write, re-check (equal), mutate (drift)
       val golden = java.nio.file.Files.createTempDirectory("graft_golden").toString
       Validation.datasetRegression(clean, golden)
@@ -213,9 +224,9 @@ object ExtraQueries extends graft.QueryModule {
       }
       import s.implicits._
       Seq((cleanOk, malformedCaught, nMalformed, dupCaught, normCaught,
-        regressionOk, driftCaught))
+        afieOk, afieCaught, regressionOk, driftCaught))
         .toDF("clean_ok", "malformed_caught", "n_malformed", "dup_caught",
-          "norm_caught", "regression_ok", "drift_caught")
+          "norm_caught", "afie_ok", "afie_caught", "regression_ok", "drift_caught")
     }),
 
     // §2.3 get_one_frame: the n-th image in id order plus its annotation
@@ -337,6 +348,7 @@ object ExtraQueries extends graft.QueryModule {
          |SELECT true AS clean_ok, true AS malformed_caught,
          |       (SELECT count(*) FROM sub WHERE id % 97 = 0) AS n_malformed,
          |       true AS dup_caught, true AS norm_caught,
+         |       true AS afie_ok, true AS afie_caught,
          |       true AS regression_ok, true AS drift_caught""".stripMargin,
 
     "q79_get_one_frame" ->

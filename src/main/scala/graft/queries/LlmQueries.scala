@@ -245,6 +245,17 @@ object LlmQueries extends graft.QueryModule {
         .select(col("train_id"), col("test_id"), col("n_shared"), col("test_share"))
     }),
 
+    // per-dimension embedding standardization — the whitening hook SCALE.md
+    // prescribes against LSH bucket skew; one moments pass broadcast back,
+    // transform rewrite, no second corpus shuffle. Cross-engine at round-4
+    // tolerance: both engines aggregate the same doubles (μ/σ differ only
+    // in summation order, ~1e-13 — far below the 1e-4 rounding)
+    "q83_standardize" -> ((s, d) => {
+      val std = graft.llm.Similarity.standardizeEmbeddings(Tables.embeddings(s, d))
+      std.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "z")))
+        .select(col("vec_id"), col("dim"), round(col("z"), 4).as("z"))
+    }),
+
     // multimodal frame-sampling + resize plumbing: documents as fake video
     // payloads (ASCII text bytes), sampleFrames' even slicing and
     // resizeMeta's struct rewrite both replicated in SQL. char==byte on
@@ -692,6 +703,18 @@ object LlmQueries extends graft.QueryModule {
         |SELECT train_id, test_id, CAST(n_shared AS BIGINT) AS n_shared,
         |       CAST(n_shared AS DOUBLE) / n_test AS test_share
         |FROM pairs JOIN tsize USING (test_id)""".stripMargin,
+
+    "q83_standardize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |d AS (SELECT vec_id, unnest(v) AS x,
+        |             generate_subscripts(v, 1) - 1 AS dim FROM e),
+        |st AS (SELECT dim, avg(x) AS mu, stddev_pop(x) AS sigma
+        |       FROM d GROUP BY 1)
+        |SELECT d.vec_id, CAST(d.dim AS INT) AS dim,
+        |       round((d.x - st.mu) /
+        |             CASE WHEN st.sigma IS NULL OR st.sigma = 0 THEN 1
+        |                  ELSE st.sigma END, 4) AS z
+        |FROM d JOIN st USING (dim)""".stripMargin,
 
     "q82_frame_sampling" ->
       """WITH fl AS (

@@ -224,6 +224,23 @@ class SimilaritySpec extends SparkFunSuite {
   }
 }
 
+class StandardizeSpec extends SparkFunSuite {
+  import spark.implicits._
+  import graft.llm.Similarity
+
+  test("standardizeEmbeddings z-scores per dimension; zero-variance dims center only") {
+    val embs = Seq(
+      (1L, Seq(0.0f, 2.0f, 5.0f)),
+      (2L, Seq(2.0f, 4.0f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.standardizeEmbeddings(embs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // d0: μ=1 σ=1 → ∓1; d1: μ=3 σ=1 → ∓1; d2: σ=0 → centered to 0
+    assert(out(1L).zip(Seq(-1.0, -1.0, 0.0)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    assert(out(2L).zip(Seq(1.0, 1.0, 0.0)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+  }
+}
+
 class TextAnalysisSpec extends SparkFunSuite {
   import spark.implicits._
 
