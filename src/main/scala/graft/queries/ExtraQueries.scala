@@ -240,6 +240,54 @@ object ExtraQueries extends graft.QueryModule {
         .toDF("id", "relative_path", "n_ann")
     }),
 
+    // §2.3 empty_annotations: images preserved, annotation table emptied
+    // with schema intact (dataset.py:879-935)
+    "q84_empty_annotations" -> ((s, d) => {
+      val e = graft.operators.Locators.emptyAnnotations(Tables.datasetView(s, d))
+      e.images.agg(count(lit(1)).as("n_images"))
+        .crossJoin(e.annotations.agg(count(lit(1)).as("n_anns")))
+        .withColumn("n_ann_cols", lit(e.annotations.columns.length.toLong))
+    }),
+
+    // §2.8 get_bool_columns: family discovery by prefix + dtype after a
+    // real booleanize pass (column_booleanizer.py:163-201)
+    "q85_bool_columns" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).limit(1000)
+      val tagged = li.select(col("l_orderkey").as("id"),
+        array_compact(array(
+          when(col("l_returnflag") === "R", "returned"),
+          when(col("l_quantity") > 25, "bulk"))).as("tags"))
+      val (boolDf, _) = Booleanize.booleanizeColumn(tagged, "tags",
+        Some(Seq("bulk", "returned")))
+      val names = Booleanize.boolColumns(boolDf, "tags")
+      import s.implicits._
+      names.sorted.toDF("bool_column")
+    }),
+
+    // §2.9 dummy_dataset: structural invariants of the seeded generator —
+    // dense ids, FK integrity, split domain, box-in-image containment.
+    // The hash-derived VALUES are engine-specific by design (xxhash64);
+    // the CONTRACT is what the oracle can and does check (q47 pattern)
+    "q86_dummy_dataset" -> ((s, d) => {
+      val ds = graft.model.DummyData.dummyDataset(s, nImages = 50,
+        nAnnotations = 500, seed = 7L)
+      val img = ds.images.agg(count(lit(1)).as("n_images"),
+        min(col("id")).as("min_img_id"), max(col("id")).as("max_img_id"),
+        countDistinct(col("split")).as("n_splits"))
+      val annAgg = ds.annotations
+        .join(ds.images.select(col("id").as("__iid"), col("width").as("__w"),
+          col("height").as("__h")), col("image_id") === col("__iid"), "left")
+        .agg(count(lit(1)).as("n_anns"),
+          min(col("id")).as("min_ann_id"), max(col("id")).as("max_ann_id"),
+          sum(when(col("__iid").isNull, 1L).otherwise(0L)).as("n_orphan_fk"),
+          sum(when(col("box_x_min") < 0 || col("box_y_min") < 0 ||
+            col("box_width") <= 0 || col("box_height") <= 0 ||
+            col("box_x_min") + col("box_width") > col("__w") ||
+            col("box_y_min") + col("box_height") > col("__h"), 1L)
+            .otherwise(0L)).as("n_bad_boxes"))
+      img.crossJoin(annAgg)
+    }),
+
     // §2.6 grouped top-k: 3 priciest lineitems per order
     "q46_group_topk" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -357,6 +405,25 @@ object ExtraQueries extends graft.QueryModule {
          |SELECT sel.id, sel.relative_path,
          |       (SELECT count(*) FROM annotations a WHERE a.image_id = sel.id) AS n_ann
          |FROM sel""".stripMargin,
+
+    "q84_empty_annotations" ->
+      s"""$viewCte
+         |SELECT (SELECT count(*) FROM images) AS n_images,
+         |       CAST(0 AS BIGINT) AS n_anns,
+         |       CAST(9 AS BIGINT) AS n_ann_cols""".stripMargin,
+
+    "q85_bool_columns" ->
+      """SELECT 'tags.bulk' AS bool_column
+        |UNION ALL SELECT 'tags.returned'""".stripMargin,
+
+    "q86_dummy_dataset" ->
+      """SELECT CAST(50 AS BIGINT) AS n_images,
+        |       CAST(0 AS BIGINT) AS min_img_id, CAST(49 AS BIGINT) AS max_img_id,
+        |       CAST(2 AS BIGINT) AS n_splits,
+        |       CAST(500 AS BIGINT) AS n_anns,
+        |       CAST(0 AS BIGINT) AS min_ann_id, CAST(499 AS BIGINT) AS max_ann_id,
+        |       CAST(0 AS BIGINT) AS n_orphan_fk,
+        |       CAST(0 AS BIGINT) AS n_bad_boxes""".stripMargin,
 
     "q46_group_topk" ->
       """WITH ranked AS (
