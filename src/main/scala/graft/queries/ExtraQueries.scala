@@ -288,6 +288,42 @@ object ExtraQueries extends graft.QueryModule {
       img.crossJoin(annAgg)
     }),
 
+    // §2.8 schema-driven dtypes/defaults/enums (io/SchemaUtil): a JSON
+    // schema drives string→number casts, null/missing-column defaults, and
+    // enum-array booleanization — every effect separately visible in the
+    // aggregate the oracle recomputes from the raw table
+    "q87_schema_enforce" -> ((s, d) => {
+      val src = Tables.lineitem(s, d).select(
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("rid"),
+        col("l_quantity").cast("string").as("qty"),
+        when(col("l_returnflag") === "R", col("l_discount")).as("disc"),
+        array_compact(array(
+          when(col("l_quantity") > 25, "bulk"),
+          when(col("l_returnflag") === "R", "returned"))).as("tags"))
+      val schema = """{
+        "type": "object",
+        "required": ["rid"],
+        "properties": {
+          "rid": {"type": "integer"},
+          "qty": {"type": "number"},
+          "disc": {"type": "number", "default": 0.5},
+          "missing_flag": {"type": "integer", "default": 7},
+          "tags": {"type": "array",
+                   "items": {"type": "string", "enum": ["bulk", "returned"]}}
+        }
+      }"""
+      val enforced = graft.io.SchemaUtil.enforce(src, schema)
+      val (boolDf, fams) = graft.io.SchemaUtil.booleanizeBySchema(enforced, schema)
+      require(fams == Set("tags"), s"unexpected booleanized families: $fams")
+      boolDf.agg(
+        count(lit(1)).as("n"),
+        round(sum(col("qty")), 2).as("qty_sum"),
+        round(sum(col("disc")), 2).as("disc_sum"),
+        sum(col("missing_flag")).as("mf_sum"),
+        sum(when(col("`tags.bulk`"), 1L).otherwise(0L)).as("n_bulk"),
+        sum(when(col("`tags.returned`"), 1L).otherwise(0L)).as("n_returned"))
+    }),
+
     // §2.6 grouped top-k: 3 priciest lineitems per order
     "q46_group_topk" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -424,6 +460,17 @@ object ExtraQueries extends graft.QueryModule {
         |       CAST(0 AS BIGINT) AS min_ann_id, CAST(499 AS BIGINT) AS max_ann_id,
         |       CAST(0 AS BIGINT) AS n_orphan_fk,
         |       CAST(0 AS BIGINT) AS n_bad_boxes""".stripMargin,
+
+    "q87_schema_enforce" ->
+      """SELECT count(*) AS n,
+        |  round(sum(l_quantity), 2) AS qty_sum,
+        |  round(sum(CASE WHEN l_returnflag = 'R' THEN l_discount
+        |            ELSE 0.5 END), 2) AS disc_sum,
+        |  CAST(7 * count(*) AS BIGINT) AS mf_sum,
+        |  CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_returned
+        |FROM lineitem""".stripMargin,
 
     "q46_group_topk" ->
       """WITH ranked AS (
