@@ -40,6 +40,20 @@ object StreamQueries extends graft.QueryModule {
           round(coalesce(sum(col("ref_value")), lit(0.0)), 2).as("ref_sum"))
     }),
 
+    // a REAL Structured Streaming run inside the correctness gate:
+    // readStream over the events parquet → watermarked daily window agg →
+    // memory sink (AvailableNow), result table verified against the same
+    // DuckDB daily aggregate as the batch face. Streaming here is not just
+    // spec-tested — it is oracle-gated.
+    "q88_stream_window" -> ((s, d) => {
+      val q = EventStream.runToMemory(s, d, "gate_stream_daily")
+      q.awaitTermination()
+      s.table("gate_stream_daily")
+        .select(date_format(col("window_start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n"),
+          round(col("total_value"), 2).as("total_value"))
+    }),
+
     // streaming exact dedup (StreamDedup.dedupExact) run on its batch face:
     // the same fingerprint plumbing that dropDuplicatesWithinWatermark uses
     // in a stream, over a corpus with 20 planted duplicate docs. Output is
@@ -73,6 +87,11 @@ object StreamQueries extends graft.QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "q88_stream_window" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        |       count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
     "q77_stream_dedup" ->
       """SELECT DISTINCT
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint

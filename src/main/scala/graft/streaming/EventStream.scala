@@ -32,7 +32,11 @@ object EventStream {
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // integer division, NOT `/`: 2024-epoch nanos (~1.7e18) exceed
+      // double's 53-bit mantissa, so the double path truncates to
+      // off-by-1μs timestamps for some rows (same hazard documented at
+      // Tables.events). The data is μs-clean, so `div 1000` is lossless.
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Tumbling/sliding event-time window aggregation with a watermark:

@@ -21,6 +21,26 @@ class StreamingSpec extends SparkFunSuite {
     assert(streamed.count() > 0)
   }
 
+  test("streaming and batch event timestamps agree exactly (ns→μs integer div)") {
+    // the double-division hazard is real at 2024-epoch ns magnitudes: there
+    // exist μs-clean longs whose double image rounds far enough down that
+    // `(ts / 1000).cast(long)` is off by 1μs where `ts div 1000` is exact
+    val edge = Iterator.iterate(1721001234567891000L)(_ + 1000L).take(200)
+      .find(v => (v.toDouble / 1000).toLong != v / 1000)
+    assert(edge.isDefined, "no representability edge found — magnitude wrong?")
+    // end-to-end: the streaming reader's conversion must agree with the
+    // batch loader's on every real row
+    val dir = "/root/testdata/sf0.001"
+    val q = EventStream.readEvents(spark, dir).writeStream
+      .format("memory").queryName("ns_check")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamTs = spark.table("ns_check").select("event_id", "ts")
+    val batchTs = Tables.events(spark, dir).select("event_id", "ts")
+    assert(streamTs.except(batchTs).count() == 0)
+    assert(batchTs.except(streamTs).count() == 0)
+  }
+
   test("sliding windows emit overlapping buckets") {
     val events = Seq(
       (0L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 1L, "click", 1.0),
