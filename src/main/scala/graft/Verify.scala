@@ -40,6 +40,10 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      // dev-filtered runs dump only the matching oracles so the checker's
+      // missing-result detection doesn't false-flag unrun queries; the
+      // driver's unfiltered run still writes the full map
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -59,16 +59,16 @@ object Similarity {
           s => s.getField("mu")).as("__mus"),
         transform(sort_array(collect_list(struct(col("dim"), col("sigma")))),
           s => s.getField("sigma")).as("__sigmas"))
+    // two-arg transform (value, index): no sequence scaffolding, and an
+    // EMPTY embedding array maps to an empty array instead of tripping
+    // element_at(..., 0) on the [0, -1] descending-sequence artifact
     embs.crossJoin(broadcast(stats))
       .withColumn(vecCol,
-        zip_with(
-          transform(col(vecCol), x => x.cast("double")),
-          sequence(lit(0), size(col(vecCol)) - 1),
-          (x, i) => {
-            val mu = element_at(col("__mus"), i + 1)
-            val sg = element_at(col("__sigmas"), i + 1)
-            (x - mu) / when(sg.isNull || sg === 0, 1.0).otherwise(sg)
-          }))
+        transform(col(vecCol), (x, i) => {
+          val mu = element_at(col("__mus"), i + 1)
+          val sg = element_at(col("__sigmas"), i + 1)
+          (x.cast("double") - mu) / when(sg.isNull || sg === 0, 1.0).otherwise(sg)
+        }))
       .drop("__mus", "__sigmas")
   }
 

@@ -239,6 +239,29 @@ class StandardizeSpec extends SparkFunSuite {
     assert(out(1L).zip(Seq(-1.0, -1.0, 0.0)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
     assert(out(2L).zip(Seq(1.0, 1.0, 0.0)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
   }
+
+  test("standardizeEmbeddings passes an empty embedding array through") {
+    val embs = Seq((1L, Seq(1.0f, 3.0f)), (2L, Seq(3.0f, 5.0f)), (3L, Seq.empty[Float]))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.standardizeEmbeddings(embs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out(3L).isEmpty)
+    assert(out(1L).forall(math.abs(_) == 1.0))
+  }
+
+  test("documents corpus is pure ASCII — the q82 byte/char oracle equivalence") {
+    // q82's DuckDB oracle slices VARCHAR characters while Spark slices
+    // payload BYTES; they agree iff the corpus stays ASCII. Pin that
+    // property so a regenerated multi-byte corpus fails HERE with a clear
+    // message, not as a confusing q82 hash mismatch (q29-caveat pattern).
+    assume(new java.io.File("/root/testdata/sf0.01").isDirectory)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val nonAscii = docs.filter(
+      length(encode(col("text"), "UTF-8")) =!= length(col("text"))).count()
+    assert(nonAscii == 0,
+      "documents.text contains multi-byte characters — update the q82 oracle " +
+        "to byte-safe slicing (octet_length(encode(...)) idiom) before trusting it")
+  }
 }
 
 class TextAnalysisSpec extends SparkFunSuite {

@@ -24,6 +24,12 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
+    # a Spark-side query failure leaves NO result dir (Verify logs to stderr
+    # and moves on) — surface those as failures instead of silently skipping
+    produced = {n for n in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, n))}
+    for name in sorted(set(oracles) - produced):
+        print(f"✗ {name}: NO SPARK RESULT (query threw in Verify?)")
+        n_bad += 1
     for name in sorted(os.listdir(out_dir)):
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir):
