@@ -306,11 +306,15 @@ object Dedup {
     val pairs =
       guardedCandidatePairs(base, planes, bands, maxBucketSize, refinePlanes)
         .dropDuplicates("id_a", "id_b")
+    // fused native cosine (bit-identical to Similarity.cosine, one codegen
+    // loop instead of four interpreted HOF passes) — the verify step runs
+    // once per surviving candidate pair, so this is the hot loop
+    val cosExpr = graft.functions.GraftFunctions.cosine(
+      embs.sparkSession, col("v_a"), col("v_b"))
     pairs
       .join(base.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .select(col("id_a"), col("id_b"), cosExpr.as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
