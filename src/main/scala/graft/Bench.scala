@@ -68,7 +68,11 @@ object Bench {
     val results = names.map { n =>
       n -> (if (passes.exists(_(n) < 0)) -1.0 else median(passes.map(_(n))))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 4-decimal formatting keeps the one-line JSON short enough for the
+    // driver's stdout tail window (full double reprs pushed q01–q29 out of
+    // the captured tail in round 4)
+    def num(v: Double): String = f"$v%.4f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     // any failure invalidates the headline total: summing -1 sentinels
     // would make a BROKEN run's total smaller (= look faster) than an
@@ -82,7 +86,13 @@ object Bench {
       .map(v => f"$v%.2f").mkString("[", ",", "]")
     val failJson = failures.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"rep_totals":$repTotals,"failed_reps":$failJson}""")
+    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"rep_totals":$repTotals,"failed_reps":$failJson}"""
+    // durable copy: the driver's stdout tail window is finite, a file isn't
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_result.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    // LAST line of stdout, after spark.stop(), so nothing can print below it
+    println(json)
   }
 }

@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
   * embedding-cosine — the standard near-dup ladder of a training-data
@@ -110,16 +111,24 @@ object Dedup {
     * No cross join anywhere; array payloads touch only candidate pairs. */
   def minHashNearDups(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", k: Int = 32, bands: Int = 8,
-      threshold: Double = 0.7, shingleN: Int = 3): DataFrame = {
-    // materialize shingles once (cache = optimizer fence: nothing re-inlines
-    // the shingle construction — and the signature agg + verify stage both
-    // reuse it; measured 1.4x faster than a single cache at sf0.1), then
-    // bulk signatures via explode→agg
+      threshold: Double = 0.7, shingleN: Int = 3,
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    // materialize shingles once (persist = optimizer fence: nothing
+    // re-inlines the shingle construction — and the signature agg + verify
+    // stage both reuse it; measured 1.4x faster than a single persist at
+    // sf0.1), then bulk signatures via explode→agg. Default storage is
+    // MEMORY_AND_DISK, not MEMORY_ONLY: these frames carry wide shingle
+    // arrays, and at 100-TB scale a memory-only cache of them is an
+    // eviction/recompute storm — spilling to local disk is strictly
+    // cheaper than recomputing the shingle explode. The persisted frames
+    // back the RETURNED lazy DataFrame, so cleanup is caller-owned
+    // (`spark.catalog.clearCache()` after materializing, as the gates do).
     val shingled = docs.select(
       col(idCol).as("id"),
       array_distinct(shingles(col(textCol), shingleN)).as("sh"))
-      .cache()
-    val base = shingled.join(minHashSignatures(shingled, k), Seq("id")).cache()
+      .persist(storage)
+    val base = shingled.join(minHashSignatures(shingled, k), Seq("id"))
+      .persist(storage)
     val banded = base.select(col("id"),
       explode(bandKeys(col("sig"), k, bands)).as("bk"))
     val pairs = banded.select(col("id").as("id_a"), col("bk"))
@@ -156,8 +165,10 @@ object Dedup {
     * (node, edge) incidence frame — O(log D) convergence, fully
     * distributed, no driver-side graph. */
   def nearDupClusters(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", threshold: Double = 0.7): DataFrame = {
-    val pairs = minHashNearDups(docs, textCol, idCol, threshold = threshold)
+      idCol: String = "doc_id", threshold: Double = 0.7,
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val pairs = minHashNearDups(docs, textCol, idCol, threshold = threshold,
+      storage = storage)
     val ek = concat_ws(":", col("id_a"), col("id_b"))
     // localCheckpoint: the atomizer drives many small actions over its
     // input, each of which would otherwise re-run the whole LSH pair
@@ -293,18 +304,39 @@ object Dedup {
   def embeddingNearDups(embs: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id", threshold: Double = 0.95,
       planes: Int = 16, bands: Int = 4,
-      maxBucketSize: Int = 4096, refinePlanes: Int = 12): DataFrame = {
+      maxBucketSize: Int = 4096, refinePlanes: Int = 12,
+      whiten: Boolean = false,
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(planes + refinePlanes <= 62, "signature exceeds 62 bits")
     require(maxBucketSize > 1, "maxBucketSize must allow at least a pair")
-    // cache = optimizer fence (signature computed once — CollapseProject
+    // WHITENING (SCALE.md's remedy for correlated-corpus bucket skew):
+    // the LSH signature is computed over per-dimension standardized vectors
+    // — equalized variance spreads origin-hyperplane buckets — while
+    // verification cosine stays on the ORIGINAL vectors, so `whiten` can
+    // only change WHICH candidates are considered, never the similarity
+    // semantics of the emitted pairs. Exact-duplicate recall is unaffected:
+    // identical vectors standardize identically → identical signatures.
+    // standardizeEmbeddings is a broadcast-moments rewrite (map-side), so
+    // this adds no corpus shuffle.
+    val src = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val prepped =
+      if (whiten)
+        Similarity.standardizeEmbeddings(src.withColumn("__w", col("v")), "__w")
+          .select(col("id"), col("v"),
+            Similarity.hyperplaneSignature(col("__w"), planes + refinePlanes).as("sig"))
+      else
+        src.select(col("id"), col("v"),
+          Similarity.hyperplaneSignature(col("v"), planes + refinePlanes).as("sig"))
+    // persist = optimizer fence (signature computed once — CollapseProject
     // would otherwise re-inline the aggregate projection into every band
     // branch and BOTH join sides) + the reuse point for the band stage and
-    // the vector-attach stage
-    val base = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
-      Similarity.hyperplaneSignature(col(vecCol), planes + refinePlanes).as("sig"))
-      .cache()
+    // the vector-attach stage. MEMORY_AND_DISK by default: the frame
+    // carries the full vector payload (see minHashNearDups). Caller owns
+    // cleanup after materializing the result.
+    val base = prepped.persist(storage)
     val pairs =
-      guardedCandidatePairs(base, planes, bands, maxBucketSize, refinePlanes)
+      guardedCandidatePairs(base, planes, bands, maxBucketSize, refinePlanes,
+        storage)
         .dropDuplicates("id_a", "id_b")
     // fused native cosine (bit-identical to Similarity.cosine, one codegen
     // loop instead of four interpreted HOF passes) — the verify step runs
@@ -341,47 +373,61 @@ object Dedup {
     * vanish: its rows pair against the bucket's min-id representative
     * (star repair — linear, so the per-bucket bound survives). */
   private def guardedCandidatePairs(base: DataFrame,
-      planes: Int, bands: Int, maxBucketSize: Int, refinePlanes: Int): DataFrame = {
+      planes: Int, bands: Int, maxBucketSize: Int, refinePlanes: Int,
+      storage: StorageLevel): DataFrame = {
     val banded = bandedKeys(base, planes, bands, refinePlanes)
     // level-1 occupancy: ≤ bands·2^(planes/bands) rows — always broadcastable
     val occ = banded.groupBy(col("bk")).agg(count(lit(1)).as("__n"))
     // slim (id + 4 numerics) and consumed by three branches — fence it so
     // the occupancy join runs once, not once per consumer
-    val tagged = banded.join(broadcast(occ), Seq("bk")).cache()
-    val direct = tagged.filter(col("__n") <= maxBucketSize)
-      .select(col("id"), struct(col("bk.band").as("band"),
-        col("bk.bucket").as("bucket"), lit(0L).as("sub")).as("k"))
-    val refined = tagged.filter(col("__n") > maxBucketSize)
-      .select(col("id"), struct(col("bk.band").as("band"),
-        col("bk.bucket").as("bucket"), col("sub")).as("k"))
-    // level-2 occupancy: key count scales with data — plain join (AQE picks
-    // the strategy), NOT a forced broadcast; reused by kept AND star
-    val occ2 = refined.groupBy(col("k")).agg(count(lit(1)).as("__n2")).cache()
-    val kept = refined.join(occ2, Seq("k"))
-      .filter(col("__n2") <= maxBucketSize)
-      .select(col("id"), col("k"))
-    // the self-join consumes keyed twice: fence it (ReuseExchange only
-    // dedupes physically identical sub-plans, which AQE re-planning breaks)
-    val keyed = direct.unionByName(kept).cache()
-    val keyedPairs = keyed.select(col("id").as("id_a"), col("k"))
-      .join(keyed.select(col("id").as("id_b"), col("k")), Seq("k"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-    // STAR REPAIR: dropping a still-oversized refined bucket outright would
-    // guarantee ZERO recall on exactly the most common real dedup target —
-    // a giant exact-duplicate cluster (identical vectors share every
-    // signature bit, so no amount of re-keying can split them). Pairing the
-    // bucket against its min-id representative keeps cost linear (n−1
-    // pairs) while every identical copy verifies at cosine 1 against the
-    // representative; downstream clustering (nearDupClusters' CC) restores
-    // the full cluster through it. Near-identical members lose only
-    // member↔member edges, never membership.
-    val dropped = refined.join(occ2, Seq("k")).filter(col("__n2") > maxBucketSize)
-    val rep = dropped.groupBy(col("k")).agg(min(col("id")).as("rep_id"))
-    val star = dropped.join(rep, Seq("k"))
-      .filter(col("id") =!= col("rep_id"))
-      .select(col("rep_id").as("id_a"), col("id").as("id_b"))
-    keyedPairs.unionByName(star)
+    val tagged = banded.join(broadcast(occ), Seq("bk")).persist(storage)
+    val guardCaches = scala.collection.mutable.ListBuffer[DataFrame](tagged)
+    try {
+      val direct = tagged.filter(col("__n") <= maxBucketSize)
+        .select(col("id"), struct(col("bk.band").as("band"),
+          col("bk.bucket").as("bucket"), lit(0L).as("sub")).as("k"))
+      val refined = tagged.filter(col("__n") > maxBucketSize)
+        .select(col("id"), struct(col("bk.band").as("band"),
+          col("bk.bucket").as("bucket"), col("sub")).as("k"))
+      // level-2 occupancy: key count scales with data — plain join (AQE
+      // picks the strategy), NOT a forced broadcast; reused by kept AND star
+      val occ2 = refined.groupBy(col("k")).agg(count(lit(1)).as("__n2"))
+        .persist(storage)
+      guardCaches += occ2
+      val kept = refined.join(occ2, Seq("k"))
+        .filter(col("__n2") <= maxBucketSize)
+        .select(col("id"), col("k"))
+      // the self-join consumes keyed twice: fence it (ReuseExchange only
+      // dedupes physically identical sub-plans, which AQE re-planning breaks)
+      val keyed = direct.unionByName(kept).persist(storage)
+      guardCaches += keyed
+      val keyedPairs = keyed.select(col("id").as("id_a"), col("k"))
+        .join(keyed.select(col("id").as("id_b"), col("k")), Seq("k"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      // STAR REPAIR: dropping a still-oversized refined bucket outright would
+      // guarantee ZERO recall on exactly the most common real dedup target —
+      // a giant exact-duplicate cluster (identical vectors share every
+      // signature bit, so no amount of re-keying can split them). Pairing the
+      // bucket against its min-id representative keeps cost linear (n−1
+      // pairs) while every identical copy verifies at cosine 1 against the
+      // representative; downstream clustering (nearDupClusters' CC) restores
+      // the full cluster through it. Near-identical members lose only
+      // member↔member edges, never membership.
+      val dropped = refined.join(occ2, Seq("k")).filter(col("__n2") > maxBucketSize)
+      val rep = dropped.groupBy(col("k")).agg(min(col("id")).as("rep_id"))
+      val star = dropped.join(rep, Seq("k"))
+        .filter(col("id") =!= col("rep_id"))
+        .select(col("rep_id").as("id_a"), col("id").as("id_b"))
+      // EAGERLY materialize the slim (id_a, id_b) pair set (localCheckpoint
+      // runs the job now and keeps only the checkpointed blocks) so the
+      // three guard-internal persists can be dropped immediately in the
+      // finally below — previously they leaked for the session lifetime,
+      // accumulating executor storage across repeated calls.
+      keyedPairs.unionByName(star).localCheckpoint()
+    } finally {
+      guardCaches.foreach(_.unpersist())
+    }
   }
 
   /** Occupancy accounting for [[embeddingNearDups]]'s skew guard — the
@@ -393,9 +439,18 @@ object Dedup {
     * status in (ok, kept)` plus `sum(n−1) where status = star`. */
   def embeddingBucketStats(embs: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id", planes: Int = 16, bands: Int = 4,
-      maxBucketSize: Int = 4096, refinePlanes: Int = 12): DataFrame = {
-    val base = embs.select(col(idCol).as("id"),
-      Similarity.hyperplaneSignature(col(vecCol), planes + refinePlanes).as("sig"))
+      maxBucketSize: Int = 4096, refinePlanes: Int = 12,
+      whiten: Boolean = false): DataFrame = {
+    // same whiten-for-signature-only rule as embeddingNearDups, so the
+    // stats report on exactly the buckets the guarded operator would use
+    val src = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val base =
+      if (whiten)
+        Similarity.standardizeEmbeddings(src, "v").select(col("id"),
+          Similarity.hyperplaneSignature(col("v"), planes + refinePlanes).as("sig"))
+      else
+        src.select(col("id"),
+          Similarity.hyperplaneSignature(col("v"), planes + refinePlanes).as("sig"))
     val banded = bandedKeys(base, planes, bands, refinePlanes).cache()
     val lvl1 = banded.groupBy(col("bk.band").as("band"), col("bk.bucket").as("bucket"))
       .agg(count(lit(1)).as("n"))

@@ -128,6 +128,48 @@ object LlmQueries extends graft.QueryModule {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
     }),
 
+    // whitening composed with the LSH near-dup — FULL oracle. Corpus =
+    // embeddings + 3.0 per dimension (a mean-offset corpus: the canonical
+    // failure mode of ORIGIN-hyperplane LSH — every projection is dominated
+    // by ⟨μ, h⟩, so all 520 vectors collapse into one bucket per band →
+    // ~497k candidate pairs) ∪ exact copies of the 20 lowest vec_ids
+    // (+1,000,000). whiten=true centers the corpus before signing →
+    // buckets re-spread (~108k candidates, 4.6× fewer; max occupancy
+    // 500 → 172 measured at sf0.01), while the planted exact-dup pairs are
+    // found IDENTICALLY in both modes (identical vectors standardize
+    // identically → same signature, any mode). Emits one summary row:
+    // planted-pair recall per mode, their symmetric difference (must be 0),
+    // and the banding candidate volume per mode from embeddingBucketStats.
+    // All five values are integer counts — exactly reproducible in DuckDB
+    // (signature coefficients are integer LCG arithmetic; the only float
+    // step, μ/σ, sits ~13 decimal orders from any sign boundary).
+    "q89_whiten_neardup" -> ((s, d) => {
+      val offset = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double") + 3.0).as("embedding"))
+      val copies = offset.orderBy("vec_id").limit(20)
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+      val corpus = offset.unionByName(copies)
+      def planted(whiten: Boolean) =
+        Dedup.embeddingNearDups(corpus, threshold = 0.95, planes = 16,
+          bands = 4, maxBucketSize = 4096, refinePlanes = 12, whiten = whiten)
+          .filter(col("id_b") === col("id_a") + 1000000L)
+          .select(col("id_a"), col("id_b"))
+      val plain = planted(whiten = false)
+      val wh = planted(whiten = true)
+      val diff = plain.exceptAll(wh).unionAll(wh.exceptAll(plain))
+      def cand(whiten: Boolean) =
+        Dedup.embeddingBucketStats(corpus, planes = 16, bands = 4,
+          maxBucketSize = 4096, refinePlanes = 12, whiten = whiten)
+          .filter(col("sub").isNull)   // level-1 buckets only
+          .agg(coalesce(sum(floor(col("n") * (col("n") - 1) / 2)), lit(0L))
+            .cast("long").as("c"))
+      plain.agg(count(lit(1)).as("n_pairs_plain"))
+        .crossJoin(wh.agg(count(lit(1)).as("n_pairs_whiten")))
+        .crossJoin(diff.agg(count(lit(1)).as("n_pair_diff")))
+        .crossJoin(cand(whiten = false).select(col("c").as("cand_plain")))
+        .crossJoin(cand(whiten = true).select(col("c").as("cand_whiten")))
+    }),
+
     // IVF ANN probing ALL centroids — FULL oracle: with nprobe = K the
     // candidate set is the whole corpus, so the result must equal exact
     // brute-force top-k. This pins the index plumbing (assignment loses no
@@ -247,13 +289,14 @@ object LlmQueries extends graft.QueryModule {
 
     // per-dimension embedding standardization — the whitening hook SCALE.md
     // prescribes against LSH bucket skew; one moments pass broadcast back,
-    // transform rewrite, no second corpus shuffle. Cross-engine at round-4
-    // tolerance: both engines aggregate the same doubles (μ/σ differ only
-    // in summation order, ~1e-13 — far below the 1e-4 rounding)
+    // transform rewrite, no second corpus shuffle. `+ 0.0` after round
+    // normalizes IEEE negative zero: DuckDB's double round keeps the sign
+    // bit (-0.0) while Spark's BigDecimal round emits +0.0 — numerically
+    // equal but different bytes under the driver's hash compare
     "q83_standardize" -> ((s, d) => {
       val std = graft.llm.Similarity.standardizeEmbeddings(Tables.embeddings(s, d))
       std.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "z")))
-        .select(col("vec_id"), col("dim"), round(col("z"), 4).as("z"))
+        .select(col("vec_id"), col("dim"), (round(col("z"), 4) + lit(0.0)).as("z"))
     }),
 
     // multimodal frame-sampling + resize plumbing: documents as fake video
@@ -473,6 +516,59 @@ object LlmQueries extends graft.QueryModule {
          |               JOIN allv y ON p.id_b = y.vec_id)
          |SELECT id_a, id_b, round(cosine, 6) AS cosine
          |FROM j WHERE cosine >= 0.95""".stripMargin,
+
+    // replicates BOTH signature modes end-to-end: raw and whitened (μ/σ →
+    // z) 16-plane signatures, per-(band,bucket) occupancy → candidate
+    // volume, planted-pair candidate join + cosine verify, symmetric
+    // difference of the two planted-pair sets
+    "q89_whiten_neardup" ->
+      s"""WITH e AS (SELECT vec_id,
+         |             list_transform(CAST(embedding AS DOUBLE[]), x -> x + 3.0) AS v
+         |           FROM embeddings),
+         |allv AS (SELECT * FROM e UNION ALL
+         |         SELECT vec_id + 1000000 AS vec_id, v FROM
+         |           (SELECT * FROM e ORDER BY vec_id LIMIT 20)),
+         |rsig AS (SELECT vec_id, v, ${hyperplaneSigSql(16)} AS sig FROM allv),
+         |dm AS (SELECT vec_id, unnest(v) AS x,
+         |              generate_subscripts(v, 1) AS dim FROM allv),
+         |st AS (SELECT dim, avg(x) AS mu,
+         |              CASE WHEN stddev_pop(x) IS NULL OR stddev_pop(x) = 0
+         |                   THEN 1 ELSE stddev_pop(x) END AS sigma
+         |       FROM dm GROUP BY 1),
+         |zt AS (SELECT vec_id, list((x - mu) / sigma ORDER BY dim) AS v
+         |       FROM dm JOIN st USING (dim) GROUP BY vec_id),
+         |wsig AS (SELECT vec_id, ${hyperplaneSigSql(16)} AS sig FROM zt),
+         |braw AS (SELECT vec_id, b, (sig >> (b * 4)) & 15 AS bucket
+         |         FROM rsig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+         |bwh AS (SELECT vec_id, b, (sig >> (b * 4)) & 15 AS bucket
+         |        FROM wsig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+         |craw AS (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS c FROM
+         |         (SELECT count(*) AS n FROM braw GROUP BY b, bucket)),
+         |cwh AS (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS c FROM
+         |        (SELECT count(*) AS n FROM bwh GROUP BY b, bucket)),
+         |praw AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+         |         FROM braw a JOIN braw b2 ON a.b = b2.b AND a.bucket = b2.bucket
+         |           AND b2.vec_id = a.vec_id + 1000000),
+         |vraw AS (SELECT p.id_a, p.id_b FROM praw p
+         |         JOIN allv x ON p.id_a = x.vec_id
+         |         JOIN allv y ON p.id_b = y.vec_id
+         |         WHERE list_cosine_similarity(x.v, y.v) >= 0.95),
+         |pwh AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+         |        FROM bwh a JOIN bwh b2 ON a.b = b2.b AND a.bucket = b2.bucket
+         |          AND b2.vec_id = a.vec_id + 1000000),
+         |vwh AS (SELECT p.id_a, p.id_b FROM pwh p
+         |        JOIN allv x ON p.id_a = x.vec_id
+         |        JOIN allv y ON p.id_b = y.vec_id
+         |        WHERE list_cosine_similarity(x.v, y.v) >= 0.95),
+         |dif AS (SELECT count(*) AS n FROM
+         |        (SELECT * FROM (SELECT * FROM vraw EXCEPT SELECT * FROM vwh)
+         |         UNION ALL
+         |         SELECT * FROM (SELECT * FROM vwh EXCEPT SELECT * FROM vraw)))
+         |SELECT (SELECT count(*) FROM vraw) AS n_pairs_plain,
+         |       (SELECT count(*) FROM vwh) AS n_pairs_whiten,
+         |       (SELECT n FROM dif) AS n_pair_diff,
+         |       (SELECT c FROM craw) AS cand_plain,
+         |       (SELECT c FROM cwh) AS cand_whiten""".stripMargin,
 
     // exact brute-force top-10 (the nprobe=K IVF result must equal this)
     "q60_ivf_topk" ->
@@ -713,7 +809,7 @@ object LlmQueries extends graft.QueryModule {
         |SELECT d.vec_id, CAST(d.dim AS INT) AS dim,
         |       round((d.x - st.mu) /
         |             CASE WHEN st.sigma IS NULL OR st.sigma = 0 THEN 1
-        |                  ELSE st.sigma END, 4) AS z
+        |                  ELSE st.sigma END, 4) + 0.0 AS z
         |FROM d JOIN st USING (dim)""".stripMargin,
 
     "q82_frame_sampling" ->

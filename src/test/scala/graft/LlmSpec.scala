@@ -224,6 +224,71 @@ class SimilaritySpec extends SparkFunSuite {
   }
 }
 
+class DedupStorageSpec extends SparkFunSuite {
+  import spark.implicits._
+  import graft.llm.Dedup
+
+  private def docs() = (0 until 40).map(i =>
+    (i.toLong, if (i % 4 == 0) "the quick brown fox jumps over the lazy dog"
+               else s"unique text number $i about spark engines and shuffles"))
+    .toDF("doc_id", "text")
+
+  test("minHashNearDups persists its wide frames with spill-to-disk storage") {
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.minHashNearDups(docs()).count()
+    val fresh = spark.sparkContext.getPersistentRDDs.view
+      .filterKeys(!before.contains(_)).values.map(_.getStorageLevel).toSeq
+    // shingled + base, both MEMORY_AND_DISK (100-TB path: wide shingle
+    // arrays must spill, not evict-and-recompute)
+    assert(fresh.nonEmpty, "expected persisted frames after materialization")
+    assert(fresh.forall(_.useDisk), s"memory-only persist leaked in: $fresh")
+    spark.catalog.clearCache()
+  }
+
+  test("whitening re-spreads the LSH buckets of a mean-offset corpus") {
+    // origin-hyperplane LSH collapses when ⟨μ, h⟩ dominates every
+    // projection; whiten=true centers first. Pin max level-1 occupancy
+    // dropping — the property q89 gates with full counts at sf0.01.
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    val offset = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double") + 3.0).as("embedding"))
+    def maxOcc(w: Boolean): Long =
+      Dedup.embeddingBucketStats(offset, whiten = w)
+        .filter(col("sub").isNull).agg(max(col("n"))).head().getLong(0)
+    val (raw, wh) = (maxOcc(false), maxOcc(true))
+    val n = offset.count()
+    assert(raw == n, s"offset corpus should collapse to one bucket: $raw of $n")
+    assert(wh < raw, s"whitening must reduce max occupancy: raw=$raw whitened=$wh")
+  }
+
+  test("embeddingNearDups releases its guard-internal caches after the pair job") {
+    spark.catalog.clearCache()
+    // 8 identical vectors force level-1 overflow (cap 2) → refinement can't
+    // split identical signatures → star repair path, all guard branches hit
+    val embs = ((0 until 8).map(i => (i.toLong, Seq(1.0f, 2.0f, 3.0f, 4.0f))) ++
+      (8 until 20).map(i => (i.toLong, Seq.tabulate(4)(j => (i * 7 + j * 13) % 17 - 8f))))
+      .toDF("vec_id", "embedding")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = Dedup.embeddingNearDups(embs, threshold = 0.99,
+      planes = 4, bands = 2, maxBucketSize = 2, refinePlanes = 4)
+    pairs.count()
+    val freshLevels = spark.sparkContext.getPersistentRDDs.view
+      .filterKeys(!before.contains(_)).values.map(_.getStorageLevel).toSeq
+    // survivors: base + the localCheckpointed pair blocks — the three
+    // guard-internal persists (tagged/occ2/keyed) must be gone
+    assert(freshLevels.size <= 3,
+      s"guard caches leaked: ${freshLevels.size} fresh persisted RDDs")
+    assert(freshLevels.forall(_.useDisk), s"memory-only persist leaked in: $freshLevels")
+    // and the star-repair semantics survived the restructure: the 8
+    // identical vectors all pair (directly or via the representative)
+    val ids = pairs.collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert((0L until 8L).forall(ids.contains), s"identical-cluster recall lost: $ids")
+    spark.catalog.clearCache()
+  }
+}
+
 class StandardizeSpec extends SparkFunSuite {
   import spark.implicits._
   import graft.llm.Similarity
@@ -238,6 +303,17 @@ class StandardizeSpec extends SparkFunSuite {
     // d0: μ=1 σ=1 → ∓1; d1: μ=3 σ=1 → ∓1; d2: σ=0 → centered to 0
     assert(out(1L).zip(Seq(-1.0, -1.0, 0.0)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
     assert(out(2L).zip(Seq(1.0, 1.0, 0.0)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+  }
+
+  test("round(z,4) + 0.0 normalizes IEEE negative zero (q83 hash fix)") {
+    // a z that is negative but rounds to zero at 4 decimals must come out
+    // as +0.0 (sign bit clear): DuckDB's round keeps -0.0, Spark's doesn't,
+    // and the driver's hash compare is byte-exact. `+ 0.0` fixes both sides.
+    val df = Seq(-0.000049, -1e-12, 1e-12, 0.0)
+      .toDF("z").select((round(col("z"), 4) + lit(0.0)).as("z"))
+    val bits = df.collect()
+      .map(r => java.lang.Double.doubleToRawLongBits(r.getDouble(0)))
+    assert(bits.forall(_ == 0L), s"expected all +0.0, got raw bits ${bits.toSeq}")
   }
 
   test("standardizeEmbeddings passes an empty embedding array through") {
