@@ -18,9 +18,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val attempted = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
-      .foreach { case (name, fn) =>
+    // a reused outDir must not let THIS run's failures pass on a PREVIOUS
+    // run's parquet: drop each attempted query's stale result up front (a
+    // query that throws now leaves no dir → the checker flags it), and
+    // record the attempt set so the checker ignores anything else
+    attempted.keys.foreach { name =>
+      val d = new java.io.File(s"$outDir/$name")
+      if (d.isDirectory) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(d)
+      }
+    }
+    attempted.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -46,6 +59,8 @@ object Verify {
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/manifest.json"),
+      attempted.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

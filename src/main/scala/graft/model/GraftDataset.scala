@@ -48,6 +48,10 @@ case class GraftDataset(
   def numImages: Long = images.count()
   def numAnnotations: Long = annotations.count()
 
+  /** Rename the dataset (reference `Dataset.rename` — a name-only setter;
+    * the name surfaces in merge concatenation `A+B` and exports). */
+  def rename(name: String): GraftDataset = copy(datasetName = Some(name))
+
   // --------------------------------------------------------------------
   // Derived-column maintenance
   // --------------------------------------------------------------------

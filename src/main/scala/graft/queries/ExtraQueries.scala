@@ -15,6 +15,22 @@ import org.apache.spark.sql.expressions.Window
 object ExtraQueries extends graft.QueryModule {
   type Q = (SparkSession, String) => DataFrame
 
+  private def rmTree(dir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(dir))
+  }
+
+  /** Temp fixture tree deleted at JVM exit — q68's files are probed lazily
+    * from executors at query-execution time, so they must outlive the gate
+    * builder (but not the run). */
+  private def tempTreeForRun(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(dir)))
+    dir
+  }
+
   val defs: Map[String, Q] = Map(
     // §2.4 match_index: realign ids to another dataset via relative_path
     "q42_match_index" -> ((s, d) => {
@@ -74,27 +90,33 @@ object ExtraQueries extends graft.QueryModule {
       val ds0 = graft.operators.Locators.filterImages(
         graft.operators.Locators.getSplit(Tables.datasetView(s, d), Some("P")),
         col("id") % 100 === 0)
-      val dir = java.nio.file.Files.createTempDirectory("graft_inv_img").toString
+      val dir = tempTreeForRun("graft_inv_img")
+      // the subset is tiny by construction (id % 100 == 0 inside one
+      // split): write the fixture files on the DRIVER. An executor-side
+      // foreachPartition write only works in local mode, where driver and
+      // executors happen to share a filesystem — on a real cluster the
+      // files would land on the wrong machines. (The PROBE stays
+      // distributed — that's the operator under test; fixture setup is
+      // harness.)
+      def pngHeader(w: Int, h: Int): Array[Byte] = {
+        val b = java.nio.ByteBuffer.allocate(25)
+        b.put(Array[Int](0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+        b.putInt(13).put("IHDR".getBytes("US-ASCII")).putInt(w).putInt(h).put(8.toByte)
+        b.array()
+      }
       ds0.images.select(col("id"), col("width"), col("height"), col("relative_path"))
-        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-          def pngHeader(w: Int, h: Int): Array[Byte] = {
-            val b = java.nio.ByteBuffer.allocate(25)
-            b.put(Array[Int](0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
-            b.putInt(13).put("IHDR".getBytes("US-ASCII")).putInt(w).putInt(h).put(8.toByte)
-            b.array()
-          }
-          it.foreach { r =>
-            val (id, w, h, rel) = (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))
-            val p = java.nio.file.Paths.get(dir, rel)
-            (id / 100) % 4 match {
-              case 0 =>
-                java.nio.file.Files.write(p, pngHeader(w, h))
-                java.nio.file.Files.write(
-                  java.nio.file.Paths.get(dir, s"orphan_$id.png"), pngHeader(w, h))
-              case 1 => java.nio.file.Files.write(p, pngHeader(w + 3, h))
-              case 2 => java.nio.file.Files.write(p, "not an image".getBytes("US-ASCII"))
-              case _ => () // missing
-            }
+        .collect()
+        .foreach { r =>
+          val (id, w, h, rel) = (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))
+          val p = java.nio.file.Paths.get(dir, rel)
+          (id / 100) % 4 match {
+            case 0 =>
+              java.nio.file.Files.write(p, pngHeader(w, h))
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(dir, s"orphan_$id.png"), pngHeader(w, h))
+            case 1 => java.nio.file.Files.write(p, pngHeader(w + 3, h))
+            case 2 => java.nio.file.Files.write(p, "not an image".getBytes("US-ASCII"))
+            case _ => () // missing
           }
         }
       val ds = ds0.copy(imagesRoot = dir)
@@ -222,6 +244,8 @@ object ExtraQueries extends graft.QueryModule {
           clean.copy(images = clean.images.withColumn("width", col("width") + 1)),
           golden)
       }
+      // all regression checks above ran eagerly — the golden tree is done
+      rmTree(golden)
       import s.implicits._
       Seq((cleanOk, malformedCaught, nMalformed, dupCaught, normCaught,
         afieOk, afieCaught, regressionOk, driftCaught))

@@ -189,6 +189,35 @@ object LlmQueries extends graft.QueryModule {
           col("rk").cast("long").as("rank"))
     }),
 
+    // IVF at nprobe=1 — the APPROXIMATE path q60 never exercises, with an
+    // analytically-certain recall bound: the corpus is 8 planted one-hot
+    // clusters (spike 1000 at dim 2·(vec_id%8), ±8 integer jitter) built
+    // from the embeddings table's vec_ids, so intra-cluster cosine ≈ 0.9999
+    // and inter ≈ ±0.02 — every query's true top-10 lives entirely in its
+    // own cluster, seeded KMeans (K=8) recovers the planted partition, and
+    // probing ONE centroid is provably lossless. Oracle = exact brute-force
+    // top-10, which nprobe=1 must therefore equal. Ranking is re-ranked on
+    // the ROUNDED cosine with neighbor_id tiebreak (q60's cross-engine
+    // stability pattern); vectors are integer-constructed → bit-identical
+    // doubles in both engines.
+    "q90_ivf_nprobe1" -> ((s, d) => {
+      val corpus = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(sequence(lit(0), lit(15)), dd =>
+          when(dd === (col("vec_id") % 8) * 2, 1000.0).otherwise(0.0)
+            + ((col("vec_id") * 7 + dd * 13) % 17 - 8).cast("double"))
+          .as("embedding"))
+      val queries = corpus.filter(col("vec_id") < 8)
+      val idx = Ivf.build(corpus, nCentroids = 8, seed = 42)
+      val scored = Ivf.topK(idx, queries, k = Int.MaxValue, nprobe = 1)
+        .withColumn("cosine", round(col("cosine"), 4))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"),
+          col("rk").cast("long").as("rank"))
+    }),
+
     // multimodal feature-extraction plumbing — FULL oracle: payloads are
     // the documents' UTF-8 bytes (pure ASCII corpus, verified), and the
     // stub kernel's per-stride double accumulation + one final float32
@@ -578,6 +607,26 @@ object LlmQueries extends graft.QueryModule {
         |  SELECT q.query_id, e.vec_id AS neighbor_id,
         |         round(list_cosine_similarity(q.qv, e.v), 4) AS cosine
         |  FROM e JOIN q ON e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    // exact brute-force top-10 over the planted-cluster corpus — nprobe=1
+    // must equal it (one-hot clusters make single-centroid probing lossless)
+    "q90_ivf_nprobe1" ->
+      """WITH c AS (SELECT vec_id, list_transform(range(0, 16), d ->
+        |             (CASE WHEN d = (vec_id % 8) * 2 THEN 1000.0 ELSE 0.0 END)
+        |             + CAST((vec_id * 7 + d * 13) % 17 - 8 AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |         round(list_cosine_similarity(q.qv, c.v), 4) AS cosine
+        |  FROM c JOIN q ON c.vec_id <> q.query_id),
         |ranked AS (
         |  SELECT query_id, neighbor_id, cosine,
         |         row_number() OVER (PARTITION BY query_id

@@ -70,6 +70,45 @@ object StreamQueries extends graft.QueryModule {
         .select(col("fingerprint"))
     }),
 
+    // a REAL streaming run of the STATEFUL sessionizer (q88's pattern for
+    // the window agg): readStream over events → planted burst timeline →
+    // watermarked flatMapGroupsWithState with EventTimeTimeout → memory
+    // sink (Append, AvailableNow). Timeline: user = event_id % 40, bursts
+    // of 4 events 5 min apart, bursts 2 h apart (gap 30 min closes every
+    // burst), and event 0 is a far-future sentinel (+30 days) whose
+    // watermark closes every user's TRAILING session by event-time
+    // timeout in the no-data flush batch — so the closed-session set is
+    // exactly "all sessions except the sentinel's own", which the DuckDB
+    // lag+cumsum oracle replicates with a session_end + gap < max(ts)
+    // filter. Margins are days vs minutes, so ms-vs-μs truncation and
+    // strict-vs-inclusive watermark comparisons cannot flip a session.
+    "q91_stream_sessionize" -> ((s, d) => {
+      import s.implicits._
+      val planted = EventStream.readEvents(s, d).select(
+        col("event_id"),
+        timestamp_micros(lit(1704067200000000L) +
+          when(col("event_id") === 0, lit(2592000000000L))
+            .otherwise(expr("((event_id div 40) div 4) * 7200000000") +
+              expr("((event_id div 40) % 4) * 300000000"))).as("ts"),
+        (col("event_id") % 40).as("user_id"),
+        col("event_type"), col("value"))
+        .withWatermark("ts", "0 seconds")
+        .as[EventStream.Event]
+      val q = EventStream.sessionizeStream(planted, gapMs = 30 * 60 * 1000L)
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("memory").queryName("gate_stream_sessions")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("gate_stream_sessions")
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events").cast("long").as("n_events"),
+          round(col("total_value"), 2).as("total_value"))
+    }),
+
     // gap-based sessionization (flatMapGroupsWithState kernel) vs the
     // SQL lag+cumsum formulation
     "q40_sessionize" -> ((s, d) => {
@@ -118,6 +157,36 @@ object StreamQueries extends graft.QueryModule {
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |GROUP BY l.user_id""".stripMargin,
+
+    // lag+cumsum sessions over the same planted timeline; closed = every
+    // session whose gap deadline precedes the final watermark (max ts) —
+    // i.e. everything except the far-future sentinel's own session
+    "q91_stream_sessionize" ->
+      """WITH ev AS (
+        |  SELECT event_id % 40 AS user_id, event_id, value,
+        |         make_timestamp(1704067200000000 +
+        |           CASE WHEN event_id = 0 THEN 2592000000000
+        |                ELSE ((event_id // 40) // 4) * 7200000000
+        |                     + ((event_id // 40) % 4) * 300000000 END) AS ts
+        |  FROM events),
+        |x AS (SELECT user_id, ts, event_id, value,
+        |        CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) <= 30*60*1000
+        |             THEN 0 ELSE 1 END AS new_s
+        |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, value,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                         ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM x),
+        |g AS (SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end,
+        |        count(*) AS n_events, round(sum(value), 2) AS total_value
+        |      FROM s GROUP BY 1, 2)
+        |SELECT user_id,
+        |       strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       strftime(session_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |       CAST(n_events AS BIGINT) AS n_events, total_value
+        |FROM g
+        |WHERE epoch_ms(session_end) + 30*60*1000 <
+        |      (SELECT max(epoch_ms(ts)) FROM ev)""".stripMargin,
 
     "q40_sessionize" ->
       """WITH x AS (

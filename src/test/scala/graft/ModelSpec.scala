@@ -60,6 +60,16 @@ class ModelSpec extends SparkFunSuite {
       LabelMaps.assertBijective(Map(0 -> "a", 1 -> "a")))
   }
 
+  test("rename sets the dataset name (name-only copy)") {
+    val ds = tinyDataset()
+    val renamed = ds.rename("campaign-42")
+    assert(renamed.datasetName.contains("campaign-42"))
+    // name-only: tables, label map, root untouched
+    assert(renamed.labelMap == ds.labelMap)
+    assert(renamed.imagesRoot == ds.imagesRoot)
+    assert(collectSorted(renamed.images) == collectSorted(ds.images))
+  }
+
   test("parquet roundtrip preserves tables and metadata") {
     val ds = tinyDataset()
     val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString

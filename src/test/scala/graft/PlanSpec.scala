@@ -96,6 +96,18 @@ class PlanSpec extends SparkFunSuite {
     assert(!plan.contains("CartesianProduct"), "tf⋈df fell back to cartesian")
   }
 
+  test("q46: grouped top-k is one hash shuffle; the agg reuses the window's partitioning") {
+    val plan = planOf("q46_group_topk")
+    // exactly one exchange: hash on l_orderkey feeding a partition-LOCAL
+    // sort + window; the groupBy(l_orderkey) must reuse that partitioning
+    // (a second exchange = the agg re-shuffling what the window shuffled)
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(plan).toList
+    assert(exchanges == List("Exchange hashpartitioning"),
+      s"expected one hash exchange, got $exchanges in:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "window top-k fell back to a global range sort")
+  }
+
   test("band self-joins stay hash joins — never cartesian/nested-loop") {
     // the near-dup candidate joins are equality joins on band keys; a
     // refactor that breaks the join condition (e.g. same-lineage column

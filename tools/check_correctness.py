@@ -24,16 +24,25 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
-    # a Spark-side query failure leaves NO result dir (Verify logs to stderr
-    # and moves on) — surface those as failures instead of silently skipping
+    # Verify writes manifest.json = the queries THIS run attempted (and
+    # pre-deletes their stale dirs). Compare against the manifest, not
+    # directory existence, so a reused out_dir can't pass a now-throwing
+    # query on an earlier run's parquet.
+    manifest_path = f"{out_dir}/manifest.json"
+    manifest = set(json.load(open(manifest_path))) if os.path.exists(manifest_path) else None
     produced = {n for n in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, n))}
-    for name in sorted(set(oracles) - produced):
+    if manifest is not None:
+        for name in sorted(produced - manifest):
+            print(f"  {name}: not in this run's manifest — ignored (stale?)")
+        produced &= manifest
+        missing = manifest - produced
+    else:
+        missing = set(oracles) - produced
+    for name in sorted(missing):
         print(f"✗ {name}: NO SPARK RESULT (query threw in Verify?)")
         n_bad += 1
-    for name in sorted(os.listdir(out_dir)):
+    for name in sorted(produced):
         qdir = os.path.join(out_dir, name)
-        if not os.path.isdir(qdir):
-            continue
         files = glob.glob(f"{qdir}/*.parquet")
         got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True) \
             if files else pd.DataFrame()
