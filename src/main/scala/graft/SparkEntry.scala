@@ -37,7 +37,8 @@ object SparkEntry {
     _root_.graft.queries.StreamQueries,
     _root_.graft.queries.IoQueries,
     _root_.graft.queries.ExtraQueries,
-    _root_.graft.queries.SketchQueries
+    _root_.graft.queries.SketchQueries,
+    _root_.graft.queries.CurationQueries
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

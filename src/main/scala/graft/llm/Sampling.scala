@@ -1,0 +1,94 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and mixture operators for training-data
+  * curation — the "take 2% of CommonCrawl, 30% of code, cap books at 10B
+  * tokens" step of assembling an LLM training mix.
+  *
+  * Every decision is keyed on an md5-derived uniform of the row's id:
+  * partition-invariant, seed-stable (change `salt` for an independent
+  * redraw), engine-portable (the DuckDB oracles recompute identical
+  * decisions bit-for-bit), and pure map-side. A `rand()` sample is none
+  * of those — it changes under retries, task re-execution, AQE re-plans,
+  * and cluster size, which is disqualifying for reproducible 100-TB runs.
+  */
+object Sampling {
+
+  /** Uniform in [0, 1) from the first 7 hex nibbles of
+    * md5(key ':' salt) — 28 bits of resolution. The value is k/16^7, an
+    * exact binary fraction, so cross-engine comparisons are byte-exact. */
+  def hashUniform(key: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(":" + salt))), 1, 7), 16, 10)
+      .cast("double") / lit(268435456.0) // 16^7
+
+  /** Deterministic Bernoulli sample: keep iff hashUniform(key) < fraction.
+    * A pure filter over the scan — no shuffle, no RNG state, no driver
+    * action; co-sampling two tables on the same key keeps them aligned. */
+  def hashSample(df: DataFrame, keyCol: Column, fraction: Double,
+      salt: String = ""): DataFrame =
+    df.filter(hashUniform(keyCol, salt) < fraction)
+
+  /** Per-stratum deterministic rates (e.g. per-source keep fractions).
+    * Strata absent from `rates` fall back to `defaultRate`. Still a pure
+    * filter — the rate lookup is a literal CASE chain, not a join. */
+  def stratifiedSample(df: DataFrame, strata: Column,
+      rates: Map[String, Double], keyCol: Column, salt: String = "",
+      defaultRate: Double = 0.0): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(strata === k, lit(v)).otherwise(acc)
+    }
+    df.filter(hashUniform(keyCol, salt) < rate)
+  }
+
+  /** EXACT token-budget mixture: per source, take documents in
+    * deterministic hash-shuffled order (u, id) until the running token
+    * total reaches the source's budget. A document is kept iff the total
+    * BEFORE it is under budget, so the first overshooting document is
+    * included and every non-empty source with a positive budget emits at
+    * least one document. Sources without a budget entry are dropped.
+    *
+    * Plan: one shuffle on source + a per-source window cumsum. The cumsum
+    * is sequential PER SOURCE — fine when sources are numerous/balanced,
+    * but a single 100-TB source serializes into one task's scan. For that
+    * shape use [[mixtureByRate]], which fills the same budgets in
+    * expectation with no window at all. */
+  def tokenBudgetMixture(docs: DataFrame, tokenCol: Column,
+      budgets: Map[String, Long], sourceCol: String = "source",
+      idCol: String = "doc_id", salt: String = ""): DataFrame = {
+    val budget = budgets.foldLeft(lit(0L)) { case (acc, (k, v)) =>
+      when(col(sourceCol) === k, lit(v)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(col("__u"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("__u", hashUniform(col(idCol), salt))
+      .withColumn("__cum", sum(tokenCol).over(w))
+      .filter(col("__cum") - tokenCol < budget)
+      .drop("__u", "__cum")
+  }
+
+  /** RATE-based mixture — the 100-TB path: one map-side-combined aggregate
+    * computes each source's total tokens; keep-rate = min(1, budget/total);
+    * documents filter on hashUniform < rate. No window, no per-source
+    * sequential scan — the totals frame (one row per source) broadcasts.
+    * Budget fill is expected-value rather than exact: the hash order makes
+    * any uniform-threshold prefix an unbiased sample, with relative error
+    * O(1/√n_kept) — negligible at the scales where this variant matters. */
+  def mixtureByRate(docs: DataFrame, tokenCol: Column,
+      budgets: Map[String, Long], sourceCol: String = "source",
+      idCol: String = "doc_id", salt: String = ""): DataFrame = {
+    val budget = budgets.foldLeft(lit(0L)) { case (acc, (k, v)) =>
+      when(col(sourceCol) === k, lit(v)).otherwise(acc)
+    }
+    val totals = docs.groupBy(col(sourceCol))
+      .agg(sum(tokenCol).as("__tot"))
+    docs.join(broadcast(totals), Seq(sourceCol))
+      .withColumn("__rate",
+        least(lit(1.0), budget.cast("double") / col("__tot")))
+      .filter(hashUniform(col(idCol), salt) < col("__rate"))
+      .drop("__tot", "__rate")
+  }
+}

@@ -130,6 +130,41 @@ object TextAnalysis {
     }.otherwise("und")
   }
 
+  /** Gopher-style N-GRAM repetition signals — the per-document multiset
+    * statistics [[repetitionRatio]]'s distinct/total collapse can't see
+    * (a doc alternating two sentences has low word-level repetition but a
+    * dominant repeated n-gram):
+    *
+    *  - `top_bigram_n` / `top_bigram_frac`: occurrences of the most
+    *    frequent word 2-gram and its share of all 2-gram positions
+    *  - `dup_trigram_frac`: share of 3-gram POSITIONS covered by 3-grams
+    *    occurring more than once
+    *
+    * Shape: explode grams → (id, gram) count with map-side combine → per-id
+    * aggregate. Two shuffles keyed on (id, gram) — distributed and
+    * skew-free (gram multiplicity within one doc is bounded by doc length).
+    * All outputs are ratios of integer counts → bit-reproducible in any
+    * engine (q94's DuckDB oracle recomputes them exactly). */
+  def repetitionSignals(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    def gramCounts(n: Int) = docs
+      .select(col(idCol).as("id"),
+        explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("n"))
+    val bi = gramCounts(2).groupBy("id").agg(
+      max(col("n")).as("top_bigram_n"),
+      sum(col("n")).as("n_bigrams"))
+    val tri = gramCounts(3).groupBy("id").agg(
+      sum(when(col("n") > 1, col("n")).otherwise(0L)).as("n_dup_tri"),
+      sum(col("n")).as("n_trigrams"))
+    bi.join(tri, Seq("id"))
+      .select(col("id").as(idCol), col("top_bigram_n"),
+        (col("top_bigram_n").cast("double") / col("n_bigrams"))
+          .as("top_bigram_frac"),
+        (col("n_dup_tri").cast("double") / col("n_trigrams"))
+          .as("dup_trigram_frac"))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text —
     * stable across engines (md5 is bit-identical everywhere), suitable as an
     * exact-dedup key at any corpus size (128-bit: no birthday collisions at

@@ -1,0 +1,134 @@
+package graft.queries
+
+import graft.Tables
+import graft.llm.{Sampling, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Correctness gates for the deterministic curation operators: hash
+  * sampling, token-budget mixture (exact + rate-based), and n-gram
+  * repetition signals. Everything here is md5/integer arithmetic, so every
+  * gate has a full DuckDB oracle replicating the decisions bit-for-bit —
+  * ratios are emitted as raw doubles (IEEE division of identical integer
+  * operands is bit-identical cross-engine, the q72 test_share precedent). */
+object CurationQueries extends graft.QueryModule {
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    // deterministic Bernoulli sample at 10% — emits the kept ids WITH the
+    // md5-derived uniform (an exact binary fraction k/16^7), so the oracle
+    // checks both membership and the uniform itself byte-for-byte
+    "q92_hash_sample" -> ((s, d) => {
+      Sampling.hashSample(Tables.documents(s, d), col("doc_id"), 0.1,
+        salt = "mix")
+        .select(col("doc_id"),
+          Sampling.hashUniform(col("doc_id"), "mix").as("u"))
+    }),
+
+    // token-budget mixture, BOTH variants over the same budgets: the exact
+    // per-source window cumsum ('exact') and the scale-path rate filter
+    // ('rate'), each summarized per source. Budgeted sources src0..src4;
+    // everything else must be dropped by both.
+    "q93_token_mixture" -> ((s, d) => {
+      val docs = Tables.documents(s, d).withColumn("n_tokens",
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long"))
+      val budgets = Map("src0" -> 3000L, "src1" -> 2000L,
+        "src2" -> 1500L, "src3" -> 1000L, "src4" -> 500L)
+      def summarize(df: DataFrame, mode: String) =
+        df.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+          .withColumn("mode", lit(mode))
+      summarize(Sampling.tokenBudgetMixture(docs, col("n_tokens"), budgets,
+        salt = "mix"), "exact")
+        .unionByName(summarize(Sampling.mixtureByRate(docs, col("n_tokens"),
+          budgets, salt = "mix"), "rate"))
+    }),
+
+    // Gopher-style n-gram repetition signals per document (top-bigram
+    // share, duplicated-trigram share) — multiset statistics the
+    // distinct/total repetitionRatio can't see
+    "q94_repetition" -> ((s, d) => {
+      TextAnalysis.repetitionSignals(Tables.documents(s, d))
+        .select(col("doc_id"), col("top_bigram_n"),
+          col("top_bigram_frac"), col("dup_trigram_frac"))
+    })
+  )
+
+  /** DuckDB replication of [[Sampling.hashUniform]] over a precomputed
+    * md5-hex column: Σ nibble_i · 16^(6-i) / 16^7 (strpos is 1-based;
+    * nibble value = index in the hex alphabet − 1). */
+  private def hashUniformSql(hexCol: String): String = {
+    val nib = (0 until 7).map { i =>
+      s"(strpos('0123456789abcdef', substring($hexCol, ${i + 1}, 1)) - 1)" +
+        s" * ${1L << (4 * (6 - i))}"
+    }.mkString(" + ")
+    s"(($nib) / 268435456.0)"
+  }
+
+  private val budgetCase =
+    """CASE source WHEN 'src0' THEN 3000 WHEN 'src1' THEN 2000
+      |     WHEN 'src2' THEN 1500 WHEN 'src3' THEN 1000
+      |     WHEN 'src4' THEN 500 ELSE 0 END""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q92_hash_sample" ->
+      s"""WITH h AS (SELECT doc_id,
+         |             md5(concat(CAST(doc_id AS VARCHAR), ':mix')) AS hx
+         |           FROM documents),
+         |u AS (SELECT doc_id, ${hashUniformSql("hx")} AS u FROM h)
+         |SELECT doc_id, u FROM u WHERE u < 0.1""".stripMargin,
+
+    "q93_token_mixture" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |             CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+         |                  AS BIGINT) AS n_tokens,
+         |             md5(concat(CAST(doc_id AS VARCHAR), ':mix')) AS hx
+         |           FROM documents),
+         |u AS (SELECT doc_id, source, n_tokens,
+         |             ${hashUniformSql("hx")} AS u,
+         |             $budgetCase AS budget
+         |      FROM d),
+         |x AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+         |                                    ORDER BY u, doc_id
+         |                                    ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM u),
+         |ex AS (SELECT source, count(*) AS n_docs,
+         |              CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |              'exact' AS mode
+         |       FROM x WHERE cum - n_tokens < budget GROUP BY source),
+         |tot AS (SELECT source, sum(n_tokens) AS tot FROM d GROUP BY source),
+         |rt AS (SELECT source, count(*) AS n_docs,
+         |             CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |             'rate' AS mode
+         |       FROM (SELECT u.*, least(1.0, CAST(u.budget AS DOUBLE) / t.tot) AS r
+         |             FROM u JOIN tot t USING (source))
+         |       WHERE u < r GROUP BY source)
+         |SELECT * FROM ex UNION ALL SELECT * FROM rt""".stripMargin,
+
+    "q94_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |             string_split_regex(lower(trim(text)), '\s+') AS t
+        |           FROM documents),
+        |g2 AS (SELECT doc_id, unnest(
+        |         CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+        |              ELSE list_transform(range(1, len(t)),
+        |                                  i -> array_to_string(t[i:i+1], ' '))
+        |         END) AS g FROM t),
+        |g3 AS (SELECT doc_id, unnest(
+        |         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |              ELSE list_transform(range(1, len(t) - 1),
+        |                                  i -> array_to_string(t[i:i+2], ' '))
+        |         END) AS g FROM t),
+        |c2 AS (SELECT doc_id, g, count(*) AS n FROM g2 GROUP BY 1, 2),
+        |c3 AS (SELECT doc_id, g, count(*) AS n FROM g3 GROUP BY 1, 2),
+        |b AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS top_bigram_n,
+        |             sum(n) AS n_bi FROM c2 GROUP BY 1),
+        |tr AS (SELECT doc_id,
+        |             sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS n_dup,
+        |             sum(n) AS n_tri FROM c3 GROUP BY 1)
+        |SELECT b.doc_id, top_bigram_n,
+        |       CAST(top_bigram_n AS DOUBLE) / n_bi AS top_bigram_frac,
+        |       CAST(n_dup AS DOUBLE) / n_tri AS dup_trigram_frac
+        |FROM b JOIN tr USING (doc_id)""".stripMargin
+  )
+}

@@ -144,8 +144,13 @@ object LlmQueries extends graft.QueryModule {
     // (signature coefficients are integer LCG arithmetic; the only float
     // step, μ/σ, sits ~13 decimal orders from any sign boundary).
     "q89_whiten_neardup" -> ((s, d) => {
-      val offset = Tables.embeddings(s, d).select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double") + 3.0).as("embedding"))
+      // vec_id < 500 caps the corpus at every sf (the plain mode's mega
+      // bucket makes candidate volume quadratic in corpus size BY DESIGN —
+      // that's the failure being demonstrated; unbounded it would dominate
+      // the whole bench at larger sf)
+      val offset = Tables.embeddings(s, d).filter(col("vec_id") < 500)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double") + 3.0).as("embedding"))
       val copies = offset.orderBy("vec_id").limit(20)
         .withColumn("vec_id", col("vec_id") + 1000000L)
       val corpus = offset.unionByName(copies)
@@ -553,7 +558,7 @@ object LlmQueries extends graft.QueryModule {
     "q89_whiten_neardup" ->
       s"""WITH e AS (SELECT vec_id,
          |             list_transform(CAST(embedding AS DOUBLE[]), x -> x + 3.0) AS v
-         |           FROM embeddings),
+         |           FROM embeddings WHERE vec_id < 500),
          |allv AS (SELECT * FROM e UNION ALL
          |         SELECT vec_id + 1000000 AS vec_id, v FROM
          |           (SELECT * FROM e ORDER BY vec_id LIMIT 20)),

@@ -224,6 +224,72 @@ class SimilaritySpec extends SparkFunSuite {
   }
 }
 
+class SamplingSpec extends SparkFunSuite {
+  import spark.implicits._
+  import graft.llm.Sampling
+
+  private def docs() = (0 until 400).map(i =>
+    (i.toLong, s"src${i % 4}", (i % 7 + 1).toLong)).toDF("doc_id", "source", "n_tokens")
+
+  test("hashSample is deterministic, salt-sensitive, and near the target rate") {
+    val a1 = Sampling.hashSample(docs(), col("doc_id"), 0.25, "s1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a2 = Sampling.hashSample(docs(), col("doc_id"), 0.25, "s1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(docs(), col("doc_id"), 0.25, "s2")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a1 == a2, "same salt must reproduce the same sample")
+    assert(a1 != b, "different salt must redraw")
+    assert(math.abs(a1.size - 100) < 40, s"rate far off: ${a1.size}/400 at 0.25")
+    // nested property: a tighter threshold is a subset of a looser one
+    val tight = Sampling.hashSample(docs(), col("doc_id"), 0.1, "s1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tight.subsetOf(a1))
+  }
+
+  test("stratifiedSample applies per-stratum rates") {
+    val out = Sampling.stratifiedSample(docs(), col("source"),
+      Map("src0" -> 1.0, "src1" -> 0.0), col("doc_id"), "s")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("src0") == 100, "rate 1.0 stratum must keep everything")
+    assert(!out.contains("src1"), "rate 0.0 stratum must drop everything")
+    assert(!out.contains("src2"), "unlisted strata default to rate 0")
+  }
+
+  test("tokenBudgetMixture fills each budget minimally; rate variant lands near budget") {
+    val budgets = Map("src0" -> 50L, "src1" -> 25L)
+    val kept = Sampling.tokenBudgetMixture(docs(), col("n_tokens"), budgets)
+    val sums = kept.groupBy("source").agg(sum("n_tokens").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact: total reaches the budget and overshoots by < one max doc (7)
+    assert(sums("src0") >= 50 && sums("src0") < 57, s"src0 fill ${sums("src0")}")
+    assert(sums("src1") >= 25 && sums("src1") < 32, s"src1 fill ${sums("src1")}")
+    assert(sums.size == 2, "unbudgeted sources must be dropped")
+    val rateSums = Sampling.mixtureByRate(docs(), col("n_tokens"), budgets)
+      .groupBy("source").agg(sum("n_tokens").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rateSums.keySet.subsetOf(Set("src0", "src1")))
+    // expected-value fill: within 3x either way at this tiny n
+    assert(rateSums.getOrElse("src0", 0L) > 10 && rateSums("src0") < 150)
+  }
+
+  test("repetitionSignals: planted repeated n-grams are measured exactly") {
+    val d = Seq(
+      (1L, "a b a b a b"),         // bigrams: "a b"x3, "b a"x2 → top 3/5
+      (2L, "x y z w v u")          // all distinct: top 1/5, dup tri 0
+    ).toDF("doc_id", "text")
+    val out = graft.llm.TextAnalysis.repetitionSignals(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 3L)
+    assert(math.abs(out(1L).getDouble(2) - 0.6) < 1e-12)
+    // trigrams of doc1: "a b a","b a b","a b a","b a b" → all dup → frac 1
+    assert(math.abs(out(1L).getDouble(3) - 1.0) < 1e-12)
+    assert(out(2L).getLong(1) == 1L)
+    assert(out(2L).getDouble(3) == 0.0)
+  }
+}
+
 class DedupStorageSpec extends SparkFunSuite {
   import spark.implicits._
   import graft.llm.Dedup

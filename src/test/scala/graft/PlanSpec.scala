@@ -108,6 +108,23 @@ class PlanSpec extends SparkFunSuite {
       "window top-k fell back to a global range sort")
   }
 
+  test("q92: hash sampling is an exchange-free filter over the scan") {
+    val plan = planOf("q92_hash_sample")
+    assert(!plan.contains("Exchange"), s"hashSample introduced a shuffle:\n$plan")
+  }
+
+  test("rate-based mixture broadcasts the per-source totals — corpus never re-shuffles") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, d).withColumn("n_tokens",
+      size(split(lower(trim(col("text"))), "\\s+")).cast("long"))
+    val plan = graft.llm.Sampling.mixtureByRate(docs, col("n_tokens"),
+      Map("src0" -> 100L)).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"totals join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "corpus shuffled against the one-row-per-source totals frame")
+  }
+
   test("band self-joins stay hash joins — never cartesian/nested-loop") {
     // the near-dup candidate joins are equality joins on band keys; a
     // refactor that breaks the join condition (e.g. same-lineage column
