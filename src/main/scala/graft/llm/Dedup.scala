@@ -166,22 +166,35 @@ object Dedup {
     * distributed, no driver-side graph. */
   def nearDupClusters(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", threshold: Double = 0.7,
-      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
-    val pairs = minHashNearDups(docs, textCol, idCol, threshold = threshold,
-      storage = storage)
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
+    clusterPairs(docs.select(col(idCol).as("doc_id")),
+      minHashNearDups(docs, textCol, idCol, threshold = threshold,
+        storage = storage))
+
+  /** Connected components over ANY verified near-dup pair frame
+    * (id_a, id_b) — the clustering face of the whole dedup ladder:
+    * MinHash pairs ([[nearDupClusters]]), embedding-cosine pairs
+    * ([[embeddingNearDups]]), SimHash pairs, or an external edge list.
+    * Every id in `ids` gets `cluster_id` = the smallest transitively
+    * reachable id; ids touching no pair self-cluster.
+    *
+    * Components run through the splitter's contraction atomizer over the
+    * (node, edge) incidence frame — O(log D) convergence, fully
+    * distributed, no driver-side graph. The localCheckpoint fences the
+    * atomizer's many small actions from re-running the (potentially
+    * expensive) pair pipeline each time (measured 22s → ~5s at sf0.1). */
+  def clusterPairs(ids: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
     val ek = concat_ws(":", col("id_a"), col("id_b"))
-    // localCheckpoint: the atomizer drives many small actions over its
-    // input, each of which would otherwise re-run the whole LSH pair
-    // pipeline from scratch (measured 22s → ~5s at sf0.1)
     val incidence = pairs.select(col("id_a").as("id"), ek.as("__edge"))
       .unionByName(pairs.select(col("id_b").as("id"), ek.as("__edge")))
       .localCheckpoint()
     val labeled = graft.split.Splitter.makeAtomicChunks(incidence, Seq("id", "__edge"))
     val comp = labeled.groupBy(col("id")).agg(min("__atom").as("cluster_id"))
-    docs.select(col(idCol).as("doc_id"))
-      .join(comp, col("doc_id") === comp("id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val base = ids.select(col(idCol))
+    base.join(comp, base(idCol) === comp("id"), "left")
+      .select(base(idCol),
+        coalesce(col("cluster_id"), base(idCol)).as("cluster_id"))
   }
 
   // -------------------------------------------------------------- SimHash

@@ -249,6 +249,22 @@ object LlmQueries extends graft.QueryModule {
       Dedup.nearDupClusters(docsWithDups(s, d), threshold = 0.7)
     }),
 
+    // clusterPairs over the EMBEDDING pair graph — the generalized CC face
+    // composed with q59's exact pipeline (same corpus, planes, guard), so
+    // the oracle reuses the shared pair CTE + a recursive closure. The 20
+    // planted copies must cluster with their originals; everything else
+    // self-clusters (natural cosines sit far below 0.95).
+    "q95_embedding_clusters" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      val copies = embs.orderBy("vec_id").limit(20)
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+      val corpus = embs.unionByName(copies)
+      val pairs = Dedup.embeddingNearDups(corpus,
+        threshold = 0.95, planes = 16, bands = 4,
+        maxBucketSize = 256, refinePlanes = 12)
+      Dedup.clusterPairs(corpus.select(col("vec_id")), pairs, idCol = "vec_id")
+    }),
+
     // Gopher/C4-style rule filter — full oracle: every signal is an exact
     // integer ratio (token counts, distinct/total), so keep/drop verdicts
     // and machine-readable reasons reproduce bit-for-bit in SQL.
@@ -439,6 +455,61 @@ object LlmQueries extends graft.QueryModule {
       s"THEN ${1L << p} ELSE 0 END)"
   }.mkString(" + ")
 
+  /** Shared oracle body for q59/q95: corpus ∪ 20 exact copies, 28-bit
+    * hyperplane signatures, the guard's exact integer decisions (cap 256,
+    * 12 refine bits, star repair), verified cosines in CTE `j`. Starts
+    * `WITH RECURSIVE` so q95 can append its transitive-closure CTE;
+    * DuckDB accepts the keyword with no recursive member (q59). */
+  private def embPairCte: String =
+    s"""WITH RECURSIVE base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |              FROM embeddings),
+       |allv AS (SELECT * FROM base
+       |         UNION ALL
+       |         SELECT vec_id + 1000000 AS vec_id, v FROM
+       |           (SELECT * FROM base ORDER BY vec_id LIMIT 20)),
+       |sigs AS (SELECT vec_id, v, ${hyperplaneSigSql(28)} AS sig FROM allv),
+       |banded AS (
+       |  SELECT vec_id, b, (sig >> (b * 4)) & 15 AS bucket,
+       |         ((sig >> 16) & 4095) + 1 AS sub
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+       |occ AS (SELECT b, bucket, count(*) AS n FROM banded GROUP BY 1, 2),
+       |tagged AS (
+       |  SELECT t.vec_id, t.b, t.bucket, t.sub, o.n
+       |  FROM banded t JOIN occ o ON t.b = o.b AND t.bucket = o.bucket),
+       |direct AS (SELECT vec_id, b, bucket, 0 AS sub FROM tagged WHERE n <= 256),
+       |refined AS (SELECT vec_id, b, bucket, sub FROM tagged WHERE n > 256),
+       |occ2 AS (SELECT b, bucket, sub, count(*) AS n2
+       |         FROM refined GROUP BY 1, 2, 3),
+       |kept AS (
+       |  SELECT r.vec_id, r.b, r.bucket, r.sub
+       |  FROM refined r JOIN occ2 o
+       |    ON r.b = o.b AND r.bucket = o.bucket AND r.sub = o.sub
+       |  WHERE o.n2 <= 256),
+       |keyed AS (SELECT * FROM direct UNION ALL SELECT * FROM kept),
+       |dropped AS (
+       |  SELECT r.vec_id, r.b, r.bucket, r.sub
+       |  FROM refined r JOIN occ2 o
+       |    ON r.b = o.b AND r.bucket = o.bucket AND r.sub = o.sub
+       |  WHERE o.n2 > 256),
+       |rep AS (SELECT b, bucket, sub, min(vec_id) AS rep_id
+       |        FROM dropped GROUP BY 1, 2, 3),
+       |star AS (
+       |  SELECT rep.rep_id AS id_a, d.vec_id AS id_b
+       |  FROM dropped d JOIN rep
+       |    ON d.b = rep.b AND d.bucket = rep.bucket AND d.sub = rep.sub
+       |  WHERE d.vec_id <> rep.rep_id),
+       |pairs AS (
+       |  SELECT DISTINCT id_a, id_b FROM (
+       |    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |    FROM keyed a JOIN keyed b
+       |      ON a.b = b.b AND a.bucket = b.bucket AND a.sub = b.sub
+       |         AND a.vec_id < b.vec_id
+       |    UNION ALL SELECT id_a, id_b FROM star)),
+       |j AS (
+       |  SELECT p.id_a, p.id_b, list_cosine_similarity(x.v, y.v) AS cosine
+       |  FROM pairs p JOIN allv x ON p.id_a = x.vec_id
+       |               JOIN allv y ON p.id_b = y.vec_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q29_minhash_neardup" ->
       """WITH alldocs AS (
@@ -500,56 +571,24 @@ object LlmQueries extends graft.QueryModule {
     // bucket); ≤256 join on sub=0; oversized re-key on 12 extra signature
     // bits (sub = bits+1); refined buckets still >256 are dropped
     "q59_embedding_neardup" ->
-      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-         |              FROM embeddings),
-         |allv AS (SELECT * FROM base
-         |         UNION ALL
-         |         SELECT vec_id + 1000000 AS vec_id, v FROM
-         |           (SELECT * FROM base ORDER BY vec_id LIMIT 20)),
-         |sigs AS (SELECT vec_id, v, ${hyperplaneSigSql(28)} AS sig FROM allv),
-         |banded AS (
-         |  SELECT vec_id, b, (sig >> (b * 4)) & 15 AS bucket,
-         |         ((sig >> 16) & 4095) + 1 AS sub
-         |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
-         |occ AS (SELECT b, bucket, count(*) AS n FROM banded GROUP BY 1, 2),
-         |tagged AS (
-         |  SELECT t.vec_id, t.b, t.bucket, t.sub, o.n
-         |  FROM banded t JOIN occ o ON t.b = o.b AND t.bucket = o.bucket),
-         |direct AS (SELECT vec_id, b, bucket, 0 AS sub FROM tagged WHERE n <= 256),
-         |refined AS (SELECT vec_id, b, bucket, sub FROM tagged WHERE n > 256),
-         |occ2 AS (SELECT b, bucket, sub, count(*) AS n2
-         |         FROM refined GROUP BY 1, 2, 3),
-         |kept AS (
-         |  SELECT r.vec_id, r.b, r.bucket, r.sub
-         |  FROM refined r JOIN occ2 o
-         |    ON r.b = o.b AND r.bucket = o.bucket AND r.sub = o.sub
-         |  WHERE o.n2 <= 256),
-         |keyed AS (SELECT * FROM direct UNION ALL SELECT * FROM kept),
-         |dropped AS (
-         |  SELECT r.vec_id, r.b, r.bucket, r.sub
-         |  FROM refined r JOIN occ2 o
-         |    ON r.b = o.b AND r.bucket = o.bucket AND r.sub = o.sub
-         |  WHERE o.n2 > 256),
-         |rep AS (SELECT b, bucket, sub, min(vec_id) AS rep_id
-         |        FROM dropped GROUP BY 1, 2, 3),
-         |star AS (
-         |  SELECT rep.rep_id AS id_a, d.vec_id AS id_b
-         |  FROM dropped d JOIN rep
-         |    ON d.b = rep.b AND d.bucket = rep.bucket AND d.sub = rep.sub
-         |  WHERE d.vec_id <> rep.rep_id),
-         |pairs AS (
-         |  SELECT DISTINCT id_a, id_b FROM (
-         |    SELECT a.vec_id AS id_a, b.vec_id AS id_b
-         |    FROM keyed a JOIN keyed b
-         |      ON a.b = b.b AND a.bucket = b.bucket AND a.sub = b.sub
-         |         AND a.vec_id < b.vec_id
-         |    UNION ALL SELECT id_a, id_b FROM star)),
-         |j AS (
-         |  SELECT p.id_a, p.id_b, list_cosine_similarity(x.v, y.v) AS cosine
-         |  FROM pairs p JOIN allv x ON p.id_a = x.vec_id
-         |               JOIN allv y ON p.id_b = y.vec_id)
+      s"""$embPairCte
          |SELECT id_a, id_b, round(cosine, 6) AS cosine
          |FROM j WHERE cosine >= 0.95""".stripMargin,
+
+    // connected components over the q59-verified pair graph (clusterPairs
+    // over embedding pairs): transitive closure via a recursive CTE, every
+    // corpus id self-seeds so singletons self-cluster
+    "q95_embedding_clusters" ->
+      s"""$embPairCte,
+         |vp AS (SELECT id_a, id_b FROM j WHERE cosine >= 0.95),
+         |bidir AS (SELECT id_a AS a, id_b AS b FROM vp
+         |          UNION ALL SELECT id_b, id_a FROM vp),
+         |reach(a, b) AS (
+         |  SELECT vec_id, vec_id FROM allv
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN bidir e ON r.b = e.a)
+         |SELECT a AS vec_id, CAST(min(b) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY a""".stripMargin,
 
     // replicates BOTH signature modes end-to-end: raw and whitened (μ/σ →
     // z) 16-plane signatures, per-(band,bucket) occupancy → candidate

@@ -97,6 +97,15 @@ class DedupSpec extends SparkFunSuite {
     }
   }
 
+  test("clusterPairs collapses transitive chains over an external pair frame") {
+    val ids = (0L to 5L).toDF("vec_id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.clusterPairs(ids, pairs, "vec_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L, 5L -> 5L),
+      s"got $out")
+  }
+
   test("q29 corpus has no pairs in the banding-miss-prone Jaccard band") {
     // q29's gate is probabilistic-vs-exact (8×4 banding + estimate
     // prefilter vs all-pairs DuckDB Jaccard); it is only deterministic
