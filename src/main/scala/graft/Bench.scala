@@ -70,8 +70,10 @@ object Bench {
     }
     // 4-decimal formatting keeps the one-line JSON short enough for the
     // driver's stdout tail window (full double reprs pushed q01–q29 out of
-    // the captured tail in round 4)
-    def num(v: Double): String = f"$v%.4f"
+    // the captured tail in round 4). Locale.ROOT: a comma-decimal default
+    // locale would emit corrupt JSON via the locale-sensitive formatter.
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     // any failure invalidates the headline total: summing -1 sentinels
@@ -83,7 +85,7 @@ object Bench {
     // folded in (which would read as a FASTER rep)
     val repTotals = passes
       .map(p => if (p.values.exists(_ < 0)) -1.0 else p.values.sum)
-      .map(v => f"$v%.2f").mkString("[", ",", "]")
+      .map(num).mkString("[", ",", "]")
     val failJson = failures.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"rep_totals":$repTotals,"failed_reps":$failJson}"""

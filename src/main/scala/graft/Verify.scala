@@ -25,20 +25,8 @@ object Verify {
     // query that throws now leaves no dir → the checker flags it), and
     // record the attempt set so the checker ignores anything else
     attempted.keys.foreach { name =>
-      val d = new java.io.File(s"$outDir/$name")
-      if (d.isDirectory) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(d)
-      }
-    }
-    attempted.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      if (new java.io.File(s"$outDir/$name").isDirectory)
+        IoUtil.rmTree(s"$outDir/$name")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -52,6 +40,19 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // manifest BEFORE the query loop: if this run crashes mid-way, the
+    // checker must see THIS run's attempt set (whose stale dirs were just
+    // deleted → flagged missing), not a previous run's manifest that would
+    // validate leftover dirs as current
+    Files.writeString(Paths.get(s"$outDir/manifest.json"),
+      attempted.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    attempted.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+    }
     val json = SparkEntry.oracleSql
       // dev-filtered runs dump only the matching oracles so the checker's
       // missing-result detection doesn't false-flag unrun queries; the
@@ -59,8 +60,6 @@ object Verify {
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    Files.writeString(Paths.get(s"$outDir/manifest.json"),
-      attempted.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

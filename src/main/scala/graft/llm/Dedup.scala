@@ -464,18 +464,24 @@ object Dedup {
       else
         src.select(col("id"),
           Similarity.hyperplaneSignature(col("v"), planes + refinePlanes).as("sig"))
-    val banded = bandedKeys(base, planes, bands, refinePlanes).cache()
-    val lvl1 = banded.groupBy(col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-      .agg(count(lit(1)).as("n"))
+    // ONE pass over the banded frame: aggregate straight to per-(bucket,
+    // sub) counts (tiny — bounded by distinct keys), localCheckpoint that,
+    // and derive both report levels from it. No session-lifetime cache
+    // registration (the round-4 .cache() here leaked across repeated
+    // monitoring calls), and the wide frame is never scanned twice.
+    val c2 = bandedKeys(base, planes, bands, refinePlanes)
+      .groupBy(col("bk.band").as("band"), col("bk.bucket").as("bucket"), col("sub"))
+      .agg(count(lit(1)).as("__n2"))
+      .localCheckpoint()
+    val lvl1 = c2.groupBy(col("band"), col("bucket"))
+      .agg(sum(col("__n2")).as("n"))
       .select(col("band"), col("bucket"), lit(null).cast("long").as("sub"), col("n"),
         when(col("n") <= maxBucketSize, "ok").otherwise("refined").as("status"))
-    val occ = banded.groupBy(col("bk")).agg(count(lit(1)).as("__n"))
-    val lvl2 = banded.join(broadcast(occ), Seq("bk"))
-      .filter(col("__n") > maxBucketSize)
-      .groupBy(col("bk.band").as("band"), col("bk.bucket").as("bucket"), col("sub"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("band"), col("bucket"), col("sub"), col("n"),
-        when(col("n") <= maxBucketSize, "kept").otherwise("star").as("status"))
+    val oversized = lvl1.filter(col("status") === "refined")
+      .select(col("band"), col("bucket"))
+    val lvl2 = c2.join(oversized, Seq("band", "bucket"))
+      .select(col("band"), col("bucket"), col("sub"), col("__n2").as("n"),
+        when(col("__n2") <= maxBucketSize, "kept").otherwise("star").as("status"))
     lvl1.unionByName(lvl2)
   }
 }

@@ -15,19 +15,12 @@ import org.apache.spark.sql.expressions.Window
 object ExtraQueries extends graft.QueryModule {
   type Q = (SparkSession, String) => DataFrame
 
-  private def rmTree(dir: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(new java.io.File(dir))
-  }
-
   /** Temp fixture tree deleted at JVM exit — q68's files are probed lazily
     * from executors at query-execution time, so they must outlive the gate
     * builder (but not the run). */
   private def tempTreeForRun(prefix: String): String = {
     val dir = java.nio.file.Files.createTempDirectory(prefix).toString
-    Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(dir)))
+    Runtime.getRuntime.addShutdownHook(new Thread(() => graft.IoUtil.rmTree(dir)))
     dir
   }
 
@@ -245,7 +238,7 @@ object ExtraQueries extends graft.QueryModule {
           golden)
       }
       // all regression checks above ran eagerly — the golden tree is done
-      rmTree(golden)
+      graft.IoUtil.rmTree(golden)
       import s.implicits._
       Seq((cleanOk, malformedCaught, nMalformed, dupCaught, normCaught,
         afieOk, afieCaught, regressionOk, driftCaught))
