@@ -34,6 +34,22 @@ object Dedup {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Exact dedup keeping the BEST copy per content group instead of the
+    * arbitrary min-id one: rank within each fingerprint by `preference`
+    * DESC (ties → min id) and keep rank 1 — the "keep the highest-quality /
+    * most-recent / preferred-source duplicate" curation step. One shuffle
+    * on the 128-bit fingerprint; the window sort is per-group (group size
+    * = duplicate multiplicity, naturally small). */
+  def exactDedupKeepBest(docs: DataFrame, preference: Column,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__fp")).orderBy(preference.desc, col(idCol))
+    docs.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__fp", "__rk")
+  }
+
   // -------------------------------------------------------------- MinHash
 
   /** Word `n`-shingles of a text column, as an array of strings — built with
@@ -183,6 +199,15 @@ object Dedup {
     * distributed, no driver-side graph. The localCheckpoint fences the
     * atomizer's many small actions from re-running the (potentially
     * expensive) pair pipeline each time (measured 22s → ~5s at sf0.1). */
+  /** Keep one document per near-dup cluster (the cluster representative =
+    * the cluster_id row, i.e. the smallest transitively-reachable id) —
+    * the consuming step after [[clusterPairs]]/[[nearDupClusters]]. */
+  def keepClusterRepresentatives(docs: DataFrame, clusters: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    docs.join(
+      clusters.filter(col(idCol) === col("cluster_id")).select(col(idCol)),
+      Seq(idCol), "left_semi")
+
   def clusterPairs(ids: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id"): DataFrame = {
     val ek = concat_ws(":", col("id_a"), col("id_b"))

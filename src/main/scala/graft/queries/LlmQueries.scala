@@ -40,6 +40,16 @@ object LlmQueries extends graft.QueryModule {
         .select(col("fingerprint"), col("keep_id"), col("n_dups"))
     }),
 
+    // priority-aware exact dedup: keep the PREFERRED copy per content
+    // group (planted preference doc_id % 7 — the +1,000,000 copies differ
+    // from their originals mod 7, so the winner is a real decision, not a
+    // tie) — full oracle via the same window ranking in SQL
+    "q96_keep_best" -> ((s, d) => {
+      Dedup.exactDedupKeepBest(docsWithDups(s, d), pmod(col("doc_id"), lit(7)))
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(7)).cast("long").as("pref"))
+    }),
+
     // MinHash+LSH near-dup: the VERIFIED pairs with their exact shingle
     // Jaccard — full DuckDB oracle (all-pairs exact Jaccard at gate scale;
     // the corpus' ≥0.7 pairs all sit at j ≥ 0.9 where 8×4 banding recall
@@ -511,6 +521,20 @@ object LlmQueries extends graft.QueryModule {
        |               JOIN allv y ON p.id_b = y.vec_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q96_keep_best" ->
+      """WITH alldocs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM
+        |    (SELECT * FROM documents ORDER BY doc_id LIMIT 20)),
+        |r AS (
+        |  SELECT doc_id, doc_id % 7 AS pref,
+        |         row_number() OVER (
+        |           PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |           ORDER BY doc_id % 7 DESC, doc_id) AS rk
+        |  FROM alldocs)
+        |SELECT doc_id, CAST(pref AS BIGINT) AS pref FROM r WHERE rk = 1""".stripMargin,
+
     "q29_minhash_neardup" ->
       """WITH alldocs AS (
         |  SELECT doc_id, text FROM documents

@@ -97,6 +97,27 @@ class DedupSpec extends SparkFunSuite {
     }
   }
 
+  test("exactDedupKeepBest keeps the preferred copy, ties break to min id") {
+    val d = Seq(
+      (1L, "same text", 5L), (2L, "same text", 9L), (3L, "same text", 9L),
+      (4L, "other text", 1L)
+    ).toDF("doc_id", "text", "pref")
+    val kept = Dedup.exactDedupKeepBest(d, col("pref")).collect()
+      .map(_.getLong(0)).toSet
+    // group "same text": pref 9 wins, tie (ids 2,3) → min id 2
+    assert(kept == Set(2L, 4L), s"got $kept")
+  }
+
+  test("keepClusterRepresentatives keeps exactly the cluster_id rows") {
+    val docs = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"))
+      .toDF("doc_id", "text")
+    val clusters = Seq((0L, 0L), (1L, 0L), (2L, 2L), (3L, 3L))
+      .toDF("doc_id", "cluster_id")
+    val kept = Dedup.keepClusterRepresentatives(docs, clusters).collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 2L, 3L))
+  }
+
   test("clusterPairs collapses transitive chains over an external pair frame") {
     val ids = (0L to 5L).toDF("vec_id")
     val pairs = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
