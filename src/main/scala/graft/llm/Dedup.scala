@@ -35,19 +35,27 @@ object Dedup {
   }
 
   /** Exact dedup keeping the BEST copy per content group instead of the
-    * arbitrary min-id one: rank within each fingerprint by `preference`
-    * DESC (ties → min id) and keep rank 1 — the "keep the highest-quality /
-    * most-recent / preferred-source duplicate" curation step. One shuffle
-    * on the 128-bit fingerprint; the window sort is per-group (group size
-    * = duplicate multiplicity, naturally small). */
+    * arbitrary min-id one: per fingerprint, the row maximizing
+    * (`preference`, −id) survives — i.e. highest preference, ties → min
+    * id. The "keep the highest-quality / most-recent / preferred-source
+    * duplicate" curation step.
+    *
+    * Implemented as a max_by HASH AGGREGATE, not a window: partial
+    * aggregation reduces each content group map-side, so a heavy-hitter
+    * fingerprint (boilerplate text with 1e8 copies at 100 TB) costs one
+    * combined row per task instead of one straggler partition sorting the
+    * whole group. `preference` must be non-null (null orders below
+    * everything in Spark's struct comparison — coalesce it yourself if
+    * that's not the intent). */
   def exactDedupKeepBest(docs: DataFrame, preference: Column,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__fp")).orderBy(preference.desc, col(idCol))
-    docs.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
-      .drop("__fp", "__rk")
+    val cols = docs.columns.toSeq
+    docs
+      .groupBy(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      .agg(max_by(
+        struct(cols.map(c => col(s"`$c`")): _*),
+        struct(preference.as("p"), (-col(idCol)).as("ni"))).as("__best"))
+      .select(cols.map(c => col(s"__best.`$c`").as(c)): _*)
   }
 
   // -------------------------------------------------------------- MinHash

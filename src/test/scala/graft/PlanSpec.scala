@@ -125,6 +125,17 @@ class PlanSpec extends SparkFunSuite {
       "corpus shuffled against the one-row-per-source totals frame")
   }
 
+  test("q96: keep-best dedup aggregates with map-side combine — no per-group window sort") {
+    // max_by over a struct plans as SortAggregate (struct orderings aren't
+    // hash-aggregable) but STILL runs partial+final with map-side combine —
+    // a heavy-hitter fingerprint reduces per task instead of sorting one
+    // straggler window partition
+    val plan = planOf("q96_keep_best")
+    assert(!plan.contains("Window"), s"keep-best regressed to a window sort:\n$plan")
+    assert(plan.contains("SortAggregate") || plan.contains("HashAggregate"),
+      s"no partial aggregate in:\n$plan")
+  }
+
   test("band self-joins stay hash joins — never cartesian/nested-loop") {
     // the near-dup candidate joins are equality joins on band keys; a
     // refactor that breaks the join condition (e.g. same-lineage column
