@@ -10,9 +10,10 @@ import org.apache.spark.sql.types._
   * structs; decode / feature-extract steps run as typed `mapPartitions`
   * kernels so a real codec can be dropped in per-partition (amortizing any
   * native-library init across the partition — the Scala analogue of a
-  * batched `mapInPandas`). The container has no image/audio codecs, so the
-  * decode kernel is a clearly-marked DETERMINISTIC STUB; everything around
-  * it — schema, batching, partitioning, output shape — is real and tested.
+  * batched `mapInPandas`). Image decode is REAL (`javax.imageio`, JDK
+  * built-in JPEG/PNG/GIF/BMP — [[decodeImages]]); the 8-dim byte-statistic
+  * feature kernel is kept alongside as an oracle-exact plumbing check, and
+  * audio/video codecs (not in the JDK) remain deterministic stubs.
   */
 object Multimodal {
 
@@ -28,6 +29,77 @@ object Multimodal {
       StructField("format", StringType, nullable = true))), nullable = true)))
 
   case class MediaFeature(media_id: Long, n_bytes: Int, feature: Array[Float])
+
+  /** Result of a REAL image decode: dims + band count from the decoded
+    * raster (not header sniffing), per-band pixel means as a simple exact
+    * feature, and a decode_ok flag. `format` is the container sniffed from
+    * magic bytes (available even when decode fails). */
+  case class DecodedImage(
+      media_id: Long, n_bytes: Int, format: String, decode_ok: Boolean,
+      width: Int, height: Int, channels: Int, mean_channel: Array[Double])
+
+  /** Container sniff from magic bytes — JPEG/PNG/GIF/BMP, else "unknown". */
+  def sniffFormat(b: Array[Byte]): String =
+    if (b == null || b.length < 4) "unknown"
+    else if ((b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
+    else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8 && (b(2) & 0xFF) == 0xFF) "jpeg"
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') "gif"
+    else if (b(0) == 'B' && b(1) == 'M') "bmp"
+    else "unknown"
+
+  /** REAL decode kernel: `javax.imageio` (JPEG/PNG/GIF/BMP readers ship in
+    * the JDK) decodes the payload; on success we report raster dims, band
+    * count, and exact per-band means (integer sample sums in double — PNG
+    * being lossless, these reproduce bit-for-bit from the planted pixels).
+    * Undecodable/empty payloads yield decode_ok=false with zeroed dims,
+    * never an exception — a 100-TB corpus always contains corrupt blobs and
+    * one bad row must not kill the stage. */
+  def decodeImageKernel(id: Long, payload: Array[Byte]): DecodedImage = {
+    val n = if (payload == null) 0 else payload.length
+    val fmt = sniffFormat(payload)
+    val img =
+      if (n == 0) null
+      else
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: Exception => null }
+    if (img == null) DecodedImage(id, n, fmt, decode_ok = false, 0, 0, 0, Array.empty)
+    else {
+      val raster = img.getRaster
+      val w = img.getWidth; val h = img.getHeight; val c = raster.getNumBands
+      val sums = new Array[Double](c)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var b = 0
+          while (b < c) { sums(b) += raster.getSample(x, y, b); b += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      val px = w.toLong * h
+      DecodedImage(id, n, fmt, decode_ok = true, w, h, c, sums.map(_ / px))
+    }
+  }
+
+  /** Distributed REAL image decode over (media_id, payload) rows — the
+    * production face of [[decodeImageKernel]]. Same partitioning contract
+    * as [[extractFeatures]]: optional hash repartition on media_id evens
+    * out skewed payload sizes; the kernel runs per-partition so codec init
+    * (ImageIO scans its reader registry once) is amortized. ImageIO's
+    * temp-file cache is disabled per-partition — at 32 concurrent tasks the
+    * default disk cache turns decode into tmp-dir IO. */
+  def decodeImages(media: DataFrame, partitions: Int = 0): Dataset[DecodedImage] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val src = if (partitions > 0) media.repartition(partitions, col("media_id")) else media
+    src.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, payload) => decodeImageKernel(id, payload) }
+      }
+  }
 
   /** ======== STUB ========
     * Deterministic fake decode+feature kernel: a real implementation would

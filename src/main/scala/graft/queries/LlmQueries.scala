@@ -433,6 +433,67 @@ object LlmQueries extends graft.QueryModule {
           countDistinct(col("event_type")).as("n_types"),
           round(sum(col("value")), 2).as("total_value"),
           date_format(max(col("ts")), "yyyy-MM-dd").as("last_day"))
+    }),
+
+    // REAL image decode (javax.imageio inside the distributed kernel).
+    // Fixture: per subset image (split P, id%100==0), (id/100)%5 plants a
+    // payload — solid-RGB PNG / grayscale PNG / RGB JPEG / corrupt bytes /
+    // null. The tiny subset is encoded on the DRIVER (same rationale as
+    // q68: executor-side fixture writes only work in local mode), the
+    // DECODE is the distributed operator under test. PNG is lossless, so
+    // decoded dims + band count + exact per-band means reproduce
+    // arithmetically in SQL; JPEG rows oracle dims/channels only (lossy
+    // means masked to null); corrupt/null rows oracle the ok flag + magic
+    // sniff
+    "q97_image_decode" -> ((s, d) => {
+      import java.awt.image.BufferedImage
+      val ids = graft.operators.Locators.filterImages(
+        graft.operators.Locators.getSplit(Tables.datasetView(s, d), Some("P")),
+        col("id") % 100 === 0).images
+        .select(col("id")).collect().map(_.getLong(0)).sorted
+      def enc(img: BufferedImage, fmt: String): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, fmt, bos)
+        bos.toByteArray
+      }
+      def rgbImage(w: Int, h: Int, r: Int, g: Int, b: Int): BufferedImage = {
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        val rgb = (r << 16) | (g << 8) | b
+        var y = 0
+        while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+        img
+      }
+      def grayImage(w: Int, h: Int, v: Int): BufferedImage = {
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) { var x = 0; while (x < w) { raster.setSample(x, y, 0, v); x += 1 }; y += 1 }
+        img
+      }
+      val rows: Seq[(Long, Array[Byte])] = ids.toSeq.map { id =>
+        val w = (4 + id % 13).toInt; val h = (4 + (id / 13) % 11).toInt
+        val payload: Array[Byte] = (id / 100) % 5 match {
+          case 0 => enc(rgbImage(w, h, (id % 256).toInt, ((id / 3) % 256).toInt,
+            ((id / 7) % 256).toInt), "png")
+          case 1 => enc(grayImage(w, h, (id % 256).toInt), "png")
+          case 2 => enc(rgbImage(w, h, (id % 256).toInt, ((id / 3) % 256).toInt,
+            ((id / 7) % 256).toInt), "jpg")
+          case 3 => s"corrupt_payload_$id".getBytes("US-ASCII")
+          case _ => null
+        }
+        (id, payload)
+      }
+      import s.implicits._
+      val media = rows.toDF("media_id", "payload")
+      graft.llm.Multimodal.decodeImages(media).toDF()
+        .select(col("media_id"), col("format"), col("decode_ok"),
+          col("width"), col("height"), col("channels"),
+          when(col("format") === "png" && col("decode_ok"),
+            element_at(col("mean_channel"), 1)).as("m0"),
+          when(col("format") === "png" && col("decode_ok") && col("channels") === 3,
+            element_at(col("mean_channel"), 2)).as("m1"),
+          when(col("format") === "png" && col("decode_ok") && col("channels") === 3,
+            element_at(col("mean_channel"), 3)).as("m2"))
     })
   )
 
@@ -1012,6 +1073,28 @@ object LlmQueries extends graft.QueryModule {
         |       count(DISTINCT event_type) AS n_types,
         |       round(sum(value), 2) AS total_value,
         |       strftime(max(ts), '%Y-%m-%d') AS last_day
-        |FROM events GROUP BY user_id""".stripMargin
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    // the planted-fixture arithmetic: k=(id/100)%5 selects the payload
+    // branch, PNG rows reproduce exact solid-color means, JPEG rows
+    // dims/channels only, corrupt/null rows ok=false with zeroed dims
+    "q97_image_decode" ->
+      s"""${Tables.viewCte},
+         |sub AS (SELECT id, (id // 100) % 5 AS k,
+         |               CAST(4 + id % 13 AS INT) AS w,
+         |               CAST(4 + (id // 13) % 11 AS INT) AS h
+         |        FROM images WHERE split = 'P' AND id % 100 = 0)
+         |SELECT id AS media_id,
+         |  CASE WHEN k <= 1 THEN 'png' WHEN k = 2 THEN 'jpeg'
+         |       ELSE 'unknown' END AS format,
+         |  k <= 2 AS decode_ok,
+         |  CAST(CASE WHEN k <= 2 THEN w ELSE 0 END AS INT) AS width,
+         |  CAST(CASE WHEN k <= 2 THEN h ELSE 0 END AS INT) AS height,
+         |  CAST(CASE WHEN k = 1 THEN 1 WHEN k <= 2 THEN 3 ELSE 0 END AS INT)
+         |    AS channels,
+         |  CASE WHEN k <= 1 THEN CAST(id % 256 AS DOUBLE) END AS m0,
+         |  CASE WHEN k = 0 THEN CAST((id // 3) % 256 AS DOUBLE) END AS m1,
+         |  CASE WHEN k = 0 THEN CAST((id // 7) % 256 AS DOUBLE) END AS m2
+         |FROM sub""".stripMargin
   )
 }

@@ -541,6 +541,71 @@ class MultimodalSpec extends SparkFunSuite {
     val out = Multimodal.resizeMeta(m, 224, 224).select("meta.width", "meta.format").collect()(0)
     assert(out.getInt(0) == 224 && out.getString(1) == "png+resized")
   }
+
+  private def encode(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  test("decodeImageKernel: real PNG round-trips dims, bands and exact means") {
+    import java.awt.image.BufferedImage
+    val rgb = new BufferedImage(7, 5, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 5; x <- 0 until 7) rgb.setRGB(x, y, (200 << 16) | (100 << 8) | 50)
+    val d = Multimodal.decodeImageKernel(1L, encode(rgb, "png"))
+    assert(d.decode_ok && d.format == "png")
+    assert(d.width == 7 && d.height == 5 && d.channels == 3)
+    assert(d.mean_channel.toSeq == Seq(200.0, 100.0, 50.0)) // lossless: exact
+
+    val gray = new BufferedImage(4, 3, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 3; x <- 0 until 4) gray.getRaster.setSample(x, y, 0, 77)
+    val g = Multimodal.decodeImageKernel(2L, encode(gray, "png"))
+    assert(g.decode_ok && g.channels == 1 && g.mean_channel.toSeq == Seq(77.0))
+  }
+
+  test("decodeImageKernel: JPEG dims exact, non-solid PNG means exact") {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(9, 4, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 9) img.setRGB(x, y, (30 << 16) | (60 << 8) | 90)
+    val j = Multimodal.decodeImageKernel(3L, encode(img, "jpg"))
+    assert(j.decode_ok && j.format == "jpeg" && j.width == 9 && j.height == 4 && j.channels == 3)
+
+    // gradient PNG: mean of 0..255 over one row of 256 px = 127.5 exactly
+    val grad = new BufferedImage(256, 1, BufferedImage.TYPE_BYTE_GRAY)
+    for (x <- 0 until 256) grad.getRaster.setSample(x, 0, 0, x)
+    val gd = Multimodal.decodeImageKernel(4L, encode(grad, "png"))
+    assert(gd.mean_channel.toSeq == Seq(127.5))
+  }
+
+  test("decodeImageKernel: corrupt / truncated / null payloads fail closed") {
+    val bad = Multimodal.decodeImageKernel(5L, "this is not an image".getBytes)
+    assert(!bad.decode_ok && bad.format == "unknown" && bad.width == 0 && bad.channels == 0)
+    val nul = Multimodal.decodeImageKernel(6L, null)
+    assert(!nul.decode_ok && nul.n_bytes == 0)
+    // PNG magic but garbage body: sniff says png, decode must still fail closed
+    val trunc = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A, 1, 2, 3)
+    val t = Multimodal.decodeImageKernel(7L, trunc)
+    assert(!t.decode_ok && t.format == "png")
+  }
+
+  test("decodeImages is distributed, partition-invariant, drops no rows") {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(3, 3, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 3; x <- 0 until 3) img.setRGB(x, y, 0x102030)
+    val rows = Seq(
+      (0L, encode(img, "png")), (1L, encode(img, "jpg")),
+      (2L, "junk".getBytes), (3L, null.asInstanceOf[Array[Byte]]))
+    val df = rows.toDF("media_id", "payload")
+    val d2 = Multimodal.decodeImages(df, partitions = 2).collect().sortBy(_.media_id)
+    val d4 = Multimodal.decodeImages(df, partitions = 4).collect().sortBy(_.media_id)
+    assert(d2.toSeq == d4.toSeq || d2.map(r => (r.media_id, r.decode_ok, r.width, r.height,
+      r.channels, r.mean_channel.toSeq)).toSeq ==
+      d4.map(r => (r.media_id, r.decode_ok, r.width, r.height, r.channels,
+        r.mean_channel.toSeq)).toSeq)
+    assert(d2.length == 4)
+    assert(d2.map(_.decode_ok).toSeq == Seq(true, true, false, false))
+    assert(d2(0).mean_channel.toSeq == Seq(0x10.toDouble, 0x20.toDouble, 0x30.toDouble))
+  }
 }
 
 class CosineExpressionSpec extends SparkFunSuite {
