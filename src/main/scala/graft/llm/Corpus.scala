@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
   * decontamination, TF-IDF term scoring, and sequence packing.
   *
   * Scale design (100 TB corpus):
-  *  - decontamination broadcasts the TEST side (test/eval sets are small by
-  *    construction); the train corpus is never shuffled — one map-side hash
-  *    join over the scan plus a partial-agg groupBy on the matching doc ids.
+  *  - decontamination broadcasts the TEST side by default (test/eval sets
+  *    are small by construction); the train corpus is never shuffled — one
+  *    map-side hash join over the scan plus a partial-agg groupBy on the
+  *    matching doc ids. `broadcastTest = false` swaps in a shuffle join for
+  *    eval suites too large to broadcast safely.
   *  - TF-IDF shuffles on (doc, term) then on term; both aggregations are
   *    partial (map-side combine). The document-frequency table joins back on
   *    `term` — a shuffle join keyed by term, which AQE converts to a
@@ -26,24 +28,30 @@ object Corpus {
     * This is the GPT-3-style decontamination primitive (13-gram overlap in
     * the paper; `n` is a parameter here).
     *
-    * The test side is aggregated to (shingle → test doc ids) and broadcast;
-    * train docs stream through a map-side join, so the big side never
-    * shuffles on shingle strings.
+    * With `broadcastTest = true` (default, right when test/eval sets are
+    * small) the test side is aggregated to (shingle → test doc ids) and
+    * broadcast; train docs stream through a map-side join, so the big side
+    * never shuffles on shingle strings. For a LARGE eval suite the exploded
+    * shingle table is a multi-GB broadcast that would OOM executors — pass
+    * `broadcastTest = false` to fall back to a plain shuffle join on the
+    * shingle key (both sides exchange once; AQE may still pick broadcast if
+    * the test side turns out small at runtime). Semantics are identical.
     */
   def contaminationPairs(train: DataFrame, test: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3, broadcastTest: Boolean = true): DataFrame = {
     def shingled(df: DataFrame, as: String): DataFrame =
       df.select(col(idCol).as(as),
         explode(array_distinct(Dedup.shingles(col(textCol), shingleN))).as("s"))
+    def hint(df: DataFrame): DataFrame = if (broadcastTest) broadcast(df) else df
     val testSh = shingled(test, "test_id")
     val testSizes = testSh.groupBy("test_id")
       .agg(count(lit(1)).as("n_test_shingles"))
     shingled(train, "train_id")
-      .join(broadcast(testSh), Seq("s"))
+      .join(hint(testSh), Seq("s"))
       .groupBy(col("train_id"), col("test_id"))
       .agg(count(lit(1)).as("n_shared"))
-      .join(broadcast(testSizes), Seq("test_id"))
+      .join(hint(testSizes), Seq("test_id"))
       .select(col("train_id"), col("test_id"), col("n_shared"),
         (col("n_shared").cast("double") / col("n_test_shingles")).as("test_share"))
   }
@@ -54,8 +62,9 @@ object Corpus {
     * pass, no shuffle of the train side. */
   def decontaminate(train: DataFrame, test: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      shingleN: Int = 3, minShare: Double = 0.2): DataFrame = {
-    val bad = contaminationPairs(train, test, idCol, textCol, shingleN)
+      shingleN: Int = 3, minShare: Double = 0.2,
+      broadcastTest: Boolean = true): DataFrame = {
+    val bad = contaminationPairs(train, test, idCol, textCol, shingleN, broadcastTest)
       .filter(col("test_share") >= minShare)
       .select(col("train_id").as(idCol)).distinct()
     train.join(broadcast(bad), Seq(idCol), "left_anti")

@@ -60,4 +60,52 @@ class CorpusSpec extends SparkFunSuite {
     assert(Corpus.decontaminate(train, test, minShare = 0.5).count() == 0)
     assert(Corpus.decontaminate(train, test, minShare = 0.7).count() == 1)
   }
+
+  test("broadcastTest=false produces identical pairs through a shuffle join") {
+    val train = (0L until 40L).map(i => (i, s"w$i w${i + 1} w${i + 2} w${i + 3} tail"))
+      .toDF("doc_id", "text")
+    val test = (0L until 10L).map(i => (i + 1000L, s"w${i * 4} w${i * 4 + 1} w${i * 4 + 2} x"))
+      .toDF("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("train_id"), r.getAs[Long]("test_id"),
+        r.getAs[Long]("n_shared"), r.getAs[Double]("test_share"))
+    val bcast = Corpus.contaminationPairs(train, test).collect().map(key).sortBy(t => (t._1, t._2))
+    val shuf = Corpus.contaminationPairs(train, test, broadcastTest = false)
+      .collect().map(key).sortBy(t => (t._1, t._2))
+    assert(bcast.nonEmpty && bcast.toSeq == shuf.toSeq)
+    assert(Corpus.decontaminate(train, test, minShare = 0.3, broadcastTest = false)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq ==
+      Corpus.decontaminate(train, test, minShare = 0.3)
+        .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq)
+  }
+
+  test("broadcastTest=false plan: shingle join is a shuffle join, not a forced broadcast") {
+    val train = (0L until 40L).map(i => (i, s"w$i w${i + 1} w${i + 2} w${i + 3} tail"))
+      .toDF("doc_id", "text")
+    val test = (0L until 10L).map(i => (i + 1000L, s"w${i * 4} w${i * 4 + 1} w${i * 4 + 2} x"))
+      .toDF("doc_id", "text")
+    // Disable both AQE's runtime demotion-to-broadcast and the static
+    // autoBroadcast threshold so the assert sees the STRATEGY the flag
+    // picked, not what AQE would rewrite tiny test frames into.
+    val conf = spark.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    val thr = conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Corpus.contaminationPairs(train, test, broadcastTest = false)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"broadcastTest=false still forces a broadcast:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"no shuffle join in fallback plan:\n$plan")
+      val bplan = Corpus.contaminationPairs(train, test)
+        .queryExecution.executedPlan.toString
+      assert(bplan.contains("BroadcastHashJoin"),
+        s"default no longer broadcasts the test side:\n$bplan")
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    }
+  }
 }
