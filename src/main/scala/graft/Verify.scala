@@ -52,6 +52,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // gates that persist intermediates (near-dup pipelines) document
+      // cleanup as caller-owned; across ~90 gates the leftovers would
+      // accumulate in executor storage, so drop them per query like Bench
+      finally spark.catalog.clearCache()
     }
     val json = SparkEntry.oracleSql
       // dev-filtered runs dump only the matching oracles so the checker's

@@ -46,9 +46,15 @@ object Dedup {
     * combined row per task instead of one straggler partition sorting the
     * whole group. `preference` must be non-null (null orders below
     * everything in Spark's struct comparison — coalesce it yourself if
-    * that's not the intent). */
+    * that's not the intent), and `idCol` must be a SIGNED NUMERIC column:
+    * the min-id tiebreak negates it, which would fail analysis for
+    * string/date ids and overflows at Long.MinValue (ids are non-negative
+    * in practice; the require below rejects non-numeric ids outright). */
   def exactDedupKeepBest(docs: DataFrame, preference: Column,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(docs.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"exactDedupKeepBest: idCol '$idCol' must be numeric (its negation is " +
+        "the min-id tiebreak); map string ids to a numeric surrogate first")
     val cols = docs.columns.toSeq
     docs
       .groupBy(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
@@ -195,6 +201,15 @@ object Dedup {
       minHashNearDups(docs, textCol, idCol, threshold = threshold,
         storage = storage))
 
+  /** Keep one document per near-dup cluster (the cluster representative =
+    * the cluster_id row, i.e. the smallest transitively-reachable id) —
+    * the consuming step after [[clusterPairs]]/[[nearDupClusters]]. */
+  def keepClusterRepresentatives(docs: DataFrame, clusters: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    docs.join(
+      clusters.filter(col(idCol) === col("cluster_id")).select(col(idCol)),
+      Seq(idCol), "left_semi")
+
   /** Connected components over ANY verified near-dup pair frame
     * (id_a, id_b) — the clustering face of the whole dedup ladder:
     * MinHash pairs ([[nearDupClusters]]), embedding-cosine pairs
@@ -207,15 +222,6 @@ object Dedup {
     * distributed, no driver-side graph. The localCheckpoint fences the
     * atomizer's many small actions from re-running the (potentially
     * expensive) pair pipeline each time (measured 22s → ~5s at sf0.1). */
-  /** Keep one document per near-dup cluster (the cluster representative =
-    * the cluster_id row, i.e. the smallest transitively-reachable id) —
-    * the consuming step after [[clusterPairs]]/[[nearDupClusters]]. */
-  def keepClusterRepresentatives(docs: DataFrame, clusters: DataFrame,
-      idCol: String = "doc_id"): DataFrame =
-    docs.join(
-      clusters.filter(col(idCol) === col("cluster_id")).select(col(idCol)),
-      Seq(idCol), "left_semi")
-
   def clusterPairs(ids: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id"): DataFrame = {
     val ek = concat_ws(":", col("id_a"), col("id_b"))

@@ -84,6 +84,11 @@ object StreamQueries extends graft.QueryModule {
     // strict-vs-inclusive watermark comparisons cannot flip a session.
     "q91_stream_sessionize" -> ((s, d) => {
       import s.implicits._
+      // the trailing-session flush REQUIRES the post-AvailableNow no-data
+      // micro-batch (default on, but a session could have it disabled —
+      // without it every trailing session stays open and the gate drifts
+      // from the oracle): pin it rather than assume
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
       val planted = EventStream.readEvents(s, d).select(
         col("event_id"),
         timestamp_micros(lit(1704067200000000L) +
