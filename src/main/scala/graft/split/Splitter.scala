@@ -82,17 +82,20 @@ object Splitter {
         .withColumn("__atom", coalesce(col("__atom_min"), col("id").cast("long")))
         .drop("__k", "__atom_min")
     }
-    // labels only ever decrease, so the label sum strictly decreases
-    // exactly when something changed — summed in DECIMAL(38) because
-    // hash-derived ids span the full signed-64-bit range and a Long sum
-    // would overflow and break the comparison
+    // Convergence detection rides the contraction table, not a separate
+    // aggregate: labels only ever DECREASE, so a row changing in the
+    // propagation passes is exactly a (prev label → smaller new label)
+    // edge in `parents` — a round is the identity iff `parents` is empty.
+    // That drops the old per-round label-sum job AND lets the final round
+    // skip the apply-join entirely. Sums (for the jump loop) stay
+    // DECIMAL(38): hash-derived ids span the full signed-64-bit range and
+    // a Long sum would overflow and break the comparison.
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     def atomSum(d: DataFrame, c: String): java.math.BigDecimal =
       d.agg(sum(col(c).cast(dec))).collect()(0).getDecimal(0)
 
     var cur = df.withColumn("__atom", col("id").cast("long"))
-    var prevSum = atomSum(cur, "__atom")
-    var converged = prevSum == null // empty input: nothing to do
+    var converged = false
     var iters = 0
     var prevCached: DataFrame = null
     while (!converged && iters < 50) {
@@ -122,42 +125,47 @@ object Splitter {
       // are themselves labels and the inner join below is total.
       // localCheckpoint (NOT cache) per jump: the self-join nests the
       // previous parents plan twice, so without lineage truncation the
-      // logical plan grows 2^jumps and OOMs the driver
+      // logical plan grows 2^jumps and OOMs the driver. The jump loop's
+      // checkpoints are LAZY — the convergence sum right after is the
+      // action that materializes them, fusing two jobs per jump into one.
       var parents = next
         .groupBy(col("__atom_prev").as("label")).agg(min("__atom").as("parent"))
         .filter(col("label") =!= col("parent")).localCheckpoint()
       var pSum = atomSum(parents, "parent")
-      var jumps = 0
-      while (pSum != null && jumps < 64) {
-        val jumped = parents.as("a")
-          .join(parents.as("b"), col("a.parent") === col("b.label"), "left")
-          .select(col("a.label").as("label"),
-            coalesce(col("b.parent"), col("a.parent")).as("parent"))
-          .localCheckpoint()
-        val s = atomSum(jumped, "parent")
-        val stable = s == null || s.compareTo(pSum) == 0
-        parents = jumped
-        pSum = s
-        jumps += 1
-        if (stable) jumps = 64
+      if (pSum == null) {
+        // no label moved: `cur` is already the fixpoint, skip jump + apply
+        converged = true
+        next.unpersist()
+      } else {
+        var jumps = 0
+        while (pSum != null && jumps < 64) {
+          val jumped = parents.as("a")
+            .join(parents.as("b"), col("a.parent") === col("b.label"), "left")
+            .select(col("a.label").as("label"),
+              coalesce(col("b.parent"), col("a.parent")).as("parent"))
+            .localCheckpoint(eager = false)
+          val s = atomSum(jumped, "parent")
+          val stable = s == null || s.compareTo(pSum) == 0
+          parents = jumped
+          pSum = s
+          jumps += 1
+          if (stable) jumps = 64
+        }
+        val applied0 = next
+          .join(parents.select(col("label").as("__atom"), col("parent").as("__root")),
+            Seq("__atom"), "left")
+          .withColumn("__atom", coalesce(col("__root"), col("__atom")))
+          .drop("__root", "__atom_prev")
+        // localCheckpoint EVERY round (not cache): truncating lineage keeps
+        // plan depth flat over long convergence runs, and — unlike a cached
+        // round layered on an earlier checkpoint — leaves no frame whose
+        // only recompute path runs through blocks a later unpersist deletes
+        val applied = applied0.localCheckpoint()
+        next.unpersist()
+        if (prevCached != null) prevCached.unpersist()
+        prevCached = applied
+        cur = applied
       }
-      val applied0 = next
-        .join(parents.select(col("label").as("__atom"), col("parent").as("__root")),
-          Seq("__atom"), "left")
-        .withColumn("__atom", coalesce(col("__root"), col("__atom")))
-        .drop("__root", "__atom_prev")
-      // localCheckpoint EVERY round (not cache): truncating lineage keeps
-      // plan depth flat over long convergence runs, and — unlike a cached
-      // round layered on an earlier checkpoint — leaves no frame whose
-      // only recompute path runs through blocks a later unpersist deletes
-      val applied = applied0.localCheckpoint()
-      val after = atomSum(applied, "__atom") // single convergence aggregate
-      converged = after.compareTo(prevSum) == 0
-      prevSum = after
-      next.unpersist()
-      if (prevCached != null) prevCached.unpersist()
-      prevCached = applied
-      cur = applied
       iters += 1
     }
     if (!converged)
