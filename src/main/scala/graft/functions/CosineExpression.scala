@@ -99,22 +99,42 @@ case class CosineSimilarity(left: Expression, right: Expression)
 /** Registration + Column-level access for the engine's native expressions. */
 object GraftFunctions {
   val CosineName = "graft_cosine"
+  val HyperplaneName = "graft_hyperplane_sig"
 
   /** Idempotent per-session registration into the function registry (also
-    * makes the function available to `spark.sql`). */
-  def ensureRegistered(spark: SparkSession): Unit =
-    if (!spark.sessionState.functionRegistry
-        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(CosineName))) {
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    * makes the functions available to `spark.sql`). */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(CosineName)))
+      reg.createOrReplaceTempFunction(
         CosineName,
         exprs => CosineSimilarity(exprs(0), exprs(1)),
         "built-in")
-    }
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(HyperplaneName)))
+      reg.createOrReplaceTempFunction(
+        HyperplaneName,
+        exprs => HyperplaneSignature(exprs(0), exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _: IntegerType) =>
+            v.asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            s"$HyperplaneName: planes must be an int literal, got $other")
+        }),
+        "built-in")
+  }
 
   /** Fused cosine as a Column; the session must be registered first
     * (call [[ensureRegistered]] — the llm operators do it for you). */
   def cosine(spark: SparkSession, a: Column, b: Column): Column = {
     ensureRegistered(spark)
     org.apache.spark.sql.functions.call_function(CosineName, a, b)
+  }
+
+  /** Fused hyperplane LSH signature as a Column — bit-identical to
+    * [[graft.llm.Similarity.hyperplaneSignature]], one codegen loop
+    * instead of `planes` interpreted array walks. */
+  def hyperplaneSig(spark: SparkSession, v: Column, planes: Int): Column = {
+    ensureRegistered(spark)
+    org.apache.spark.sql.functions.call_function(
+      HyperplaneName, v, org.apache.spark.sql.functions.lit(planes))
   }
 }

@@ -370,15 +370,15 @@ object Dedup {
     // identical vectors standardize identically → identical signatures.
     // standardizeEmbeddings is a broadcast-moments rewrite (map-side), so
     // this adds no corpus shuffle.
+    val sigOf = graft.functions.GraftFunctions
+      .hyperplaneSig(embs.sparkSession, _: Column, planes + refinePlanes)
     val src = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
     val prepped =
       if (whiten)
         Similarity.standardizeEmbeddings(src.withColumn("__w", col("v")), "__w")
-          .select(col("id"), col("v"),
-            Similarity.hyperplaneSignature(col("__w"), planes + refinePlanes).as("sig"))
+          .select(col("id"), col("v"), sigOf(col("__w")).as("sig"))
       else
-        src.select(col("id"), col("v"),
-          Similarity.hyperplaneSignature(col("v"), planes + refinePlanes).as("sig"))
+        src.select(col("id"), col("v"), sigOf(col("v")).as("sig"))
     // persist = optimizer fence (signature computed once — CollapseProject
     // would otherwise re-inline the aggregate projection into every band
     // branch and BOTH join sides) + the reuse point for the band stage and
@@ -495,14 +495,15 @@ object Dedup {
       whiten: Boolean = false): DataFrame = {
     // same whiten-for-signature-only rule as embeddingNearDups, so the
     // stats report on exactly the buckets the guarded operator would use
+    val sigOf = graft.functions.GraftFunctions
+      .hyperplaneSig(embs.sparkSession, _: Column, planes + refinePlanes)
     val src = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
     val base =
       if (whiten)
-        Similarity.standardizeEmbeddings(src, "v").select(col("id"),
-          Similarity.hyperplaneSignature(col("v"), planes + refinePlanes).as("sig"))
+        Similarity.standardizeEmbeddings(src, "v")
+          .select(col("id"), sigOf(col("v")).as("sig"))
       else
-        src.select(col("id"),
-          Similarity.hyperplaneSignature(col("v"), planes + refinePlanes).as("sig"))
+        src.select(col("id"), sigOf(col("v")).as("sig"))
     // ONE pass over the banded frame: aggregate straight to per-(bucket,
     // sub) counts (tiny — bounded by distinct keys), localCheckpoint that,
     // and derive both report levels from it. No session-lifetime cache

@@ -77,7 +77,13 @@ object Similarity {
     * (Knuth multiplicative LCG mod the prime 1000003) — no RNG state,
     * partitioning-invariant, identical across runs and cluster sizes, and
     * reproducible in any engine (the DuckDB correctness oracle recomputes
-    * the same signatures from the same formula). */
+    * the same signatures from the same formula).
+    *
+    * This is the REFERENCE formulation (built-ins only, `planes` separate
+    * aggregate walks); the production pipelines use the bit-identical
+    * fused native expression [[graft.functions.GraftFunctions.hyperplaneSig]]
+    * — one codegen loop over the vector for all planes. A spec asserts
+    * both produce identical signatures. */
   def hyperplaneSignature(v: Column, planes: Int = 16): Column = {
     val withIdx = zip_with(v, sequence(lit(0), size(v) - 1),
       (x, i) => struct(x.cast("double").as("x"), i.as("i")))
@@ -121,10 +127,12 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
       planes: Int = 8, vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
+    val sigOf = graft.functions.GraftFunctions
+      .hyperplaneSig(corpus.sparkSession, _: Column, planes)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      hyperplaneSignature(col(vecCol), planes).as("sig"))
+      sigOf(col(vecCol)).as("sig"))
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      hyperplaneSignature(col(vecCol), planes).as("sig")))
+      sigOf(col(vecCol)).as("sig")))
     val scored = c.join(q, Seq("sig"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -647,3 +647,52 @@ class CosineExpressionSpec extends SparkFunSuite {
     assert(math.abs(r.getDouble(0) - 1.0 / math.sqrt(2)) < 1e-12)
   }
 }
+
+class HyperplaneExpressionSpec extends SparkFunSuite {
+  import spark.implicits._
+  import graft.functions.GraftFunctions
+
+  private def embs(dim: Int) = (0 until 300).map(i =>
+    (i.toLong, Seq.tabulate(dim)(j => (((i * 31 + j * 7) % 1000) / 999.0f - 0.5f))))
+    .toDF("vec_id", "embedding")
+
+  test("fused signature is bit-identical to the built-in formulation") {
+    for (planes <- Seq(1, 8, 16, 62); dim <- Seq(8, 64)) {
+      val both = embs(dim).select(
+        graft.llm.Similarity.hyperplaneSignature(col("embedding"), planes).as("builtin"),
+        GraftFunctions.hyperplaneSig(spark, col("embedding"), planes).as("fused"))
+      assert(both.filter(col("builtin") =!= col("fused")).count() == 0,
+        s"signature mismatch at planes=$planes dim=$dim")
+    }
+  }
+
+  test("double arrays, empty and null vectors match the built-in (sig 0, not null)") {
+    val df = Seq(
+      (0L, Some(Seq(0.25, -0.5, 0.75))),
+      (1L, Some(Seq.empty[Double])),
+      (2L, None)
+    ).toDF("vec_id", "embedding")
+    val rows = df.select(
+      graft.llm.Similarity.hyperplaneSignature(col("embedding"), 16).as("builtin"),
+      GraftFunctions.hyperplaneSig(spark, col("embedding"), 16).as("fused"))
+      .collect()
+    rows.foreach { r =>
+      assert(!r.isNullAt(1))
+      assert(r.getLong(0) == r.getLong(1))
+    }
+    assert(rows(1).getLong(1) == 0L && rows(2).getLong(1) == 0L)
+  }
+
+  test("interpreted eval path matches codegen (collect on a local Dataset)") {
+    // force the interpreted path by evaluating the expression directly
+    val e = graft.functions.HyperplaneSignature(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(0.25, -0.5, 0.75), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false)), 16)
+    val interpreted = e.eval(null).asInstanceOf[Long]
+    val viaPlan = Seq(Tuple1(Seq(0.25, -0.5, 0.75))).toDF("v")
+      .select(GraftFunctions.hyperplaneSig(spark, col("v"), 16))
+      .collect()(0).getLong(0)
+    assert(interpreted == viaPlan)
+  }
+}
