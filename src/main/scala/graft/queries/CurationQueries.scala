@@ -44,6 +44,27 @@ object CurationQueries extends graft.QueryModule {
           budgets, salt = "mix"), "rate"))
     }),
 
+    // rate-based mixture under FORCED SKEW: one synthetic source owns 90%
+    // of all documents (the shape where the exact window variant would
+    // serialize into a single task — the reason mixtureByRate exists).
+    // Decisions are still exact md5 arithmetic, so the oracle replicates
+    // membership bit-for-bit; the expected-value fill tolerance and the
+    // window-free plan are asserted in ScalaTest (LlmSpec/PlanSpec).
+    "q98_mixture_skew" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("source",
+          when(col("doc_id") % 10 === 0,
+            concat(lit("small"), expr("(doc_id div 10) % 5")))
+            .otherwise(lit("big")))
+        .withColumn("n_tokens",
+          size(split(lower(trim(col("text"))), "\\s+")).cast("long"))
+      val budgets = Map("big" -> 100000L, "small0" -> 300L, "small1" -> 600L,
+        "small2" -> 900L, "small3" -> 1200L, "small4" -> 1500L)
+      Sampling.mixtureByRate(docs, col("n_tokens"), budgets, salt = "skew")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+    }),
+
     // Gopher-style n-gram repetition signals per document (top-bigram
     // share, duplicated-trigram share) — multiset statistics the
     // distinct/total repetitionRatio can't see
@@ -104,6 +125,28 @@ object CurationQueries extends graft.QueryModule {
          |             FROM u JOIN tot t USING (source))
          |       WHERE u < r GROUP BY source)
          |SELECT * FROM ex UNION ALL SELECT * FROM rt""".stripMargin,
+
+    "q98_mixture_skew" ->
+      s"""WITH d AS (SELECT doc_id,
+         |             CASE WHEN doc_id % 10 = 0
+         |                  THEN concat('small', CAST((doc_id // 10) % 5 AS VARCHAR))
+         |                  ELSE 'big' END AS source,
+         |             CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+         |                  AS BIGINT) AS n_tokens,
+         |             md5(concat(CAST(doc_id AS VARCHAR), ':skew')) AS hx
+         |           FROM documents),
+         |u AS (SELECT doc_id, source, n_tokens, ${hashUniformSql("hx")} AS u,
+         |             CASE source WHEN 'big' THEN 100000
+         |                  WHEN 'small0' THEN 300 WHEN 'small1' THEN 600
+         |                  WHEN 'small2' THEN 900 WHEN 'small3' THEN 1200
+         |                  WHEN 'small4' THEN 1500 ELSE 0 END AS budget
+         |      FROM d),
+         |tot AS (SELECT source, sum(n_tokens) AS tot FROM u GROUP BY source)
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM (SELECT u.*, least(1.0, CAST(u.budget AS DOUBLE) / t.tot) AS r
+         |      FROM u JOIN tot t USING (source))
+         |WHERE u < r GROUP BY source""".stripMargin,
 
     "q94_repetition" ->
       """WITH t AS (SELECT doc_id,

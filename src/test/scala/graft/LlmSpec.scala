@@ -304,6 +304,29 @@ class SamplingSpec extends SparkFunSuite {
     assert(rateSums.getOrElse("src0", 0L) > 10 && rateSums("src0") < 150)
   }
 
+  test("mixtureByRate under 90% skew: expected-value fill within tolerance, no window") {
+    // one source owns 90% of rows — the exact variant's worst case, the
+    // rate variant's home turf. 2700 docs x 10 tokens in 'big'.
+    val skewed = (0L until 3000L).map { i =>
+      (i, if (i % 10 == 0) s"small${i / 10 % 2}" else "big", 10L)
+    }.toDF("doc_id", "source", "n_tokens")
+    val budgets = Map("big" -> 9000L, "small0" -> 500L, "small1" -> 1000L)
+    val out = Sampling.mixtureByRate(skewed, col("n_tokens"), budgets, salt = "sk")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"rate path must stay window-free:\n$plan")
+    val sums = out.groupBy("source").agg(sum("n_tokens").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // big: 2700 docs, rate 9000/27000 = 1/3 → ~900 kept; binomial sd
+    // ~sqrt(2700*(1/3)(2/3)) ≈ 24.5 docs → assert within ±5 sd (±1225 tok)
+    assert(math.abs(sums("big") - 9000L) <= 1250,
+      s"big fill ${sums("big")} outside tolerance of 9000")
+    // small0: 150 docs x 10 tok, rate 1/3 → 500 ± 5·sd(~5.8 docs)=290
+    assert(math.abs(sums.getOrElse("small0", 0L) - 500L) <= 300,
+      s"small0 fill ${sums.getOrElse("small0", 0L)} outside tolerance of 500")
+    assert(math.abs(sums.getOrElse("small1", 0L) - 1000L) <= 350,
+      s"small1 fill ${sums.getOrElse("small1", 0L)} outside tolerance of 1000")
+  }
+
   test("repetitionSignals: planted repeated n-grams are measured exactly") {
     val d = Seq(
       (1L, "a b a b a b"),         // bigrams: "a b"x3, "b a"x2 → top 3/5

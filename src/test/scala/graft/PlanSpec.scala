@@ -125,6 +125,13 @@ class PlanSpec extends SparkFunSuite {
       "corpus shuffled against the one-row-per-source totals frame")
   }
 
+  test("q98: skewed rate mixture stays window-free (no per-source serialization)") {
+    val plan = planOf("q98_mixture_skew")
+    assert(!plan.contains("Window"),
+      s"rate mixture picked up a window — the 90%-source would serialize:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"totals join not broadcast:\n$plan")
+  }
+
   test("q96: keep-best dedup aggregates with map-side combine — no per-group window sort") {
     // max_by over a struct plans as SortAggregate (struct orderings aren't
     // hash-aggregable) but STILL runs partial+final with map-side combine —
