@@ -78,6 +78,75 @@ class IvfStreamDedupSpec extends SparkFunSuite {
   import spark.implicits._
   import org.apache.spark.sql.functions._
 
+  test("sessionizer state survives micro-batch boundaries (maxFilesPerTrigger=1)") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    val dir = Files.createTempDirectory("graft_stream_mb").toString
+    val base = 1704067200000L // 2024-01-01 00:00:00 UTC
+    def ev(id: Long, user: Long, minute: Long, v: Double) =
+      (id, new java.sql.Timestamp(base + minute * 60000L), user, "click", v)
+    // file 0 → batch 1: user 1's burst; user 2's session STARTS (min 55)
+    // file 1 → batch 2: user 2's session CONTINUES (min 65 — within the
+    //   30-min gap, so state must carry across the batch boundary); user
+    //   1 returns at min 120 (gap exceeded → closes the first session)
+    // file 2 → batch 3: far-future sentinel advances the watermark so
+    //   every real trailing session closes by event-time timeout in the
+    //   no-data flush batch
+    val files = Seq(
+      Seq(ev(1, 1, 0, 1.0), ev(2, 1, 5, 1.5), ev(3, 1, 10, 2.0), ev(4, 2, 55, 4.0)),
+      Seq(ev(5, 2, 65, 5.0), ev(6, 1, 120, 3.0)),
+      Seq(ev(7, 99L, 60L * 24 * 30, 0.0)))
+    files.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = s"$dir/_tmp$i"
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(dir, f"$i%03d.parquet"))
+      IoUtil.rmTree(tmp)
+      // explicit increasing mtimes pin the FileStreamSource processing order
+      Files.setLastModifiedTime(Paths.get(dir, f"$i%03d.parquet"),
+        FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val stream = spark.readStream
+      .schema("event_id long, ts timestamp, user_id long, event_type string, value double")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withWatermark("ts", "0 seconds")
+      .as[EventStream.Event]
+    val q = EventStream.sessionizeStream(stream, gapMs = 30 * 60 * 1000L)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("mb_sessions")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches >= 3, s"expected >=3 data micro-batches, got $dataBatches")
+    val got = spark.table("mb_sessions")
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("total_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime,
+        r.getInt(3), r.getDouble(4))).sortBy(t => (t._1, t._2))
+    // batch-path oracle on the same events (sentinel excluded: its session
+    // never closes in the stream, and the batch path would force-close it)
+    val batchDs = files.flatten.filter(_._3 != 99L)
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStream.Event]
+    val expected = EventStream.sessionize(batchDs, gapMs = 30 * 60 * 1000L)
+      .collect()
+      .map(s => (s.user_id, s.session_start.getTime, s.session_end.getTime,
+        s.n_events, s.total_value)).sortBy(t => (t._1, t._2))
+    assert(got.toSeq == expected.toSeq,
+      s"streaming sessions != batch sessions\n got: ${got.toSeq}\n exp: ${expected.toSeq}")
+    // the cross-boundary session really merged: user 2 has ONE session of 2
+    val u2 = got.filter(_._1 == 2L)
+    assert(u2.length == 1 && u2.head._4 == 2 && u2.head._5 == 9.0,
+      s"user 2's session split across the batch boundary: ${u2.toSeq}")
+    IoUtil.rmTree(dir)
+  }
+
   test("IVF index probes centroid buckets and finds the identical vector") {
     val d = "/root/testdata/sf0.001"
     val embs = Tables.embeddings(spark, d)
