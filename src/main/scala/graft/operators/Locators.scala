@@ -172,10 +172,12 @@ object LocatorsExtra {
     datasets.reduce(graft.operators.Merge.union)
   }
 
-  /** FiftyOne export stub (to_fiftyone, dataset.py:5052-5134): external
-    * visualization service — intentionally out of the engine's scope. */
-  def toFiftyone(ds: GraftDataset): Nothing =
-    throw new UnsupportedOperationException(
-      "to_fiftyone targets an external visualization service and is out of " +
-        "scope for the engine; export to COCO/parquet and ingest from there")
+  /** FiftyOne export (to_fiftyone, dataset.py:5052-5134): the engine
+    * builds the exact fo.Sample/Detection/Keypoint dict structure
+    * distributed and hands it off as JSON-lines — see [[graft.io.Fiftyone]].
+    * Pushing into a LIVE FiftyOne service (random fo_ids, webapp launch)
+    * still needs that service on the Python side. */
+  def toFiftyone(ds: GraftDataset, annotationsName: String = "groundtruth",
+      allowKeypoints: Boolean = false): org.apache.spark.sql.DataFrame =
+    graft.io.Fiftyone.sampleFrame(ds, annotationsName, allowKeypoints)
 }

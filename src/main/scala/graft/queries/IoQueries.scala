@@ -287,6 +287,43 @@ object IoQueries extends graft.QueryModule {
           round(sum(col("box_width")), 2).as("w_sum"),
           sum(col("id")).as("id_sum"),
           countDistinct(col("image_id")).as("n_images"))
+    }),
+
+    // FiftyOne export (to_fiftyone, dataset.py:5052 → fiftyone_convert.py):
+    // the sample/label dict structure built distributed, flattened back to
+    // one row per label for the oracle. Category 6 boxes are zeroed so the
+    // keypoint branch (zero-size box → Keypoint with points=[[x,y]]) is
+    // exercised alongside Detections; relative xywh = pixel / image dim,
+    // IEEE-exact in both engines.
+    "q99_fiftyone_export" -> ((s, d) => {
+      val ds0 = Tables.datasetView(s, d)
+      val ann = ds0.annotations
+        .withColumn("box_width",
+          when(col("category_id") === 6, 0.0).otherwise(col("box_width")))
+        .withColumn("box_height",
+          when(col("category_id") === 6, 0.0).otherwise(col("box_height")))
+      val ds = ds0.copy(annotations = ann)
+      val samples = graft.io.Fiftyone.sampleFrame(ds, "gt", allowKeypoints = true)
+      val base = Seq(col("lours_id").as("image_id"), col("relative_path"), col("split"))
+      val dets = samples
+        .select(base :+ explode(col("gt_detection.detections")).as("det"): _*)
+        .select(col("image_id"), col("relative_path"), col("split"),
+          lit("det").as("kind"), col("det.lours_id").as("ann_id"),
+          col("det.label").as("label"), col("det.label_id").as("label_id"),
+          element_at(col("det.bounding_box"), 1).as("rel_x"),
+          element_at(col("det.bounding_box"), 2).as("rel_y"),
+          element_at(col("det.bounding_box"), 3).as("rel_w"),
+          element_at(col("det.bounding_box"), 4).as("rel_h"))
+      val kps = samples
+        .select(base :+ explode(col("gt_keypoint.keypoints")).as("kp"): _*)
+        .select(col("image_id"), col("relative_path"), col("split"),
+          lit("kp").as("kind"), col("kp.lours_id").as("ann_id"),
+          col("kp.label").as("label"), col("kp.label_id").as("label_id"),
+          element_at(element_at(col("kp.points"), 1), 1).as("rel_x"),
+          element_at(element_at(col("kp.points"), 1), 2).as("rel_y"),
+          lit(null).cast("double").as("rel_w"),
+          lit(null).cast("double").as("rel_h"))
+      dets.unionByName(kps)
     })
   )
 
@@ -409,6 +446,21 @@ object IoQueries extends graft.QueryModule {
          |       count(DISTINCT a.image_id) AS n_images
          |FROM annotations a JOIN images i ON a.image_id = i.id
          |WHERE i.split = 'P' AND i.id % 10 = 0
-         |GROUP BY a.category_id""".stripMargin)
+         |GROUP BY a.category_id""".stripMargin),
+
+    "q99_fiftyone_export" ->
+      s"""$viewCte
+         |SELECT a.image_id, i.relative_path, i.split,
+         |       CASE WHEN a.category_id = 6 THEN 'kp' ELSE 'det' END AS kind,
+         |       a.id AS ann_id,
+         |       'cat_' || CAST(a.category_id AS VARCHAR) AS label,
+         |       a.category_id AS label_id,
+         |       a.box_x_min / i.width AS rel_x,
+         |       a.box_y_min / i.height AS rel_y,
+         |       CASE WHEN a.category_id = 6 THEN NULL
+         |            ELSE a.box_width / i.width END AS rel_w,
+         |       CASE WHEN a.category_id = 6 THEN NULL
+         |            ELSE a.box_height / i.height END AS rel_h
+         |FROM annotations a JOIN images i ON a.image_id = i.id""".stripMargin
   )
 }

@@ -357,7 +357,78 @@ class LocatorsExtraSpec extends SparkFunSuite {
     merged.validated()
   }
 
-  test("toFiftyone is an explicit out-of-scope stub") {
-    intercept[UnsupportedOperationException](LocatorsExtra.toFiftyone(tinyDataset()))
+  test("toFiftyone builds the sample frame (no service required)") {
+    val out = LocatorsExtra.toFiftyone(tinyDataset())
+    assert(out.count() == tinyDataset().numImages)
+    assert(out.columns.contains("groundtruth_detection"))
+  }
+}
+
+class FiftyoneSpec extends SparkFunSuite {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.io.Fiftyone
+
+  // images with a dotted attribute column; annotations with an
+  // 'attributes.occluded' attribute and one zero-size box (→ keypoint)
+  private def ds() = {
+    val images = Seq(
+      (0L, 100, 200, "a/img1.jpg", "camA"), (1L, 50, 50, "img2.jpg", "camB")
+    ).toDF("id", "width", "height", "relative_path", "meta.source")
+    val ann = Seq(
+      (10L, 0L, 0, 40.0, 90.0, 20.0, 20.0, true),
+      (11L, 0L, 1, 5.0, 10.0, 0.0, 0.0, false), // zero-size → keypoint
+      (12L, 1L, 0, 10.0, 20.0, 30.0, 5.0, false)
+    ).toDF("id", "image_id", "category_id", "box_x_min", "box_y_min",
+      "box_width", "box_height", "attributes.occluded")
+    graft.model.GraftDataset.create(images, ann, Map(0 -> "cat", 1 -> "dog"),
+      imagesRoot = "/data/root")
+  }
+
+  test("sample fields match the reference mapping; names fiftyone-sanitized") {
+    val s = Fiftyone.sampleFrame(ds(), "gt", allowKeypoints = true)
+      .orderBy("lours_id").collect()
+    assert(s.length == 2)
+    val r = s(0)
+    assert(r.getAs[String]("filepath") == "/data/root/a/img1.jpg")
+    assert(r.getAs[org.apache.spark.sql.Row]("metadata").getInt(0) == 100)
+    // image attribute 'meta.source' exported as 'meta->source'
+    assert(r.getAs[String]("meta->source") == "camA")
+    val dets = r.getAs[org.apache.spark.sql.Row]("gt_detection")
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("detections")
+    assert(dets.length == 1)
+    val d = dets.head
+    assert(d.getAs[String]("label") == "cat" && d.getAs[Int]("label_id") == 0)
+    assert(d.getAs[Long]("lours_id") == 10L)
+    // relative xywh against the 100x200 image
+    assert(d.getAs[scala.collection.Seq[Double]]("bounding_box").toSeq == Seq(0.4, 0.45, 0.2, 0.1))
+    // annotation attribute 'attributes.occluded' → 'attr->occluded'
+    assert(d.getAs[Boolean]("attr->occluded"))
+    val kps = r.getAs[org.apache.spark.sql.Row]("gt_keypoint")
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("keypoints")
+    assert(kps.length == 1)
+    assert(kps.head.getAs[Long]("lours_id") == 11L)
+    assert(kps.head.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("points").map(_.toSeq).toSeq == Seq(Seq(0.05, 0.05)))
+    // allowKeypoints=false: the zero-size box stays a Detection
+    val noKp = Fiftyone.sampleFrame(ds(), "gt", allowKeypoints = false)
+    assert(!noKp.columns.contains("gt_keypoint"))
+    val dets0 = noKp.orderBy("lours_id").collect()(0)
+      .getAs[org.apache.spark.sql.Row]("gt_detection")
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("detections")
+    assert(dets0.length == 2)
+  }
+
+  test("JSONL round-trip preserves every sample and label") {
+    val dir = java.nio.file.Files.createTempDirectory("fo_jsonl").toString
+    Fiftyone.writeJsonl(ds(), dir, "gt", allowKeypoints = true)
+    val back = spark.read.json(dir)
+    assert(back.count() == 2)
+    val flat = back.select(col("lours_id"),
+      size(coalesce(col("gt_detection.detections"), array())).as("nd"),
+      size(coalesce(col("gt_keypoint.keypoints"), array())).as("nk"))
+      .orderBy("lours_id").collect()
+    assert(flat(0).getAs[Int]("nd") == 1 && flat(0).getAs[Int]("nk") == 1)
+    assert(flat(1).getAs[Int]("nd") == 1 && flat(1).getAs[Int]("nk") == 0)
+    IoUtil.rmTree(dir)
   }
 }
