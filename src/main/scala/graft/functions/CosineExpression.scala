@@ -100,6 +100,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object GraftFunctions {
   val CosineName = "graft_cosine"
   val HyperplaneName = "graft_hyperplane_sig"
+  val MinHashName = "graft_minhash_sig"
 
   /** Idempotent per-session registration into the function registry (also
     * makes the functions available to `spark.sql`). */
@@ -113,14 +114,22 @@ object GraftFunctions {
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(HyperplaneName)))
       reg.createOrReplaceTempFunction(
         HyperplaneName,
-        exprs => HyperplaneSignature(exprs(0), exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _: IntegerType) =>
-            v.asInstanceOf[Int]
-          case other => throw new IllegalArgumentException(
-            s"$HyperplaneName: planes must be an int literal, got $other")
-        }),
+        exprs => HyperplaneSignature(exprs(0), intLit(HyperplaneName, exprs(1))),
+        "built-in")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(MinHashName)))
+      reg.createOrReplaceTempFunction(
+        MinHashName,
+        exprs => MinHashSignature(exprs(0), intLit(MinHashName, exprs(1))),
         "built-in")
   }
+
+  private def intLit(fn: String, e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, _: IntegerType) =>
+        v.asInstanceOf[Int]
+      case other => throw new IllegalArgumentException(
+        s"$fn: parameter must be an int literal, got $other")
+    }
 
   /** Fused cosine as a Column; the session must be registered first
     * (call [[ensureRegistered]] — the llm operators do it for you). */
@@ -136,5 +145,14 @@ object GraftFunctions {
     ensureRegistered(spark)
     org.apache.spark.sql.functions.call_function(
       HyperplaneName, v, org.apache.spark.sql.functions.lit(planes))
+  }
+
+  /** Fused MinHash signature as a Column — bit-identical to the
+    * explode→groupBy aggregate path ([[graft.llm.Dedup.minHashSignatures]])
+    * but map-side: no explode, no shuffle, no signatures join. */
+  def minhashSig(spark: SparkSession, sh: Column, k: Int): Column = {
+    ensureRegistered(spark)
+    org.apache.spark.sql.functions.call_function(
+      MinHashName, sh, org.apache.spark.sql.functions.lit(k))
   }
 }

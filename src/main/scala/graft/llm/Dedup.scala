@@ -91,10 +91,15 @@ object Dedup {
     }: _*)
   }
 
-  /** Bulk MinHash signatures: explode the (already materialized) shingle
-    * column → K min-aggregates with map-side partial combine. Each shingle
-    * is hashed exactly K times, once — no expression re-inlining. Returns
-    * (id, sig) with sig ordered k = 0..K-1. */
+  /** Bulk MinHash signatures — REFERENCE formulation: explode the
+    * (already materialized) shingle column → K min-aggregates with
+    * map-side partial combine. Each shingle is hashed exactly K times,
+    * once — no expression re-inlining. Returns (id, sig) with sig ordered
+    * k = 0..K-1.
+    *
+    * The production pipeline uses the bit-identical fused native
+    * expression [[graft.functions.GraftFunctions.minhashSig]] instead —
+    * map-side, no explode/shuffle/join; a spec asserts equality. */
   def minHashSignatures(shingled: DataFrame, k: Int = 32): DataFrame = {
     val exploded = shingled.select(col("id"), explode(col("sh")).as("s"))
     val aggs = (0 until k).map(i => min(xxhash64(col("s"), lit(i))).as(s"__h$i"))
@@ -157,7 +162,15 @@ object Dedup {
       col(idCol).as("id"),
       array_distinct(shingles(col(textCol), shingleN)).as("sh"))
       .persist(storage)
-    val base = shingled.join(minHashSignatures(shingled, k), Seq("id"))
+    // signatures via the fused native expression: map-side over the cached
+    // shingle arrays (each shingle's bytes hashed ONCE, K hashInt mixes) —
+    // no explode, no aggregation shuffle, no signatures join. Bit-identical
+    // to minHashSignatures (spec-asserted); the size>0 filter replicates
+    // the aggregate path's inner-join drop of shingle-less docs (shingles()
+    // never emits an empty array, so this is a no-op guard in practice)
+    val base = shingled.filter(size(col("sh")) > 0)
+      .withColumn("sig", graft.functions.GraftFunctions
+        .minhashSig(docs.sparkSession, col("sh"), k))
       .persist(storage)
     val banded = base.select(col("id"),
       explode(bandKeys(col("sig"), k, bands)).as("bk"))

@@ -719,3 +719,56 @@ class HyperplaneExpressionSpec extends SparkFunSuite {
     assert(interpreted == viaPlan)
   }
 }
+
+class MinHashExpressionSpec extends SparkFunSuite {
+  import spark.implicits._
+  import graft.functions.GraftFunctions
+
+  private def shingled() = (0 until 200).map { i =>
+    (i.toLong, (0 until 3 + i % 20).map(j => s"w${(i * 7 + j) % 97} w${j % 13} x$j"))
+  }.toDF("id", "sh")
+
+  test("fused signature is bit-identical to the explode→groupBy aggregate path") {
+    for (k <- Seq(1, 16, 32)) {
+      val agg = graft.llm.Dedup.minHashSignatures(shingled(), k)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+      val fused = shingled()
+        .select(col("id"), GraftFunctions.minhashSig(spark, col("sh"), k).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+      assert(agg == fused, s"signature mismatch at k=$k")
+    }
+  }
+
+  test("empty/null arrays yield null; null elements skipped like min() skips nulls") {
+    val df = Seq(
+      (0L, Some(Seq("a", "b"))),
+      (1L, Some(Seq.empty[String])),
+      (2L, None)
+    ).toDF("id", "sh")
+    val rows = df.select(GraftFunctions.minhashSig(spark, col("sh"), 8))
+      .collect()
+    assert(!rows(0).isNullAt(0) && rows(1).isNullAt(0) && rows(2).isNullAt(0))
+    val withNullElem = spark.sql(
+      "SELECT graft_minhash_sig(array('a', CAST(NULL AS STRING), 'b'), 8) AS s, " +
+        "graft_minhash_sig(array('a', 'b'), 8) AS t")
+    val r = withNullElem.collect()(0)
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+  }
+
+  test("minHashNearDups emits identical pairs through the fused path") {
+    // the pipeline (already on the fused path) must match a hand-built
+    // pipeline using the aggregate signatures — same bands, same verify
+    val docs = (0L until 60L).map { i =>
+      val t = if (i % 3 == 0) "the quick brown fox jumps over the lazy dog near the river bank"
+      else s"document $i about topic ${i % 7} with shared phrasing across cluster ${i % 5}"
+      (i, t)
+    }.toDF("doc_id", "text")
+    val got = graft.llm.Dedup.minHashNearDups(docs, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    spark.catalog.clearCache()
+    // all identical % 3 == 0 docs must pair up
+    val trip = (0L until 60L by 3).toSeq
+    val expectedPairs = for (a <- trip; b <- trip if a < b) yield (a, b)
+    assert(got == expectedPairs.sorted)
+  }
+}
