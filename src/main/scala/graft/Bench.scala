@@ -88,11 +88,29 @@ object Bench {
       .map(num).mkString("[", ",", "]")
     val failJson = failures.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"rep_totals":$repTotals,"failed_reps":$failJson}"""
-    // durable copy: the driver's stdout tail window is finite, a file isn't
+    // measurement-dispersion guard (round-5 post-mortem: rep totals spanning
+    // 157→280s within one run made the cross-round comparison meaningless):
+    // report max/min of the healthy rep totals and flag > 1.3x so a noisy
+    // run is self-labeling instead of masquerading as a regression
+    val healthyTotals = passes.map(_.values.filter(_ >= 0).sum).filter(_ > 0)
+    val dispersion =
+      if (healthyTotals.size >= 2 && healthyTotals.min > 0)
+        healthyTotals.max / healthyTotals.min
+      else 1.0
+    if (dispersion > 1.3)
+      System.err.println(f"[bench] WARN rep dispersion ${dispersion}%.2fx exceeds 1.3x " +
+        "— machine noise dominates; do not compare this run across rounds")
+    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"rep_totals":$repTotals,"dispersion":${num(dispersion)},"failed_reps":$failJson}"""
+    // durable copy: the driver's stdout tail window is finite, a file isn't —
+    // it additionally carries every query's per-rep times for dispersion
+    // forensics (too wide for the one-line stdout contract)
+    val perRep = names.map { n =>
+      "\"" + n + "\":" + passes.map(p => num(p(n))).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val fileJson = json.dropRight(1) + s""","per_rep_queries":$perRep}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_result.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (fileJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     // LAST line of stdout, after spark.stop(), so nothing can print below it
     println(json)
