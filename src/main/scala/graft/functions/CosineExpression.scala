@@ -101,6 +101,7 @@ object GraftFunctions {
   val CosineName = "graft_cosine"
   val HyperplaneName = "graft_hyperplane_sig"
   val MinHashName = "graft_minhash_sig"
+  val SimHashName = "graft_simhash64"
 
   /** Idempotent per-session registration into the function registry (also
     * makes the functions available to `spark.sql`). */
@@ -121,6 +122,9 @@ object GraftFunctions {
         MinHashName,
         exprs => MinHashSignature(exprs(0), intLit(MinHashName, exprs(1))),
         "built-in")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(SimHashName)))
+      reg.createOrReplaceTempFunction(
+        SimHashName, exprs => SimHash64(exprs(0)), "built-in")
   }
 
   private def intLit(fn: String, e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
@@ -154,5 +158,12 @@ object GraftFunctions {
     ensureRegistered(spark)
     org.apache.spark.sql.functions.call_function(
       MinHashName, sh, org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** Fused 64-bit SimHash over a token array — bit-identical to the
+    * vote-aggregate formulations, one map-side pass. */
+  def simhash64(spark: SparkSession, tokens: Column): Column = {
+    ensureRegistered(spark)
+    org.apache.spark.sql.functions.call_function(SimHashName, tokens)
   }
 }

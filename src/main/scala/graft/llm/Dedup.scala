@@ -275,27 +275,19 @@ object Dedup {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** Bulk SimHash: explode tokens → hash once → 16 nibble columns → 64
-    * vote-sum aggregates (map-side combine) → assemble the 64-bit
-    * signature. Avoids the same K-fold expression re-inlining as
-    * [[minHashSignatures]]. */
+  /** Bulk SimHash — fused native expression: tokens stay an array, every
+    * bit's vote accumulates in one map-side pass
+    * ([[graft.functions.SimHash64]], bit-identical to the aggregate
+    * formulation, spec-asserted). No explode, no 64-column vote shuffle —
+    * at 100 TB the old explode path shuffled the full token stream just to
+    * compute a per-document long. Null texts are dropped, matching the
+    * explode path's no-rows-no-group behavior. */
   def simHashes(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val tok = docs.select(col(idCol).as("id"),
-      explode(split(lower(trim(col(textCol))), "\\s+")).as("t"))
-      .select(col("id"), md5(col("t")).as("h"))
-      .select(col("id") +: (1 to 16).map(c =>
-        conv(substring(col("h"), c, 1), 16, 10).cast("int").as(s"__n$c")): _*)
-    val votes = (0 until 64).map { b =>
-      val nib = col(s"__n${16 - b / 4}")
-      sum(when(shiftright(nib, b % 4).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__b$b")
-    }
-    val agg = tok.groupBy("id").agg(votes.head, votes.tail: _*)
-    val sig = (0 until 64).map(j =>
-      when(col(s"__b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
-    agg.select(col("id"), sig.as("sig"))
-  }
+      idCol: String = "doc_id"): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        graft.functions.GraftFunctions.simhash64(docs.sparkSession,
+          split(lower(trim(col(textCol))), "\\s+")).as("sig"))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -755,6 +755,22 @@ class MinHashExpressionSpec extends SparkFunSuite {
     assert(r.getSeq[Long](0) == r.getSeq[Long](1))
   }
 
+  test("fused SimHash64 is bit-identical to the aggregate formulation") {
+    val docs = (0 until 150).map { i =>
+      (i.toLong, (0 until 2 + i % 15).map(j => s"tok${(i * 13 + j) % 41}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val both = docs.select(
+      graft.llm.Dedup.simHash(col("text")).as("ref"),
+      GraftFunctions.simhash64(spark, split(lower(trim(col("text"))), "\\s+")).as("fused"))
+    assert(both.filter(col("ref") =!= col("fused")).count() == 0)
+    // bulk path (now the fused expression) matches the column formulation too
+    val bulk = graft.llm.Dedup.simHashes(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = docs.select(col("doc_id"), graft.llm.Dedup.simHash(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bulk == ref)
+  }
+
   test("minHashNearDups emits identical pairs through the fused path") {
     // the pipeline (already on the fused path) must match a hand-built
     // pipeline using the aggregate signatures — same bands, same verify
