@@ -11,9 +11,11 @@ import org.apache.spark.sql.types._
   * kernels so a real codec can be dropped in per-partition (amortizing any
   * native-library init across the partition — the Scala analogue of a
   * batched `mapInPandas`). Image decode is REAL (`javax.imageio`, JDK
-  * built-in JPEG/PNG/GIF/BMP — [[decodeImages]]); the 8-dim byte-statistic
-  * feature kernel is kept alongside as an oracle-exact plumbing check, and
-  * audio/video codecs (not in the JDK) remain deterministic stubs.
+  * built-in JPEG/PNG/GIF/BMP — [[decodeImages]]); audio header decode is
+  * REAL (`javax.sound.sampled`, WAV/AIFF/AU — [[decodeAudio]]); the 8-dim
+  * byte-statistic feature kernel is kept alongside as an oracle-exact
+  * plumbing check, and video codecs (not in the JDK) remain deterministic
+  * stubs.
   */
 object Multimodal {
 
@@ -141,6 +143,60 @@ object Multimodal {
           if (payload == null) 0 else payload.length,
           decodeFeatureKernel(payload))
       })
+  }
+
+  /** Result of a REAL audio header decode (JDK `javax.sound.sampled`,
+    * WAV/AIFF/AU built in): container format, PCM shape, frame count and
+    * integer-exact duration. */
+  case class DecodedAudio(media_id: Long, n_bytes: Int, format: String,
+      decode_ok: Boolean, sample_rate: Int, channels: Int, bits: Int,
+      n_frames: Long, duration_ms: Long)
+
+  /** Container sniff for audio payloads (magic bytes; works even when the
+    * full decode fails). */
+  def sniffAudioFormat(b: Array[Byte]): String =
+    if (b == null || b.length < 12) "unknown"
+    else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') "wav"
+    else if (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M' &&
+      b(8) == 'A' && b(9) == 'I' && b(10) == 'F' && b(11) == 'F') "aiff"
+    else if (b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd') "au"
+    else "unknown"
+
+  /** REAL audio decode kernel: `AudioSystem.getAudioFileFormat` parses the
+    * header (no sample data is read — constant work per blob regardless of
+    * payload size, exactly what a 100-TB metadata pass wants). Fail-closed
+    * like [[decodeImageKernel]]: corrupt/empty payloads report
+    * decode_ok=false, never throw. duration_ms is integer arithmetic
+    * (frames·1000 div rate) so it reproduces exactly cross-engine. */
+  def decodeAudioKernel(id: Long, payload: Array[Byte]): DecodedAudio = {
+    val n = if (payload == null) 0 else payload.length
+    val fmt = sniffAudioFormat(payload)
+    if (n == 0) return DecodedAudio(id, 0, fmt, decode_ok = false, 0, 0, 0, 0L, 0L)
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(payload))
+      val f = aff.getFormat
+      val frames = aff.getFrameLength.toLong
+      val sr = f.getSampleRate.toLong
+      DecodedAudio(id, n, fmt, decode_ok = true, f.getSampleRate.toInt,
+        f.getChannels, f.getSampleSizeInBits, frames,
+        if (sr > 0 && frames > 0) frames * 1000L / sr else 0L)
+    } catch {
+      case _: Exception =>
+        DecodedAudio(id, n, fmt, decode_ok = false, 0, 0, 0, 0L, 0L)
+    }
+  }
+
+  /** Distributed REAL audio decode over (media_id, payload) rows — same
+    * partitioning contract as [[decodeImages]]. */
+  def decodeAudio(media: DataFrame, partitions: Int = 0): Dataset[DecodedAudio] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val src = if (partitions > 0) media.repartition(partitions, col("media_id")) else media
+    src.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => decodeAudioKernel(id, payload) })
   }
 
   /** Frame-sampling plumbing for video rows: emit `n` (media_id, frame_idx,

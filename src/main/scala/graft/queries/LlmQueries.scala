@@ -494,6 +494,48 @@ object LlmQueries extends graft.QueryModule {
             element_at(col("mean_channel"), 2)).as("m1"),
           when(col("format") === "png" && col("decode_ok") && col("channels") === 3,
             element_at(col("mean_channel"), 3)).as("m2"))
+    }),
+
+    // REAL audio decode (javax.sound.sampled header parse, distributed).
+    // Same fixture pattern as q97: per subset image id, (id/100)%4 plants
+    // a PCM WAV (varying rate/channels/frames), a corrupt payload, or
+    // null. Every reported field is integer arithmetic over the planted
+    // parameters, so the oracle reproduces it exactly.
+    "q100_audio_decode" -> ((s, d) => {
+      val ids = graft.operators.Locators.filterImages(
+        graft.operators.Locators.getSplit(Tables.datasetView(s, d), Some("P")),
+        col("id") % 100 === 0).images
+        .select(col("id")).collect().map(_.getLong(0)).sorted
+      def wav(sampleRate: Int, channels: Int, frames: Int): Array[Byte] = {
+        val blockAlign = channels * 2 // 16-bit PCM
+        val dataLen = frames * blockAlign
+        val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(channels.toShort)
+          .putInt(sampleRate).putInt(sampleRate * blockAlign)
+          .putShort(blockAlign.toShort).putShort(16)
+          .put("data".getBytes("US-ASCII")).putInt(dataLen)
+        bb.array() // PCM payload stays zeroed silence
+      }
+      val rows: Seq[(Long, Array[Byte])] = ids.toSeq.map { id =>
+        val sr = (8000 + (id % 4) * 4000).toInt
+        val ch = (1 + id % 2).toInt
+        val fr = (100 + id % 50).toInt
+        val payload: Array[Byte] = (id / 100) % 4 match {
+          case 0 | 1 => wav(sr, ch, fr)
+          case 2 => s"RIFFnot really a wave file $id".getBytes("US-ASCII")
+          case _ => null
+        }
+        (id, payload)
+      }
+      import s.implicits._
+      graft.llm.Multimodal.decodeAudio(rows.toDF("media_id", "payload")).toDF()
+        .select(col("media_id"), col("format"), col("decode_ok"),
+          col("sample_rate"), col("channels"), col("bits"),
+          col("n_frames"), col("duration_ms"))
     })
   )
 
@@ -1095,6 +1137,26 @@ object LlmQueries extends graft.QueryModule {
          |  CASE WHEN k <= 1 THEN CAST(id % 256 AS DOUBLE) END AS m0,
          |  CASE WHEN k = 0 THEN CAST((id // 3) % 256 AS DOUBLE) END AS m1,
          |  CASE WHEN k = 0 THEN CAST((id // 7) % 256 AS DOUBLE) END AS m2
+         |FROM sub""".stripMargin,
+
+    // planted WAV parameters are pure arithmetic over the id, duration is
+    // integer frames*1000 div rate — bit-exact in both engines
+    "q100_audio_decode" ->
+      s"""${Tables.viewCte},
+         |sub AS (SELECT id, (id // 100) % 4 AS k,
+         |               CAST(8000 + (id % 4) * 4000 AS INT) AS sr,
+         |               CAST(1 + id % 2 AS INT) AS ch,
+         |               CAST(100 + id % 50 AS BIGINT) AS fr
+         |        FROM images WHERE split = 'P' AND id % 100 = 0)
+         |SELECT id AS media_id,
+         |  CASE WHEN k <= 1 THEN 'wav' ELSE 'unknown' END AS format,
+         |  k <= 1 AS decode_ok,
+         |  CAST(CASE WHEN k <= 1 THEN sr ELSE 0 END AS INT) AS sample_rate,
+         |  CAST(CASE WHEN k <= 1 THEN ch ELSE 0 END AS INT) AS channels,
+         |  CAST(CASE WHEN k <= 1 THEN 16 ELSE 0 END AS INT) AS bits,
+         |  CAST(CASE WHEN k <= 1 THEN fr ELSE 0 END AS BIGINT) AS n_frames,
+         |  CAST(CASE WHEN k <= 1 THEN fr * 1000 // sr ELSE 0 END AS BIGINT)
+         |    AS duration_ms
          |FROM sub""".stripMargin
   )
 }

@@ -611,6 +611,34 @@ class MultimodalSpec extends SparkFunSuite {
     assert(!t.decode_ok && t.format == "png")
   }
 
+  test("decodeAudioKernel: real WAV header round-trips rate/channels/frames") {
+    def wav(sr: Int, ch: Int, frames: Int): Array[Byte] = {
+      val ba = ch * 2
+      val dataLen = frames * ba
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+        .put("fmt ".getBytes).putInt(16).putShort(1).putShort(ch.toShort)
+        .putInt(sr).putInt(sr * ba).putShort(ba.toShort).putShort(16)
+        .put("data".getBytes).putInt(dataLen)
+      bb.array()
+    }
+    val d = Multimodal.decodeAudioKernel(1L, wav(16000, 2, 320))
+    assert(d.decode_ok && d.format == "wav")
+    assert(d.sample_rate == 16000 && d.channels == 2 && d.bits == 16)
+    assert(d.n_frames == 320 && d.duration_ms == 20L) // 320/16000 s
+    val bad = Multimodal.decodeAudioKernel(2L, "RIFFnot a wave".getBytes)
+    assert(!bad.decode_ok && bad.format == "unknown")
+    val nul = Multimodal.decodeAudioKernel(3L, null)
+    assert(!nul.decode_ok && nul.n_bytes == 0)
+    // distributed face
+    val rows = Seq((0L, wav(8000, 1, 100)), (1L, null.asInstanceOf[Array[Byte]]))
+    val out = Multimodal.decodeAudio(rows.toDF("media_id", "payload"))
+      .collect().sortBy(_.media_id)
+    assert(out.length == 2 && out(0).decode_ok && !out(1).decode_ok)
+    assert(out(0).duration_ms == 12L) // 100 * 1000 / 8000 = 12 (integer div)
+  }
+
   test("decodeImages is distributed, partition-invariant, drops no rows") {
     import java.awt.image.BufferedImage
     val img = new BufferedImage(3, 3, BufferedImage.TYPE_INT_RGB)
