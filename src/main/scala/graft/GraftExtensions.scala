@@ -2,14 +2,15 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.CosineSimilarity
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+import graft.functions.{CosineSimilarity, HyperplaneSignature, MinHashSignature, SimHash64}
 
 /** SparkSessionExtensions entry point: injects the engine's native
   * functions at session build time, so clusters configured with
-  * `spark.sql.extensions=graft.GraftExtensions` get `graft_cosine` (and
-  * future native expressions) in every session without imperative
-  * registration.
+  * `spark.sql.extensions=graft.GraftExtensions` get `graft_cosine`,
+  * `graft_hyperplane_sig`, `graft_minhash_sig` and `graft_simhash64` in
+  * every session without imperative registration.
   *
   * ```
   * SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
@@ -17,11 +18,32 @@ import graft.functions.CosineSimilarity
   * ```
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import graft.functions.GraftFunctions._
+
+  private def intLit(fn: String, e: Expression): Int = e match {
+    case Literal(v, _: IntegerType) => v.asInstanceOf[Int]
+    case other => throw new IllegalArgumentException(
+      s"$fn: parameter must be an int literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
-      FunctionIdentifier(graft.functions.GraftFunctions.CosineName),
-      new ExpressionInfo(classOf[CosineSimilarity].getName,
-        graft.functions.GraftFunctions.CosineName),
+      FunctionIdentifier(CosineName),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, CosineName),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(HyperplaneName),
+      new ExpressionInfo(classOf[HyperplaneSignature].getName, HyperplaneName),
+      (exprs: Seq[Expression]) =>
+        HyperplaneSignature(exprs(0), intLit(HyperplaneName, exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier(MinHashName),
+      new ExpressionInfo(classOf[MinHashSignature].getName, MinHashName),
+      (exprs: Seq[Expression]) =>
+        MinHashSignature(exprs(0), intLit(MinHashName, exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier(SimHashName),
+      new ExpressionInfo(classOf[SimHash64].getName, SimHashName),
+      (exprs: Seq[Expression]) => SimHash64(exprs(0))))
   }
 }

@@ -103,12 +103,13 @@ object Multimodal {
       }
   }
 
-  /** ======== STUB ========
-    * Deterministic fake decode+feature kernel: a real implementation would
-    * decode `payload` with a codec and run a feature extractor; this stub
-    * derives an 8-dim feature from byte statistics so the pipeline is
-    * end-to-end testable without codecs. Swap the body, keep the signature.
-    */
+  /** Deterministic byte-statistic feature kernel — the PLUMBING CHECK
+    * companion to the real decoders ([[decodeImageKernel]],
+    * [[decodeAudioKernel]]): its 8-dim feature is exactly reproducible in
+    * SQL, which lets the q61 gate oracle the mapPartitions pipeline
+    * end-to-end (batching, null handling, row preservation) independently
+    * of any codec. For real content features use the decoders' outputs
+    * (per-band means, audio shape). */
   def decodeFeatureKernel(payload: Array[Byte]): Array[Float] = {
     if (payload == null || payload.isEmpty) return Array.fill(8)(0.0f)
     // accumulate in DOUBLE, per stride, in ascending byte order: each

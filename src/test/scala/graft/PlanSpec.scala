@@ -125,6 +125,17 @@ class PlanSpec extends SparkFunSuite {
       "corpus shuffled against the one-row-per-source totals frame")
   }
 
+  test("signature pipelines use the fused native expressions") {
+    // locks the round-6 rewrite in: a refactor silently falling back to
+    // the interpreted aggregate formulations would re-introduce the
+    // explode→groupBy shuffle (minhash), the token vote shuffle (simhash),
+    // and the K interpreted array walks (hyperplane)
+    assert(planOf("q29_minhash_neardup").contains("graft_minhash_sig"))
+    assert(planOf("q30_simhash_neardup").contains("graft_simhash64"))
+    assert(planOf("q59_embedding_neardup").contains("graft_hyperplane_sig"))
+    spark.catalog.clearCache()
+  }
+
   test("q98: skewed rate mixture stays window-free (no per-source serialization)") {
     val plan = planOf("q98_mixture_skew")
     assert(!plan.contains("Window"),

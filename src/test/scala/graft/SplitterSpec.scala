@@ -168,6 +168,13 @@ class ExtensionsSpec extends SparkFunSuite {
     val r = s2.sql("SELECT graft_cosine(array(3.0D, 4.0D), array(3.0D, 4.0D)) AS c")
       .collect()(0).getDouble(0)
     assert(math.abs(r - 1.0) < 1e-12)
+    // the other native functions resolve from SQL too
+    val row = s2.sql(
+      "SELECT graft_minhash_sig(array('a','b'), 4) AS m, " +
+        "graft_simhash64(array('a','b')) AS s, " +
+        "graft_hyperplane_sig(array(1.0D, -2.0D), 8) AS h").collect()(0)
+    assert(row.getSeq[Long](0).length == 4)
+    assert(!row.isNullAt(1) && !row.isNullAt(2))
   }
 
   test("single-key atomize fast path equals the iterative result") {
