@@ -102,6 +102,7 @@ object GraftFunctions {
   val HyperplaneName = "graft_hyperplane_sig"
   val MinHashName = "graft_minhash_sig"
   val SimHashName = "graft_simhash64"
+  val GramStatsName = "graft_gram_stats"
 
   /** Idempotent per-session registration into the function registry (also
     * makes the functions available to `spark.sql`). */
@@ -125,6 +126,9 @@ object GraftFunctions {
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(SimHashName)))
       reg.createOrReplaceTempFunction(
         SimHashName, exprs => SimHash64(exprs(0)), "built-in")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(GramStatsName)))
+      reg.createOrReplaceTempFunction(
+        GramStatsName, exprs => GramStats(exprs(0)), "built-in")
   }
 
   private def intLit(fn: String, e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
@@ -165,5 +169,13 @@ object GraftFunctions {
   def simhash64(spark: SparkSession, tokens: Column): Column = {
     ensureRegistered(spark)
     org.apache.spark.sql.functions.call_function(SimHashName, tokens)
+  }
+
+  /** Fused per-row gram multiset stats (top/total/dup counts) — replaces
+    * the explode→groupBy repetition-signal shuffles with one map-side
+    * pass. */
+  def gramStats(spark: SparkSession, grams: Column): Column = {
+    ensureRegistered(spark)
+    org.apache.spark.sql.functions.call_function(GramStatsName, grams)
   }
 }

@@ -147,21 +147,24 @@ object TextAnalysis {
     * engine (q94's DuckDB oracle recomputes them exactly). */
   def repetitionSignals(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    def gramCounts(n: Int) = docs
-      .select(col(idCol).as("id"),
-        explode(Dedup.shingles(col(textCol), n)).as("g"))
-      .groupBy("id", "g").agg(count(lit(1)).as("n"))
-    val bi = gramCounts(2).groupBy("id").agg(
-      max(col("n")).as("top_bigram_n"),
-      sum(col("n")).as("n_bigrams"))
-    val tri = gramCounts(3).groupBy("id").agg(
-      sum(when(col("n") > 1, col("n")).otherwise(0L)).as("n_dup_tri"),
-      sum(col("n")).as("n_trigrams"))
-    bi.join(tri, Seq("id"))
-      .select(col("id").as(idCol), col("top_bigram_n"),
-        (col("top_bigram_n").cast("double") / col("n_bigrams"))
+    // fused per-row gram counting (graft_gram_stats): the old formulation
+    // exploded the bigram AND trigram streams into two full groupBy
+    // shuffles — at 100 TB that shuffles ~2x the token volume to compute
+    // three integers per document. Counts are identical (spec-asserted),
+    // so the integer-ratio outputs divide bit-for-bit the same. Null
+    // texts are dropped, matching the explode path's no-rows-no-group.
+    val spark = docs.sparkSession
+    val bi = graft.functions.GraftFunctions.gramStats(spark,
+      Dedup.shingles(col(textCol), 2))
+    val tri = graft.functions.GraftFunctions.gramStats(spark,
+      Dedup.shingles(col(textCol), 3))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), bi.as("__bi"), tri.as("__tri"))
+      .select(col(idCol),
+        col("__bi.top_count").as("top_bigram_n"),
+        (col("__bi.top_count").cast("double") / col("__bi.total"))
           .as("top_bigram_frac"),
-        (col("n_dup_tri").cast("double") / col("n_trigrams"))
+        (col("__tri.dup_total").cast("double") / col("__tri.total"))
           .as("dup_trigram_frac"))
   }
 

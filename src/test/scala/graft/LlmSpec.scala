@@ -783,6 +783,25 @@ class MinHashExpressionSpec extends SparkFunSuite {
     assert(r.getSeq[Long](0) == r.getSeq[Long](1))
   }
 
+  test("fused gramStats matches explode→groupBy counts on a random corpus") {
+    val docs = (0 until 120).map { i =>
+      (i.toLong, (0 until 5 + i % 25).map(j => s"w${(i + j * j) % 11}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val grams = docs.select(col("doc_id"),
+      graft.llm.Dedup.shingles(col("text"), 2).as("g"))
+    val agg = grams.select(col("doc_id"), explode(col("g")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg(
+        max("n").as("top"), sum("n").as("total"),
+        sum(when(col("n") > 1, col("n")).otherwise(0L)).as("dup"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val fused = grams.select(col("doc_id"),
+      GraftFunctions.gramStats(spark, col("g")).as("s"))
+      .select(col("doc_id"), col("s.top_count"), col("s.total"), col("s.dup_total"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(agg == fused)
+  }
+
   test("fused SimHash64 is bit-identical to the aggregate formulation") {
     val docs = (0 until 150).map { i =>
       (i.toLong, (0 until 2 + i % 15).map(j => s"tok${(i * 13 + j) % 41}").mkString(" "))
