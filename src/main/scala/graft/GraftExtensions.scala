@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{CosineSimilarity, HyperplaneSignature, MinHashSignature, SimHash64}
+import graft.functions.{CosineSimilarity, GramStats, HyperplaneSignature, MinHashSignature, SimHash64}
 
 /** SparkSessionExtensions entry point: injects the engine's native
   * functions at session build time, so clusters configured with
@@ -45,5 +45,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(SimHashName),
       new ExpressionInfo(classOf[SimHash64].getName, SimHashName),
       (exprs: Seq[Expression]) => SimHash64(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier(GramStatsName),
+      new ExpressionInfo(classOf[GramStats].getName, GramStatsName),
+      (exprs: Seq[Expression]) => GramStats(exprs(0))))
   }
 }
