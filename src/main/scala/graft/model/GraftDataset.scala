@@ -102,24 +102,28 @@ case class GraftDataset(
     * Each check is a count over an aggregated/anti-joined plan — they run as
     * a handful of Spark jobs, all shuffle-light. */
   def validated(): GraftDataset = {
-    // unique image ids (dataset.py:949-953)
-    val dupImg = images.groupBy("id").count().filter(col("count") > 1).limit(1).count()
-    require(dupImg == 0, "images: duplicate ids")
-    // unique annotation ids (dataset.py:1024-1029 resets instead; we enforce)
-    val dupAnn = annotations.groupBy("id").count().filter(col("count") > 1).limit(1).count()
-    require(dupAnn == 0, "annotations: duplicate ids")
-    // FK integrity (dataset.py:990-998): every image_id exists in images
-    val orphan = annotations
-      .join(images.select(col("id")), annotations("image_id") === images("id"), "left_anti")
-      .limit(1).count()
-    require(orphan == 0, "annotations: image_id not present in images (FK violation)")
-    // category ids covered by the label map (dataset.py:1001-1010)
-    val knownIds = labelMap.keySet
-    val unknownCat = annotations
-      .select(col("category_id")).distinct()
-      .filter(!col("category_id").isin(knownIds.toSeq: _*))
-      .limit(1).count()
-    require(unknownCat == 0 || labelMap.isEmpty, "annotations: category_id missing from label map")
+    // all four integrity probes fold into ONE action: each check reduces
+    // to a limit-1 witness frame carrying its violation label, unioned and
+    // collected together. Same checks as before (dataset.py:949-953,
+    // 990-998, 1001-1010 + enforced annotation-id uniqueness), one job
+    // scheduling round instead of four — validated() sits on every
+    // construction path, so its fixed cost is paid constantly
+    def witness(df: DataFrame, label: String): DataFrame =
+      df.limit(1).select(lit(label).as("violation"))
+    val checks = Seq(
+      witness(images.groupBy("id").count().filter(col("count") > 1),
+        "images: duplicate ids"),
+      witness(annotations.groupBy("id").count().filter(col("count") > 1),
+        "annotations: duplicate ids"),
+      witness(annotations.join(images.select(col("id")),
+        annotations("image_id") === images("id"), "left_anti"),
+        "annotations: image_id not present in images (FK violation)")
+    ) ++ (if (labelMap.isEmpty) Nil else Seq(
+      witness(annotations.select(col("category_id")).distinct()
+        .filter(!col("category_id").isin(labelMap.keySet.toSeq: _*)),
+        "annotations: category_id missing from label map")))
+    val violations = checks.reduce(_ unionByName _).collect().map(_.getString(0))
+    require(violations.isEmpty, violations.mkString("; "))
     this
   }
 
