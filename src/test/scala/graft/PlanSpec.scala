@@ -136,6 +136,14 @@ class PlanSpec extends SparkFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q94: repetition signals are a pure exchange-free projection") {
+    // the round-6 gramStats fusion turned two full gram-stream shuffles
+    // into per-row arithmetic — the whole query is now scan→project
+    val plan = planOf("q94_repetition")
+    assert(plan.contains("graft_gram_stats"))
+    assert(!plan.contains("Exchange"), s"q94 re-grew a shuffle:\n$plan")
+  }
+
   test("q98: skewed rate mixture stays window-free (no per-source serialization)") {
     val plan = planOf("q98_mixture_skew")
     assert(!plan.contains("Window"),

@@ -113,6 +113,84 @@ class CostPropertySpec extends AnyFunSuite with GenSampling {
   }
 }
 
+/** Property-level bit-identity of the fused native expressions against
+  * their built-in formulations, over randomized arrays including unicode,
+  * empty strings and whitespace — the fixtures in LlmSpec cover structured
+  * corpora; this covers the byte-level encoding edges. All samples batch
+  * into ONE DataFrame per comparison, so the property runs in a handful of
+  * Spark actions. */
+class FusedExpressionPropertySpec extends SparkFunSuite with GenSampling {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.functions.GraftFunctions
+
+  private val tokGen = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(12)),
+    Gen.const(""), Gen.const(" "), Gen.const("\ttab"),
+    Gen.oneOf("héllo", "日本語テキスト", "a b c", "ß", "émoji🙂", "кириллица"))
+  private val arrGen = Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, tokGen))
+
+  private def stringArrays(n: Int) = {
+    val samples = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+    forAllSampled(arrGen, n)(s => samples += s)
+    samples.toSeq.zipWithIndex.map { case (a, i) => (i.toLong, a) }.toDF("id", "sh")
+  }
+
+  test("minhash fused == aggregate path on random unicode arrays") {
+    val df = stringArrays(150).filter(size(col("sh")) > 0).cache()
+    val agg = graft.llm.Dedup.minHashSignatures(df, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val fused = df.select(col("id"),
+      GraftFunctions.minhashSig(spark, col("sh"), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    df.unpersist()
+    assert(agg == fused)
+  }
+
+  test("simhash fused == vote-aggregate formulation on random unicode arrays") {
+    def refSimhash(arr: org.apache.spark.sql.Column) = {
+      val hexes = transform(arr, t => md5(t))
+      val bits = (0 until 64).map { bit =>
+        val vote = aggregate(hexes, lit(0), (acc, h) =>
+          acc + when(shiftright(conv(substring(h, 16 - bit / 4, 1), 16, 10)
+            .cast("int"), bit % 4).bitwiseAND(1) === 1, 1).otherwise(-1))
+        when(vote > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
+      }
+      bits.reduce(_.bitwiseOR(_))
+    }
+    val df = stringArrays(100)
+    val both = df.select(refSimhash(col("sh")).as("ref"),
+      GraftFunctions.simhash64(spark, col("sh")).as("fused"))
+    assert(both.filter(col("ref") =!= col("fused")).count() == 0)
+  }
+
+  test("gramstats fused == explode/groupBy counts on random unicode arrays") {
+    val df = stringArrays(150).filter(size(col("sh")) > 0).cache()
+    val agg = df.select(col("id"), explode(col("sh")).as("t"))
+      .groupBy("id", "t").agg(count(lit(1)).as("n"))
+      .groupBy("id").agg(max("n").as("top"), sum("n").as("total"),
+        sum(when(col("n") > 1, col("n")).otherwise(0L)).as("dup"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val fused = df.select(col("id"), GraftFunctions.gramStats(spark, col("sh")).as("s"))
+      .select(col("id"), col("s.top_count"), col("s.total"), col("s.dup_total"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    df.unpersist()
+    assert(agg == fused)
+  }
+
+  test("hyperplane fused == built-in formulation on random vectors") {
+    val vecGen = Gen.choose(0, 16).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(Gen.choose(-5.0, 5.0), Gen.const(0.0))))
+    val samples = scala.collection.mutable.ArrayBuffer[Seq[Double]]()
+    forAllSampled(vecGen, 150)(s => samples += s)
+    val df = samples.toSeq.zipWithIndex.map { case (a, i) => (i.toLong, a) }.toDF("id", "v")
+    val both = df.select(
+      graft.llm.Similarity.hyperplaneSignature(col("v"), 16).as("ref"),
+      GraftFunctions.hyperplaneSig(spark, col("v"), 16).as("fused"))
+    assert(both.filter(col("ref") =!= col("fused")).count() == 0)
+  }
+}
+
 class BinningPropertySpec extends AnyFunSuite with GenSampling {
   import graft.operators.Grouper
 
