@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{CosineSimilarity, GramStats, HyperplaneSignature, MinHashSignature, SimHash64}
+import graft.functions.{CosineSimilarity, GramStats, HyperplaneSignature, MinHashSignature, SigOverlap, SimHash64}
 
 /** SparkSessionExtensions entry point: injects the engine's native
   * functions at session build time, so clusters configured with
@@ -49,5 +49,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(GramStatsName),
       new ExpressionInfo(classOf[GramStats].getName, GramStatsName),
       (exprs: Seq[Expression]) => GramStats(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier(SigOverlapName),
+      new ExpressionInfo(classOf[SigOverlap].getName, SigOverlapName),
+      (exprs: Seq[Expression]) => SigOverlap(exprs(0), exprs(1))))
   }
 }

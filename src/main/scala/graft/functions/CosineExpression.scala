@@ -103,6 +103,7 @@ object GraftFunctions {
   val MinHashName = "graft_minhash_sig"
   val SimHashName = "graft_simhash64"
   val GramStatsName = "graft_gram_stats"
+  val SigOverlapName = "graft_sig_overlap"
 
   /** Idempotent per-session registration into the function registry (also
     * makes the functions available to `spark.sql`). */
@@ -129,6 +130,9 @@ object GraftFunctions {
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(GramStatsName)))
       reg.createOrReplaceTempFunction(
         GramStatsName, exprs => GramStats(exprs(0)), "built-in")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(SigOverlapName)))
+      reg.createOrReplaceTempFunction(
+        SigOverlapName, exprs => SigOverlap(exprs(0), exprs(1)), "built-in")
   }
 
   private def intLit(fn: String, e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
@@ -177,5 +181,12 @@ object GraftFunctions {
   def gramStats(spark: SparkSession, grams: Column): Column = {
     ensureRegistered(spark)
     org.apache.spark.sql.functions.call_function(GramStatsName, grams)
+  }
+
+  /** Fused MinHash-estimator overlap (share of equal signature positions)
+    * — the candidate-pair prefilter as one codegen loop. */
+  def sigOverlap(spark: SparkSession, a: Column, b: Column): Column = {
+    ensureRegistered(spark)
+    org.apache.spark.sql.functions.call_function(SigOverlapName, a, b)
   }
 }

@@ -182,11 +182,16 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
     val sigT = base.select(col("id"), col("sig"))
     // stage 2: signature-estimated prefilter (margin below the threshold so
-    // estimator variance at k=32 cannot drop true positives)
+    // estimator variance at k=32 cannot drop true positives). The overlap
+    // runs through the fused graft_sig_overlap expression — candidates are
+    // the pipeline's quadratic-ish point, and the interpreted
+    // zip_with+aggregate formulation is kept as the spec'd reference
+    // ([[estimatedJaccard]])
     val estFiltered = pairs
       .join(sigT.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigT.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .filter(estimatedJaccard(col("sig_a"), col("sig_b")) >= threshold - 0.35)
+      .filter(graft.functions.GraftFunctions.sigOverlap(docs.sparkSession,
+        col("sig_a"), col("sig_b")) >= threshold - 0.35)
       .select("id_a", "id_b")
     val shT = base.select(col("id"), col("sh"))
     estFiltered

@@ -178,6 +178,21 @@ class FusedExpressionPropertySpec extends SparkFunSuite with GenSampling {
     assert(agg == fused)
   }
 
+  test("sig-overlap fused == estimatedJaccard on random signature pairs") {
+    val sigGen = Gen.listOfN(16, Gen.choose(Long.MinValue, Long.MaxValue))
+    val pairGen = Gen.zip(sigGen, sigGen).flatMap { case (a, b) =>
+      // mix in near-identical pairs so the equal branch is exercised
+      Gen.oneOf((a, b), (a, a), (a, a.updated(3, 7L)))
+    }
+    val samples = scala.collection.mutable.ArrayBuffer[(Seq[Long], Seq[Long])]()
+    forAllSampled(pairGen, 150)(s => samples += s)
+    val df = samples.toSeq.toDF("a", "b")
+    val both = df.select(
+      graft.llm.Dedup.estimatedJaccard(col("a"), col("b")).as("ref"),
+      GraftFunctions.sigOverlap(spark, col("a"), col("b")).as("fused"))
+    assert(both.filter(col("ref") =!= col("fused")).count() == 0)
+  }
+
   test("hyperplane fused == built-in formulation on random vectors") {
     val vecGen = Gen.choose(0, 16).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf(Gen.choose(-5.0, 5.0), Gen.const(0.0))))
