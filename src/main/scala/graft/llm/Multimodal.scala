@@ -55,7 +55,9 @@ object Multimodal {
     * being lossless, these reproduce bit-for-bit from the planted pixels).
     * Undecodable/empty payloads yield decode_ok=false with zeroed dims,
     * never an exception — a 100-TB corpus always contains corrupt blobs and
-    * one bad row must not kill the stage. */
+    * one bad row must not kill the stage. Note: palette formats (GIF,
+    * indexed PNG) decode to a 1-band indexed raster, so `channels` = 1 and
+    * means are palette indices — raster semantics, asserted in spec. */
   def decodeImageKernel(id: Long, payload: Array[Byte]): DecodedImage = {
     val n = if (payload == null) 0 else payload.length
     val fmt = sniffFormat(payload)

@@ -600,6 +600,19 @@ class MultimodalSpec extends SparkFunSuite {
     assert(gd.mean_channel.toSeq == Seq(127.5))
   }
 
+  test("decodeImageKernel: GIF and BMP containers decode too") {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(6, 4, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 6) img.setRGB(x, y, (10 << 16) | (20 << 8) | 30)
+    val bmp = Multimodal.decodeImageKernel(1L, encode(img, "bmp"))
+    assert(bmp.decode_ok && bmp.format == "bmp" && bmp.width == 6 && bmp.height == 4)
+    assert(bmp.channels == 3 && bmp.mean_channel.toSeq == Seq(10.0, 20.0, 30.0))
+    val gif = Multimodal.decodeImageKernel(2L, encode(img, "gif"))
+    // GIF decodes to an indexed raster: 1 band of palette indices
+    assert(gif.decode_ok && gif.format == "gif" && gif.width == 6 && gif.height == 4)
+    assert(gif.channels == 1)
+  }
+
   test("decodeImageKernel: corrupt / truncated / null payloads fail closed") {
     val bad = Multimodal.decodeImageKernel(5L, "this is not an image".getBytes)
     assert(!bad.decode_ok && bad.format == "unknown" && bad.width == 0 && bad.channels == 0)
