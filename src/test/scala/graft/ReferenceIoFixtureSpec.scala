@@ -80,6 +80,26 @@ class ReferenceIoFixtureSpec extends SparkFunSuite {
     assert(cats.toSeq == Seq(0, 1)) // person + head
     assert(ds.annotations.filter(col("visible_share") > 1.0).count() == 0)
   }
+
+  test("remap: the reference's own remap.csv reproduces its test expectations") {
+    // replicates test_dataset/test_class_remap.py::test_class_remap_from_csv
+    // end to end on the reference's fixtures: 80-category COCO valid set,
+    // remap.csv collapses the mapped categories to 3 outputs
+    assume(exists("coco_dataset/annotations_valid.json") && exists("remap_dataset/remap.csv"))
+    val ds = Coco.fromCoco(spark, s"$base/coco_dataset/annotations_valid.json")
+    assert(ds.labelMap.size == 80 && ds.numAnnotations == 21 && ds.numImages == 2)
+    val csv = s"$base/remap_dataset/remap.csv"
+    val remapped = graft.operators.Remap.remapFromCsv(ds, csv)
+    assert(remapped.labelMap.size == 3, s"label map: ${remapped.labelMap}")
+    assert(remapped.numAnnotations == 20)
+    val keepAll = graft.operators.Remap.remapFromCsv(ds, csv, removeNotMapped = false)
+    assert(keepAll.labelMap.size == 71, s"label map size ${keepAll.labelMap.size}")
+    assert(keepAll.numAnnotations == 21)
+    val emptied = graft.operators.Remap.remapFromCsv(ds, csv,
+      removeEmptiedImages = true)
+    assert(emptied.labelMap.size == 3)
+    assert(emptied.numAnnotations == 20 && emptied.numImages == 1)
+  }
 }
 
 /** Tagged caipy fixture + its custom JSON schema — schema-driven loading
