@@ -45,9 +45,11 @@ case class MinHashSignature(child: Expression, k: Int)
     val n = arr.numElements()
     if (n == 0) return null
     val mins = Array.fill(k)(Long.MaxValue)
+    var any = false
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
+        any = true
         val s = arr.getUTF8String(i)
         val h0 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
           s.numBytes, 42L)
@@ -60,7 +62,9 @@ case class MinHashSignature(child: Expression, k: Int)
       }
       i += 1
     }
-    if (mins.forall(_ == Long.MaxValue)) null // all-null elements
+    // the `any` flag, not a value probe: a hash could legitimately be
+    // Long.MaxValue, and the codegen path uses the same flag
+    if (!any) null
     else new GenericArrayData(mins)
   }
 

@@ -35,6 +35,7 @@ case class SigOverlap(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() == 0) return null // built-in: 0/size(0) divides to null
     val n = math.min(x.numElements(), y.numElements())
     var eq = 0
     var i = 0
@@ -51,13 +52,15 @@ case class SigOverlap(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val eq = ctx.freshName("eq")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |int $eq = 0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i) &&
-         |      $a.getLong($i) == $b.getLong($i)) $eq++;
+         |if ($a.numElements() == 0) { ${ev.isNull} = true; } else {
+         |  int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |  int $eq = 0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$a.isNullAt($i) && !$b.isNullAt($i) &&
+         |        $a.getLong($i) == $b.getLong($i)) $eq++;
+         |  }
+         |  ${ev.value} = (double) $eq / $a.numElements();
          |}
-         |${ev.value} = (double) $eq / $a.numElements();
        """.stripMargin
     })
 

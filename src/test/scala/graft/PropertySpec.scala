@@ -191,6 +191,11 @@ class FusedExpressionPropertySpec extends SparkFunSuite with GenSampling {
       graft.llm.Dedup.estimatedJaccard(col("a"), col("b")).as("ref"),
       GraftFunctions.sigOverlap(spark, col("a"), col("b")).as("fused"))
     assert(both.filter(col("ref") =!= col("fused")).count() == 0)
+    // empty-signature edge: built-in divides 0/0 to null; fused must match
+    val empty = Seq((Seq.empty[Long], Seq.empty[Long])).toDF("a", "b")
+      .select(GraftFunctions.sigOverlap(spark, col("a"), col("b")))
+      .collect()(0)
+    assert(empty.isNullAt(0))
   }
 
   test("hyperplane fused == built-in formulation on random vectors") {
