@@ -127,6 +127,38 @@ object StreamQueries extends graft.QueryModule {
         .agg(count(lit(1)).as("n_sessions"),
           sum(col("n_events")).as("n_events"),
           round(sum(col("total_value")), 2).as("total_value"))
+    }),
+
+    // NATIVE session_window sessionization (q40's shape through the
+    // built-in aggregation). The oracle replicates session_window's
+    // STRICT-overlap merge rule (gap < 30min, not <=) — the documented
+    // semantic difference vs the flatMapGroupsWithState kernel
+    "q101_session_window" -> ((s, d) => {
+      EventStream.sessionizeNative(Tables.events(s, d), gap = "30 minutes")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          round(sum(col("total_value")), 2).as("total_value"))
+    }),
+
+    // bucketized interval join: per-user synthetic 90-min maintenance
+    // windows every 6h (crossing the 1h chunk boundary, so the explosion
+    // + exactly-once-per-pair property is exercised); oracle is DuckDB's
+    // direct BETWEEN join
+    "q102_interval_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val base = 1704153600000L // 2024-01-02 00:00:00 UTC
+      val slots = ev.select(col("user_id")).distinct()
+        .select(col("user_id"), explode(sequence(lit(0), lit(2))).as("k"))
+        .select(col("user_id"), col("k"),
+          timestamp_millis(lit(base) + col("k") * 21600000L).as("w_start"),
+          timestamp_millis(lit(base) + col("k") * 21600000L + 5400000L).as("w_end"))
+      EventStream.intervalJoin(ev, slots, Seq("user_id"),
+          tsCol = "ts", startCol = "w_start", endCol = "w_end",
+          chunkMs = 3600 * 1000L)
+        .groupBy(col("user_id"), col("k"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+        .select(col("user_id"), col("k").cast("int").as("k"), col("n"), col("v"))
     })
   )
 
@@ -207,6 +239,37 @@ object StreamQueries extends graft.QueryModule {
         |  FROM x)
         |SELECT user_id, count(DISTINCT sid) AS n_sessions,
         |       count(*) AS n_events, round(sum(value), 2) AS total_value
-        |FROM s GROUP BY user_id""".stripMargin
+        |FROM s GROUP BY user_id""".stripMargin,
+
+    // session_window merges on STRICT overlap: gap < 30min (an event
+    // exactly 30min after its predecessor opens a new session)
+    "q101_session_window" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) < 30*60*1000
+        |         THEN 0 ELSE 1 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id, count(DISTINCT sid) AS n_sessions,
+        |       count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM s GROUP BY user_id""".stripMargin,
+
+    "q102_interval_join" ->
+      """WITH w AS (
+        |  SELECT user_id, k,
+        |         epoch_ms(1704153600000 + k * 21600000) AS ws,
+        |         epoch_ms(1704153600000 + k * 21600000 + 5400000) AS we
+        |  FROM (SELECT DISTINCT user_id FROM events)
+        |  CROSS JOIN (SELECT unnest(range(0, 3)) AS k))
+        |SELECT e.user_id, CAST(w.k AS INT) AS k, count(*) AS n,
+        |       round(sum(e.value), 2) AS v
+        |FROM events e JOIN w
+        |  ON e.user_id = w.user_id AND e.ts BETWEEN w.ws AND w.we
+        |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -91,6 +91,35 @@ object EventStream {
     cleaned.drop("__side")
   }
 
+  /** Event-time INTERVAL join: every (left, right) pair on the same key
+    * where `left.ts` falls inside `[right.start, right.end]` (inclusive).
+    *
+    * Spark plans a raw `ts BETWEEN start AND end` join condition as a
+    * BroadcastNestedLoopJoin — quadratic and broadcast-bound, the classic
+    * range-join scale trap. This composes an EQUI-join instead: right
+    * intervals explode onto the fixed-size time chunks they overlap, left
+    * rows key to their containing chunk, the join runs on (keys, chunk),
+    * and the exact containment filter finishes. Each matched pair appears
+    * exactly once (it matches only in the left row's own chunk — no
+    * dedup pass needed). Cost: |right| × ceil(span/chunk) exploded rows +
+    * one hash join; pick `chunkMs` near the typical interval span so the
+    * explosion factor stays ~2. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String = "ts", startCol: String = "start", endCol: String = "end",
+      chunkMs: Long = 3600 * 1000L): DataFrame = {
+    require(chunkMs > 0, "chunkMs must be positive")
+    val r = right.withColumn("__chunk",
+      explode(sequence(
+        floor(unix_millis(col(s"`$startCol`")) / chunkMs),
+        floor(unix_millis(col(s"`$endCol`")) / chunkMs))))
+    val l = left.withColumn("__chunk",
+      floor(unix_millis(col(s"`$tsCol`")) / chunkMs))
+    l.join(r, keys :+ "__chunk")
+      .filter(col(s"`$tsCol`") >= col(s"`$startCol`") &&
+        col(s"`$tsCol`") <= col(s"`$endCol`"))
+      .drop("__chunk")
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, value: Double)
@@ -181,6 +210,26 @@ object EventStream {
           }
       }
   }
+
+  /** NATIVE session-window sessionization — the built-in Spark answer
+    * (`session_window` aggregation, state-store backed) alongside the
+    * custom-state [[sessionizeStream]]. Works identically on batch and
+    * streaming input (streaming needs a watermark on `ts`).
+    *
+    * Semantics note (asserted by the q101 oracle): `session_window` merges
+    * events whose [ts, ts+gap) windows OVERLAP — i.e. consecutive gap
+    * STRICTLY below `gap` — whereas the flatMapGroupsWithState kernels use
+    * `gap <= gapMs`. An event landing exactly `gap` after its predecessor
+    * starts a new session here and continues the session there. Prefer
+    * this operator when the built-in semantics fit: no state-timeout code
+    * to maintain, and the state store handles spill/recovery. */
+  def sessionizeNative(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("sw.start").as("session_start"), col("sw.end").as("session_end"),
+        col("n_events"), col("total_value"))
 
   /** Run a windowed aggregate as an actual streaming query into a memory
     * sink, synchronously (test/smoke harness). Returns the sink table name. */

@@ -144,6 +144,13 @@ class PlanSpec extends SparkFunSuite {
     assert(!plan.contains("Exchange"), s"q94 re-grew a shuffle:\n$plan")
   }
 
+  test("q102: interval join is an equi-join, not a nested-loop range join") {
+    val plan = planOf("q102_interval_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"interval join degraded to a nested loop:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q98: skewed rate mixture stays window-free (no per-source serialization)") {
     val plan = planOf("q98_mixture_skew")
     assert(!plan.contains("Window"),

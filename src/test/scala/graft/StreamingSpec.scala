@@ -78,6 +78,32 @@ class IvfStreamDedupSpec extends SparkFunSuite {
   import spark.implicits._
   import org.apache.spark.sql.functions._
 
+  test("native session_window sessionizer runs on a real stream (append mode)") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val stream = EventStream.readEvents(spark, dir).withWatermark("ts", "0 seconds")
+    val q = EventStream.sessionizeNative(stream, "30 minutes")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("native_sessions")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("native_sessions")
+    // append mode emits only sessions CLOSED by the final watermark
+    // (= max event time): the batch result filtered the same way must match
+    val batch = Tables.events(spark, dir)
+    val maxTs = batch.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val expected = EventStream.sessionizeNative(batch, "30 minutes")
+      .filter(col("session_end") <= lit(maxTs))
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        round(col("total_value"), 2).as("tv"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.count() > 0)
+    assert(key(streamed) == key(expected))
+  }
+
   test("sessionizer state survives micro-batch boundaries (maxFilesPerTrigger=1)") {
     import java.nio.file.{Files, Paths}
     import java.nio.file.attribute.FileTime
@@ -208,6 +234,28 @@ class IvfStreamDedupSpec extends SparkFunSuite {
     assert(person.getAs[Double]("person") == 0.9)
     assert(person.getAs[Double]("None") == 0.1)
     assert(person.getAs[Double]("car") == 0.0)
+  }
+
+  test("intervalJoin: inclusive bounds, one row per matched pair across chunks") {
+    def ts(minute: Long) = new java.sql.Timestamp(1704067200000L + minute * 60000L)
+    val left = Seq(
+      (1L, ts(0), 10.0),    // exactly at w1 start (inclusive)
+      (1L, ts(90), 20.0),   // exactly at w1 end (inclusive), 2nd chunk
+      (1L, ts(91), 30.0),   // just past w1 end
+      (2L, ts(45), 40.0),   // user 2 inside w1 span but no window row
+      (1L, ts(600), 50.0)   // inside w2
+    ).toDF("user_id", "ts", "value")
+    val right = Seq(
+      (1L, ts(0), ts(90), "w1"),   // spans two 1h chunks
+      (1L, ts(590), ts(610), "w2")
+    ).toDF("user_id", "w_start", "w_end", "window_id")
+    val out = EventStream.intervalJoin(left, right, Seq("user_id"),
+      tsCol = "ts", startCol = "w_start", endCol = "w_end", chunkMs = 3600 * 1000L)
+      .select(col("window_id"), col("value")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).sorted.toSeq
+    // both w1 endpoints kept (inclusive), each pair exactly once, 91' and
+    // user-2 rows dropped, w2 matched
+    assert(out == Seq("w1" -> 10.0, "w1" -> 20.0, "w2" -> 50.0))
   }
 
   test("asOfJoin: latest right row at-or-before each left ts, per key") {
