@@ -118,6 +118,34 @@ object Corpus {
       .orderBy(desc("n_occurrences"), col("ngram"))
       .limit(k)
 
+  /** Heavy-hitter top-`k` n-grams — the 100-TB path for [[topNgrams]]:
+    * at corpus scale the exact version's aggregation state IS the
+    * vocabulary (billions of distinct grams); this replaces it with
+    *  1. a single-pass `stat.freqItems` sweep (Karp/lossy counting,
+    *     bounded ~1/`support` candidates, no full-vocab shuffle), then
+    *  2. EXACT counts for the candidate set only (map-side `InSet` filter
+    *     → tiny aggregation state), top-k over those.
+    * The result EQUALS the exact top-k whenever every true top-k gram has
+    * frequency above `support` (freqItems returns a superset of those) —
+    * choose `support` ≤ (expected top-k share); the q103 gate asserts
+    * equality against the exact oracle at gate scale. Candidate list
+    * rides to the driver once: ≤ 1/support strings. */
+  def topNgramsApprox(docs: DataFrame, n: Int = 2, k: Int = 20,
+      support: Double = 0.001, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val grams = docs
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("ngram"))
+      .filter(length(col("ngram")) > 0)
+    val candidates = grams.stat.freqItems(Seq("ngram"), support)
+      .collect()(0).getSeq[String](0)
+    grams.filter(col("ngram").isInCollection(candidates))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col(idCol)).as("n_docs"))
+      .orderBy(desc("n_occurrences"), col("ngram"))
+      .limit(k)
+  }
+
   /** Concat-and-chunk sequence packing: within each `groupCol` shard, lay
     * documents end to end in `orderCol` order and cut the stream into
     * `blockTokens`-sized context windows. Each document is assigned to the

@@ -408,6 +408,15 @@ object LlmQueries extends graft.QueryModule {
       graft.llm.Corpus.topNgrams(Tables.documents(s, d), n = 2, k = 20)
     }),
 
+    // heavy-hitter (freqItems candidates + exact candidate counts) top-k
+    // MUST equal the exact top-k — same oracle as q81. support 1e-4 keeps
+    // every top-20 bigram comfortably above the freqItems floor while the
+    // candidate set stays driver-tiny
+    "q103_top_ngrams_approx" -> ((s, d) => {
+      graft.llm.Corpus.topNgramsApprox(Tables.documents(s, d), n = 2, k = 20,
+        support = 1e-4)
+    }),
+
     // the filtering face of q72: drop train docs whose shared-shingle share
     // of any test doc reaches 0.2 (anti-join on the broadcast bad-id set)
     "q73_decontaminate" -> ((s, d) => {
@@ -1069,6 +1078,21 @@ object LlmQueries extends graft.QueryModule {
         |FROM s2""".stripMargin,
 
     "q81_top_ngrams" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, unnest(
+        |        CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+        |             ELSE list_transform(range(1, len(w)),
+        |                                 i -> array_to_string(w[i:i+1], ' '))
+        |        END) AS ngram
+        |      FROM t)
+        |SELECT ngram, count(*) AS n_occurrences,
+        |       count(DISTINCT doc_id) AS n_docs
+        |FROM g WHERE length(ngram) > 0
+        |GROUP BY 1 ORDER BY n_occurrences DESC, ngram LIMIT 20""".stripMargin,
+
+    // the heavy-hitter path must reproduce the exact top-k verbatim
+    "q103_top_ngrams_approx" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
         |           FROM documents),
         |g AS (SELECT doc_id, unnest(

@@ -61,6 +61,24 @@ class CorpusSpec extends SparkFunSuite {
     assert(Corpus.decontaminate(train, test, minShare = 0.7).count() == 1)
   }
 
+  test("topNgramsApprox equals the exact top-k when support is below the top-k floor") {
+    val docs = (0L until 300L).map { i =>
+      // skewed vocabulary: a few heavy bigrams + a long unique tail
+      val head = if (i % 3 == 0) "alpha beta" else if (i % 3 == 1) "gamma delta" else "epsilon zeta"
+      (i, s"$head unique${i}a unique${i}b unique${i}c")
+    }.toDF("doc_id", "text")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // k = 3: the equality guarantee requires the k-th count to sit above
+    // the support floor (count > support·N). k = 5 would reach into the
+    // count-1 tail BELOW the floor, where excluded tie-mates may
+    // legitimately differ — that's the documented precondition, not a bug
+    val exact = key(Corpus.topNgrams(docs, n = 2, k = 3))
+    val approx = key(Corpus.topNgramsApprox(docs, n = 2, k = 3, support = 0.01))
+    assert(exact == approx)
+    assert(exact.map(_._1).toSet == Set("alpha beta", "gamma delta", "epsilon zeta"))
+  }
+
   test("broadcastTest=false produces identical pairs through a shuffle join") {
     val train = (0L until 40L).map(i => (i, s"w$i w${i + 1} w${i + 2} w${i + 3} tail"))
       .toDF("doc_id", "text")
