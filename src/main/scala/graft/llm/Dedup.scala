@@ -228,6 +228,28 @@ object Dedup {
       clusters.filter(col(idCol) === col("cluster_id")).select(col(idCol)),
       Seq(idCol), "left_semi")
 
+  /** Keep the BEST document per near-dup cluster instead of the arbitrary
+    * min-id representative: per cluster, the row maximizing
+    * (`preference`, −id) survives — [[exactDedupKeepBest]]'s semantics
+    * lifted from exact-hash groups to transitive near-dup clusters. Same
+    * plan shape too: a max_by hash aggregate with map-side combine (one
+    * shuffle on cluster_id), no per-cluster window sort, so a giant
+    * boilerplate cluster reduces per task instead of straggling one
+    * partition. Same contracts: non-null `preference`, numeric `idCol`. */
+  def keepBestPerCluster(docs: DataFrame, clusters: DataFrame,
+      preference: Column, idCol: String = "doc_id"): DataFrame = {
+    require(docs.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"keepBestPerCluster: idCol '$idCol' must be numeric (its negation is " +
+        "the min-id tiebreak); map string ids to a numeric surrogate first")
+    val cols = docs.columns.toSeq
+    docs.join(clusters, Seq(idCol))
+      .groupBy(col("cluster_id"))
+      .agg(max_by(
+        struct(cols.map(c => col(s"`$c`")): _*),
+        struct(preference.as("p"), (-col(idCol)).as("ni"))).as("__best"))
+      .select(cols.map(c => col(s"__best.`$c`").as(c)): _*)
+  }
+
   /** Connected components over ANY verified near-dup pair frame
     * (id_a, id_b) — the clustering face of the whole dedup ladder:
     * MinHash pairs ([[nearDupClusters]]), embedding-cosine pairs

@@ -259,6 +259,18 @@ object LlmQueries extends graft.QueryModule {
       Dedup.nearDupClusters(docsWithDups(s, d), threshold = 0.7)
     }),
 
+    // keep-BEST per near-dup cluster (q96's preference semantics lifted to
+    // transitive clusters): pref = doc_id % 97 varies inside every planted
+    // cluster, so the arg-max is exercised beyond the min-id tiebreak;
+    // oracle = q62's recursive closure + a per-cluster rank
+    "q104_keep_best_cluster" -> ((s, d) => {
+      val docs = docsWithDups(s, d)
+      val clusters = Dedup.nearDupClusters(docs, threshold = 0.7)
+      val withPref = docs.withColumn("pref", pmod(col("doc_id"), lit(97)))
+      Dedup.keepBestPerCluster(withPref, clusters, col("pref"))
+        .select(col("doc_id"), col("pref"))
+    }),
+
     // clusterPairs over the EMBEDDING pair graph — the generalized CC face
     // composed with q59's exact pipeline (same corpus, planes, guard), so
     // the oracle reuses the shared pair CTE + a recursive closure. The 20
@@ -861,6 +873,41 @@ object LlmQueries extends graft.QueryModule {
         |  SELECT r.a, e.b FROM reach r JOIN bidir e ON r.b = e.a)
         |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY a""".stripMargin,
+
+    // q62's recursive closure + per-cluster arg-max on (pref desc, id asc)
+    "q104_keep_best_cluster" ->
+      """WITH RECURSIVE alldocs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM
+        |    (SELECT * FROM documents ORDER BY doc_id LIMIT 20)),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(range(1, len(w) - 1),
+        |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |        FROM alldocs)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |          / len(list_distinct(list_concat(a.s, b.s))) >= 0.7),
+        |bidir AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM alldocs
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN bidir e ON r.b = e.a),
+        |cl AS (SELECT a AS doc_id, min(b) AS cluster_id
+        |       FROM reach GROUP BY a),
+        |ranked AS (
+        |  SELECT doc_id, doc_id % 97 AS pref,
+        |         row_number() OVER (PARTITION BY cluster_id
+        |                            ORDER BY doc_id % 97 DESC, doc_id) AS rk
+        |  FROM cl)
+        |SELECT doc_id, CAST(pref AS BIGINT) AS pref
+        |FROM ranked WHERE rk = 1""".stripMargin,
 
     "q63_quality_rules" ->
       s"""WITH t AS (

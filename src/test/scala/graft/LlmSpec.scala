@@ -108,6 +108,25 @@ class DedupSpec extends SparkFunSuite {
     assert(kept == Set(2L, 4L), s"got $kept")
   }
 
+  test("keepBestPerCluster keeps the max-preference row, ties to min id") {
+    val docs = Seq(
+      (0L, "a", 5.0), (1L, "a", 9.0), (2L, "a", 9.0), // one cluster, 1 and 2 tie on pref
+      (7L, "b", 1.0)                                   // singleton
+    ).toDF("doc_id", "text", "pref")
+    val clusters = Seq((0L, 0L), (1L, 0L), (2L, 0L), (7L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val kept = graft.llm.Dedup.keepBestPerCluster(docs, clusters, col("pref"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 7L)) // pref 9 beats 5; tie 1 vs 2 → min id; singleton stays
+    val plan = graft.llm.Dedup.keepBestPerCluster(docs, clusters, col("pref"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "keep-best-per-cluster regressed to a window sort")
+    intercept[IllegalArgumentException] {
+      graft.llm.Dedup.keepBestPerCluster(
+        docs.withColumn("doc_id", col("doc_id").cast("string")), clusters, col("pref"))
+    }
+  }
+
   test("keepClusterRepresentatives keeps exactly the cluster_id rows") {
     val docs = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"))
       .toDF("doc_id", "text")
