@@ -104,6 +104,7 @@ object GraftFunctions {
   val SimHashName = "graft_simhash64"
   val GramStatsName = "graft_gram_stats"
   val SigOverlapName = "graft_sig_overlap"
+  val WordShinglesName = "graft_word_shingles"
 
   /** Idempotent per-session registration into the function registry (also
     * makes the functions available to `spark.sql`). */
@@ -133,6 +134,12 @@ object GraftFunctions {
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(SigOverlapName)))
       reg.createOrReplaceTempFunction(
         SigOverlapName, exprs => SigOverlap(exprs(0), exprs(1)), "built-in")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(WordShinglesName)))
+      reg.createOrReplaceTempFunction(
+        WordShinglesName,
+        exprs => WordShingles(exprs(0), intLit(WordShinglesName, exprs(1)),
+          boolLit(WordShinglesName, exprs(2))),
+        "built-in")
   }
 
   private def intLit(fn: String, e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
@@ -141,6 +148,14 @@ object GraftFunctions {
         v.asInstanceOf[Int]
       case other => throw new IllegalArgumentException(
         s"$fn: parameter must be an int literal, got $other")
+    }
+
+  private def boolLit(fn: String, e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, BooleanType) =>
+        v.asInstanceOf[Boolean]
+      case other => throw new IllegalArgumentException(
+        s"$fn: parameter must be a boolean literal, got $other")
     }
 
   /** Fused cosine as a Column; the session must be registered first
@@ -188,5 +203,16 @@ object GraftFunctions {
   def sigOverlap(spark: SparkSession, a: Column, b: Column): Column = {
     ensureRegistered(spark)
     org.apache.spark.sql.functions.call_function(SigOverlapName, a, b)
+  }
+
+  /** Fused word-shingle construction over a token array (optionally
+    * distinct) — one native pass instead of the interpreted
+    * transform/slice/concat_ws tree. */
+  def wordShingles(spark: SparkSession, words: Column, n: Int,
+      distinct: Boolean): Column = {
+    ensureRegistered(spark)
+    org.apache.spark.sql.functions.call_function(WordShinglesName, words,
+      org.apache.spark.sql.functions.lit(n),
+      org.apache.spark.sql.functions.lit(distinct))
   }
 }

@@ -42,7 +42,9 @@ object Corpus {
       shingleN: Int = 3, broadcastTest: Boolean = true): DataFrame = {
     def shingled(df: DataFrame, as: String): DataFrame =
       df.select(col(idCol).as(as),
-        explode(array_distinct(Dedup.shingles(col(textCol), shingleN))).as("s"))
+        explode(graft.functions.GraftFunctions.wordShingles(df.sparkSession,
+          split(lower(trim(col(textCol))), "\\s+"), shingleN, distinct = true))
+          .as("s"))
     def hint(df: DataFrame): DataFrame = if (broadcastTest) broadcast(df) else df
     val testSh = shingled(test, "test_id")
     val testSizes = testSh.groupBy("test_id")
@@ -110,7 +112,10 @@ object Corpus {
     * gram table, not the corpus. */
   def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 20,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("ngram"))
+    docs.select(col(idCol),
+        explode(graft.functions.GraftFunctions.wordShingles(docs.sparkSession,
+          split(lower(trim(col(textCol))), "\\s+"), n, distinct = false))
+          .as("ngram"))
       .filter(length(col("ngram")) > 0)
       .groupBy("ngram")
       .agg(count(lit(1)).as("n_occurrences"),
@@ -134,7 +139,10 @@ object Corpus {
       support: Double = 0.001, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val grams = docs
-      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("ngram"))
+      .select(col(idCol),
+        explode(graft.functions.GraftFunctions.wordShingles(docs.sparkSession,
+          split(lower(trim(col(textCol))), "\\s+"), n, distinct = false))
+          .as("ngram"))
       .filter(length(col("ngram")) > 0)
     val candidates = grams.stat.freqItems(Seq("ngram"), support)
       .collect()(0).getSeq[String](0)

@@ -67,14 +67,20 @@ object Dedup {
   // -------------------------------------------------------------- MinHash
 
   /** Word `n`-shingles of a text column, as an array of strings — built with
-    * transform/slice (codegen, no UDF). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val words = split(lower(trim(text)), "\\s+")
+    * transform/slice (codegen, no UDF). REFERENCE formulation; the
+    * production pipelines use the bit-identical fused native expression
+    * [[graft.functions.GraftFunctions.wordShingles]] (one pass over the
+    * token array — the interpreted transform/slice/concat_ws tree was the
+    * single dominant cost of the whole MinHash pipeline). */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesOfWords(split(lower(trim(text)), "\\s+"), n)
+
+  /** [[shingles]] over an already-tokenized word array. */
+  def shinglesOfWords(words: Column, n: Int): Column =
     when(size(words) < n, array(concat_ws(" ", words)))
       .otherwise(transform(
         sequence(lit(0), size(words) - n),
         i => concat_ws(" ", slice(words, i + 1, lit(n)))))
-  }
 
   /** K-element MinHash signature: sig_k = min over shingles of
     * xxhash64(shingle, k). One expression per k — all map-side.
@@ -160,7 +166,9 @@ object Dedup {
     // (`spark.catalog.clearCache()` after materializing, as the gates do).
     val shingled = docs.select(
       col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), shingleN)).as("sh"))
+      graft.functions.GraftFunctions.wordShingles(docs.sparkSession,
+        split(lower(trim(col(textCol))), "\\s+"), shingleN, distinct = true)
+        .as("sh"))
       .persist(storage)
     // signatures via the fused native expression: map-side over the cached
     // shingle arrays (each shingle's bytes hashed ONCE, K hashInt mixes) —

@@ -155,9 +155,11 @@ object TextAnalysis {
     // texts are dropped, matching the explode path's no-rows-no-group.
     val spark = docs.sparkSession
     val bi = graft.functions.GraftFunctions.gramStats(spark,
-      Dedup.shingles(col(textCol), 2))
+      graft.functions.GraftFunctions.wordShingles(spark,
+        split(lower(trim(col(textCol))), "\\s+"), 2, distinct = false))
     val tri = graft.functions.GraftFunctions.gramStats(spark,
-      Dedup.shingles(col(textCol), 3))
+      graft.functions.GraftFunctions.wordShingles(spark,
+        split(lower(trim(col(textCol))), "\\s+"), 3, distinct = false))
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol), bi.as("__bi"), tri.as("__tri"))
       .select(col(idCol),

@@ -178,6 +178,19 @@ class FusedExpressionPropertySpec extends SparkFunSuite with GenSampling {
     assert(agg == fused)
   }
 
+  test("word-shingles fused == transform/slice/concat_ws formulation (±distinct)") {
+    val df = stringArrays(150)
+    for (n <- Seq(1, 2, 3, 5)) {
+      val ref = df.select(col("id"),
+        graft.llm.Dedup.shinglesOfWords(col("sh"), n).as("r"),
+        array_distinct(graft.llm.Dedup.shinglesOfWords(col("sh"), n)).as("rd"),
+        GraftFunctions.wordShingles(spark, col("sh"), n, distinct = false).as("f"),
+        GraftFunctions.wordShingles(spark, col("sh"), n, distinct = true).as("fd"))
+      assert(ref.filter(not(col("r") === col("f"))).count() == 0, s"plain mismatch n=$n")
+      assert(ref.filter(not(col("rd") === col("fd"))).count() == 0, s"distinct mismatch n=$n")
+    }
+  }
+
   test("sig-overlap fused == estimatedJaccard on random signature pairs") {
     val sigGen = Gen.listOfN(16, Gen.choose(Long.MinValue, Long.MaxValue))
     val pairGen = Gen.zip(sigGen, sigGen).flatMap { case (a, b) =>
