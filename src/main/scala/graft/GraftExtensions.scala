@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
-import graft.functions.{CosineSimilarity, GramStats, HyperplaneSignature, MinHashSignature, SigOverlap, SimHash64}
+import org.apache.spark.sql.types.{BooleanType, IntegerType}
+import graft.functions.{CosineSimilarity, GramStats, HyperplaneSignature, MinHashSignature, SigOverlap, SimHash64, WordShingles}
 
 /** SparkSessionExtensions entry point: injects the engine's native
   * functions at session build time, so clusters configured with
@@ -53,5 +53,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(SigOverlapName),
       new ExpressionInfo(classOf[SigOverlap].getName, SigOverlapName),
       (exprs: Seq[Expression]) => SigOverlap(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(WordShinglesName),
+      new ExpressionInfo(classOf[WordShingles].getName, WordShinglesName),
+      (exprs: Seq[Expression]) => WordShingles(exprs(0),
+        intLit(WordShinglesName, exprs(1)),
+        exprs(2) match {
+          case Literal(v, BooleanType) => v.asInstanceOf[Boolean]
+          case other => throw new IllegalArgumentException(
+            s"$WordShinglesName: distinct must be a boolean literal, got $other")
+        })))
   }
 }
