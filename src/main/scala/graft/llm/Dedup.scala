@@ -154,22 +154,21 @@ object Dedup {
       idCol: String = "doc_id", k: Int = 32, bands: Int = 8,
       threshold: Double = 0.7, shingleN: Int = 3,
       storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
-    // materialize shingles once (persist = optimizer fence: nothing
-    // re-inlines the shingle construction — and the signature agg + verify
-    // stage both reuse it; measured 1.4x faster than a single persist at
-    // sf0.1), then bulk signatures via explode→agg. Default storage is
-    // MEMORY_AND_DISK, not MEMORY_ONLY: these frames carry wide shingle
-    // arrays, and at 100-TB scale a memory-only cache of them is an
-    // eviction/recompute storm — spilling to local disk is strictly
-    // cheaper than recomputing the shingle explode. The persisted frames
-    // back the RETURNED lazy DataFrame, so cleanup is caller-owned
+    // ONE persist (base), not two: with the fused shingle expression the
+    // construction is cheap enough that caching the intermediate shingled
+    // frame costs more (a second wide-array cache write) than any reuse
+    // saves — base materializes shingles exactly once and every stage
+    // reads base. Default storage is MEMORY_AND_DISK, not MEMORY_ONLY:
+    // the frame carries wide shingle arrays, and at 100-TB scale a
+    // memory-only cache of them is an eviction/recompute storm — spilling
+    // to local disk is strictly cheaper than recomputing. The persisted
+    // frame backs the RETURNED lazy DataFrame, so cleanup is caller-owned
     // (`spark.catalog.clearCache()` after materializing, as the gates do).
     val shingled = docs.select(
       col(idCol).as("id"),
       graft.functions.GraftFunctions.wordShingles(docs.sparkSession,
         split(lower(trim(col(textCol))), "\\s+"), shingleN, distinct = true)
         .as("sh"))
-      .persist(storage)
     // signatures via the fused native expression: map-side over the cached
     // shingle arrays (each shingle's bytes hashed ONCE, K hashInt mixes) —
     // no explode, no aggregation shuffle, no signatures join. Bit-identical
