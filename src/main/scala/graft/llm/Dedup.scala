@@ -264,19 +264,64 @@ object Dedup {
     * Every id in `ids` gets `cluster_id` = the smallest transitively
     * reachable id; ids touching no pair self-cluster.
     *
-    * Components run through the splitter's contraction atomizer over the
-    * (node, edge) incidence frame — O(log D) convergence, fully
-    * distributed, no driver-side graph. The localCheckpoint fences the
-    * atomizer's many small actions from re-running the (potentially
-    * expensive) pair pipeline each time (measured 22s → ~5s at sf0.1). */
+    * Two execution paths behind one semantics, selected by edge count:
+    * below `driverMaxEdges` a driver union-find (O(E α(E)), bounded
+    * memory, one job) with the membership broadcast back; above it the
+    * splitter's contraction atomizer over the (node, edge) incidence
+    * frame — O(log D) convergence, fully distributed, no driver-side
+    * graph. A spec asserts both paths produce identical clusters. The
+    * localCheckpoint fences downstream actions from re-running the
+    * (potentially expensive) pair pipeline (measured 22s → ~5s at
+    * sf0.1). */
   def clusterPairs(ids: DataFrame, pairs: DataFrame,
-      idCol: String = "doc_id"): DataFrame = {
-    val ek = concat_ws(":", col("id_a"), col("id_b"))
-    val incidence = pairs.select(col("id_a").as("id"), ek.as("__edge"))
-      .unionByName(pairs.select(col("id_b").as("id"), ek.as("__edge")))
+      idCol: String = "doc_id", driverMaxEdges: Long = 1L << 20): DataFrame = {
+    val spark = ids.sparkSession
+    val p = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
       .localCheckpoint()
-    val labeled = graft.split.Splitter.makeAtomicChunks(incidence, Seq("id", "__edge"))
-    val comp = labeled.groupBy(col("id")).agg(min("__atom").as("cluster_id"))
+    val nEdges = p.count()
+    val comp =
+      if (nEdges <= driverMaxEdges) {
+        // SMALL-GRAPH FAST PATH: a verified near-dup pair set is usually
+        // tiny relative to the corpus (dups are the exception, not the
+        // rule), and the distributed atomizer pays several scheduled jobs
+        // per CC round regardless of size. Below `driverMaxEdges` (1M
+        // edges ≈ 16 MB — same spirit as the splitter's maxAtoms guard)
+        // run union-find on the driver in O(E α(E)) and broadcast the
+        // membership back. Above it, the contraction atomizer keeps the
+        // graph fully distributed.
+        val edges = p.collect()
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+          var c = x // path compression
+          while (parent.getOrDefault(c, c) != r) {
+            val nx = parent.getOrDefault(c, c); parent.put(c, r); c = nx
+          }
+          r
+        }
+        edges.foreach { row =>
+          val (a, b) = (row.getLong(0), row.getLong(1))
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { // min root wins → cluster_id = min reachable id
+            if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+          }
+        }
+        val members = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        edges.foreach { row =>
+          members += ((row.getLong(0), 0L)); members += ((row.getLong(1), 0L))
+        }
+        val resolved = members.map(_._1).distinct.map(m => (m, find(m))).toSeq
+        import spark.implicits._
+        broadcast(resolved.toDF("id", "cluster_id"))
+      } else {
+        val ek = concat_ws(":", col("id_a"), col("id_b"))
+        val incidence = p.select(col("id_a").as("id"), ek.as("__edge"))
+          .unionByName(p.select(col("id_b").as("id"), ek.as("__edge")))
+          .localCheckpoint()
+        val labeled = graft.split.Splitter.makeAtomicChunks(incidence, Seq("id", "__edge"))
+        labeled.groupBy(col("id")).agg(min("__atom").as("cluster_id"))
+      }
     val base = ids.select(col(idCol))
     base.join(comp, base(idCol) === comp("id"), "left")
       .select(base(idCol),

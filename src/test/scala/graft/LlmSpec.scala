@@ -137,6 +137,21 @@ class DedupSpec extends SparkFunSuite {
     assert(kept == Set(0L, 2L, 3L))
   }
 
+  test("clusterPairs: driver fast path == distributed atomizer path") {
+    // chain 0-1-2-3, pair (10,11), singleton 20, plus a cross-link 3-10
+    // merging two clusters transitively
+    val ids = (Seq(0L, 1L, 2L, 3L, 10L, 11L, 20L)).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L), (3L, 10L))
+      .toDF("id_a", "id_b")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    val fast = key(graft.llm.Dedup.clusterPairs(ids, pairs))
+    val dist = key(graft.llm.Dedup.clusterPairs(ids, pairs, driverMaxEdges = 0L))
+    assert(fast == dist)
+    assert(fast.toMap == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      10L -> 0L, 11L -> 0L, 20L -> 20L))
+  }
+
   test("clusterPairs collapses transitive chains over an external pair frame") {
     val ids = (0L to 5L).toDF("vec_id")
     val pairs = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
