@@ -60,6 +60,19 @@ class ModelSpec extends SparkFunSuite {
       LabelMaps.assertBijective(Map(0 -> "a", 1 -> "a")))
   }
 
+  test("label map merges reproduce the reference's test_label_map cases") {
+    // test_utils/test_label_map.py::test_merge_label_maps verbatim
+    val a = Map(0 -> "a", 1 -> "b")
+    val b = Map(1 -> "b")
+    val c = Map(1 -> "b", 2 -> "c")
+    val d = Map(1 -> "c")
+    assert(LabelMaps.mergeInner(a, b) == a)
+    assert(LabelMaps.mergeOuter(a, c) == Map(0 -> "a", 1 -> "b", 2 -> "c"))
+    intercept[IllegalArgumentException](LabelMaps.mergeInner(a, c))
+    intercept[IllegalArgumentException](LabelMaps.mergeInner(a, d))
+    intercept[IllegalArgumentException](LabelMaps.mergeOuter(a, d))
+  }
+
   test("rename sets the dataset name (name-only copy)") {
     val ds = tinyDataset()
     val renamed = ds.rename("campaign-42")
