@@ -81,6 +81,26 @@ class ReferenceIoFixtureSpec extends SparkFunSuite {
     assert(ds.annotations.filter(col("visible_share") > 1.0).count() == 0)
   }
 
+  test("cross-format merge parity: caipy + coco fixtures (test_merge.py shape)") {
+    // replicates test_dataset/test_merge.py::test_merge's additivity and
+    // commutativity-modulo-ids on the reference's own fixture pair
+    assume(exists("caipy_dataset/Annotations/train") &&
+      exists("coco_dataset/annotations_train.json"))
+    val ds1 = Caipy.fromCaipy(spark, s"$base/caipy_dataset")
+    val ds2 = Coco.fromCoco(spark, s"$base/coco_dataset/annotations_train.json")
+    val merged = graft.operators.Merge.union(ds1, ds2)
+    assert(merged.numImages == ds1.numImages + ds2.numImages)
+    assert(merged.numAnnotations == ds1.numAnnotations + ds2.numAnnotations)
+    merged.validated()
+    def contentKey(ds: graft.model.GraftDataset) = ds.annotations
+      .join(ds.images.select(col("id").as("__iid"), col("relative_path")),
+        col("image_id") === col("__iid"))
+      .select(col("relative_path"), col("category_str"),
+        round(col("box_x_min"), 3), round(col("box_width"), 3))
+      .collect().map(_.toString).sorted.toSeq
+    assert(contentKey(merged) == contentKey(graft.operators.Merge.union(ds2, ds1)))
+  }
+
   test("remap: the reference's own remap.csv reproduces its test expectations") {
     // replicates test_dataset/test_class_remap.py::test_class_remap_from_csv
     // end to end on the reference's fixtures: 80-category COCO valid set,
