@@ -23,7 +23,8 @@ object Coco {
     * the `<name>_<split>.json` convention when inferable
     * (io/common.py:230-280). */
   def fromCoco(spark: SparkSession, cocoJson: String, imagesRoot: String = ".",
-      split: Option[String] = None, datasetName: Option[String] = None): GraftDataset = {
+      split: Option[String] = None, datasetName: Option[String] = None,
+      labelMap: Map[Int, String] = Map.empty): GraftDataset = {
     val raw = spark.read.option("multiLine", true).json(cocoJson)
     val inferredSplit = split.orElse(inferSplit(cocoJson))
 
@@ -37,7 +38,15 @@ object Coco {
       case None => images0
     }
 
-    val hasAnnotations = raw.schema.fieldNames.contains("annotations")
+    // an EMPTY annotations array infers as array<string>, not a struct —
+    // such files (reference annotations_empty.json) must load with zero
+    // annotations, not fail the struct cast
+    val hasAnnotations = raw.schema.fieldNames.contains("annotations") &&
+      (raw.schema("annotations").dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          _: org.apache.spark.sql.types.StructType, _) => true
+        case _ => false
+      })
     val annotations =
       if (!hasAnnotations) emptyAnnotations(spark)
       else {
@@ -48,11 +57,13 @@ object Coco {
         // iscrowd==1 dropped (io/coco.py:94-108)
         if (annStruct.fieldNames.contains("iscrowd"))
           exploded = exploded.filter(coalesce(col("a.iscrowd"), lit(0)) === 0)
-        // single-category files (e.g. keypoints) may omit category_id → 0
+        // single-category files (e.g. keypoints, category-less prediction
+        // dumps) may omit category_id → the single supplied label-map id
+        // (dataset/io/coco.py:120-122), else 0
         val catCol =
           if (annStruct.fieldNames.contains("category_id"))
             col("a.category_id").cast("int")
-          else lit(0)
+          else lit(if (labelMap.size == 1) labelMap.keys.head else 0)
         val base = Seq(
           col("a.id").cast("long").as("id"),
           col("a.image_id").cast("long").as("image_id"),
@@ -69,14 +80,18 @@ object Coco {
         exploded.select(withConf: _*)
       }
 
-    val labelMap: Map[Int, String] =
-      if (raw.schema.fieldNames.contains("categories"))
+    // explicit label_map parameter wins (the reference's escape hatch for
+    // category-less prediction files, dataset/io/coco.py label_map arg);
+    // otherwise the file's categories table
+    val fileMap: Map[Int, String] =
+      if (labelMap.nonEmpty) labelMap
+      else if (raw.schema.fieldNames.contains("categories"))
         raw.select(explode(col("categories")).as("c"))
           .select(col("c.id").cast("int"), col("c.name").cast("string"))
           .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
       else Map.empty
 
-    GraftDataset.create(images, annotations, labelMap, imagesRoot,
+    GraftDataset.create(images, annotations, fileMap, imagesRoot,
       datasetName.orElse(inferName(cocoJson)))
   }
 

@@ -81,6 +81,29 @@ class ReferenceIoFixtureSpec extends SparkFunSuite {
     assert(ds.annotations.filter(col("visible_share") > 1.0).count() == 0)
   }
 
+  test("partial coco fixtures load (test_partial_coco_io expectations)") {
+    assume(exists("coco_dataset/annotations_no_labelmap.json"))
+    val noLm = Coco.fromCoco(spark, s"$base/coco_dataset/annotations_no_labelmap.json",
+      split = Some("train"), labelMap = Map(9 -> "object"))
+    assert(noLm.numImages == 2 && noLm.numAnnotations == 9)
+    assert(noLm.labelMap == Map(9 -> "object"))
+    assert(noLm.annotations.select("category_id").distinct()
+      .collect().map(_.getInt(0)).toSeq == Seq(9))
+    graft.validate.Validation.check(noLm)
+
+    val empty = Coco.fromCoco(spark, s"$base/coco_dataset/annotations_empty.json",
+      split = Some("train"))
+    assert(empty.numImages == 2 && empty.numAnnotations == 0)
+    assert(empty.labelMap.size == 15)
+    graft.validate.Validation.check(empty)
+
+    val emptyNoLm = Coco.fromCoco(spark,
+      s"$base/coco_dataset/annotations_empty_no_labelmap.json", split = Some("train"))
+    assert(emptyNoLm.numImages == 2 && emptyNoLm.numAnnotations == 0)
+    assert(emptyNoLm.labelMap.isEmpty)
+    graft.validate.Validation.check(emptyNoLm)
+  }
+
   test("cross-format merge parity: caipy + coco fixtures (test_merge.py shape)") {
     // replicates test_dataset/test_merge.py::test_merge's additivity and
     // commutativity-modulo-ids on the reference's own fixture pair
