@@ -76,4 +76,23 @@ class ReferenceFixtureSpec extends SparkFunSuite {
     val completed = noLm.withCompletedLabelMap()
     assert(completed.labelMap.nonEmpty || noLm.numAnnotations == 0)
   }
+
+  test("count error reproduces the reference's crowd-evaluator expectations") {
+    // test_evaluation/test_crowd.py::test_simple_crowd_mae on the same
+    // fixture pair: min MAE = 0.5, min RMSE = sqrt(0.5) over the 101-point
+    // confidence grid (both engines use 0..1 in 0.01 steps) grouped by
+    // category, matching the reference's defaults
+    assume(available)
+    val (gt, pr) = load()
+    val ev = new graft.eval.DetectionEvaluator(
+      gt.images, gt.annotations, Map("m" -> pr.annotations), gt.labelMap)
+    import org.apache.spark.sql.functions._
+    val stats = ev.countError("m")
+      .agg(min(col("MAE")).as("min_mae"), min(col("RMSE")).as("min_rmse"))
+      .collect()(0)
+    assert(math.abs(stats.getDouble(0) - 0.5) < 1e-9,
+      s"min MAE ${stats.getDouble(0)} != 0.5")
+    assert(math.abs(stats.getDouble(1) - 0.7071) < 1e-3,
+      s"min RMSE ${stats.getDouble(1)} != 0.7071")
+  }
 }
