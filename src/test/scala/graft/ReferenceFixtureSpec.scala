@@ -77,6 +77,28 @@ class ReferenceFixtureSpec extends SparkFunSuite {
     assert(completed.labelMap.nonEmpty || noLm.numAnnotations == 0)
   }
 
+  test("self-prediction confusion matrix is the identity (reference test shape)") {
+    // test_confusion_matrix.py::test_confusion_matrix_identical: gt as its
+    // own predictions (confidence 1) → identity matrix at min_iou 0 AND 0.8
+    assume(available)
+    val (gt, _) = load()
+    import org.apache.spark.sql.functions._
+    val selfPreds = gt.annotations.withColumn("confidence", lit(1.0))
+    val ev = new graft.eval.DetectionEvaluator(
+      gt.images, gt.annotations, Map("m" -> selfPreds), gt.labelMap)
+    for (iou <- Seq(0.0, 0.8)) {
+      val cm = ev.confusionMatrix("m", minIou = iou).collect()
+      cm.foreach { r =>
+        val (g, p) = (r.getAs[String]("groundtruth_label"), r.getAs[String]("prediction_label"))
+        val share = r.getAs[Double]("share")
+        if (g == p) assert(math.abs(share - 1.0) < 1e-9, s"diag $g at iou=$iou: $share")
+        else assert(share == 0.0, s"off-diag ($g,$p) at iou=$iou: $share")
+      }
+      assert(cm.exists(r => r.getAs[String]("groundtruth_label") ==
+        r.getAs[String]("prediction_label")))
+    }
+  }
+
   test("count error reproduces the reference's crowd-evaluator expectations") {
     // test_evaluation/test_crowd.py::test_simple_crowd_mae on the same
     // fixture pair: min MAE = 0.5, min RMSE = sqrt(0.5) over the 101-point
