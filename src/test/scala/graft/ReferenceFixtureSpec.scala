@@ -99,6 +99,45 @@ class ReferenceFixtureSpec extends SparkFunSuite {
     }
   }
 
+  test("df_to_hist reproduces the reference's GOLDEN histogram CSV (test_hist2)") {
+    // test_split/test_balanced_groups.py::test_hist2: annotations_valid's
+    // (category_id × 2-bin box_height cut) normalized histogram, stored as
+    // a golden CSV by the reference itself
+    val csvPath = s"$base/histogram_annotations_valid.csv"
+    assume(new java.io.File(csvPath).isFile &&
+      new java.io.File(s"$base/annotations_valid.json").isFile)
+    import org.apache.spark.sql.functions._
+    import graft.operators.Grouper
+    val ann = Coco.fromCoco(spark, s"$base/annotations_valid.json").annotations
+    val edges = Grouper.binEdges(ann, Grouper.ContinuousGroup("box_height", 2))
+    val binned = ann.withColumn("hbin", Grouper.binIndex(col("box_height"), edges))
+    val hist = Grouper.histogram(binned, Seq("category_id", "hbin"))
+    val rows = hist.collect()
+    val totalN = rows.map(_.getAs[Long]("count")).sum.toDouble
+    val got = rows.map(r => (r.getAs[Int]("category_id").toLong, r.getAs[Int]("hbin")) ->
+      r.getAs[Long]("count") / totalN).toMap
+    // golden: intervals ordered by upper bound define the bin index; the
+    // first edge differs by pandas' display-only 0.1%-of-range lowering,
+    // interior/last edges must match ours
+    val golden = scala.io.Source.fromFile(csvPath).getLines().drop(1).map { line =>
+      val Array(cat, interval, h) = line.split("\",\"|,\"|\",|,(?=[^\\]]*$)").map(_.trim)
+      val bounds = interval.stripPrefix("\"(").stripSuffix("]\"").stripPrefix("(")
+        .stripSuffix("]").split(",\\s*").map(_.toDouble)
+      (cat.toLong, bounds(1), h.toDouble)
+    }.toSeq
+    val uppers = golden.map(_._2).distinct.sorted
+    assert(math.abs(uppers(0) - edges(1)) < 0.01 &&
+      math.abs(uppers(1) - edges(2)) < 0.01,
+      s"edges mismatch: ours ${edges.toSeq} vs golden uppers $uppers")
+    golden.foreach { case (cat, upper, frac) =>
+      val bin = uppers.indexOf(upper)
+      val ours = got.getOrElse((cat, bin), 0.0)
+      assert(math.abs(ours - frac) < 1e-9,
+        s"(cat=$cat, bin=$bin): ours $ours vs golden $frac")
+    }
+    assert(golden.map(_._3).sum > 0.999) // the golden covers the full mass
+  }
+
   test("count error reproduces the reference's crowd-evaluator expectations") {
     // test_evaluation/test_crowd.py::test_simple_crowd_mae on the same
     // fixture pair: min MAE = 0.5, min RMSE = sqrt(0.5) over the 101-point
