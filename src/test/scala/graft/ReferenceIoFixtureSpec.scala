@@ -81,6 +81,27 @@ class ReferenceIoFixtureSpec extends SparkFunSuite {
     assert(ds.annotations.filter(col("visible_share") > 1.0).count() == 0)
   }
 
+  test("match_index realigns the reference's reindex fixture to the original ids") {
+    // test_reindex.py::test_match_index: the _reindex variant carries the
+    // same images under different ids; match_index by relative_path must
+    // restore the original image table exactly
+    assume(exists("coco_dataset/annotations_train.json") &&
+      exists("coco_dataset/annotations_train_reindex.json"))
+    val ds1 = Coco.fromCoco(spark, s"$base/coco_dataset/annotations_train.json",
+      split = Some("train"))
+    val ds2 = Coco.fromCoco(spark, s"$base/coco_dataset/annotations_train_reindex.json",
+      split = Some("train"))
+    assert(ds1.images.join(ds2.images, Seq("id", "relative_path")).count()
+      < ds1.numImages) // the fixture really is re-indexed
+    val re = graft.operators.Ids.matchIndex(ds2, ds1, on = "relative_path")
+    def key(ds: graft.model.GraftDataset) = ds.images
+      .select("id", "relative_path", "width", "height")
+      .collect().map(_.toString).sorted.toSeq
+    assert(key(re) == key(ds1))
+    re.validated()
+    assert(re.numAnnotations == ds2.numAnnotations)
+  }
+
   test("partial coco fixtures load (test_partial_coco_io expectations)") {
     assume(exists("coco_dataset/annotations_no_labelmap.json"))
     val noLm = Coco.fromCoco(spark, s"$base/coco_dataset/annotations_no_labelmap.json",
