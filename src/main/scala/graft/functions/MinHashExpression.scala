@@ -24,13 +24,22 @@ import org.apache.spark.sql.types._
   * A spec asserts equality against the aggregate formulation.
   *
   * Null/empty arrays yield null (the aggregate path drops such docs via
-  * its inner join; callers filter `size(sh) > 0` to match). Null elements
-  * are skipped like `min` skips null hashes.
+  * its inner join; callers filter `size(sh) > 0` to match). A null ELEMENT
+  * is hashed the way `xxhash64(s, lit(k))` hashes it: null children leave
+  * the fold at the seed, so the per-position hash is `hashInt(k, 42)` —
+  * bit-identical to the aggregate path even for arrays containing nulls
+  * (unreachable from our shingle producers, which emit containsNull=false,
+  * but the expression is SQL-registered and callable on any array).
   */
 case class MinHashSignature(child: Expression, k: Int)
     extends UnaryExpression {
 
   require(k >= 1, s"k must be positive, got $k")
+
+  // Returns null for empty arrays even when the child is non-nullable;
+  // without this override nullSafeCodeGen would take the non-nullable
+  // branch and the generated `isNull = true` would not compile.
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -45,27 +54,26 @@ case class MinHashSignature(child: Expression, k: Int)
     val n = arr.numElements()
     if (n == 0) return null
     val mins = Array.fill(k)(Long.MaxValue)
-    var any = false
     var i = 0
     while (i < n) {
-      if (!arr.isNullAt(i)) {
-        any = true
-        val s = arr.getUTF8String(i)
-        val h0 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
-          s.numBytes, 42L)
-        var p = 0
-        while (p < k) {
-          val h = XXH64.hashInt(p, h0)
-          if (h < mins(p)) mins(p) = h
-          p += 1
+      // null element → fold stays at the seed, matching xxhash64's
+      // null-child behavior (hashInt(p, 42)), not a skip
+      val h0 =
+        if (arr.isNullAt(i)) 42L
+        else {
+          val s = arr.getUTF8String(i)
+          XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+            s.numBytes, 42L)
         }
+      var p = 0
+      while (p < k) {
+        val h = XXH64.hashInt(p, h0)
+        if (h < mins(p)) mins(p) = h
+        p += 1
       }
       i += 1
     }
-    // the `any` flag, not a value probe: a hash could legitimately be
-    // Long.MaxValue, and the codegen path uses the same flag
-    if (!any) null
-    else new GenericArrayData(mins)
+    new GenericArrayData(mins)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -79,27 +87,26 @@ case class MinHashSignature(child: Expression, k: Int)
       val s = ctx.freshName("s")
       val h0 = ctx.freshName("h0")
       val h = ctx.freshName("h")
-      val any = ctx.freshName("any")
       s"""
          |int $n = $a.numElements();
          |if ($n == 0) { ${ev.isNull} = true; } else {
          |  long[] $mins = new long[$k];
          |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
-         |  boolean $any = false;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    if (!$a.isNullAt($i)) {
-         |      $any = true;
+         |    long $h0;
+         |    if ($a.isNullAt($i)) {
+         |      $h0 = 42L;
+         |    } else {
          |      org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
-         |      long $h0 = $xxh.hashUnsafeBytes($s.getBaseObject(),
+         |      $h0 = $xxh.hashUnsafeBytes($s.getBaseObject(),
          |        $s.getBaseOffset(), $s.numBytes(), 42L);
-         |      for (int $p = 0; $p < $k; $p++) {
-         |        long $h = $xxh.hashInt($p, $h0);
-         |        if ($h < $mins[$p]) $mins[$p] = $h;
-         |      }
+         |    }
+         |    for (int $p = 0; $p < $k; $p++) {
+         |      long $h = $xxh.hashInt($p, $h0);
+         |      if ($h < $mins[$p]) $mins[$p] = $h;
          |    }
          |  }
-         |  if (!$any) { ${ev.isNull} = true; }
-         |  else { ${ev.value} = new $gad($mins); }
+         |  ${ev.value} = new $gad($mins);
          |}
        """.stripMargin
     })

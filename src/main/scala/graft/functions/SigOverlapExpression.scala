@@ -32,6 +32,12 @@ case class SigOverlap(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Returns null for an empty left signature (0/size(0) divides to null in
+  // the built-in) even when both children are non-nullable; without this
+  // override nullSafeCodeGen's non-nullable branch would emit an
+  // `isNull = true` assignment to an undeclared variable.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]

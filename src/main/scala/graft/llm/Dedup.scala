@@ -257,10 +257,12 @@ object Dedup {
       .select(cols.map(c => col(s"__best.`$c`").as(c)): _*)
   }
 
-  /** Connected components over ANY verified near-dup pair frame
-    * (id_a, id_b) — the clustering face of the whole dedup ladder:
-    * MinHash pairs ([[nearDupClusters]]), embedding-cosine pairs
-    * ([[embeddingNearDups]]), SimHash pairs, or an external edge list.
+  /** Connected components over any verified near-dup pair frame
+    * (id_a, id_b) with NUMERIC ids — the clustering face of the whole
+    * dedup ladder: MinHash pairs ([[nearDupClusters]]), embedding-cosine
+    * pairs ([[embeddingNearDups]]), SimHash pairs, or an external edge
+    * list. String ids must be mapped to a numeric surrogate first
+    * (enforced below, matching [[exactDedupKeepBest]]).
     * Every id in `ids` gets `cluster_id` = the smallest transitively
     * reachable id; ids touching no pair self-cluster.
     *
@@ -276,6 +278,15 @@ object Dedup {
   def clusterPairs(ids: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id", driverMaxEdges: Long = 1L << 20): DataFrame = {
     val spark = ids.sparkSession
+    // Same numeric-id contract as exactDedupKeepBest/keepBestPerCluster:
+    // a non-numeric id would cast to null here and NPE on the driver path
+    // (or silently collapse clusters on the distributed path).
+    Seq("id_a" -> pairs, "id_b" -> pairs, idCol -> ids).foreach {
+      case (c, df) =>
+        require(df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+          s"clusterPairs: column '$c' must be numeric (cluster_id is the " +
+            "min reachable id); map string ids to a numeric surrogate first")
+    }
     val p = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
       .localCheckpoint()
     val nEdges = p.count()

@@ -16,11 +16,17 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   /** Inner/left join `fact` with `dim` on `factKey === dimKey`, salted.
-    * Probe-side salt is hash-derived from the whole row's key + a rotating
-    * component so it is deterministic and partitioning-invariant. */
+    * Probe-side salt is `xxhash64` over `saltCols` (default: every fact
+    * column), so it is a pure function of row content — deterministic,
+    * partitioning-invariant, and stable across stage retries, which keeps
+    * Spark's shuffle reuse intact (a `rand()`/`monotonically_increasing_id`
+    * salt would re-derive differently on retry — the same reason
+    * [[graft.llm.Sampling.hashUniform]] rejects `rand()`). Identical rows
+    * land on the same salt; pass a high-cardinality id in `saltCols` when
+    * the fact table carries exact duplicate rows you want spread. */
   def saltedJoin(fact: DataFrame, dim: DataFrame,
       factKey: String, dimKey: String, salts: Int = 8,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner", saltCols: Seq[String] = Nil): DataFrame = {
     require(salts > 0, "salts must be positive")
     // the salting construction is only correct fact-side-preserving:
     // 'right'/'full' would emit each unmatched dim row `salts` times, and
@@ -28,9 +34,10 @@ object SkewJoin {
     require(Set("inner", "left", "leftouter")
       .contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports inner/left joins only, got '$joinType'")
+    val saltInput = (if (saltCols.nonEmpty) saltCols else fact.columns.toSeq)
+      .map(c => col(s"`$c`"))
     val salted = fact.withColumn("__salt",
-      pmod(xxhash64(col(s"`$factKey`"), monotonically_increasing_id()), lit(salts))
-        .cast("int"))
+      pmod(xxhash64(saltInput: _*), lit(salts)).cast("int"))
     val replicated = dim
       .withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
     salted.join(replicated,

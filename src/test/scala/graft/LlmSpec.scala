@@ -814,7 +814,7 @@ class MinHashExpressionSpec extends SparkFunSuite {
     }
   }
 
-  test("empty/null arrays yield null; null elements skipped like min() skips nulls") {
+  test("empty/null arrays yield null; null elements hash like xxhash64 (bit-identity)") {
     val df = Seq(
       (0L, Some(Seq("a", "b"))),
       (1L, Some(Seq.empty[String])),
@@ -823,11 +823,23 @@ class MinHashExpressionSpec extends SparkFunSuite {
     val rows = df.select(GraftFunctions.minhashSig(spark, col("sh"), 8))
       .collect()
     assert(!rows(0).isNullAt(0) && rows(1).isNullAt(0) && rows(2).isNullAt(0))
-    val withNullElem = spark.sql(
+    // a null ELEMENT folds to the seed exactly as xxhash64(NULL, p) does in
+    // the explode→min aggregate path, so sig([a, NULL, b]) must equal the
+    // elementwise min of sig([a, b]) and the null-element hash vector
+    val r = spark.sql(
       "SELECT graft_minhash_sig(array('a', CAST(NULL AS STRING), 'b'), 8) AS s, " +
-        "graft_minhash_sig(array('a', 'b'), 8) AS t")
-    val r = withNullElem.collect()(0)
-    assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+        "graft_minhash_sig(array('a', 'b'), 8) AS t, " +
+        "transform(sequence(0, 7), p -> xxhash64(CAST(NULL AS STRING), p)) AS nh")
+      .collect()(0)
+    val expected = r.getSeq[Long](1).zip(r.getSeq[Long](2))
+      .map { case (a, b) => math.min(a, b) }
+    assert(r.getSeq[Long](0) == expected)
+    // non-nullable children (array literals) through codegen: the empty
+    // array must still null out cleanly — the r6 ADVICE codegen trap
+    val nn = spark.range(2).selectExpr(
+      "graft_minhash_sig(cast(array() as array<string>), 4) AS s",
+      "graft_sig_overlap(cast(array() as array<bigint>), array(1L)) AS o").collect()
+    assert(nn.forall(row => row.isNullAt(0) && row.isNullAt(1)))
   }
 
   test("fused gramStats matches explode→groupBy counts on a random corpus") {

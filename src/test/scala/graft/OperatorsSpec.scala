@@ -440,4 +440,28 @@ class SkewJoinSpec extends SparkFunSuite {
     assert(left.count() == 1000)
     assert(left.filter(col("name").isNull).count() == 9)
   }
+
+  test("salt is a pure function of row content — partitioning-invariant") {
+    val dim = Seq((7L, "hot")).toDF("dk", "name")
+    // same rows under three different physical layouts → identical salted
+    // assignment (the r6 monotonically_increasing_id salt failed exactly
+    // this: its value depended on partition index and row order)
+    def salts(f: org.apache.spark.sql.DataFrame): Set[(Long, Int)] = {
+      val saltInput = f.columns.toSeq.map(c => col(s"`$c`"))
+      f.withColumn("__salt", pmod(xxhash64(saltInput: _*), lit(8)).cast("int"))
+        .collect().map(r => (r.getLong(1), r.getInt(2))).toSet
+    }
+    val fact = spark.range(500).select(
+      when(col("id") < 490, 7L).otherwise(col("id")).as("k"), col("id").as("v"))
+    val base = salts(fact)
+    assert(base == salts(fact.repartition(13, col("v"))))
+    assert(base == salts(fact.coalesce(1)))
+    assert(base.map(_._2).size > 1) // the hot key actually spreads
+    // and the join itself stays correct under a different layout
+    val j1 = graft.operators.SkewJoin
+      .saltedJoin(fact, dim, "k", "dk", salts = 8).count()
+    val j2 = graft.operators.SkewJoin
+      .saltedJoin(fact.repartition(13, col("v")), dim, "k", "dk", salts = 8).count()
+    assert(j1 == j2 && j1 == 490)
+  }
 }
