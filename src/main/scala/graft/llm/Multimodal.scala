@@ -12,10 +12,13 @@ import org.apache.spark.sql.types._
   * native-library init across the partition — the Scala analogue of a
   * batched `mapInPandas`). Image decode is REAL (`javax.imageio`, JDK
   * built-in JPEG/PNG/GIF/BMP — [[decodeImages]]); audio header decode is
-  * REAL (`javax.sound.sampled`, WAV/AIFF/AU — [[decodeAudio]]); the 8-dim
-  * byte-statistic feature kernel is kept alongside as an oracle-exact
-  * plumbing check, and video codecs (not in the JDK) remain deterministic
-  * stubs.
+  * REAL (`javax.sound.sampled`, WAV/AIFF/AU — [[decodeAudio]]); multi-frame
+  * sampling is REAL for every ImageIO-readable container, which includes
+  * animated GIF (`ImageReader.getNumImages(true)`/`read(i)` —
+  * [[decodeFrames]]); the 8-dim byte-statistic feature kernel is kept
+  * alongside as an oracle-exact plumbing check, and the byte-slicing
+  * [[sampleFrames]] stub remains only for genuinely codec-less containers
+  * (MP4/WebM — no decoder ships in the JDK).
   */
 object Multimodal {
 
@@ -68,21 +71,8 @@ object Multimodal {
         catch { case _: Exception => null }
     if (img == null) DecodedImage(id, n, fmt, decode_ok = false, 0, 0, 0, Array.empty)
     else {
-      val raster = img.getRaster
-      val w = img.getWidth; val h = img.getHeight; val c = raster.getNumBands
-      val sums = new Array[Double](c)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          var b = 0
-          while (b < c) { sums(b) += raster.getSample(x, y, b); b += 1 }
-          x += 1
-        }
-        y += 1
-      }
-      val px = w.toLong * h
-      DecodedImage(id, n, fmt, decode_ok = true, w, h, c, sums.map(_ / px))
+      val (w, h, c, means) = rasterStats(img)
+      DecodedImage(id, n, fmt, decode_ok = true, w, h, c, means)
     }
   }
 
@@ -202,10 +192,104 @@ object Multimodal {
       .mapPartitions(_.map { case (id, payload) => decodeAudioKernel(id, payload) })
   }
 
+  /** One sampled, decoded frame of a multi-frame payload. `frame_idx` is
+    * the frame's index within the container (not the sample ordinal);
+    * `n_frames` the container's total frame count. */
+  case class DecodedFrame(
+      media_id: Long, n_bytes: Int, format: String,
+      frame_idx: Int, n_frames: Int, decode_ok: Boolean,
+      width: Int, height: Int, channels: Int, mean_channel: Array[Double])
+
+  /** Raster walk shared by the image and frame kernels: dims, band count,
+    * exact per-band sample means (double accumulation, one fixed order). */
+  private def rasterStats(img: java.awt.image.BufferedImage)
+      : (Int, Int, Int, Array[Double]) = {
+    val raster = img.getRaster
+    val w = img.getWidth; val h = img.getHeight; val c = raster.getNumBands
+    val sums = new Array[Double](c)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var b = 0
+        while (b < c) { sums(b) += raster.getSample(x, y, b); b += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    val px = w.toLong * h
+    (w, h, c, sums.map(_ / px))
+  }
+
+  /** REAL multi-frame decode kernel: ImageIO's reader API is multi-image
+    * (`getNumImages(true)` / `read(i)`), so animated GIF — a JDK-decodable
+    * multi-frame container — decodes frame by frame with no external codec;
+    * single-image containers (PNG/JPEG/BMP) emit one frame. Samples
+    * `min(n, total)` frames at evenly spaced indices `k·total/n` (all
+    * frames when `total ≤ n`), emitting real dims + per-band means per
+    * frame. Fail-closed like [[decodeImageKernel]]: unreadable/empty
+    * payloads yield ONE decode_ok=false row, never an exception, so the
+    * per-video fan-out stays bounded and a corrupt blob can't kill a
+    * 100-TB stage. Palette formats decode to a 1-band indexed raster
+    * (means are palette indices — same raster semantics as
+    * [[decodeImageKernel]], spec-asserted). */
+  def decodeFramesKernel(id: Long, payload: Array[Byte], n: Int): Seq[DecodedFrame] = {
+    require(n >= 1, s"n must be positive, got $n")
+    val nb = if (payload == null) 0 else payload.length
+    val fmt = sniffFormat(payload)
+    def fail = Seq(DecodedFrame(id, nb, fmt, 0, 0, decode_ok = false, 0, 0, 0, Array.empty))
+    if (nb == 0) fail
+    else {
+      var iis: javax.imageio.stream.ImageInputStream = null
+      try {
+        iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) fail
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val total = reader.getNumImages(true)
+            if (total <= 0) fail
+            else {
+              val indices =
+                if (total <= n) 0 until total
+                else (0 until n).map(k => (k.toLong * total / n).toInt)
+              indices.map { idx =>
+                val (w, h, c, means) = rasterStats(reader.read(idx))
+                DecodedFrame(id, nb, fmt, idx, total, decode_ok = true, w, h, c, means)
+              }
+            }
+          } finally reader.dispose()
+        }
+      } catch { case _: Exception => fail }
+      finally if (iis != null) iis.close()
+    }
+  }
+
+  /** Distributed REAL frame sampling over (media_id, payload) rows — the
+    * production face of [[decodeFramesKernel]], same partitioning contract
+    * as [[decodeImages]]. Output is one row per sampled frame (fail-closed
+    * rows keep exactly one row per unreadable payload). */
+  def decodeFrames(media: DataFrame, n: Int = 4, partitions: Int = 0): Dataset[DecodedFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val src = if (partitions > 0) media.repartition(partitions, col("media_id")) else media
+    src.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, payload) => decodeFramesKernel(id, payload, n) }
+      }
+  }
+
   /** Frame-sampling plumbing for video rows: emit `n` (media_id, frame_idx,
-    * frame_payload) rows per video. The frame extraction itself is the same
-    * stub (slices of the payload); the fan-out shape — one row per sampled
-    * frame, order-stable — is the real contract. */
+    * frame_payload) rows per video. For ImageIO-decodable containers
+    * (animated GIF) use [[decodeFrames]] — the REAL kernel. This byte-slice
+    * stub remains only for codec-less containers (MP4/WebM: no JDK
+    * decoder); the fan-out shape — one row per sampled frame, order-stable
+    * — is the real contract it checks. */
   def sampleFrames(media: DataFrame, n: Int = 4): DataFrame = {
     val frames = sequence(lit(0), lit(n - 1))
     media.filter(col("media_type") === "video")

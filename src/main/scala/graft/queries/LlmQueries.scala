@@ -557,6 +557,62 @@ object LlmQueries extends graft.QueryModule {
         .select(col("media_id"), col("format"), col("decode_ok"),
           col("sample_rate"), col("channels"), col("bits"),
           col("n_frames"), col("duration_ms"))
+    }),
+
+    // REAL video-frame sampling (animated GIF through ImageIO's multi-image
+    // reader — the one multi-frame container the JDK can decode). Fixture:
+    // per subset image id, (id/100)%4 plants an animated GIF with
+    // 3 + id%4 frames (each frame solid palette index (id*7 + i*13)%256
+    // over an identity grayscale palette, so decoded means ARE the planted
+    // values), a corrupt payload, or null. Kernel samples 3 evenly spaced
+    // frames (k*total/3); GIF is lossless so every emitted number is
+    // integer arithmetic the oracle reproduces exactly
+    "q105_video_frames" -> ((s, d) => {
+      import java.awt.image.{BufferedImage, IndexColorModel}
+      val ids = graft.operators.Locators.filterImages(
+        graft.operators.Locators.getSplit(Tables.datasetView(s, d), Some("P")),
+        col("id") % 100 === 0).images
+        .select(col("id")).collect().map(_.getLong(0)).sorted
+      val gray = Array.tabulate(256)(_.toByte)
+      val icm = new IndexColorModel(8, 256, gray, gray, gray)
+      def frame(w: Int, h: Int, v: Int): BufferedImage = {
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, icm)
+        val r = img.getRaster
+        var y = 0
+        while (y < h) { var x = 0; while (x < w) { r.setSample(x, y, 0, v); x += 1 }; y += 1 }
+        img
+      }
+      def animatedGif(w: Int, h: Int, values: Seq[Int]): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        wr.setOutput(ios)
+        wr.prepareWriteSequence(null)
+        values.foreach { v =>
+          wr.writeToSequence(new javax.imageio.IIOImage(frame(w, h, v), null, null), null)
+        }
+        wr.endWriteSequence(); wr.dispose(); ios.close()
+        bos.toByteArray
+      }
+      val rows: Seq[(Long, Array[Byte])] = ids.toSeq.map { id =>
+        // h >= 5: the JDK GIF writer corrupts the last row of height-4
+        // images (full w=4..16 × h=4..14 scan, round 7); h=5.. is clean
+        val w = (4 + id % 9).toInt; val h = (5 + (id / 9) % 7).toInt
+        val total = (3 + id % 4).toInt
+        val payload: Array[Byte] = (id / 100) % 4 match {
+          case 0 | 1 => animatedGif(w, h,
+            (0 until total).map(i => ((id * 7 + i * 13) % 256).toInt))
+          case 2 => s"not_a_video_$id".getBytes("US-ASCII")
+          case _ => null
+        }
+        (id, payload)
+      }
+      import s.implicits._
+      graft.llm.Multimodal.decodeFrames(rows.toDF("media_id", "payload"), n = 3).toDF()
+        .select(col("media_id"), col("format"), col("frame_idx"),
+          col("n_frames"), col("decode_ok"), col("width"), col("height"),
+          col("channels"),
+          when(col("decode_ok"), element_at(col("mean_channel"), 1)).as("m0"))
     })
   )
 
@@ -1228,6 +1284,36 @@ object LlmQueries extends graft.QueryModule {
          |  CAST(CASE WHEN k <= 1 THEN fr ELSE 0 END AS BIGINT) AS n_frames,
          |  CAST(CASE WHEN k <= 1 THEN fr * 1000 // sr ELSE 0 END AS BIGINT)
          |    AS duration_ms
-         |FROM sub""".stripMargin
+         |FROM sub""".stripMargin,
+
+    // planted animated-GIF arithmetic: b=(id/100)%4 selects gif/corrupt/
+    // null, valid payloads carry 3+id%4 frames and the kernel samples 3 at
+    // evenly spaced indices k*total//3; frame i is solid palette index
+    // (id*7 + i*13)%256 over an identity grayscale palette, so the decoded
+    // 1-band mean is exactly that index. Corrupt/null rows: one fail-closed
+    // row with zeroed dims
+    "q105_video_frames" ->
+      s"""${Tables.viewCte},
+         |sub AS (SELECT id, (id // 100) % 4 AS b,
+         |               CAST(3 + id % 4 AS INT) AS total,
+         |               CAST(4 + id % 9 AS INT) AS w,
+         |               CAST(5 + (id // 9) % 7 AS INT) AS h
+         |        FROM images WHERE split = 'P' AND id % 100 = 0),
+         |fr AS (SELECT *,
+         |         unnest(CASE WHEN b <= 1 THEN [0, 1, 2] ELSE [0] END) AS k
+         |       FROM sub)
+         |SELECT id AS media_id,
+         |  CASE WHEN b <= 1 THEN 'gif' ELSE 'unknown' END AS format,
+         |  CAST(CASE WHEN b <= 1 THEN k * total // 3 ELSE 0 END AS INT)
+         |    AS frame_idx,
+         |  CAST(CASE WHEN b <= 1 THEN total ELSE 0 END AS INT) AS n_frames,
+         |  b <= 1 AS decode_ok,
+         |  CAST(CASE WHEN b <= 1 THEN w ELSE 0 END AS INT) AS width,
+         |  CAST(CASE WHEN b <= 1 THEN h ELSE 0 END AS INT) AS height,
+         |  CAST(CASE WHEN b <= 1 THEN 1 ELSE 0 END AS INT) AS channels,
+         |  CASE WHEN b <= 1
+         |       THEN CAST((id * 7 + (k * total // 3) * 13) % 256 AS DOUBLE)
+         |  END AS m0
+         |FROM fr""".stripMargin
   )
 }

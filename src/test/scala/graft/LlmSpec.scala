@@ -592,6 +592,72 @@ class MultimodalSpec extends SparkFunSuite {
     assert(sizes.forall(_ == 16))
   }
 
+  private def animatedGif(w: Int, h: Int, values: Seq[Int]): Array[Byte] = {
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    val gray = Array.tabulate(256)(_.toByte)
+    val icm = new IndexColorModel(8, 256, gray, gray, gray)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    wr.setOutput(ios)
+    wr.prepareWriteSequence(null)
+    values.foreach { v =>
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, icm)
+      val r = img.getRaster
+      for (y <- 0 until h; x <- 0 until w) r.setSample(x, y, 0, v)
+      wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    wr.endWriteSequence(); wr.dispose(); ios.close()
+    bos.toByteArray
+  }
+
+  test("decodeFramesKernel: animated GIF decodes real frames with exact means") {
+    // 5 frames, sample 3 → evenly spaced indices k*5/3 = 0, 1, 3
+    val payload = animatedGif(8, 6, Seq(17, 113, 240, 55, 201))
+    val frames = Multimodal.decodeFramesKernel(1L, payload, n = 3)
+    assert(frames.map(_.frame_idx) == Seq(0, 1, 3))
+    assert(frames.forall(f => f.decode_ok && f.format == "gif" &&
+      f.n_frames == 5 && f.width == 8 && f.height == 6 && f.channels == 1))
+    // identity grayscale palette → decoded sample == planted palette index
+    // (sampled frames 0, 1, 3 carry planted values 17, 113, 55)
+    assert(frames.map(_.mean_channel.head) == Seq(17.0, 113.0, 55.0))
+    // total <= n → every frame (h >= 5: the JDK GIF writer corrupts the
+    // last row of height-4 images — scanned in round 7)
+    val all = Multimodal.decodeFramesKernel(2L, animatedGif(4, 5, Seq(9, 8)), n = 3)
+    assert(all.map(_.frame_idx) == Seq(0, 1))
+    assert(all.map(_.mean_channel.head) == Seq(9.0, 8.0))
+  }
+
+  test("decodeFramesKernel: single-image container emits one frame; garbage fails closed") {
+    import java.awt.image.BufferedImage
+    val png = new BufferedImage(5, 3, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 3; x <- 0 until 5) png.setRGB(x, y, (10 << 16) | (20 << 8) | 30)
+    val one = Multimodal.decodeFramesKernel(1L, encode(png, "png"), n = 4)
+    assert(one.length == 1 && one.head.n_frames == 1 && one.head.decode_ok)
+    assert(one.head.mean_channel.toSeq == Seq(10.0, 20.0, 30.0))
+    for (bad <- Seq("junk".getBytes("US-ASCII"), null, Array.empty[Byte])) {
+      val f = Multimodal.decodeFramesKernel(9L, bad, n = 4)
+      assert(f.length == 1 && !f.head.decode_ok && f.head.n_frames == 0)
+    }
+  }
+
+  test("decodeFrames distributes the kernel and preserves per-payload fan-out") {
+    val rows = Seq(
+      (0L, animatedGif(4, 5, Seq(1, 2, 3, 4, 5, 6, 7))), // 7 frames → 3 sampled
+      (1L, animatedGif(4, 5, Seq(42))),                   // 1 frame
+      (2L, "nope".getBytes("US-ASCII")),                  // fail-closed row
+      (3L, null.asInstanceOf[Array[Byte]])
+    ).toDF("media_id", "payload")
+    val out = Multimodal.decodeFrames(rows, n = 3, partitions = 2)
+      .collect().sortBy(f => (f.media_id, f.frame_idx))
+    assert(out.count(_.media_id == 0L) == 3)
+    assert(out.filter(_.media_id == 0L).map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    assert(out.filter(_.media_id == 0L).map(_.mean_channel.head).toSeq == Seq(1.0, 3.0, 5.0))
+    assert(out.count(_.media_id == 1L) == 1 && out.find(_.media_id == 1L).get.decode_ok)
+    assert(out.filter(f => f.media_id >= 2L).forall(f => !f.decode_ok))
+    assert(out.length == 6)
+  }
+
   test("resizeMeta rewrites the meta struct") {
     val m = media().withColumn("meta", struct(lit(100).as("width"), lit(50).as("height"),
       lit(0L).as("duration_ms"), lit("png").as("format")))
