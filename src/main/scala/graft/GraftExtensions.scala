@@ -8,9 +8,11 @@ import graft.functions.{CosineSimilarity, GramStats, HyperplaneSignature, MinHas
 
 /** SparkSessionExtensions entry point: injects the engine's native
   * functions at session build time, so clusters configured with
-  * `spark.sql.extensions=graft.GraftExtensions` get `graft_cosine`,
-  * `graft_hyperplane_sig`, `graft_minhash_sig` and `graft_simhash64` in
-  * every session without imperative registration.
+  * `spark.sql.extensions=graft.GraftExtensions` get all seven —
+  * `graft_cosine`, `graft_hyperplane_sig`, `graft_minhash_sig`,
+  * `graft_simhash64`, `graft_gram_stats`, `graft_sig_overlap`, and
+  * `graft_word_shingles` — in every session without imperative
+  * registration.
   *
   * ```
   * SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()

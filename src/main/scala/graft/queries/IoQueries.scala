@@ -116,7 +116,9 @@ object IoQueries extends graft.QueryModule {
     }),
 
     // §2.1 CrowdHuman: ODGT JSONL constructed by Spark's json writer;
-    // person/head fan-out, non-person tags dropped, visible share derived
+    // person/head fan-out, mask tags dropped, extra.ignore drops both rows,
+    // head_attr.ignore drops the head, vbox person boxes, NaN head share,
+    // extra/head_attr attribute carry-through (unsure null→0)
     "q53_crowdhuman_io" -> ((s, d) => {
       val ann = Tables.annotationsView(s, d).filter(col("image_id") % 20 === 0)
       val dir = tmp("graft_ch_io")
@@ -130,15 +132,23 @@ object IoQueries extends graft.QueryModule {
             col("box_width") / 2, col("box_height")).as("vbox"),
           when(col("category_id") % 2 === 0,
             array(col("box_x_min"), col("box_y_min"),
-              col("box_width") / 4, col("box_height") / 4)).as("hbox")).as("b"))
+              col("box_width") / 4, col("box_height") / 4)).as("hbox"),
+          struct((col("category_id") % 7 === 3).cast("long").as("ignore"),
+            (col("id") % 3).as("occ")).as("extra"),
+          struct((col("category_id") % 5 === 2).cast("long").as("ignore"),
+            (col("id") % 2).as("unsure")).as("head_attr")).as("b"))
         .groupBy("ID").agg(collect_list(col("b")).as("gtboxes"))
         .write.mode("overwrite").json(dir)
-      val back = CrowdHuman.fromCrowdHuman(s, dir)
+      // huge dims: cap_bounding_box_coordinates must be a no-op here
+      val back = CrowdHuman.fromCrowdHuman(s, dir,
+        imageWidth = 1000000, imageHeight = 1000000)
       back.annotations.groupBy(col("category_id"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("box_width")), 2).as("w_sum"),
-          round(sum(col("visible_share")), 4).as("vs_sum"),
-          countDistinct(col("image_id")).as("n_images"))
+          round(sum(nanvl(col("visible_share"), lit(-1.0))), 4).as("vs_sum"),
+          countDistinct(col("image_id")).as("n_images"),
+          sum(col("occ")).as("occ_sum"),
+          sum(col("unsure")).as("unsure_sum"))
     }),
 
     // §2.1 PascalVOC: per-image XML constructed row-wise (string building,
@@ -392,16 +402,21 @@ object IoQueries extends graft.QueryModule {
 
     "q53_crowdhuman_io" -> (
       s"""$viewCte,
-         |src AS (SELECT * FROM annotations WHERE image_id % 20 = 0),
+         |kept AS (SELECT * FROM annotations
+         |  WHERE image_id % 20 = 0 AND category_id < 5 AND category_id % 7 <> 3),
          |person AS (
-         |  SELECT 0 AS category_id, box_width AS w, 0.5 AS vs, image_id
-         |  FROM src WHERE category_id < 5),
+         |  SELECT 0 AS category_id, box_width / 2 AS w, 0.5 AS vs, image_id,
+         |         id % 3 AS occ, 0 AS unsure
+         |  FROM kept),
          |head AS (
-         |  SELECT 1 AS category_id, box_width / 4 AS w, 1.0 AS vs, image_id
-         |  FROM src WHERE category_id < 5 AND category_id % 2 = 0)
+         |  SELECT 1 AS category_id, box_width / 4 AS w, -1.0 AS vs, image_id,
+         |         id % 3 AS occ, id % 2 AS unsure
+         |  FROM kept WHERE category_id % 2 = 0 AND category_id % 5 <> 2)
          |SELECT category_id, count(*) AS n, round(sum(w), 2) AS w_sum,
          |       round(sum(vs), 4) AS vs_sum,
-         |       count(DISTINCT image_id) AS n_images
+         |       count(DISTINCT image_id) AS n_images,
+         |       CAST(sum(occ) AS BIGINT) AS occ_sum,
+         |       CAST(sum(unsure) AS BIGINT) AS unsure_sum
          |FROM (SELECT * FROM person UNION ALL SELECT * FROM head)
          |GROUP BY category_id""".stripMargin),
 

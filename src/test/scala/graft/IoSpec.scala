@@ -266,8 +266,17 @@ class OtherFormatsSpec extends SparkFunSuite {
     val ds = CrowdHuman.fromCrowdHuman(spark, s"$dir/ann.odgt")
     assert(ds.numImages == 2)
     assert(ds.numAnnotations == 4) // 2 persons + 2 heads, mask dropped
-    val person = ds.annotations.filter(col("category_id") === 0 && col("box_width") === 100.0)
+    // person rows carry the VISIBLE box by default (visible_box=True,
+    // crowd_human.py:97-99): img_a's person is the 50-wide vbox, share 0.5
+    val person = ds.annotations.filter(col("category_id") === 0 && col("box_width") === 50.0)
     assert(person.select("visible_share").collect()(0).getDouble(0) == 0.5)
+    // the full (possibly occluded) box on request
+    val full = CrowdHuman.fromCrowdHuman(spark, s"$dir/ann.odgt", visibleBox = false)
+    assert(full.annotations
+      .filter(col("category_id") === 0 && col("box_width") === 100.0).count() == 1)
+    // head visible share is NaN by definition (crowd_human.py:104-106)
+    assert(ds.annotations.filter(col("category_id") === 1)
+      .filter(!isnan(col("visible_share"))).count() == 0)
   }
 
   test("fromPascalVoc parses XML objects and infers the label map") {

@@ -77,6 +77,56 @@ class ReferenceFixtureSpec extends SparkFunSuite {
     assert(completed.labelMap.nonEmpty || noLm.numAnnotations == 0)
   }
 
+  test("AP on the reference's random fixture matches its own kernels (3 ious)") {
+    // Golden values computed by tools/ref_ap_golden.py, which runs the
+    // REFERENCE'S OWN construct_matches_df + pr_curve +
+    // compute_average_precision (evaluation/detection/util.py) with the
+    // evaluator's exact orchestration (detection_evaluator.py:554-650) on
+    // this same fixture pair — the stored-fixture AP loop test_pr.py:14-41
+    // drives through pycocotools.
+    assume(available)
+    val (gt, pr) = load()
+    val ev = new graft.eval.DetectionEvaluator(
+      gt.images, gt.annotations, Map("m" -> pr.annotations), gt.labelMap)
+    val golden = Map( // (category_id, iou) -> reference AP
+      (0, 0.0) -> 0.953636364, (1, 0.0) -> 0.720000000,
+      (0, 0.2) -> 0.456666667, (1, 0.2) -> 0.477000000,
+      (0, 0.5) -> 0.000000000, (1, 0.5) -> 0.090000000)
+    for (iou <- Seq(0.0, 0.2, 0.5)) {
+      val (_, ap) = ev.precisionRecall("m", minIou = iou)
+      val got = ap.select("category_id", "AP").collect()
+        .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      for (((cat, i), want) <- golden if i == iou) {
+        val have = got.getOrElse(cat,
+          fail(s"no AP row for category $cat at iou $iou"))
+        assert(math.abs(have - want) < 1e-6,
+          s"AP(category=$cat, iou=$iou): spark=$have reference=$want")
+      }
+    }
+  }
+
+  test("PR with mismatched label maps spans gt-only and pred-only categories") {
+    // test_pr.py:44-64 (test_pr_different_label_maps): remap predictions
+    // {0: 2} so gt carries {0, 1} and predictions carry {2}; the PR curve
+    // must cover all three categories — gt-only classes as pure false
+    // negatives, the pred-only class as pure false positives — not raise.
+    assume(available)
+    val (gt, pr) = load()
+    val remapped = graft.operators.Remap.remapClasses(pr, Map(0 -> 2))
+    val ev = new graft.eval.DetectionEvaluator(
+      gt.images, gt.annotations, Map("m" -> remapped.annotations),
+      gt.labelMap ++ remapped.labelMap)
+    val (prCurve, ap) = ev.precisionRecall("m", minIou = 0.0)
+    val cats = prCurve.select("category_id").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(cats == Set(0, 1, 2))
+    // nothing can match across disjoint category sets → every AP is 0
+    val aps = ap.select("category_id", "AP").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(aps.keySet == Set(0, 1, 2))
+    assert(aps.values.forall(_ == 0.0), s"expected all-zero APs, got $aps")
+  }
+
   test("self-prediction confusion matrix is the identity (reference test shape)") {
     // test_confusion_matrix.py::test_confusion_matrix_identical: gt as its
     // own predictions (confidence 1) → identity matrix at min_iou 0 AND 0.8

@@ -78,7 +78,13 @@ class ReferenceIoFixtureSpec extends SparkFunSuite {
     val cats = ds.annotations.select("category_id").distinct()
       .collect().map(_.getInt(0)).sorted
     assert(cats.toSeq == Seq(0, 1)) // person + head
-    assert(ds.annotations.filter(col("visible_share") > 1.0).count() == 0)
+    // person shares are real ratios; head shares are NaN by definition
+    // ("we don't know how visible each head is", crowd_human.py:104-106)
+    assert(ds.annotations.filter(col("category_id") === 0)
+      .filter(isnan(col("visible_share")) || col("visible_share") > 1.0)
+      .count() == 0)
+    assert(ds.annotations.filter(col("category_id") === 1)
+      .filter(!isnan(col("visible_share"))).count() == 0)
   }
 
   test("match_index realigns the reference's reindex fixture to the original ids") {
@@ -143,6 +149,161 @@ class ReferenceIoFixtureSpec extends SparkFunSuite {
         round(col("box_x_min"), 3), round(col("box_width"), 3))
       .collect().map(_.toString).sorted.toSeq
     assert(contentKey(merged) == contentKey(graft.operators.Merge.union(ds2, ds1)))
+  }
+
+  // ---- round-trip matrix on the reference's own fixture trees ----
+  // (test_io.py:38-129 semantics: load the reference's files, write through
+  // our sinks, reload, assert dataset equality — ignore_index where the
+  // format drops ids, exactly as the reference's own asserts do)
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  /** assert_dataset_equal(..., ignore_index=True) analogue: image-content
+    * keyed annotation multiset (path + category name + boxes), id-free. */
+  private def contentKey(ds: graft.model.GraftDataset): Seq[String] = ds.annotations
+    .join(ds.images.select(col("id").as("__iid"), col("relative_path")),
+      col("image_id") === col("__iid"))
+    .select(col("relative_path"), col("category_str"),
+      round(col("box_x_min"), 4), round(col("box_y_min"), 4),
+      round(col("box_width"), 4), round(col("box_height"), 4))
+    .collect().map(_.toString).sorted.toSeq
+
+  test("caipy fixture: to_caipy → from_caipy round-trip is dataset-equal") {
+    assume(exists("caipy_dataset/Annotations/train"))
+    val ds = Caipy.fromCaipy(spark, s"$base/caipy_dataset")
+    assert(ds.numImages == 4 && ds.numAnnotations == 30)
+    val t = tmpDir("ref_caipy_rt")
+    Caipy.toCaipy(ds, t)
+    val back = Caipy.fromCaipy(spark, t)
+    assert(graft.operators.Diff.datasetsEqual(ds, back),
+      "caipy → caipy round-trip lost content")
+  }
+
+  test("caipy fixture: to_coco → from_coco per split merges back equal") {
+    assume(exists("caipy_dataset/Annotations/train"))
+    val ds = Caipy.fromCaipy(spark, s"$base/caipy_dataset")
+    val t = tmpDir("ref_caipy_coco_rt")
+    val written = Coco.toCoco(ds, t) // one <name>_<split>.json per split
+    def splitFile(s: String) = written.find(_.endsWith(s"_$s.json"))
+      .getOrElse(fail(s"toCoco wrote no file for split $s (got $written)"))
+    val backTrain = Coco.fromCoco(spark, splitFile("train"), split = Some("train"))
+    val backValid = Coco.fromCoco(spark, splitFile("valid"), split = Some("valid"))
+    val merged = graft.operators.Merge.union(backTrain, backValid)
+    assert(merged.numImages == ds.numImages)
+    assert(merged.numAnnotations == ds.numAnnotations)
+    assert(contentKey(merged) == contentKey(ds),
+      "caipy → coco → merge round-trip lost content")
+  }
+
+  test("caipy fixture: to_darknet / to_yolov5 round-trips (ignore_index)") {
+    assume(exists("caipy_dataset/Annotations/train"))
+    val ds = Caipy.fromCaipy(spark, s"$base/caipy_dataset")
+    val names = ds.labelMap.toSeq.sortBy(_._1).map(_._2)
+    val t1 = tmpDir("ref_caipy_darknet_rt")
+    Darknet.toDarknet(ds, t1)
+    val backDk = Darknet.fromDarknet(spark, s"$t1/labels", ds.images, names)
+    assert(contentKey(backDk) == contentKey(ds),
+      "caipy → darknet round-trip lost content")
+    val t2 = tmpDir("ref_caipy_yolo_rt")
+    Yolov5.toYolov5(ds, t2)
+    val backY5 = DarknetConfig.fromDataYaml(spark, s"$t2/data.yaml", s"$t2/labels",
+      ds.images)
+    assert(contentKey(backY5) == contentKey(ds),
+      "caipy → yolov5 round-trip lost content")
+  }
+
+  test("caipy fixture: to_parquet → from_parquet round-trip is dataset-equal") {
+    assume(exists("caipy_dataset/Annotations/train"))
+    val ds = Caipy.fromCaipy(spark, s"$base/caipy_dataset")
+    val t = tmpDir("ref_caipy_parquet_rt")
+    ParquetIO.write(ds, t, overwrite = true)
+    val back = ParquetIO.read(spark, t)
+    assert(graft.operators.Diff.datasetsEqual(ds, back),
+      "caipy → parquet round-trip lost content")
+  }
+
+  test("darknet fixture: full 4-image load + to_darknet round-trip") {
+    assume(exists("darknet_dataset/classes.names"))
+    val names = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(s"$base/darknet_dataset/classes.names"))
+      .toArray.map(_.toString.trim).filter(_.nonEmpty).toSeq
+    def loadSplit(split: String) = {
+      val imgs = ImagesFolder.fromFolder(spark, s"$base/darknet_dataset/$split", "*.jpg")
+      Darknet.fromDarknet(spark, s"$base/darknet_dataset/$split",
+        imgs.images, names, split = Some(split))
+    }
+    val ds = graft.operators.Merge.union(loadSplit("train"), loadSplit("valid"))
+    // test_darknet_io: len(dataset) == 4, len_annot() == 30
+    assert(ds.numImages == 4 && ds.numAnnotations == 30)
+    ds.validated()
+    val t = tmpDir("ref_darknet_rt")
+    Darknet.toDarknet(ds, t)
+    val back = Darknet.fromDarknet(spark, s"$t/labels", ds.images, names)
+    assert(contentKey(back) == contentKey(ds),
+      "darknet fixture round-trip lost content")
+  }
+
+  test("yolov5 fixture: yaml load + to_yolov5 round-trip") {
+    assume(exists("yolov5_dataset/yolov5.yaml"))
+    val (_, names) = DarknetConfig.parseDataYaml(s"$base/yolov5_dataset/yolov5.yaml")
+    def loadSplit(split: String) = {
+      val imgs = ImagesFolder.fromFolder(spark,
+        s"$base/yolov5_dataset/$split/images", "*.jpg")
+      Darknet.fromDarknet(spark, s"$base/yolov5_dataset/$split/labels",
+        imgs.images, names, split = Some(split))
+    }
+    val ds = graft.operators.Merge.union(loadSplit("train"), loadSplit("valid"))
+    // test_yolov5_io: len(dataset) == 4, len_annot() == 30
+    assert(ds.numImages == 4 && ds.numAnnotations == 30)
+    ds.validated()
+    val t = tmpDir("ref_yolo_rt")
+    Yolov5.toYolov5(ds, t)
+    val back = DarknetConfig.fromDataYaml(spark, s"$t/data.yaml", s"$t/labels", ds.images)
+    assert(contentKey(back) == contentKey(ds),
+      "yolov5 fixture round-trip lost content")
+  }
+
+  test("pascalvoc fixture: generic split-folder load + detection variant counts") {
+    assume(exists("pascalvoc_dataset/ImageSets/Main"))
+    // test_pascalvoc: generic = 6 images / 21 annots (15 objects + 6 parts),
+    // splits {train, val, NA}; detection = 5 images / 18 annots
+    val generic = PascalVoc.fromPascalVoc(spark,
+      s"$base/pascalvoc_dataset/Annotations",
+      splitFolder = Some(s"$base/pascalvoc_dataset/ImageSets/Main"))
+    assert(generic.numImages == 6)
+    assert(generic.numAnnotations == 21)
+    val splits = generic.images.select("split").distinct()
+      .collect().map(r => Option(r.getString(0))).toSet
+    assert(splits == Set(Some("train"), Some("val"), None))
+    // parts carry a body_id pointing at an existing root annotation
+    val partRows = generic.annotations.filter(col("body_id").isNotNull)
+    assert(partRows.count() == 6)
+    assert(partRows.join(
+      generic.annotations.select(col("id").as("__rid")),
+      col("body_id") === col("__rid"), "left_anti").count() == 0)
+    val detection = PascalVoc.fromPascalVocDetection(spark, s"$base/pascalvoc_dataset")
+    assert(detection.numImages == 5)
+    assert(detection.numAnnotations == 18)
+  }
+
+  test("mot fixture: head-category load matches reference counts") {
+    assume(exists("mot_dataset/gt.txt"))
+    // test_mot: category head/0 → 2 images, 80 annotations
+    val ds = Mot.fromMot(spark, s"$base/mot_dataset/gt.txt",
+      categoryId = 0, categoryStr = "head")
+    assert(ds.numImages == 2)
+    assert(ds.numAnnotations == 80)
+    assert(ds.labelMap == Map(0 -> "head"))
+  }
+
+  test("crowdhuman fixture: person+head explode matches reference counts") {
+    assume(exists("crowdhuman_dataset/crowdhuman_train.odgt"))
+    // test_crowd_human: 3 images, 113 annotations
+    val ds = CrowdHuman.fromCrowdHuman(spark,
+      s"$base/crowdhuman_dataset/crowdhuman_train.odgt")
+    assert(ds.numImages == 3)
+    assert(ds.numAnnotations == 113)
   }
 
   test("remap: the reference's own remap.csv reproduces its test expectations") {
