@@ -444,6 +444,15 @@ object Dedup {
     *     [[embeddingBucketStats]]; a caller seeing `star` rows should
     *     raise planes/bands or whiten the embeddings (SCALE.md).
     *
+    * The cap is also what keeps GROWTH linear: per band a bucket of size
+    * m ≤ cap contributes ≤ m·cap/2 pairs, so total candidates are bounded
+    * by bands·n·cap/2 — O(n) for a fixed cap. The r7 scale harness
+    * (graft.Scale) measured the old 4096 default at 36.6× wall growth for
+    * 10× vectors (20k corpus / 16 buckets per band ≈ 1250-row buckets slip
+    * under a 4096 cap with quadratic pair volume); cap 256 restores
+    * near-linear growth because the refine stage starts splitting exactly
+    * when average occupancy passes it.
+    *
     * Measured at sf0.1 (2020 vectors, cap 256, 12 refine bits): 1.73M raw
     * candidates → 126k, max refined bucket 92, zero star buckets. All
     * decisions are integer arithmetic + counts, so the DuckDB oracle (q59)
@@ -451,7 +460,7 @@ object Dedup {
   def embeddingNearDups(embs: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id", threshold: Double = 0.95,
       planes: Int = 16, bands: Int = 4,
-      maxBucketSize: Int = 4096, refinePlanes: Int = 12,
+      maxBucketSize: Int = 256, refinePlanes: Int = 12,
       whiten: Boolean = false,
       storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(planes + refinePlanes <= 62, "signature exceeds 62 bits")
@@ -519,6 +528,30 @@ object Dedup {
     * spaces by construction). A refined bucket STILL over the cap does not
     * vanish: its rows pair against the bucket's min-id representative
     * (star repair — linear, so the per-bucket bound survives). */
+
+  /** Adaptive refine width: re-key an oversized bucket of n rows on just
+    * enough of the refine bits to bring expected sub-occupancy back under
+    * the cap — `bits = ceil(log2(ceil(n / cap)))`, clamped to
+    * `refinePlanes`. Using all refine bits at once (the pre-r7 behavior)
+    * scattered mid-size buckets into near-singleton sub-buckets: each
+    * extra bit multiplies a NON-identical near-dup pair's collision
+    * probability by P(plane agrees) < 1, so over-splitting costs recall
+    * for exactly the pairs the operator exists to find (identical vectors
+    * are immune — they share every bit at any width). Pure integer
+    * arithmetic (a when-chain over the ≤ refinePlanes possible mask
+    * literals — no floating log), so the DuckDB oracle replicates it
+    * bit-for-bit. `sub` stays ≥ 1 → disjoint from the direct keys' 0. */
+  private def adaptiveSub(sub: Column, n: Column,
+      maxBucketSize: Int, refinePlanes: Int): Column = {
+    // bits = smallest i with n <= cap·2^i  ⟺  ceil(log2(ceil(n/cap))):
+    // plain long threshold comparisons, division-free
+    val mask = (1 until refinePlanes).foldRight(
+      lit((1L << refinePlanes) - 1): Column) { (i, acc) =>
+      when(n <= maxBucketSize.toLong * (1L << i), lit((1L << i) - 1)).otherwise(acc)
+    }
+    (sub - 1).bitwiseAND(mask) + 1
+  }
+
   private def guardedCandidatePairs(base: DataFrame,
       planes: Int, bands: Int, maxBucketSize: Int, refinePlanes: Int,
       storage: StorageLevel): DataFrame = {
@@ -535,7 +568,9 @@ object Dedup {
           col("bk.bucket").as("bucket"), lit(0L).as("sub")).as("k"))
       val refined = tagged.filter(col("__n") > maxBucketSize)
         .select(col("id"), struct(col("bk.band").as("band"),
-          col("bk.bucket").as("bucket"), col("sub")).as("k"))
+          col("bk.bucket").as("bucket"),
+          adaptiveSub(col("sub"), col("__n"), maxBucketSize, refinePlanes)
+            .as("sub")).as("k"))
       // level-2 occupancy: key count scales with data — plain join (AQE
       // picks the strategy), NOT a forced broadcast; reused by kept AND star
       val occ2 = refined.groupBy(col("k")).agg(count(lit(1)).as("__n2"))
@@ -586,7 +621,7 @@ object Dedup {
     * status in (ok, kept)` plus `sum(n−1) where status = star`. */
   def embeddingBucketStats(embs: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id", planes: Int = 16, bands: Int = 4,
-      maxBucketSize: Int = 4096, refinePlanes: Int = 12,
+      maxBucketSize: Int = 256, refinePlanes: Int = 12,
       whiten: Boolean = false): DataFrame = {
     // same whiten-for-signature-only rule as embeddingNearDups, so the
     // stats report on exactly the buckets the guarded operator would use
@@ -613,10 +648,17 @@ object Dedup {
       .select(col("band"), col("bucket"), lit(null).cast("long").as("sub"), col("n"),
         when(col("n") <= maxBucketSize, "ok").otherwise("refined").as("status"))
     val oversized = lvl1.filter(col("status") === "refined")
-      .select(col("band"), col("bucket"))
+      .select(col("band"), col("bucket"), col("n").as("__n1"))
+    // re-key on the ADAPTIVE sub width the guard would actually use for a
+    // bucket of this size, merging full-width sub counts per adaptive key
     val lvl2 = c2.join(oversized, Seq("band", "bucket"))
-      .select(col("band"), col("bucket"), col("sub"), col("__n2").as("n"),
-        when(col("__n2") <= maxBucketSize, "kept").otherwise("star").as("status"))
+      .select(col("band"), col("bucket"),
+        adaptiveSub(col("sub"), col("__n1"), maxBucketSize, refinePlanes).as("sub"),
+        col("__n2"))
+      .groupBy(col("band"), col("bucket"), col("sub"))
+      .agg(sum(col("__n2")).as("n"))
+      .select(col("band"), col("bucket"), col("sub"), col("n"),
+        when(col("n") <= maxBucketSize, "kept").otherwise("star").as("status"))
     lvl1.unionByName(lvl2)
   }
 }

@@ -647,7 +647,8 @@ object LlmQueries extends graft.QueryModule {
 
   /** Shared oracle body for q59/q95: corpus ∪ 20 exact copies, 28-bit
     * hyperplane signatures, the guard's exact integer decisions (cap 256,
-    * 12 refine bits, star repair), verified cosines in CTE `j`. Starts
+    * ADAPTIVE refine width — smallest bit count with n ≤ cap·2^bits, up to
+    * 12 bits — star repair), verified cosines in CTE `j`. Starts
     * `WITH RECURSIVE` so q95 can append its transitive-closure CTE;
     * DuckDB accepts the keyword with no recursive member (q59). */
   private def embPairCte: String =
@@ -667,7 +668,12 @@ object LlmQueries extends graft.QueryModule {
        |  SELECT t.vec_id, t.b, t.bucket, t.sub, o.n
        |  FROM banded t JOIN occ o ON t.b = o.b AND t.bucket = o.bucket),
        |direct AS (SELECT vec_id, b, bucket, 0 AS sub FROM tagged WHERE n <= 256),
-       |refined AS (SELECT vec_id, b, bucket, sub FROM tagged WHERE n > 256),
+       |refined AS (
+       |  SELECT vec_id, b, bucket,
+       |         ((sub - 1) & (CASE ${(1 until 12).map(i =>
+                  s"WHEN n <= ${256L * (1L << i)} THEN ${(1L << i) - 1}")
+                  .mkString(" ")} ELSE 4095 END)) + 1 AS sub
+       |  FROM tagged WHERE n > 256),
        |occ2 AS (SELECT b, bucket, sub, count(*) AS n2
        |         FROM refined GROUP BY 1, 2, 3),
        |kept AS (
@@ -772,8 +778,9 @@ object LlmQueries extends graft.QueryModule {
          |FROM ranked WHERE rank <= 10""".stripMargin,
 
     // replicates the skew guard exactly: level-1 occupancy per (band,
-    // bucket); ≤256 join on sub=0; oversized re-key on 12 extra signature
-    // bits (sub = bits+1); refined buckets still >256 are dropped
+    // bucket); ≤256 join on sub=0; oversized buckets re-key on the ADAPTIVE
+    // number of extra signature bits (smallest width with n ≤ 256·2^bits);
+    // refined buckets still >256 degrade to star pairs
     "q59_embedding_neardup" ->
       s"""$embPairCte
          |SELECT id_a, id_b, round(cosine, 6) AS cosine
