@@ -153,6 +153,7 @@ object Dedup {
   def minHashNearDups(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", k: Int = 32, bands: Int = 8,
       threshold: Double = 0.7, shingleN: Int = 3,
+      maxBucketSize: Int = 256,
       storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     // ONE persist (base), not two: with the fused shingle expression the
     // construction is cheap enough that caching the intermediate shingled
@@ -179,14 +180,26 @@ object Dedup {
       .withColumn("sig", graft.functions.GraftFunctions
         .minhashSig(docs.sparkSession, col("sh"), k))
       .persist(storage)
+    // OCCUPANCY GUARD (the same 100-TB self-defense the embedding path
+    // carries): the band-hash key space is huge, so NATURAL buckets are
+    // tiny — but a mega cluster of exact/near-exact duplicates (boilerplate
+    // pages, empty docs — routine in any real crawl) shares every band key
+    // and would otherwise emit m²/2 candidate pairs per bucket. Oversized
+    // buckets re-key on an adaptive slice of the FULL-signature hash
+    // (identical docs share it → they stay together → star repair bounds
+    // them linearly; a non-identical pair scattered here is typically
+    // recovered by one of the other bands, and mega-cluster membership
+    // always survives through the representative + CC transitivity). For
+    // exact-duplicate clusters larger than the cap the emitted pair set is
+    // the star (rep ↔ member) set, not all m²/2 member pairs — the shape
+    // [[nearDupClusters]] consumes; same contract as [[embeddingNearDups]].
     val banded = base.select(col("id"),
-      explode(bandKeys(col("sig"), k, bands)).as("bk"))
-    val pairs = banded.select(col("id").as("id_a"), col("bk"))
-      .join(banded.select(col("id").as("id_b"), col("bk")),
-        Seq("bk"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
+      explode(bandKeys(col("sig"), k, bands)).as("bk"),
+      (pmod(xxhash64(col("sig")), lit(1L << 16)) + 1).as("sub"))
+    val pairs =
+      guardedBandPairs(banded, maxBucketSize, refineBits = 16, storage,
+        broadcastOcc = false)
+        .dropDuplicates("id_a", "id_b")
     val sigT = base.select(col("id"), col("sig"))
     // stage 2: signature-estimated prefilter (margin below the threshold so
     // estimator variance at k=32 cannot drop true positives). The overlap
@@ -384,23 +397,34 @@ object Dedup {
 
   /** SimHash near-dup pairs with hamming ≤ maxDist, blocked on 4 16-bit
     * bands (pigeonhole: ≤3 flipped bits leave ≥1 band intact — exact recall
-    * for maxDist ≤ 3, approximate above). */
+    * for maxDist ≤ 3 when no band bucket exceeds `maxBucketSize`;
+    * oversized buckets — mega clusters of identical/near-identical docs —
+    * go through the same occupancy guard + star repair as
+    * [[minHashNearDups]]/[[embeddingNearDups]], which bounds their pair
+    * volume linearly and keeps cluster membership through the
+    * representative. The bucket key space is ≤ 4·2^16 rows, so the
+    * occupancy frame always broadcasts. */
   def simHashNearDups(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", maxDist: Int = 3): DataFrame = {
-    val sigs = simHashes(docs, textCol, idCol)
-    val banded = sigs.select(col("id"), col("sig"),
+      idCol: String = "doc_id", maxDist: Int = 3,
+      maxBucketSize: Int = 256,
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    // persisted: read by the banding pass and BOTH verify joins (the old
+    // self-join shape recomputed the simhash aggregation for each side);
+    // cleanup is caller-owned, as with the other dedup pipelines
+    val base = simHashes(docs, textCol, idCol).persist(storage)
+    val banded = base.select(col("id"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
           shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("bucket"))
-      }: _*)).as("bk"))
-    val l = banded.select(col("id").as("id_a"), col("sig").as("sig_a"), col("bk"))
-    val r = banded.select(col("id").as("id_b"), col("sig").as("sig_b"), col("bk"))
-    // USING-style join: one equi-key, no same-lineage ambiguity (a
-    // `l("bk") === r("bk")` condition warns "trivially true" and is one
-    // refactor away from a silent cross join)
-    l.join(r, Seq("bk"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      }: _*)).as("bk"),
+      (pmod(xxhash64(col("sig")), lit(1L << 16)) + 1).as("sub"))
+    val pairs =
+      guardedBandPairs(banded, maxBucketSize, refineBits = 16, storage,
+        broadcastOcc = true)
+        .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(base.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         hamming(col("sig_a"), col("sig_b")).as("hamming"))
       .filter(col("hamming") <= maxDist)
@@ -555,21 +579,35 @@ object Dedup {
   private def guardedCandidatePairs(base: DataFrame,
       planes: Int, bands: Int, maxBucketSize: Int, refinePlanes: Int,
       storage: StorageLevel): DataFrame = {
-    val banded = bandedKeys(base, planes, bands, refinePlanes)
-    // level-1 occupancy: ≤ bands·2^(planes/bands) rows — always broadcastable
+    // level-1 occupancy key space here is ≤ bands·2^(planes/bands) rows —
+    // always broadcastable
+    guardedBandPairs(bandedKeys(base, planes, bands, refinePlanes),
+      maxBucketSize, refinePlanes, storage, broadcastOcc = true)
+  }
+
+  /** The generic occupancy guard over ANY banding frame `(id, bk, sub)` —
+    * `bk` an arbitrary band key, `sub` a full-width (≥ 1) refine key whose
+    * low bits re-key oversized buckets ([[adaptiveSub]]). Shared by the
+    * embedding guard (bk = (band, bucket) struct, sub = refine signature
+    * bits, tiny key space → `broadcastOcc`) and the MinHash guard (bk =
+    * band hash, sub = full-signature hash, key space scales with data →
+    * plain shuffle join). */
+  private def guardedBandPairs(banded: DataFrame,
+      maxBucketSize: Int, refineBits: Int,
+      storage: StorageLevel, broadcastOcc: Boolean): DataFrame = {
     val occ = banded.groupBy(col("bk")).agg(count(lit(1)).as("__n"))
-    // slim (id + 4 numerics) and consumed by three branches — fence it so
+    // slim (id + key numerics) and consumed by three branches — fence it so
     // the occupancy join runs once, not once per consumer
-    val tagged = banded.join(broadcast(occ), Seq("bk")).persist(storage)
+    val tagged = banded
+      .join(if (broadcastOcc) broadcast(occ) else occ, Seq("bk"))
+      .persist(storage)
     val guardCaches = scala.collection.mutable.ListBuffer[DataFrame](tagged)
     try {
       val direct = tagged.filter(col("__n") <= maxBucketSize)
-        .select(col("id"), struct(col("bk.band").as("band"),
-          col("bk.bucket").as("bucket"), lit(0L).as("sub")).as("k"))
+        .select(col("id"), struct(col("bk"), lit(0L).as("sub")).as("k"))
       val refined = tagged.filter(col("__n") > maxBucketSize)
-        .select(col("id"), struct(col("bk.band").as("band"),
-          col("bk.bucket").as("bucket"),
-          adaptiveSub(col("sub"), col("__n"), maxBucketSize, refinePlanes)
+        .select(col("id"), struct(col("bk"),
+          adaptiveSub(col("sub"), col("__n"), maxBucketSize, refineBits)
             .as("sub")).as("k"))
       // level-2 occupancy: key count scales with data — plain join (AQE
       // picks the strategy), NOT a forced broadcast; reused by kept AND star

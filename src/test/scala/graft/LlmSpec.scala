@@ -216,6 +216,41 @@ class DedupSpec extends SparkFunSuite {
       "stats surface does not report the star-degraded bucket")
   }
 
+  test("minhash guard: mega exact-dup cluster degrades to star pairs, clusters whole") {
+    // 120 identical docs + 5 distinct ones, cap 16: every band bucket holds
+    // all 120 copies, the full-signature re-key cannot split them (identical
+    // text → identical signature), so the guard degrades the bucket to its
+    // star set — 119 (rep, member) pairs instead of 7140 member pairs. The
+    // unguarded pre-r7 band join emitted all 7140 at every scale: a 1M-copy
+    // boilerplate cluster in a real crawl is 5·10^11 pairs per band.
+    val docs = ((0L until 120L).map(i => (i, "the same boilerplate page text repeated here")) ++
+      Seq((200L, "alpha beta gamma delta epsilon zeta"),
+        (201L, "one two three four five six seven"),
+        (202L, "lorem ipsum dolor sit amet consectetur"),
+        (203L, "spark scala dataset dataframe column row"),
+        (204L, "quick brown fox jumps over the lazy dog")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minHashNearDups(docs, threshold = 0.9, maxBucketSize = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (1L until 120L).map(i => (0L, i)).toSet,
+      s"expected exactly the 119 star pairs, got ${pairs.size}")
+    // transitive clustering restores the full cluster through the rep
+    val clusters = Dedup.nearDupClusters(docs, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0L until 120L).forall(clusters(_) == 0L))
+    assert(Seq(200L, 201L, 202L, 203L, 204L).forall(i => clusters(i) == i))
+  }
+
+  test("simhash guard: mega exact-dup cluster degrades to star pairs") {
+    val docs = ((0L until 80L).map(i => (i, "identical page content for the simhash cluster")) ++
+      Seq((300L, "completely different words appear in this document")))
+      .toDF("doc_id", "text")
+    val rows = Dedup.simHashNearDups(docs, maxDist = 3, maxBucketSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == (1L until 80L).map(i => (0L, i)).toSet,
+      s"expected exactly the 79 star pairs, got ${rows.size}")
+  }
+
   test("embedding LSH skew guard bounds candidate volume on the clustered corpus") {
     // The synthetic embeddings are correlated: without the guard, 16/4
     // banding makes ~85% of all pairs candidates (measured). This pins the
