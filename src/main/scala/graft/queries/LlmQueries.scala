@@ -261,6 +261,25 @@ object LlmQueries extends graft.QueryModule {
 
     // keep-BEST per near-dup cluster (q96's preference semantics lifted to
     // transitive clusters): pref = doc_id % 97 varies inside every planted
+    // the minhash occupancy guard exercised IN the oracle-checked path:
+    // 300 planted copies of a sentinel text (unique words → jaccard 0
+    // against every real doc, so candidate spill from shared buckets is
+    // verification-rejected and the output is hash-independent) overflow
+    // every band bucket (300 > cap 256); identical signatures defeat the
+    // adaptive re-key, so the cluster degrades to its star set — exactly
+    // the 299 (min-id, member) pairs at jaccard 1 — while the natural
+    // corpus + the q29 planted copies keep their exhaustive pair set
+    "q106_minhash_guard" -> ((s, d) => {
+      val sentinel = s.range(300).select(
+        (col("id") + 3000000L).as("doc_id"),
+        lit("mega boilerplate sentinel xyzzy quux corge grault garply waldo")
+          .as("text"))
+      val corpus = docsWithDups(s, d).select("doc_id", "text")
+        .unionByName(sentinel)
+      Dedup.minHashNearDups(corpus, threshold = 0.7)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
     // cluster, so the arg-max is exercised beyond the min-id tiebreak;
     // oracle = q62's recursive closure + a per-cluster rank
     "q104_keep_best_cluster" -> ((s, d) => {
@@ -740,6 +759,33 @@ object LlmQueries extends graft.QueryModule {
         |           / len(list_distinct(list_concat(a.s, b.s))) AS j
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.7""".stripMargin,
+
+    // q29's exhaustive pair set over the natural corpus + planted copies,
+    // UNION the sentinel mega-cluster's star set (min id 3000000 is the
+    // representative; member↔member pairs are NOT emitted — the guard's
+    // documented star contract for buckets the re-key cannot split)
+    "q106_minhash_guard" ->
+      """WITH alldocs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM
+        |    (SELECT * FROM documents ORDER BY doc_id LIMIT 20)),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(range(1, len(w) - 1),
+        |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |        FROM alldocs)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |           / len(list_distinct(list_concat(a.s, b.s))) AS j
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.7
+        |UNION ALL
+        |SELECT 3000000 AS id_a, 3000000 + i AS id_b, 1.0 AS jaccard
+        |FROM (SELECT unnest(range(1, 300)) AS i)""".stripMargin,
 
     "q30_simhash_neardup" ->
       s"""WITH alldocs AS (
