@@ -101,6 +101,33 @@ object Scale {
       val budgets = (0 until 20).map(i => s"src$i" -> 30000L).toMap
       graft.llm.Sampling.tokenBudgetMixture(docs, col("n_chars"), budgets)
         .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    }),
+    // IVF ANN: seeded KMeans index + distributed probe (the centroid
+    // cross-join is the intentional tiny-table BNLJ)
+    ("ann_ivf_topk", true, (s, d) => {
+      val corpus = Tables.embeddings(s, d)
+      val idx = graft.llm.Ivf.build(corpus)
+      val queries = corpus.filter(pmod(col("vec_id"), lit(211)) === 0)
+      graft.llm.Ivf.topK(idx, queries, k = 10, nprobe = 2)
+    }),
+    // GPT-3-style decontamination via the SHUFFLE-join fallback (the path
+    // for eval suites too big to broadcast) — self-contamination setup:
+    // ~1% of the corpus re-planted as the test set, their train twins and
+    // any shingle-overlapping docs must drop
+    ("decontaminate_shuffle", false, (s, d) => {
+      val docs = Tables.documents(s, d)
+      val test = docs.filter(pmod(col("doc_id"), lit(101)) === 0)
+        .select((col("doc_id") + 9000000L).as("doc_id"), col("text"))
+      graft.llm.Corpus.decontaminate(docs, test, broadcastTest = false)
+        .agg(count(lit(1)).as("n_clean"))
+    }),
+    // sequence packing: per-source running token stream → fixed blocks
+    ("sequence_packing", false, (s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("n_tokens", col("n_chars"))
+      graft.llm.Corpus.packSequences(docs, blockTokens = 4096)
+        .groupBy(col("source"))
+        .agg(countDistinct(col("pack_id")).as("n_packs"))
     }))
 
   def main(args: Array[String]): Unit = {
