@@ -234,10 +234,11 @@ object Dedup {
     * distributed, no driver-side graph. */
   def nearDupClusters(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", threshold: Double = 0.7,
+      maxBucketSize: Int = 256,
       storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
     clusterPairs(docs.select(col(idCol).as("doc_id")),
       minHashNearDups(docs, textCol, idCol, threshold = threshold,
-        storage = storage))
+        maxBucketSize = maxBucketSize, storage = storage))
 
   /** Keep one document per near-dup cluster (the cluster representative =
     * the cluster_id row, i.e. the smallest transitively-reachable id) —

@@ -62,7 +62,8 @@ object LlmQueries extends graft.QueryModule {
     // SimHash near-dup pairs — full DuckDB oracle: the md5-nibble word hash
     // is bit-identical in both engines, so the oracle recomputes the whole
     // 64-bit simhash + all-pairs hamming exhaustively (banding is
-    // pigeonhole-exact for maxDist ≤ 3, so pair sets must agree)
+    // pigeonhole-exact for maxDist ≤ 3 while every band bucket is under
+    // the occupancy cap — true at gate scale, so pair sets must agree)
     "q30_simhash_neardup" -> ((s, d) => {
       Dedup.simHashNearDups(docsWithDups(s, d), maxDist = 3)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
