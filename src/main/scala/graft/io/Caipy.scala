@@ -85,10 +85,17 @@ object Caipy {
     val annotations =
       if (!raw.columns.contains("annotations")) emptyAnnotations(spark)
       else {
-        val ann0 = raw.select(explode(col("annotations")).as("a"))
-          .select(col("a.*"))
+        // image_id comes from the ENCLOSING document's image.id,
+        // unconditionally — the reference overwrites any in-annotation
+        // value (caipy.py:71-72), and dialects like the tagged 785.json
+        // fixture omit the field entirely
+        val ann0 = raw.select(col("image.id").as("__doc_image_id"),
+          explode(col("annotations")).as("a"))
+          .select(col("a.*"), col("__doc_image_id"))
         if (!ann0.columns.contains("bbox")) emptyAnnotations(spark)
-        else flatten(ann0)
+        else flatten(ann0.drop("image_id"))
+          .withColumn("image_id", col("__doc_image_id"))
+          .drop("__doc_image_id")
           .withColumn("box_x_min", element_at(col("bbox"), 1).cast("double"))
           .withColumn("box_y_min", element_at(col("bbox"), 2).cast("double"))
           .withColumn("box_width", element_at(col("bbox"), 3).cast("double"))

@@ -350,4 +350,45 @@ class CaipyTaggedFixtureSpec extends SparkFunSuite {
     import org.apache.spark.sql.functions._
     assert(ds.annotations.filter(col("`attributes.colors.red`")).count() >= 1)
   }
+
+  test("default-schema 785 fixture reproduces test_caipy_tags expectations") {
+    // test_tags.py::test_caipy_tags on the reference's PACKAGED default
+    // schema: 1 image / 2 annotations; image tags flatten to dotted
+    // columns; enum arrays booleanize to the FULL enum (absent values
+    // included); debooleanize restores the array form.
+    val schemaPath = java.nio.file.Paths.get(
+      "/root/reference/lours/dataset/io/schema_util/default-schema.json")
+    assume(java.nio.file.Files.isRegularFile(schemaPath) &&
+      new java.io.File(s"$base/default_schema/785.json").isFile)
+    val schema = java.nio.file.Files.readString(schemaPath)
+    val ds = graft.io.CaipyGeneric.fromCaipyGeneric(spark,
+      s"$base/default_schema", schemaJson = Some(schema))
+    assert(ds.numImages == 1 && ds.numAnnotations == 2)
+    assert(ds.images.columns.contains("tags.time"))
+    assert(ds.images.columns.contains("tags.weather"))
+    // full enum from the schema, not just values present in the data
+    val cols = ds.annotations.columns.toSet
+    for (c <- Seq("red", "green", "yellow", "blue", "white", "black", "orange",
+        "purple", "grey", "brown", "pink", "beige", "cyan"))
+      assert(cols.contains(s"attributes.colors.$c"), s"missing colors.$c")
+    for (p <- Seq("side", "front", "top", "back", "unknown"))
+      assert(cols.contains(s"attributes.position.$p"), s"missing position.$p")
+    for (c <- Seq("attributes.occluded", "parent_id", "children_ids", "confidence"))
+      assert(cols.contains(c), s"missing $c")
+    // debooleanize round-trip restores the array columns
+    var deb = graft.operators.Booleanize.debooleanize(ds, "annotations",
+      "attributes.colors")
+    deb = graft.operators.Booleanize.debooleanize(deb, "annotations",
+      "attributes.position")
+    val debCols = deb.annotations.columns.toSet
+    assert(debCols.contains("attributes.colors") &&
+      debCols.contains("attributes.position"))
+    assert(!debCols.exists(_.startsWith("attributes.colors.")))
+    import org.apache.spark.sql.functions._
+    // 785.json: the person row is blue+white, occluded, confidence 0.5
+    val person = ds.annotations.filter(col("category_str") === "person")
+    assert(person.filter(col("`attributes.colors.blue`") &&
+      col("`attributes.colors.white`") && !col("`attributes.colors.red`") &&
+      col("`attributes.occluded`")).count() == 1)
+  }
 }
