@@ -128,7 +128,18 @@ object Scale {
       graft.llm.Corpus.packSequences(docs, blockTokens = 4096)
         .groupBy(col("source"))
         .agg(countDistinct(col("pack_id")).as("n_packs"))
+    }),
+    // REAL Structured Streaming throughput: readStream over the events
+    // parquet → watermarked daily window agg → memory sink (AvailableNow),
+    // the q88 shape driven at both scale factors
+    ("stream_window_agg", false, (s, d) => {
+      val qn = s"scale_stream_${streamRuns.incrementAndGet()}"
+      val q = graft.streaming.EventStream.runToMemory(s, d, qn)
+      q.awaitTermination()
+      s.table(qn)
     }))
+
+  private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   def main(args: Array[String]): Unit = {
     val dirs =
@@ -162,16 +173,23 @@ object Scale {
       (name, allowBnlj, q) <- selected
     } yield {
       spark.catalog.clearCache()
-      val df = q(spark, dir)
+      // the timer covers the BUILDER too: some probes do eager work there
+      // (IVF's KMeans fit, the streaming probe's AvailableNow run)
       val t0 = System.nanoTime()
-      val rows = try df.count() catch {
+      val (df, rows) = try {
+        val d0 = q(spark, dir)
+        (Some(d0), d0.count())
+      } catch {
         case e: Throwable =>
-          System.err.println(s"[scale] FAILED probe=$name dir=$dir: $e"); -1L
+          System.err.println(s"[scale] FAILED probe=$name dir=$dir: $e")
+          (None, -1L)
       }
       val sec = if (rows >= 0) (System.nanoTime() - t0) / 1e9 else -1.0
-      val plan = try df.queryExecution.executedPlan.toString catch {
-        case _: Throwable => ""
-      }
+      val plan = df.map { d =>
+        try d.queryExecution.executedPlan.toString catch {
+          case _: Throwable => ""
+        }
+      }.getOrElse("")
       val banned =
         (if (allowBnlj) Seq.empty else Seq("BroadcastNestedLoopJoin")) :+
           "CartesianProduct"
