@@ -16,9 +16,14 @@ object Diff {
 
   /** Per-row diff report of two DataFrames on `id`:
     * `(id, status ∈ {left_only,right_only,changed,equal}, changed_columns)`.
-    * Only columns present in both sides are compared (difftools.py:60-78). */
-  def frameDiff(left: DataFrame, right: DataFrame, idCol: String = "id"): DataFrame = {
-    val common = left.columns.toSet.intersect(right.columns.toSet) - idCol
+    * Only columns present in both sides are compared (difftools.py:60-78);
+    * `excludeColumns` additionally drops named columns from the comparison
+    * (the `exclude_*_columns` parameters, difftools.py:10-58 — for columns
+    * both sides carry but whose drift should not count as a change). */
+  def frameDiff(left: DataFrame, right: DataFrame, idCol: String = "id",
+      excludeColumns: Seq[String] = Nil): DataFrame = {
+    val common =
+      left.columns.toSet.intersect(right.columns.toSet) - idCol -- excludeColumns
     val l = left.select((Seq(col(idCol).as("__lid")) ++
       common.toSeq.sorted.map(c => col(s"`$c`").as(s"__l_$c"))): _*)
     val r = right.select((Seq(col(idCol).as("__rid")) ++
@@ -43,10 +48,14 @@ object Diff {
   case class DatasetDiff(leftOnly: GraftDataset, rightOnly: GraftDataset,
       changed: GraftDataset)
 
-  def datasetDiff(a: GraftDataset, b: GraftDataset): DatasetDiff = {
-    val imgDiff = frameDiff(a.images, b.images).cache()
+  def datasetDiff(a: GraftDataset, b: GraftDataset,
+      excludeImageColumns: Seq[String] = Nil,
+      excludeAnnotationsColumns: Seq[String] = Nil): DatasetDiff = {
+    val imgDiff = frameDiff(a.images, b.images,
+      excludeColumns = excludeImageColumns).cache()
     // annotation-level changes roll up to their image
-    val annDiff = frameDiff(a.annotations, b.annotations)
+    val annDiff = frameDiff(a.annotations, b.annotations,
+      excludeColumns = excludeAnnotationsColumns)
     val lAnnImg = a.annotations.select(col("id"), col("image_id"))
     val rAnnImg = b.annotations.select(col("id"), col("image_id"))
     val annImg = lAnnImg.unionByName(rAnnImg).distinct()

@@ -82,6 +82,26 @@ class MergeDiffSpec extends SparkFunSuite {
     assert(changedCols == "box_width")
   }
 
+  test("frameDiff excludeColumns ignores drift in the named columns") {
+    // test_difftools.py::test_diff_exclude_columns shape: a column whose
+    // values differ between the two sides must not count as a change once
+    // excluded; with it included the same rows report changed
+    val ds = tinyDataset()
+    val drifted = ds.annotations.withColumn("box_width", col("box_width") + 1.0)
+    val withDrift = Diff.frameDiff(ds.annotations, drifted)
+      .filter(col("status") =!= "equal").count()
+    assert(withDrift == ds.annotations.count())
+    val excluded = Diff.frameDiff(ds.annotations, drifted,
+      excludeColumns = Seq("box_width"))
+      .filter(col("status") =!= "equal").count()
+    assert(excluded == 0)
+    // datasetDiff pass-through: excluded drift yields three empty parts
+    val d = Diff.datasetDiff(ds, ds.copy(annotations = drifted),
+      excludeAnnotationsColumns = Seq("box_width"))
+    assert(d.leftOnly.numImages == 0 && d.rightOnly.numImages == 0 &&
+      d.changed.numImages == 0)
+  }
+
   test("datasetsEqual detects equality and inequality") {
     val ds = tinyDataset()
     assert(Diff.datasetsEqual(ds, tinyDataset()))
