@@ -72,6 +72,34 @@ object CurationQueries extends graft.QueryModule {
       TextAnalysis.repetitionSignals(Tables.documents(s, d))
         .select(col("doc_id"), col("top_bigram_n"),
           col("top_bigram_frac"), col("dup_trigram_frac"))
+    }),
+
+    // END-TO-END curation pipeline COMPOSED from the individually-gated
+    // operators — token floor → keep-best exact dedup (20 planted copies)
+    // → deterministic 50% sample → token-budget mixture → sequence packing
+    // — because per-operator gates can't catch composition bugs (a column
+    // one stage drops that the next needs, window keys fighting a reused
+    // uniform, id collisions across stages). Every stage is md5/integer
+    // arithmetic, so ONE DuckDB oracle replicates the whole chain.
+    "q107_pipeline_e2e" -> ((s, d) => {
+      val docs = LlmQueries.docsWithDups(s, d)
+        .withColumn("n_tokens",
+          size(split(lower(trim(col("text"))), "\\s+")).cast("long"))
+        .filter(col("n_tokens") >= 20)
+      val kept = graft.llm.Dedup.exactDedupKeepBest(docs,
+        pmod(col("doc_id"), lit(7)))
+      val sampled = Sampling.hashSample(kept, col("doc_id"), 0.5, salt = "e2es")
+      val budgets = Map("src0" -> 300L, "src1" -> 200L,
+        "src2" -> 150L, "src3" -> 100L, "src4" -> 50L)
+      val mixed = Sampling.tokenBudgetMixture(sampled, col("n_tokens"),
+        budgets, salt = "e2em")
+      val packed = graft.llm.Corpus.packSequences(mixed, blockTokens = 128,
+        orderCol = "doc_id", tokensCol = "n_tokens")
+      packed.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          countDistinct(col("pack_id")).as("n_packs"),
+          max(col("pack_id")).cast("long").as("max_pack"))
     })
   )
 
@@ -172,6 +200,52 @@ object CurationQueries extends graft.QueryModule {
         |SELECT b.doc_id, top_bigram_n,
         |       CAST(top_bigram_n AS DOUBLE) / n_bi AS top_bigram_frac,
         |       CAST(n_dup AS DOUBLE) / n_tri AS dup_trigram_frac
-        |FROM b JOIN tr USING (doc_id)""".stripMargin
+        |FROM b JOIN tr USING (doc_id)""".stripMargin,
+
+    // the whole composed chain in one statement: token floor → keep-best
+    // (q96's window) → 50% hash sample (q92's uniform, salt e2es) →
+    // budget mixture (q93's cumsum rule, salt e2em) → packing (q71's
+    // block arithmetic) → per-source summary
+    "q107_pipeline_e2e" ->
+      s"""WITH alldocs AS (
+         |  SELECT doc_id, source, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, source, text FROM
+         |    (SELECT * FROM documents ORDER BY doc_id LIMIT 20)),
+         |f AS (SELECT doc_id, source, text,
+         |        CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+         |             AS BIGINT) AS n_tokens
+         |      FROM alldocs
+         |      WHERE len(string_split_regex(lower(trim(text)), '\\s+')) >= 20),
+         |k AS (SELECT *, row_number() OVER (
+         |        PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         |        ORDER BY doc_id % 7 DESC, doc_id) AS rk
+         |      FROM f),
+         |smp AS (SELECT doc_id, source, n_tokens,
+         |          ${hashUniformSql("md5(concat(CAST(doc_id AS VARCHAR), ':e2es'))")} AS us
+         |        FROM k WHERE rk = 1),
+         |m AS (SELECT doc_id, source, n_tokens,
+         |        ${hashUniformSql("md5(concat(CAST(doc_id AS VARCHAR), ':e2em'))")} AS um,
+         |        CASE source WHEN 'src0' THEN 300 WHEN 'src1' THEN 200
+         |             WHEN 'src2' THEN 150 WHEN 'src3' THEN 100
+         |             WHEN 'src4' THEN 50 ELSE 0 END AS budget
+         |      FROM smp WHERE us < 0.5),
+         |x AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+         |                                    ORDER BY um, doc_id
+         |                                    ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM m),
+         |mixed AS (SELECT doc_id, source, n_tokens FROM x
+         |          WHERE cum - n_tokens < budget),
+         |p AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+         |                                    ORDER BY doc_id
+         |                                    ROWS UNBOUNDED PRECEDING) AS pcum
+         |      FROM mixed),
+         |packed AS (SELECT *, CAST(floor((pcum - n_tokens) / 128.0) AS BIGINT)
+         |                       AS pack_id FROM p)
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |       count(DISTINCT pack_id) AS n_packs,
+         |       CAST(max(pack_id) AS BIGINT) AS max_pack
+         |FROM packed GROUP BY source""".stripMargin
   )
 }
