@@ -330,6 +330,34 @@ class SamplingSpec extends SparkFunSuite {
   private def docs() = (0 until 400).map(i =>
     (i.toLong, s"src${i % 4}", (i % 7 + 1).toLong)).toDF("doc_id", "source", "n_tokens")
 
+  test("composed sample→mixture→packing chain is partition-invariant") {
+    // the q107 end-to-end shape: every stage's decisions derive from
+    // md5 uniforms and total orders (u, doc_id), so the SAME summary must
+    // come out regardless of how the input happens to be partitioned —
+    // the engine's determinism doctrine (no rand(), no
+    // monotonically_increasing_id) holds through composition, not just
+    // per operator
+    def run(input: org.apache.spark.sql.DataFrame): Map[String, (Long, Long, Long)] = {
+      val sampled = Sampling.hashSample(input, col("doc_id"), 0.5, "inv")
+      val mixed = Sampling.tokenBudgetMixture(sampled, col("n_tokens"),
+        Map("src0" -> 50L, "src1" -> 40L, "src2" -> 30L), salt = "invm")
+      graft.llm.Corpus.packSequences(mixed, blockTokens = 16,
+        orderCol = "doc_id", tokensCol = "n_tokens")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("t"),
+          countDistinct(col("pack_id")).as("p"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+    }
+    val base = docs()
+    val a = run(base.repartition(1))
+    val b = run(base.repartition(17, col("n_tokens")))
+    val c = run(base.orderBy(desc("doc_id")).repartition(5))
+    assert(a == b && b == c, s"partitioning changed the chain output: $a vs $b vs $c")
+    assert(a.keySet == Set("src0", "src1", "src2")) // unbudgeted src3 dropped
+  }
+
   test("hashSample is deterministic, salt-sensitive, and near the target rate") {
     val a1 = Sampling.hashSample(docs(), col("doc_id"), 0.25, "s1")
       .select("doc_id").collect().map(_.getLong(0)).toSet
