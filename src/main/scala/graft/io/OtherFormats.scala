@@ -74,7 +74,10 @@ object CrowdHuman {
 
     val boxes0 = raw.select(xxhash64(col("ID")).as("image_id"),
       explode(col("gtboxes")).as("b"))
-      .filter(col("b.tag") =!= "mask") // masks skipped (crowd_human.py:86-87)
+      // masks skipped (crowd_human.py:85-86); Python's `tag == "mask"` is
+      // False for None, so a null/absent tag is KEPT — `=!=` alone would
+      // evaluate null and silently drop tag-less dialect records
+      .filter(col("b.tag").isNull || col("b.tag") =!= "mask")
     // extra.ignore == 1 drops BOTH the person and its head (py:88-89)
     val boxes =
       if (hasIgnore("extra"))
@@ -186,15 +189,30 @@ object PascalVoc {
 
   /** Read `<split>.txt` stem lists from a split folder (pascalvoc.py:68-87:
     * one file per split value, mutually exclusive; a missing file is an
-    * empty split). Returns stem → split. */
+    * empty split). Returns stem → split.
+    *
+    * Reads through the Hadoop FileSystem API so the split folder may live
+    * on any filesystem the annotation XMLs do (hdfs/s3/local) — java.nio
+    * would silently yield empty splits for a non-local URI, and
+    * fromPascalVocDetection would then drop every image with no error.
+    * A missing split FOLDER fails fast (it was explicitly requested); a
+    * missing individual split file stays an empty split, as the reference's
+    * FileNotFoundError handler does. */
   private[io] def readSplitFolder(splitFolder: String,
-      splitValues: Seq[String]): Map[String, String] = {
+      splitValues: Seq[String],
+      hadoopConf: org.apache.hadoop.conf.Configuration): Map[String, String] = {
+    val folder = new org.apache.hadoop.fs.Path(splitFolder)
+    val fs = folder.getFileSystem(hadoopConf)
+    require(fs.exists(folder),
+      s"Split folder '$splitFolder' does not exist or is unreachable")
     val sets = splitValues.map { v =>
-      val p = java.nio.file.Paths.get(splitFolder, s"$v.txt")
-      v -> (if (java.nio.file.Files.isRegularFile(p))
-        java.nio.file.Files.readAllLines(p).toArray
-          .map(_.toString.trim).filter(_.nonEmpty).toSet
-      else Set.empty[String])
+      val p = new org.apache.hadoop.fs.Path(folder, s"$v.txt")
+      v -> (if (fs.isFile(p)) {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .map(_.trim).filter(_.nonEmpty).toSet
+        finally in.close()
+      } else Set.empty[String])
     }
     for (Seq((a, sa), (b, sb)) <- sets.combinations(2)) {
       val overlap = sa & sb
@@ -233,7 +251,8 @@ object PascalVoc {
     // constant split; unlisted stems keep a null split (pascalvoc.py:89-93)
     val images = (splitFolder match {
       case Some(sf) =>
-        val stemToSplit = readSplitFolder(sf, splitValues)
+        val stemToSplit =
+          readSplitFolder(sf, splitValues, spark.sparkContext.hadoopConfiguration)
         val splitExpr =
           if (stemToSplit.isEmpty) lit(null).cast("string")
           else element_at(map(stemToSplit.toSeq

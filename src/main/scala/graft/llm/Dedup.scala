@@ -139,6 +139,35 @@ object Dedup {
     aggregate(zip_with(sigA, sigB, (a, b) => when(a === b, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x).cast("double") / size(sigA)
 
+  /** The (id, sh, sig) frame behind [[minHashNearDups]]: signatures via
+    * the fused native expression — map-side over the shingle arrays (each
+    * shingle's bytes hashed ONCE, K hashInt mixes), no explode, no
+    * aggregation shuffle, no signatures join. Bit-identical to
+    * [[minHashSignatures]] (spec-asserted); the size>0 filter replicates
+    * the aggregate path's inner-join drop of shingle-less docs (shingles()
+    * never emits an empty array, so this is a no-op guard in practice).
+    * ONE definition shared by the operator and [[minHashBucketStats]], so
+    * the monitoring surface can never drift from the guard it reports on. */
+  private[llm] def minHashBase(docs: DataFrame, textCol: String,
+      idCol: String, k: Int, shingleN: Int): DataFrame =
+    docs.select(
+      col(idCol).as("id"),
+      graft.functions.GraftFunctions.wordShingles(docs.sparkSession,
+        split(lower(trim(col(textCol))), "\\s+"), shingleN, distinct = true)
+        .as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", graft.functions.GraftFunctions
+        .minhashSig(docs.sparkSession, col("sh"), k))
+
+  /** The (id, bk = (band, bucket), sub) banding frame [[guardedBandPairs]]
+    * consumes for MinHash: band keys from [[bandKeys]], refine key `sub`
+    * from the FULL-signature hash (identical docs share it → they stay
+    * together under re-keying). Shared by the operator and the stats. */
+  private[llm] def minHashBanded(sigs: DataFrame, k: Int, bands: Int): DataFrame =
+    sigs.select(col("id"),
+      explode(bandKeys(col("sig"), k, bands)).as("bk"),
+      (pmod(xxhash64(col("sig")), lit(1L << 16)) + 1).as("sub"))
+
   /** MinHash-LSH near-duplicate pairs verified by exact shingle Jaccard.
     * Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
     *
@@ -165,21 +194,7 @@ object Dedup {
     // to local disk is strictly cheaper than recomputing. The persisted
     // frame backs the RETURNED lazy DataFrame, so cleanup is caller-owned
     // (`spark.catalog.clearCache()` after materializing, as the gates do).
-    val shingled = docs.select(
-      col(idCol).as("id"),
-      graft.functions.GraftFunctions.wordShingles(docs.sparkSession,
-        split(lower(trim(col(textCol))), "\\s+"), shingleN, distinct = true)
-        .as("sh"))
-    // signatures via the fused native expression: map-side over the cached
-    // shingle arrays (each shingle's bytes hashed ONCE, K hashInt mixes) —
-    // no explode, no aggregation shuffle, no signatures join. Bit-identical
-    // to minHashSignatures (spec-asserted); the size>0 filter replicates
-    // the aggregate path's inner-join drop of shingle-less docs (shingles()
-    // never emits an empty array, so this is a no-op guard in practice)
-    val base = shingled.filter(size(col("sh")) > 0)
-      .withColumn("sig", graft.functions.GraftFunctions
-        .minhashSig(docs.sparkSession, col("sh"), k))
-      .persist(storage)
+    val base = minHashBase(docs, textCol, idCol, k, shingleN).persist(storage)
     // OCCUPANCY GUARD (the same 100-TB self-defense the embedding path
     // carries): the band-hash key space is huge, so NATURAL buckets are
     // tiny — but a mega cluster of exact/near-exact duplicates (boilerplate
@@ -193,12 +208,9 @@ object Dedup {
     // exact-duplicate clusters larger than the cap the emitted pair set is
     // the star (rep ↔ member) set, not all m²/2 member pairs — the shape
     // [[nearDupClusters]] consumes; same contract as [[embeddingNearDups]].
-    val banded = base.select(col("id"),
-      explode(bandKeys(col("sig"), k, bands)).as("bk"),
-      (pmod(xxhash64(col("sig")), lit(1L << 16)) + 1).as("sub"))
     val pairs =
-      guardedBandPairs(banded, maxBucketSize, refineBits = 16, storage,
-        broadcastOcc = false)
+      guardedBandPairs(minHashBanded(base, k, bands), maxBucketSize,
+        refineBits = 16, storage, broadcastOcc = false)
         .dropDuplicates("id_a", "id_b")
     val sigT = base.select(col("id"), col("sig"))
     // stage 2: signature-estimated prefilter (margin below the threshold so
@@ -405,6 +417,17 @@ object Dedup {
     * volume linearly and keeps cluster membership through the
     * representative. The bucket key space is ≤ 4·2^16 rows, so the
     * occupancy frame always broadcasts. */
+  /** The (id, bk, sub) banding frame for SimHash: 4 16-bit bands of the
+    * 64-bit signature, refine key from the full-signature hash. Shared by
+    * [[simHashNearDups]] and [[simHashBucketStats]]. */
+  private[llm] def simHashBanded(sigs: DataFrame): DataFrame =
+    sigs.select(col("id"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("bucket"))
+      }: _*)).as("bk"),
+      (pmod(xxhash64(col("sig")), lit(1L << 16)) + 1).as("sub"))
+
   def simHashNearDups(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxDist: Int = 3,
       maxBucketSize: Int = 256,
@@ -413,15 +436,9 @@ object Dedup {
     // self-join shape recomputed the simhash aggregation for each side);
     // cleanup is caller-owned, as with the other dedup pipelines
     val base = simHashes(docs, textCol, idCol).persist(storage)
-    val banded = base.select(col("id"),
-      explode(array((0 until 4).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("bucket"))
-      }: _*)).as("bk"),
-      (pmod(xxhash64(col("sig")), lit(1L << 16)) + 1).as("sub"))
     val pairs =
-      guardedBandPairs(banded, maxBucketSize, refineBits = 16, storage,
-        broadcastOcc = true)
+      guardedBandPairs(simHashBanded(base), maxBucketSize, refineBits = 16,
+        storage, broadcastOcc = true)
         .dropDuplicates("id_a", "id_b")
     pairs
       .join(base.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
@@ -673,12 +690,45 @@ object Dedup {
           .select(col("id"), sigOf(col("v")).as("sig"))
       else
         src.select(col("id"), sigOf(col("v")).as("sig"))
-    // ONE pass over the banded frame: aggregate straight to per-(bucket,
-    // sub) counts (tiny — bounded by distinct keys), localCheckpoint that,
-    // and derive both report levels from it. No session-lifetime cache
-    // registration (the round-4 .cache() here leaked across repeated
-    // monitoring calls), and the wide frame is never scanned twice.
-    val c2 = bandedKeys(base, planes, bands, refinePlanes)
+    bandedBucketStats(bandedKeys(base, planes, bands, refinePlanes),
+      maxBucketSize, refinePlanes)
+  }
+
+  /** Occupancy accounting for [[minHashNearDups]]'s guard — the MinHash
+    * analog of [[embeddingBucketStats]], built on the SAME
+    * [[minHashBase]]/[[minHashBanded]] frames the operator uses. One row
+    * per level-1 band bucket (`ok`/`refined`) plus one per adaptively
+    * re-keyed sub-bucket (`kept`/`star`). A `star` row means that bucket's
+    * recall degraded to representative star pairs — the monitoring signal
+    * for a star-degraded mega cluster (SCALE.md measured −5% simhash
+    * pairs at sf1 from exactly this mode). */
+  def minHashBucketStats(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 32, bands: Int = 8,
+      maxBucketSize: Int = 256, shingleN: Int = 3): DataFrame =
+    bandedBucketStats(
+      minHashBanded(minHashBase(docs, textCol, idCol, k, shingleN), k, bands),
+      maxBucketSize, refineBits = 16)
+
+  /** Occupancy accounting for [[simHashNearDups]]'s guard — same report
+    * over the SimHash 16-bit-band frame ([[simHashBanded]]). */
+  def simHashBucketStats(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", maxBucketSize: Int = 256): DataFrame =
+    bandedBucketStats(simHashBanded(simHashes(docs, textCol, idCol)),
+      maxBucketSize, refineBits = 16)
+
+  /** The generic occupancy report over ANY `(id, bk = (band, bucket), sub)`
+    * banding frame — the monitoring twin of [[guardedBandPairs]], derived
+    * from the SAME frame shape so the report can never drift from the
+    * guard's decisions. ONE pass over the banded frame: aggregate straight
+    * to per-(bucket, sub) counts (tiny — bounded by distinct keys),
+    * localCheckpoint that, and derive both report levels from it. No
+    * session-lifetime cache registration (the round-4 .cache() here leaked
+    * across repeated monitoring calls), and the wide frame is never
+    * scanned twice. Level 2 re-keys on the ADAPTIVE sub width the guard
+    * would actually use for a bucket of that size. */
+  private def bandedBucketStats(banded: DataFrame, maxBucketSize: Int,
+      refineBits: Int): DataFrame = {
+    val c2 = banded
       .groupBy(col("bk.band").as("band"), col("bk.bucket").as("bucket"), col("sub"))
       .agg(count(lit(1)).as("__n2"))
       .localCheckpoint()
@@ -688,11 +738,9 @@ object Dedup {
         when(col("n") <= maxBucketSize, "ok").otherwise("refined").as("status"))
     val oversized = lvl1.filter(col("status") === "refined")
       .select(col("band"), col("bucket"), col("n").as("__n1"))
-    // re-key on the ADAPTIVE sub width the guard would actually use for a
-    // bucket of this size, merging full-width sub counts per adaptive key
     val lvl2 = c2.join(oversized, Seq("band", "bucket"))
       .select(col("band"), col("bucket"),
-        adaptiveSub(col("sub"), col("__n1"), maxBucketSize, refinePlanes).as("sub"),
+        adaptiveSub(col("sub"), col("__n1"), maxBucketSize, refineBits).as("sub"),
         col("__n2"))
       .groupBy(col("band"), col("bucket"), col("sub"))
       .agg(sum(col("__n2")).as("n"))

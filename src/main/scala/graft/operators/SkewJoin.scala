@@ -22,8 +22,12 @@ object SkewJoin {
     * Spark's shuffle reuse intact (a `rand()`/`monotonically_increasing_id`
     * salt would re-derive differently on retry — the same reason
     * [[graft.llm.Sampling.hashUniform]] rejects `rand()`). Identical rows
-    * land on the same salt; pass a high-cardinality id in `saltCols` when
-    * the fact table carries exact duplicate rows you want spread. */
+    * land on the same salt — a hot key whose rows are content-identical
+    * gets NO spread from the default salt; pass a high-cardinality id in
+    * `saltCols` whenever the fact table carries exact duplicate rows you
+    * want spread. Map-typed columns are excluded from the default salt
+    * input (`xxhash64` rejects `MapType` at analysis); explicitly passing
+    * a map column in `saltCols` still fails fast with Spark's own error. */
   def saltedJoin(fact: DataFrame, dim: DataFrame,
       factKey: String, dimKey: String, salts: Int = 8,
       joinType: String = "inner", saltCols: Seq[String] = Nil): DataFrame = {
@@ -34,7 +38,20 @@ object SkewJoin {
     require(Set("inner", "left", "leftouter")
       .contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports inner/left joins only, got '$joinType'")
-    val saltInput = (if (saltCols.nonEmpty) saltCols else fact.columns.toSeq)
+    // default salt input = every *hashable* fact column: xxhash64 fails
+    // analysis on MapType (even nested inside struct/array), so those are
+    // filtered out of the default; an explicit saltCols is passed verbatim
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val defaultSaltCols = fact.schema.fields
+      .filter(f => hashable(f.dataType)).map(_.name).toSeq
+    require(saltCols.nonEmpty || defaultSaltCols.nonEmpty,
+      "saltedJoin: no hashable fact columns for the default salt; pass saltCols")
+    val saltInput = (if (saltCols.nonEmpty) saltCols else defaultSaltCols)
       .map(c => col(s"`$c`"))
     val salted = fact.withColumn("__salt",
       pmod(xxhash64(saltInput: _*), lit(salts)).cast("int"))

@@ -269,7 +269,13 @@ object LlmQueries extends graft.QueryModule {
     // every band bucket (300 > cap 256); identical signatures defeat the
     // adaptive re-key, so the cluster degrades to its star set — exactly
     // the 299 (min-id, member) pairs at jaccard 1 — while the natural
-    // corpus + the q29 planted copies keep their exhaustive pair set
+    // corpus + the q29 planted copies keep their exhaustive pair set.
+    // ASSUMPTION (both engines): no real doc's 64-bit band hash collides
+    // into the sentinel's bucket — a collision would place a smaller
+    // doc_id in the over-cap bucket and shift the star representative off
+    // 3000000, failing the hash compare. Probability ≈ corpus·bands·2⁻⁶⁴
+    // (negligible), but if this gate ever breaks after a corpus change,
+    // check for exactly this before suspecting the guard.
     "q106_minhash_guard" -> ((s, d) => {
       val sentinel = s.range(300).select(
         (col("id") + 3000000L).as("doc_id"),

@@ -279,6 +279,42 @@ class OtherFormatsSpec extends SparkFunSuite {
       .filter(!isnan(col("visible_share"))).count() == 0)
   }
 
+  test("fromCrowdHuman keeps records with a null tag (only tag=='mask' skips)") {
+    // crowd_human.py:85 tests `annot["tag"] == "mask"` — False for None, so
+    // a tag-less dialect record is KEPT; `=!=` alone evaluates null and
+    // would silently drop it
+    val dir = Files.createTempDirectory("crowdnull").toString
+    Files.writeString(Paths.get(dir, "ann.odgt"),
+      """{"ID": "img_a", "gtboxes": [{"tag": null, "fbox": [10, 20, 100, 200], "vbox": [10, 20, 50, 200], "hbox": [40, 20, 30, 30]}, {"tag": "mask", "fbox": [0, 0, 5, 5], "vbox": [0, 0, 5, 5], "hbox": [0, 0, 2, 2]}]}
+        |""".stripMargin)
+    val ds = CrowdHuman.fromCrowdHuman(spark, s"$dir/ann.odgt")
+    assert(ds.numAnnotations == 2) // tag-less person + head kept, mask dropped
+  }
+
+  test("fromPascalVoc fails fast on a missing split folder") {
+    // an explicitly requested split folder that java.nio couldn't see (e.g.
+    // a non-local URI) used to silently produce all-null splits — and
+    // fromPascalVocDetection then dropped every image with no error
+    val dir = Files.createTempDirectory("vocsplit").toString
+    Files.writeString(Paths.get(dir, "img1.xml"),
+      """<annotation><filename>img1.jpg</filename>
+        |<size><width>10</width><height>10</height><depth>3</depth></size>
+        |<object><name>dog</name><difficult>0</difficult>
+        |  <bndbox><xmin>1</xmin><ymin>2</ymin><xmax>3</xmax><ymax>4</ymax></bndbox></object>
+        |</annotation>""".stripMargin)
+    val err = intercept[IllegalArgumentException] {
+      PascalVoc.fromPascalVoc(spark, dir,
+        splitFolder = Some(s"$dir/no_such_folder"))
+    }
+    assert(err.getMessage.contains("no_such_folder"))
+    // a PRESENT folder with a missing split file is still an empty split
+    // (reference FileNotFoundError handler), and listed stems resolve
+    val sf = Files.createDirectory(Paths.get(dir, "sets")).toString
+    Files.writeString(Paths.get(sf, "train.txt"), "img1\n")
+    val ds = PascalVoc.fromPascalVoc(spark, dir, splitFolder = Some(sf))
+    assert(ds.images.select("split").collect()(0).getString(0) == "train")
+  }
+
   test("fromPascalVoc parses XML objects and infers the label map") {
     val dir = Files.createTempDirectory("voc").toString
     Files.writeString(Paths.get(dir, "img1.xml"),

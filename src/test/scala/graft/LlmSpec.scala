@@ -239,6 +239,20 @@ class DedupSpec extends SparkFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert((0L until 120L).forall(clusters(_) == 0L))
     assert(Seq(200L, 201L, 202L, 203L, 204L).forall(i => clusters(i) == i))
+    // the monitoring hook reports the star degradation the operator took:
+    // every band's mega bucket shows refined → star, and the distinct docs'
+    // buckets stay ok — so an operator watching the stats sees the recall
+    // mode BEFORE trusting the pair set (same surface as embeddingBucketStats)
+    val stats = Dedup.minHashBucketStats(docs, maxBucketSize = 16).cache()
+    try {
+      assert(stats.filter(col("status") === "star").count() == 8,
+        "each of the 8 bands should report its mega bucket as star-degraded")
+      assert(stats.filter(col("status").isin("ok", "kept"))
+        .agg(max("n")).head().getLong(0) <= 16)
+      // level-1 totals account for every (doc, band) row: 125 docs × 8 bands
+      assert(stats.filter(col("sub").isNull).agg(sum("n")).head().getLong(0)
+        == 125L * 8)
+    } finally stats.unpersist()
   }
 
   test("simhash guard: mega exact-dup cluster degrades to star pairs") {
@@ -249,6 +263,11 @@ class DedupSpec extends SparkFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(rows == (1L until 80L).map(i => (0L, i)).toSet,
       s"expected exactly the 79 star pairs, got ${rows.size}")
+    // the simhash stats hook reports the same degradation (4 bands)
+    val stats = Dedup.simHashBucketStats(docs, maxBucketSize = 8)
+    assert(stats.filter(col("status") === "star").count() == 4)
+    assert(stats.filter(col("sub").isNull).agg(sum("n")).head().getLong(0)
+      == 81L * 4)
   }
 
   test("embedding LSH skew guard bounds candidate volume on the clustered corpus") {

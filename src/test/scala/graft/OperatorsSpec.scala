@@ -484,4 +484,25 @@ class SkewJoinSpec extends SparkFunSuite {
       .saltedJoin(fact.repartition(13, col("v")), dim, "k", "dk", salts = 8).count()
     assert(j1 == j2 && j1 == 490)
   }
+
+  test("default salt skips unhashable map columns") {
+    // xxhash64 rejects MapType at analysis — a fact table carrying a map
+    // column must still be salt-joinable with the default saltCols (the
+    // map is excluded from the salt input, the join result is unchanged)
+    val dim = Seq((7L, "hot")).toDF("dk", "name")
+    val fact = spark.range(100).select(
+      when(col("id") < 90, 7L).otherwise(col("id")).as("k"), col("id").as("v"),
+      map(lit("a"), col("id")).as("attrs"))
+    val out = graft.operators.SkewJoin.saltedJoin(fact, dim, "k", "dk", salts = 8)
+    assert(out.count() == 90)
+    assert(out.columns.contains("attrs"))
+    // an ONLY-map fact has no hashable default salt input → explicit error,
+    // not an opaque analysis failure
+    val mapsOnly = spark.range(3).select(map(lit("a"), col("id")).as("attrs"))
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.SkewJoin.saltedJoin(
+        mapsOnly.withColumnRenamed("attrs", "k"), dim, "k", "dk")
+    }
+    assert(err.getMessage.contains("saltCols"))
+  }
 }
