@@ -221,9 +221,12 @@ object GraftDataset {
       s"images missing required columns: ${imageRequired -- out.columns.toSet}")
     if (!out.columns.contains("id"))
       out = zipDenseIds(out, Seq("relative_path"), 0, "id")
-    // type derived from path suffix (dataset.py:960-961)
+    // type derived from path suffix (dataset.py:960-961) — Path.suffix
+    // semantics: INCLUDES the dot (".jpg"), empty for no suffix, and a
+    // leading-dot filename (".bashrc") has no suffix (the [^/.] guard)
     if (!out.columns.contains("type"))
-      out = out.withColumn("type", regexp_extract(col("relative_path"), "\\.([^.]+)$", 1))
+      out = out.withColumn("type",
+        regexp_extract(col("relative_path"), "[^/.](\\.[^./]+)$", 1))
     if (!out.columns.contains("split"))
       out = out.withColumn("split", lit(null).cast(StringType))
     coerce(out, ImageCore)

@@ -23,7 +23,9 @@ object Merge {
   /** Vertical union assuming (and enforcing by shift) disjoint image ids:
     * right ids are shifted past the left max on collision
     * (merge.py:199-203). */
-  def union(a: GraftDataset, b: GraftDataset): GraftDataset = {
+  def union(a0: GraftDataset, b0: GraftDataset): GraftDataset = {
+    val (a, b) = reconcileRoots(a0, b0)
+    val mergedLabels = LabelMaps.mergeOuter(a.labelMap, b.labelMap)
     val bShifted = shiftIfColliding(a, b)
     val (ai, bi) = Booleanize.alignBoolFamilies(
       a.images, bShifted.images,
@@ -34,7 +36,7 @@ object Merge {
     GraftDataset(
       images = ai.unionByName(bi, allowMissingColumns = true),
       annotations = aa.unionByName(ba, allowMissingColumns = true),
-      labelMap = LabelMaps.mergeOuter(a.labelMap, b.labelMap),
+      labelMap = mergedLabels,
       imagesRoot = a.imagesRoot,
       datasetName = mergedName(a, b),
       booleanized = Map(
@@ -50,8 +52,13 @@ object Merge {
     * (ids × shared columns), mirroring the reference precondition
     * (utils/testing.py:174-211). Set `checkIntersection = false` to skip
     * the extra validation job on trusted inputs. */
-  def merge(a: GraftDataset, b: GraftDataset,
+  def merge(a0: GraftDataset, b0: GraftDataset,
       checkIntersection: Boolean = true): GraftDataset = {
+    val (a, b) = reconcileRoots(a0, b0)
+    // label-map compatibility fails FIRST (reference order: the doctest's
+    // plain merge raises IncompatibleLabelMapsError before any row check) —
+    // also what [[plus]]'s realign-then-retry fallback dispatches on
+    val mergedLabels = LabelMaps.mergeOuter(a.labelMap, b.labelMap)
     val commonIds = a.images.select("id").intersect(b.images.select("id"))
     val newCols = b.images.columns.filterNot(a.images.columns.contains).toSeq
     if (checkIntersection) {
@@ -88,12 +95,68 @@ object Merge {
     val annotations = aAnnAligned.unionByName(bAnnAligned, allowMissingColumns = true)
 
     GraftDataset(images, annotations,
-      LabelMaps.mergeOuter(a.labelMap, b.labelMap),
+      mergedLabels,
       a.imagesRoot, mergedName(a, b),
       Map(
         "images" -> (a.booleanized("images") ++ b.booleanized("images")),
         "annotations" -> (a.booleanized("annotations") ++ b.booleanized("annotations")))
     ).reordered
+  }
+
+  /** Reference `+` — the merge fallback chain (dataset.py:2821-2855):
+    * try a plain merge; on a label-map conflict, realign the right side's
+    * label map ([[Remap.remapFromOther]], the printed "class remapping
+    * dictionary" of the reference doctest) and retry; on any other
+    * incompatibility (overlapping ids with disagreeing rows), reset both
+    * sides' indices — reference sort defaults: images by `relative_path`,
+    * annotations by (image_id, category_id, bbox) — and merge the now
+    * id-disjoint datasets (merge.py:106-112). */
+  def plus(a: GraftDataset, b: GraftDataset): GraftDataset = {
+    def ignoreIndex(): GraftDataset = {
+      val annSort = Seq("image_id", "category_id",
+        "box_x_min", "box_y_min", "box_width", "box_height")
+      val nA = a.numImages
+      merge(Ids.resetIndex(a, 0, 0, Seq("relative_path"), annSort),
+        Ids.resetIndex(b, nA, 0, Seq("relative_path"), annSort))
+    }
+    try merge(a, b)
+    catch {
+      case e: IllegalArgumentException
+          if e.getMessage != null && e.getMessage.contains("label map") =>
+        // recursive, as the reference's `self + other.remap_from_other(self)`:
+        // the retry's own row-level failure falls through to ITS ignore-index
+        // branch with the remapped right side
+        plus(a, Remap.remapFromOther(b, a, removeNotMapped = false))
+      case _: IllegalArgumentException => ignoreIndex()
+    }
+  }
+
+  /** Result root = common path of both roots, both sides re-prefixed
+    * (merge.py:114-131: either-absolute forces both absolute; commonpath
+    * of relative paths with nothing shared is "" → "."). Driver-side
+    * string work on two tiny paths; the path rewrite itself is a concat
+    * column ([[graft.model.GraftDataset.resetImagesRoot]]). */
+  private[operators] def reconcileRoots(a: GraftDataset, b: GraftDataset)
+      : (GraftDataset, GraftDataset) =
+    if (a.imagesRoot == b.imagesRoot) (a, b)
+    else {
+      val root = commonRoot(a.imagesRoot, b.imagesRoot)
+      (a.resetImagesRoot(root), b.resetImagesRoot(root))
+    }
+
+  private[operators] def commonRoot(a: String, b: String): String = {
+    import java.nio.file.Paths
+    val (pa, pb) =
+      if (Paths.get(a).isAbsolute || Paths.get(b).isAbsolute)
+        (Paths.get(a).toAbsolutePath.normalize, Paths.get(b).toAbsolutePath.normalize)
+      else (Paths.get(a).normalize, Paths.get(b).normalize)
+    def segs(p: java.nio.file.Path) =
+      (0 until p.getNameCount).map(p.getName(_).toString).filter(_ != "")
+    val shared = segs(pa).zip(segs(pb)).takeWhile { case (x, y) => x == y }
+      .map(_._1)
+    val prefix = if (pa.isAbsolute) "/" else ""
+    val joined = prefix + shared.mkString("/")
+    if (joined.isEmpty) "." else joined
   }
 
   private def mergedName(a: GraftDataset, b: GraftDataset): Option[String] =

@@ -33,7 +33,7 @@ class CocoSpec extends SparkFunSuite {
     assert(ds.labelMap == Map(51 -> "bowl", 56 -> "chair"))
     val img = ds.images.filter(col("id") === 9).collect()(0)
     assert(img.getAs[String]("split") == "train")
-    assert(img.getAs[String]("type") == "jpg")
+    assert(img.getAs[String]("type") == ".jpg") // Path.suffix keeps the dot
     val ann = ds.annotations.filter(col("id") === 100).collect()(0)
     assert(ann.getAs[Double]("box_x_min") == 1.5)
     assert(ann.getAs[String]("category_str") == "bowl")

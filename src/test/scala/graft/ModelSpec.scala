@@ -10,7 +10,8 @@ class ModelSpec extends SparkFunSuite {
   test("create derives type, category_str and propagates split") {
     val ds = tinyDataset()
     val imgs = ds.images.orderBy("id").collect()
-    assert(imgs.map(_.getAs[String]("type")).toSeq == Seq("jpg", "jpg", "png", "jpg"))
+    // Path.suffix semantics: dot included (dataset.py:960-961)
+    assert(imgs.map(_.getAs[String]("type")).toSeq == Seq(".jpg", ".jpg", ".png", ".jpg"))
     val anns = ds.annotations.orderBy("id").collect()
     assert(anns.map(_.getAs[String]("category_str")).toSeq ==
       Seq("person", "car", "person", "car", "person", "person"))
