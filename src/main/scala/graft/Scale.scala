@@ -30,10 +30,76 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
-  /** (name, allowSingleRowBnlj, query) */
-  private def probes: Seq[(String, Boolean, (SparkSession, String) => DataFrame)] = Seq(
+  /** One scale probe. `conf` entries are applied before the timed run and
+    * restored after (e.g. forcing the shuffle-join path for the salted-join
+    * skew probe). `decompose` runs UNTIMED after the probe and contributes
+    * named counters to the JSON — the growth-attribution surface (candidate
+    * volume vs output rows) the r7 verdict asked for. `gateSkew` marks the
+    * planted-skew probes whose straggler ratio is pass/fail-reported. */
+  private case class Probe(
+      name: String,
+      allowBnlj: Boolean = false,
+      conf: Map[String, String] = Map.empty,
+      gateSkew: Boolean = false,
+      decompose: Option[(SparkSession, String) => Map[String, Long]] = None,
+      q: (SparkSession, String) => DataFrame)
+
+  /** Candidate-volume bound + guard counters from a bucket-stats frame
+    * (Σ n·(n−1)/2 over joinable buckets + Σ (n−1) over star-degraded ones —
+    * exactly the guard's contract). */
+  private def dedupDecomp(stats: DataFrame): Map[String, Long] = {
+    val r = stats.agg(
+      sum(when(col("status").isin("ok", "kept"), col("n") * (col("n") - 1) / 2)
+        .when(col("status") === "star", col("n") - 1)
+        .otherwise(lit(0L))).cast("long").as("cand"),
+      sum(when(col("status") === "refined", 1).otherwise(0)).cast("long").as("refined"),
+      sum(when(col("status") === "star", 1).otherwise(0)).cast("long").as("star"))
+      .head()
+    Map("candidates" -> r.getLong(0),
+      "refined_buckets" -> r.getLong(1),
+      "star_buckets" -> r.getLong(2))
+  }
+
+  // ---- planted-skew inputs (fraction-proportional, so the growth envelope
+  // stays meaningful at both scale factors) --------------------------------
+
+  /** Annotations view with ~10% of all rows re-pointed at ONE image. */
+  private def megaImageAnnotations(s: SparkSession, d: String): DataFrame =
+    Tables.annotationsView(s, d).withColumn("image_id",
+      when(pmod(col("id"), lit(10)) === 0, lit(1L)).otherwise(col("image_id")))
+
+  /** Events with ~10% of all rows re-keyed to ONE user. */
+  private def megaUserEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).withColumn("user_id",
+      when(pmod(col("event_id"), lit(10)) === 0, lit(1L)).otherwise(col("user_id")))
+
+  /** Documents plus a mega exact-dup cluster of ONE sentinel text: 300
+    * fixed copies (above the 256 occupancy cap at EVERY scale factor — the
+    * guard must fire even on the small side of a run) plus a ~5%
+    * proportional tail (so the cluster stress grows with the data). Unique
+    * words → jaccard 0 against every real doc, so the planted cluster
+    * cannot taint natural pairs. */
+  private def megaDupDocuments(s: SparkSession, d: String): DataFrame = {
+    val sentinel = lit("skewprobe sentinel xylographic quixotic verisimilitude "
+      + "zugzwang perspicacious sesquipedalian")
+    // normalize ingest parallelism first: the synthetic documents parquet is
+    // ONE row group, so without this the whole corpus' shingle+signature
+    // compute lands in a single scan task (measured: 3.2 s vs a 15 ms
+    // median, with a twin task blocked on the cache lock) — a test-data
+    // layout artifact no engine can split, not the key skew this probe
+    // plants; a real 100-TB corpus arrives in thousands of splits
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    docs
+      .unionByName(s.range(300).select(
+        (col("id") + 900000000L).as("doc_id"), sentinel.as("text")))
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select((col("doc_id") + 910000000L).as("doc_id"), sentinel.as("text")))
+  }
+
+  private def probes: Seq[Probe] = Seq(
     // classic Catalyst baseline: pricing agg + orders join on the fact table
-    ("tpch_agg_join", false, (s, d) => {
+    Probe("tpch_agg_join", q = (s, d) => {
       val li = Tables.lineitem(s, d)
       val ord = Tables.orders(s, d)
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))
@@ -43,31 +109,40 @@ object Scale {
           count(lit(1)).as("n"))
     }),
     // MinHash+LSH near-dup pairs over ALL documents
-    ("minhash_neardup_pairs", false, (s, d) =>
+    Probe("minhash_neardup_pairs", decompose = Some((s, d) =>
+      dedupDecomp(graft.llm.Dedup.minHashBucketStats(Tables.documents(s, d)))),
+      q = (s, d) =>
       graft.llm.Dedup.minHashNearDups(Tables.documents(s, d), threshold = 0.7)),
     // + transitive clustering (contraction CC / driver union-find fast path)
-    ("neardup_clusters", false, (s, d) =>
+    Probe("neardup_clusters", decompose = Some((s, d) =>
+      dedupDecomp(graft.llm.Dedup.minHashBucketStats(Tables.documents(s, d)))),
+      q = (s, d) =>
       graft.llm.Dedup.nearDupClusters(Tables.documents(s, d), threshold = 0.7)),
     // SimHash near-dups over all documents
-    ("simhash_neardups", false, (s, d) =>
+    Probe("simhash_neardups", decompose = Some((s, d) =>
+      dedupDecomp(graft.llm.Dedup.simHashBucketStats(Tables.documents(s, d)))),
+      q = (s, d) =>
       graft.llm.Dedup.simHashNearDups(Tables.documents(s, d))),
     // exact dedup keep-best over all documents
-    ("exact_dedup_keepbest", false, (s, d) =>
+    Probe("exact_dedup_keepbest", q = (s, d) =>
       graft.llm.Dedup.exactDedupKeepBest(
         Tables.documents(s, d), pmod(col("doc_id"), lit(97)))),
     // embedding near-dup with whitening over ALL embeddings (single-row
     // moments broadcast -> benign 1-row BNLJ)
-    ("embedding_neardup_whiten", true, (s, d) =>
+    Probe("embedding_neardup_whiten", allowBnlj = true,
+      decompose = Some((s, d) => dedupDecomp(
+        graft.llm.Dedup.embeddingBucketStats(Tables.embeddings(s, d), whiten = true))),
+      q = (s, d) =>
       graft.llm.Dedup.embeddingNearDups(Tables.embeddings(s, d),
         threshold = 0.95, whiten = true)),
     // LSH ANN top-k: 100 broadcast queries against the full corpus
-    ("ann_lsh_topk", false, (s, d) => {
+    Probe("ann_lsh_topk", q = (s, d) => {
       val corpus = Tables.embeddings(s, d)
       val queries = corpus.filter(pmod(col("vec_id"), lit(211)) === 0)
       graft.llm.Similarity.lshTopK(corpus, queries, k = 10)
     }),
     // PR/AP over the FULL annotations view with an id-derived prediction set
-    ("pr_ap_full", false, (s, d) => {
+    Probe("pr_ap_full", q = (s, d) => {
       val ann = Tables.annotationsView(s, d)
       val preds = ann.select(
         (col("id") + lit(1000000000L)).as("id"), col("image_id"),
@@ -81,7 +156,7 @@ object Scale {
       ap
     }),
     // bucketized interval join: events x events within a +-5 min window
-    ("interval_join_events", false, (s, d) => {
+    Probe("interval_join_events", q = (s, d) => {
       val ev = Tables.events(s, d)
       val probesDf = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"))
@@ -92,11 +167,11 @@ object Scale {
         .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
     }),
     // native session-window sessionization over all events
-    ("sessionize_native", false, (s, d) =>
+    Probe("sessionize_native", q = (s, d) =>
       graft.streaming.EventStream.sessionizeNative(Tables.events(s, d))
         .groupBy(col("user_id")).agg(count(lit(1)).as("n_sessions"))),
     // token-budget mixture over all documents (20 sources)
-    ("token_mixture", false, (s, d) => {
+    Probe("token_mixture", q = (s, d) => {
       val docs = Tables.documents(s, d)
       val budgets = (0 until 20).map(i => s"src$i" -> 30000L).toMap
       graft.llm.Sampling.tokenBudgetMixture(docs, col("n_chars"), budgets)
@@ -104,7 +179,7 @@ object Scale {
     }),
     // IVF ANN: seeded KMeans index + distributed probe (the centroid
     // cross-join is the intentional tiny-table BNLJ)
-    ("ann_ivf_topk", true, (s, d) => {
+    Probe("ann_ivf_topk", allowBnlj = true, q = (s, d) => {
       val corpus = Tables.embeddings(s, d)
       val idx = graft.llm.Ivf.build(corpus)
       val queries = corpus.filter(pmod(col("vec_id"), lit(211)) === 0)
@@ -114,7 +189,7 @@ object Scale {
     // for eval suites too big to broadcast) — self-contamination setup:
     // ~1% of the corpus re-planted as the test set, their train twins and
     // any shingle-overlapping docs must drop
-    ("decontaminate_shuffle", false, (s, d) => {
+    Probe("decontaminate_shuffle", q = (s, d) => {
       val docs = Tables.documents(s, d)
       val test = docs.filter(pmod(col("doc_id"), lit(101)) === 0)
         .select((col("doc_id") + 9000000L).as("doc_id"), col("text"))
@@ -122,7 +197,7 @@ object Scale {
         .agg(count(lit(1)).as("n_clean"))
     }),
     // sequence packing: per-source running token stream → fixed blocks
-    ("sequence_packing", false, (s, d) => {
+    Probe("sequence_packing", q = (s, d) => {
       val docs = Tables.documents(s, d)
         .withColumn("n_tokens", col("n_chars"))
       graft.llm.Corpus.packSequences(docs, blockTokens = 4096)
@@ -132,21 +207,133 @@ object Scale {
     // REAL Structured Streaming throughput: readStream over the events
     // parquet → watermarked daily window agg → memory sink (AvailableNow),
     // the q88 shape driven at both scale factors
-    ("stream_window_agg", false, (s, d) => {
+    Probe("stream_window_agg", q = (s, d) => {
       val qn = s"scale_stream_${streamRuns.incrementAndGet()}"
       val q = graft.streaming.EventStream.runToMemory(s, d, qn)
       q.awaitTermination()
       s.table(qn)
-    }))
+    }),
+
+    // ---- planted-skew probes: the 100-TB axis uniform growth can't see.
+    // Each plants one dominant key at a FIXED FRACTION of the table (so the
+    // stress scales with the data and the growth envelope stays meaningful)
+    // and gates on the straggler ratio: no successful task may run longer
+    // than 10x its stage's median task (floored — see TaskStats.worstSkew).
+
+    // ONE image owns ~10% of all annotations; the dims join runs through
+    // saltedJoin with auto-broadcast disabled — forcing the shuffle-join
+    // path the salting exists for (with broadcast enabled the hot key is
+    // moot: no shuffle on the fact side). The per-image rollup behind it is
+    // partial-aggregated, so the hot group combines map-side.
+    Probe("skew_fk_join_salted", gateSkew = true,
+      conf = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+      q = (s, d) => {
+        val dims = Tables.imagesView(s, d)
+          .select(col("id").as("img_id"), col("width"), col("height"))
+        graft.operators.SkewJoin.saltedJoin(
+          megaImageAnnotations(s, d), dims, "image_id", "img_id",
+          salts = 32, saltCols = Seq("id"))
+          .groupBy(col("image_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("box_width") * col("width")).as("w"))
+      }),
+    // ONE user owns ~10% of all events; the chunk-bucketized interval join
+    // keys on (user, time-bucket), so the hot user's history spreads over
+    // its time buckets instead of landing in one task
+    Probe("skew_interval_join", gateSkew = true, q = (s, d) => {
+      val ev = megaUserEvents(s, d)
+      val probesDf = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+      graft.operators.IntervalJoin.intervalJoin(
+        probesDf, ev.select(col("user_id"), col("ts").as("ts2"),
+          col("ts"), col("value")),
+        keys = Seq("user_id"), lowerUs = -300000000L, upperUs = 300000000L)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    }),
+    // a mega exact-dup cluster (~2% of the corpus, one sentinel text, far
+    // above the occupancy cap): the guard must FIRE (star_buckets > 0 in
+    // the decomposition — asserted into skew_ok) and absorb the cluster
+    // linearly as star pairs instead of ~(0.02·N)²/2 member pairs
+    Probe("skew_mega_dup_minhash", gateSkew = true,
+      decompose = Some((s, d) =>
+        dedupDecomp(graft.llm.Dedup.minHashBucketStats(megaDupDocuments(s, d)))),
+      q = (s, d) =>
+        graft.llm.Dedup.minHashNearDups(megaDupDocuments(s, d), threshold = 0.7)),
+    // a dominant bigram planted into every 3rd document — top-ngrams'
+    // partial (map-side) aggregation must absorb the hot gram: no reducer
+    // receives the full hot-gram stream
+    Probe("skew_dominant_token", gateSkew = true, q = (s, d) =>
+      graft.llm.Corpus.topNgrams(
+        Tables.documents(s, d).withColumn("text",
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit("zyxq wvut "), col("text"))).otherwise(col("text"))),
+        n = 2, k = 20)))
 
   private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Per-stage task-duration collector (the Spark UI's data, read through a
+    * listener). `worstSkew` = max over stages of (longest task / median
+    * task), considering only stages whose longest task is ≥ 1 s (short
+    * stages prove nothing) and flooring the median at 250 ms (a stage of
+    * near-empty tasks plus one real one is partition-count noise, not key
+    * skew). A genuine hot key — minutes against a sub-second median —
+    * clears both guards and shows up as a large ratio. */
+  private class TaskStats extends org.apache.spark.scheduler.SparkListener {
+    private val durations =
+      new scala.collection.concurrent.TrieMap[Int, scala.collection.mutable.ArrayBuffer[Long]]()
+    private val stageNames = new scala.collection.concurrent.TrieMap[Int, String]()
+    private val maxTask = new scala.collection.concurrent.TrieMap[Int, String]()
+    override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      if (t.taskInfo != null && t.taskInfo.successful) {
+        val buf = durations.getOrElseUpdate(t.stageId,
+          scala.collection.mutable.ArrayBuffer.empty[Long])
+        val isMax = buf.synchronized {
+          buf += t.taskInfo.duration; buf.max == t.taskInfo.duration
+        }
+        if (isMax && t.taskMetrics != null)
+          maxTask.put(t.stageId,
+            s"in=${t.taskMetrics.inputMetrics.recordsRead} " +
+              s"sr=${t.taskMetrics.shuffleReadMetrics.recordsRead} " +
+              s"sw=${t.taskMetrics.shuffleWriteMetrics.recordsWritten} " +
+              s"gc=${t.taskMetrics.jvmGCTime}ms " +
+              s"cpu=${t.taskMetrics.executorCpuTime / 1000000}ms " +
+              s"deser=${t.taskMetrics.executorDeserializeTime}ms")
+      }
+    override def onStageCompleted(
+        s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      stageNames.put(s.stageInfo.stageId, s.stageInfo.name.takeWhile(_ != '\n'))
+    def clear(): Unit = { durations.clear(); stageNames.clear(); maxTask.clear() }
+    def worstSkew(minMaxMs: Long = 1000, medianFloorMs: Long = 250): (Double, Int) = {
+      var worst = 0.0; var stage = -1
+      for ((sid, ds) <- durations; if ds.length >= 2) {
+        val sorted = ds.toArray.sorted
+        val mx = sorted.last
+        if (mx >= minMaxMs) {
+          val med = math.max(sorted(sorted.length / 2), medianFloorMs)
+          val r = mx.toDouble / med
+          if (r > worst) { worst = r; stage = sid }
+        }
+      }
+      (worst, stage)
+    }
+    /** SCALE_DEBUG=1: per-stage task histogram to stderr for straggler
+      * diagnosis (stage id → n tasks, median, max ms). */
+    def dump(tag: String): Unit =
+      for ((sid, ds) <- durations.toSeq.sortBy(_._1); if ds.nonEmpty) {
+        val sorted = ds.toArray.sorted
+        System.err.println(s"[scale-debug] $tag stage=$sid n=${sorted.length} " +
+          s"med=${sorted(sorted.length / 2)}ms max=${sorted.last}ms " +
+          s"maxtask[${maxTask.getOrElse(sid, "")}] " +
+          s"name=${stageNames.getOrElse(sid, "?")}")
+      }
+  }
 
   def main(args: Array[String]): Unit = {
     val dirs =
       if (args.length >= 2) Seq(args(0), args(1))
       else Seq("/root/testdata/sf0.1", "/root/repo/scaledata/sf1")
     val selected =
-      if (args.length > 2) probes.filter(p => args.drop(2).contains(p._1))
+      if (args.length > 2) probes.filter(p => args.drop(2).contains(p.name))
       else probes
     require(selected.nonEmpty, "no probes selected")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -161,58 +348,120 @@ object Scale {
 
     // warmup at the smallest SF: JIT + codegen, untimed
     val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory) selected.foreach { case (_, _, q) =>
-      try q(spark, warmDir).count()
+    if (new java.io.File(warmDir).isDirectory) selected.foreach { p =>
+      try p.q(spark, warmDir).count()
       catch { case _: Throwable => () }
       spark.catalog.clearCache()
     }
 
-    case class Cell(sec: Double, rows: Long, planViolations: Seq[String])
+    val taskStats = new TaskStats
+    spark.sparkContext.addSparkListener(taskStats)
+
+    case class Cell(sec: Double, rows: Long, planViolations: Seq[String],
+        taskSkew: Double, skewStage: Int, decomp: Map[String, Long])
     val grid: Map[(String, String), Cell] = (for {
       dir <- dirs
-      (name, allowBnlj, q) <- selected
+      p <- selected
     } yield {
+      // full storage reset between probes: cached frames, leftover
+      // localCheckpoint blocks, and a GC pass — accumulated blocks from
+      // earlier probes otherwise surface as multi-second GC pauses inside
+      // later probes' tasks (measured: the same stage's max task went
+      // 0.9 s → 3.0 s between two identical runs), which the straggler
+      // gate would misread as key skew
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
+      val savedConf = p.conf.keys.map(k =>
+        k -> (try Some(spark.conf.get(k)) catch { case _: Throwable => None })).toMap
+      p.conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      taskStats.clear()
       // the timer covers the BUILDER too: some probes do eager work there
       // (IVF's KMeans fit, the streaming probe's AvailableNow run)
       val t0 = System.nanoTime()
       val (df, rows) = try {
-        val d0 = q(spark, dir)
+        val d0 = p.q(spark, dir)
         (Some(d0), d0.count())
       } catch {
         case e: Throwable =>
-          System.err.println(s"[scale] FAILED probe=$name dir=$dir: $e")
+          System.err.println(s"[scale] FAILED probe=${p.name} dir=$dir: $e")
           (None, -1L)
       }
       val sec = if (rows >= 0) (System.nanoTime() - t0) / 1e9 else -1.0
+      // listener events are posted async — give the bus a beat to drain
+      Thread.sleep(300)
+      val (skew, skewStage) = taskStats.worstSkew()
+      if (sys.env.get("SCALE_DEBUG").contains("1")) taskStats.dump(s"${p.name}/$dir")
       val plan = df.map { d =>
         try d.queryExecution.executedPlan.toString catch {
           case _: Throwable => ""
         }
       }.getOrElse("")
+      // decomposition runs UNTIMED (extra jobs must not pollute the probe's
+      // wall time), with the probe's conf overrides still applied
+      val decomp = p.decompose.map { f =>
+        try f(spark, dir) catch {
+          case e: Throwable =>
+            System.err.println(s"[scale] decompose failed ${p.name}/$dir: $e")
+            Map.empty[String, Long]
+        }
+      }.getOrElse(Map.empty)
+      savedConf.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
       val banned =
-        (if (allowBnlj) Seq.empty else Seq("BroadcastNestedLoopJoin")) :+
+        (if (p.allowBnlj) Seq.empty else Seq("BroadcastNestedLoopJoin")) :+
           "CartesianProduct"
-      (name, dir) -> Cell(sec, rows, banned.filter(plan.contains))
+      (p.name, dir) -> Cell(sec, rows, banned.filter(plan.contains),
+        skew, skewStage, decomp)
     }).toMap
 
     def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
+    def decompJson(m: Map[String, Long]): String =
+      "{" + m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",") + "}"
     val (small, large) = (dirs.head, dirs.last)
-    val entries = selected.map { case (n, _, _) =>
+    val entries = selected.map { p =>
+      val n = p.name
       val a = grid((n, small)); val b = grid((n, large))
       val ratio = if (a.sec > 0 && b.sec > 0) b.sec / a.sec else -1.0
       val viol = (a.planViolations ++ b.planViolations).distinct
+      val skewMax = math.max(a.taskSkew, b.taskSkew)
+      // the straggler gate for the planted-skew probes; the mega-dup probe
+      // additionally requires the occupancy guard to have actually fired
+      val guardFired = !n.contains("mega_dup") ||
+        (a.decomp.getOrElse("star_buckets", 0L) > 0 &&
+          b.decomp.getOrElse("star_buckets", 0L) > 0)
+      val skewOk =
+        if (!p.gateSkew) None
+        else Some(skewMax <= 10.0 && a.rows >= 0 && b.rows >= 0 && guardFired)
       s""""$n":{"small_sec":${fmt(a.sec)},"large_sec":${fmt(b.sec)},""" +
         s""""small_rows":${a.rows},"large_rows":${b.rows},"growth":${fmt(ratio)},""" +
-        s""""plan_violations":[${viol.map("\"" + _ + "\"").mkString(",")}]}"""
+        s""""task_skew":${fmt(skewMax)},""" +
+        s""""task_skew_stage":${if (a.taskSkew >= b.taskSkew) a.skewStage else b.skewStage}""" +
+        skewOk.map(ok => s""","skew_ok":$ok,"guard_fired":$guardFired""").getOrElse("") +
+        (if (a.decomp.nonEmpty || b.decomp.nonEmpty)
+          s""","decomp_small":${decompJson(a.decomp)},"decomp_large":${decompJson(b.decomp)}"""
+        else "") +
+        s""","plan_violations":[${viol.map("\"" + _ + "\"").mkString(",")}]}"""
     }
-    val totalSmall = selected.map(p => grid((p._1, small)).sec).filter(_ > 0).sum
-    val totalLarge = selected.map(p => grid((p._1, large)).sec).filter(_ > 0).sum
+    val totalSmall = selected.map(p => grid((p.name, small)).sec).filter(_ > 0).sum
+    val totalLarge = selected.map(p => grid((p.name, large)).sec).filter(_ > 0).sum
     val anyViol = grid.values.exists(_.planViolations.nonEmpty)
+    val skewGates = selected.filter(_.gateSkew)
+    val allSkewOk = skewGates.forall { p =>
+      val a = grid((p.name, small)); val b = grid((p.name, large))
+      math.max(a.taskSkew, b.taskSkew) <= 10.0 && a.rows >= 0 && b.rows >= 0 &&
+        (!p.name.contains("mega_dup") ||
+          (a.decomp.getOrElse("star_buckets", 0L) > 0 &&
+            b.decomp.getOrElse("star_buckets", 0L) > 0))
+    }
     println(s"""{"metric":"scale_growth","small_dir":"$small","large_dir":"$large",""" +
       s""""total_small_sec":${fmt(totalSmall)},"total_large_sec":${fmt(totalLarge)},""" +
       s""""total_growth":${fmt(if (totalSmall > 0) totalLarge / totalSmall else -1.0)},""" +
-      s""""plan_clean":${!anyViol},"probes":{${entries.mkString(",")}}}""")
+      s""""plan_clean":${!anyViol},"skew_ok":$allSkewOk,""" +
+      s""""probes":{${entries.mkString(",")}}}""")
     spark.stop()
   }
 }
