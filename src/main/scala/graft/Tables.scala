@@ -22,17 +22,25 @@ object Tables {
   def nation(spark: SparkSession, d: String): DataFrame = table(spark, d, "nation")
   def region(spark: SparkSession, d: String): DataFrame = table(spark, d, "region")
   def part(spark: SparkSession, d: String): DataFrame = table(spark, d, "part")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; read nanos as long and convert to a microsecond timestamp.
-    * The ns→μs conversion MUST be integer division (`div`): `/` promotes to
-    * double, and 2024-epoch nanos (~1.7e18) exceed double's 53-bit mantissa
-    * — the ±128 ns representation error truncates to off-by-1μs timestamps
-    * for ~half the rows. The generated data is μs-clean (ns % 1000 = 0,
-    * verified at sf0.1), so `div 1000` is lossless. */
+  /** events.ts has shipped as either parquet TIMESTAMP(NANOS) (older
+    * generator runs — Spark's vectorized reader rejects it, so it is read
+    * as a nanos long) or TIMESTAMP(MICROS) without UTC adjustment (newer
+    * runs — Spark reads it as TIMESTAMP_NTZ). Adapt on the stored type:
+    *  - nanos long → μs timestamp via integer division (`div`, NOT `/`:
+    *    2024-epoch nanos ~1.7e18 exceed double's 53-bit mantissa, so the
+    *    double path truncates to off-by-1μs for ~half the rows; the data is
+    *    μs-clean so `div 1000` is lossless);
+    *  - TIMESTAMP_NTZ → session-tz timestamp (sessions run UTC, so the
+    *    cast is a pure type change — same micros DuckDB sees). */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(spark, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")

@@ -19,24 +19,39 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStream {
 
-  /** events schema as stored (ts = raw nanos int64; see Tables.events). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** events schema template (ts dtype substituted from the stored footer —
+    * the table has shipped both as TIMESTAMP(NANOS), read as a nanos int64,
+    * and as TIMESTAMP(MICROS) non-UTC-adjusted, read as TIMESTAMP_NTZ;
+    * see Tables.events). */
+  def rawSchema(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Streaming source over a directory of events parquet, nanos → timestamp. */
+  /** Streaming source over a directory of events parquet → session-tz
+    * timestamp `ts`. A streaming source needs its schema up front, and the
+    * stored ts dtype varies by generator vintage — one driver-side footer
+    * read (batch schema probe, no data scan) picks the right one. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
+    val storedTs = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .schema("ts").dataType
+    val raw = spark.readStream
+      .schema(rawSchema(storedTs))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      // integer division, NOT `/`: 2024-epoch nanos (~1.7e18) exceed
-      // double's 53-bit mantissa, so the double path truncates to
-      // off-by-1μs timestamps for some rows (same hazard documented at
-      // Tables.events). The data is μs-clean, so `div 1000` is lossless.
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    storedTs match {
+      case LongType =>
+        // integer division, NOT `/`: 2024-epoch nanos (~1.7e18) exceed
+        // double's 53-bit mantissa, so the double path truncates to
+        // off-by-1μs timestamps for some rows (same hazard documented at
+        // Tables.events). The data is μs-clean, so `div 1000` is lossless.
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Tumbling/sliding event-time window aggregation with a watermark:
