@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: at sf0.1 × 32 threads the heavy gates GC-churn an 8g heap
+  // (intermittent 2× single-rep inflation on q23/q99 in otherwise-quiet
+  // runs); the box has 128 GiB, so trade headroom for stable rep times
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -47,9 +47,30 @@ object Caipy {
   def fromCaipy(spark: SparkSession, root: String,
       splits: Seq[String] = Seq("train", "valid"),
       datasetName: Option[String] = None,
+      documentSchema: Option[StructType] = None): GraftDataset =
+    fromAnnotationsRoot(spark, s"$root/Annotations", root, splits,
+      datasetName, documentSchema)
+
+  /** Same loader over a direct annotations root (the split subdirs live
+    * immediately under `annDir`) with an independent images root — the
+    * from_caipy_generic folder contract (caipy.py:391-441) where the two
+    * trees need not share a parent. [[fromCaipy]] delegates here with
+    * `annDir = root/Annotations`. */
+  def fromAnnotationsRoot(spark: SparkSession, annDir: String,
+      imagesRoot: String,
+      splits: Seq[String] = Seq("train", "valid"),
+      datasetName: Option[String] = None,
       documentSchema: Option[StructType] = None): GraftDataset = {
     val perSplit = splits.filter { s =>
-      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(root, "Annotations", s))
+      // a split dir that exists but holds no JSON (all its images deleted —
+      // the watcher CLI hits this live) must be skipped, not fed to the
+      // reader: schema inference over zero files is an analysis error
+      val p = java.nio.file.Paths.get(annDir, s)
+      java.nio.file.Files.isDirectory(p) && {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.anyMatch(f => f.toString.endsWith(".json"))
+        finally walk.close()
+      }
     }.map { s =>
       // recursive lookup: reference trees keep each image's subdirectory
       // structure under the split dir (caipy.py:464-492) — a flat glob
@@ -58,10 +79,10 @@ object Caipy {
         .option("recursiveFileLookup", true)
         .option("pathGlobFilter", "*.json")
       documentSchema.fold(reader)(reader.schema)
-        .json(s"$root/Annotations/$s")
+        .json(s"$annDir/$s")
         .withColumn("split", lit(s))
     }
-    require(perSplit.nonEmpty, s"no Annotations/{${splits.mkString(",")}} under $root")
+    require(perSplit.nonEmpty, s"no {${splits.mkString(",")}} split dirs under $annDir")
     // cache the parsed documents: the load itself needs two passes (label
     // map collect + whatever the caller computes) on top of schema
     // inference, and re-parsing thousands of small multiLine JSONs is the
@@ -69,7 +90,7 @@ object Caipy {
     // construction, and the cache is LRU-evictable under pressure.
     val raw = perSplit.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
       .cache()
-    buildFromRaw(spark, raw, root, datasetName)
+    buildFromRaw(spark, raw, imagesRoot, datasetName)
   }
 
   /** Build the two-table dataset from a raw per-image-document frame
