@@ -46,6 +46,35 @@ object Bench {
         spark.catalog.clearCache()
       }
     }
+    // second warmup at the TARGET SF (skippable via SPARK_GRAFT_WARM_TARGET=0):
+    // the small-SF pass compiles the plans but the first full-scale reps stay
+    // inflated across the board (r8 quiet-box runs: one warm pass → reps
+    // 135/93/89 s, 32 queries each carrying >0.5 s first-rep excess — C2
+    // tier-up keeps compiling on background threads through the first timed
+    // pass, competing with the 32 worker threads). One fixed pass is not
+    // enough, so warm ADAPTIVELY: repeat full-scale passes until a pass's
+    // wall time lands within 12% of the previous one (max
+    // SPARK_GRAFT_WARM_MAX, default 3) — the timed reps then start on a
+    // settled JVM instead of the dispersion statistic flagging every run.
+    if (sys.env.getOrElse("SPARK_GRAFT_WARM_TARGET", "1") != "0") {
+      val maxWarm = sys.env.getOrElse("SPARK_GRAFT_WARM_MAX", "3").toInt
+      var prev = Double.MaxValue
+      var pass = 0
+      var stable = false
+      while (pass < maxWarm && !stable) {
+        val t0 = System.nanoTime()
+        names.foreach { n =>
+          try SparkEntry.queries(n)(spark, sfDir).count()
+          catch { case _: Throwable => () }
+          spark.catalog.clearCache()
+        }
+        val wall = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] warm pass ${pass + 1} at target SF: $wall%.1f s")
+        stable = wall >= prev * 0.88
+        prev = wall
+        pass += 1
+      }
+    }
 
     def timedPass(): Seq[(String, Double)] = names.map { name =>
       spark.catalog.clearCache()

@@ -194,16 +194,20 @@ object CaipyToFiftyone {
     var batch = 0
     try {
       while (batch < c.maxUpdates) {
-        val key = watcher.take() // blocks for the first event
+        val first = watcher.take() // blocks for the first event
         Thread.sleep(c.cooldownMs) // cooldown: coalesce a burst of writes
-        key.pollEvents(); key.reset()
-        // drain everything queued during the cooldown — the reload below
-        // reads the whole folder, so those events are already covered
-        var k = watcher.poll()
+        // drain everything queued during the cooldown (the first key
+        // included) — the reload below reads the whole folder, so the
+        // events' data content is already covered; the drain only needs to
+        // pick up newly created directories for future watching
+        var k: java.nio.file.WatchKey = first
         while (k != null) {
           val evs: java.util.List[WatchEvent[_]] = k.pollEvents()
+          // event contexts are relative to the KEY's directory (which may be
+          // a nested subdir), not the annotations root
+          val keyDir = k.watchable().asInstanceOf[Path]
           evs.asScala.foreach { e =>
-            val p = Paths.get(c.annotationsDir).resolve(e.context().toString)
+            val p = keyDir.resolve(e.context().toString)
             if (Files.isDirectory(p)) register(p) // new split dir appears
           }
           k.reset(); k = watcher.poll()
