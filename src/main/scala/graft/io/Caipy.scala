@@ -65,11 +65,17 @@ object Caipy {
       // a split dir that exists but holds no JSON (all its images deleted —
       // the watcher CLI hits this live) must be skipped, not fed to the
       // reader: schema inference over zero files is an analysis error
-      val p = java.nio.file.Paths.get(annDir, s)
-      java.nio.file.Files.isDirectory(p) && {
-        val walk = java.nio.file.Files.walk(p)
-        try walk.anyMatch(f => f.toString.endsWith(".json"))
-        finally walk.close()
+      // Hadoop FileSystem, not java.nio: annDir may be hdfs://, s3a://…
+      // (the same contract the annotation reader below honors); the
+      // recursive listing short-circuits on the first JSON hit
+      val p = new org.apache.hadoop.fs.Path(annDir, s)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(p) && fs.getFileStatus(p).isDirectory && {
+        val it = fs.listFiles(p, true)
+        var found = false
+        while (!found && it.hasNext)
+          found = it.next().getPath.getName.endsWith(".json")
+        found
       }
     }.map { s =>
       // recursive lookup: reference trees keep each image's subdirectory

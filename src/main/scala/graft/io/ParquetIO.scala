@@ -2,7 +2,6 @@ package graft.io
 
 import graft.model.GraftDataset
 import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
 
 /** Native persistence: a directory of parquet datasets + a JSON sidecar with
   * the driver-side metadata. Same logical layout as the reference's
@@ -17,16 +16,29 @@ object ParquetIO {
     ds.images.write.mode(mode).parquet(s"$dir/images")
     ds.annotations.write.mode(mode).parquet(s"$dir/annotations")
     val meta = metadataJson(ds)
-    Files.createDirectories(Paths.get(dir))
-    Files.writeString(Paths.get(s"$dir/metadata.json"), meta)
+    // sidecar via the Hadoop FileSystem API: `dir` may be hdfs://, s3a://…
+    // (the parquet datasets above already go through it via Spark)
+    val conf = ds.images.sparkSession.sparkContext.hadoopConfiguration
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/metadata.json")
+    val fs = metaPath.getFileSystem(conf)
+    val out = fs.create(metaPath, true)
+    try out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   def read(spark: SparkSession, dir: String): GraftDataset = {
     val images = spark.read.parquet(s"$dir/images")
     val annotations = spark.read.parquet(s"$dir/annotations")
-    val metaPath = Paths.get(s"$dir/metadata.json")
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/metadata.json")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (lm, root, name, booleanized) =
-      if (Files.exists(metaPath)) parseMetadata(Files.readString(metaPath))
+      if (fs.exists(metaPath)) {
+        val in = fs.open(metaPath)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        parseMetadata(txt)
+      }
       else (Map.empty[Int, String], ".", None, Map("images" -> Set.empty[String], "annotations" -> Set.empty[String]))
     GraftDataset(images, annotations, lm, root, name, booleanized)
   }

@@ -204,9 +204,19 @@ object ExtraQueries extends graft.QueryModule {
         try { f; false } catch { case _: IllegalArgumentException => true }
       val cleanOk = try { Validation.check(clean); true }
         catch { case _: Throwable => false }
-      // planted: every 97th annotation id gets a negative width
+      // planted: every 97th annotation id gets a negative width, PLUS the
+      // min id unconditionally — at tiny SFs the %100-image / %97-annotation
+      // double filter can select zero rows, which made malformed_caught
+      // scale-dependent (false at sf0.001, true at sf0.01+); min-id planting
+      // guarantees >=1 malformed row whenever the subset is non-empty, at
+      // every scale, and the oracle mirrors it arithmetically
+      val minAnnId = clean.annotations.agg(min(col("id"))).first() match {
+        case r if r.isNullAt(0) => Long.MinValue
+        case r => r.getLong(0)
+      }
       val badAnn = clean.annotations.withColumn("box_width",
-        when(col("id") % 97 === 0, lit(-5.0)).otherwise(col("box_width")))
+        when(col("id") % 97 === 0 || col("id") === minAnnId, lit(-5.0))
+          .otherwise(col("box_width")))
       val malformedCaught = throws(Validation.check(clean.copy(annotations = badAnn)))
       val nMalformed = Locators.malformedBoxReport(clean.copy(annotations = badAnn))
         .filter(col("negative_size")).count()
@@ -447,7 +457,8 @@ object ExtraQueries extends graft.QueryModule {
          |          AND a.box_x_min + a.box_width <= i.width
          |          AND a.box_y_min + a.box_height <= i.height)
          |SELECT true AS clean_ok, true AS malformed_caught,
-         |       (SELECT count(*) FROM sub WHERE id % 97 = 0) AS n_malformed,
+         |       (SELECT count(*) FROM sub
+         |        WHERE id % 97 = 0 OR id = (SELECT min(id) FROM sub)) AS n_malformed,
          |       true AS dup_caught, true AS norm_caught,
          |       true AS afie_ok, true AS afie_caught,
          |       true AS regression_ok, true AS drift_caught""".stripMargin,
