@@ -118,6 +118,45 @@ class CliSpec extends SparkFunSuite {
     assert(!Files.isDirectory(Paths.get(out, "updates", "batch_00001")))
   }
 
+  test("watchLoop registers a nested subdir created mid-watch and sees its files") {
+    val root = Files.createTempDirectory("cli_nest").toString
+    writeImg(root, "train", 9, 1)
+    val out = Files.createTempDirectory("cli_nest_out").toString
+    val c = CaipyToFiftyone.parseArgs(Array("-i", root, "--out", out,
+      "--watch", "--cooldown-ms", "800", "--max-updates", "2"))
+    val initial = CaipyToFiftyone.load(spark, c)
+    initial.images.count()
+    val t = new Thread(() => CaipyToFiftyone.watchLoop(spark, c, initial))
+    t.setDaemon(true)
+    t.start()
+    Thread.sleep(500) // let the watcher register
+    // batch 0: a subdirectory appears under train/ with a nested JSON
+    // (reference trees keep per-image subdirs, caipy.py:464-492); the
+    // drain must register the NEW dir itself (event context is relative
+    // to the key's dir, not the annotations root)
+    val sub = Paths.get(root, "Annotations", "train", "cam0")
+    Files.createDirectories(sub)
+    Files.writeString(sub.resolve("img30.json"),
+      """{"image": {"id": 30, "file_name": "cam0/img30.jpg", "width": 640, "height": 480},
+        |  "annotations": []}""".stripMargin)
+    // wait for batch 0's CONTENT (not just the directory — writeJsonl
+    // creates the dir before the Spark job finishes writing) so the second
+    // write can't be coalesced into the first batch
+    val deadline = System.currentTimeMillis() + 30000
+    def batch0HasImg30 = jsonlRows(s"$out/updates/batch_00000").exists(_.contains("img30"))
+    while (!batch0HasImg30 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(batch0HasImg30)
+    // batch 1: a file INSIDE the mid-watch-created subdir must still wake
+    // the watcher — this only works if cam0/ got registered during drain
+    Thread.sleep(200)
+    Files.writeString(sub.resolve("img31.json"),
+      """{"image": {"id": 31, "file_name": "cam0/img31.jpg", "width": 640, "height": 480},
+        |  "annotations": []}""".stripMargin)
+    t.join(60000)
+    assert(!t.isAlive, "watch loop never saw the nested-dir file: cam0/ was not registered")
+    assert(jsonlRows(s"$out/updates/batch_00001").exists(_.contains("img31")))
+  }
+
   test("fromAnnotationsRoot loads a detached annotations tree with its own images root") {
     val root = Files.createTempDirectory("cli_gen").toString
     writeImg(root, "train", 9, 1)
