@@ -163,7 +163,16 @@ object CaipyToFiftyone {
     val pinned = old.copy(images = old.images.localCheckpoint(),
       annotations = old.annotations.localCheckpoint())
     spark.catalog.refreshByPath(c.annotationsDir)
-    val fresh = load(spark, c)
+    // pin `fresh` EAGERLY too, at the one moment its files are known
+    // readable: everything downstream (diff, exports, and this dataset's
+    // role as the next `old`) then runs off lineage-free blocks, so a
+    // tree rewrite arriving mid-diff — or before the NEXT update — can't
+    // poison it with FAILED_READ_FILE on vanished paths. If the tree
+    // changes between listing and this materialization, the checkpoint
+    // throws and the watch loop's retry handling owns it.
+    val loaded = load(spark, c)
+    val fresh = loaded.copy(images = loaded.images.localCheckpoint(),
+      annotations = loaded.annotations.localCheckpoint())
     val d = Diff.datasetDiff(fresh, pinned)
     // new or changed (own row OR annotations) → full re-emitted samples
     val upsertIds = d.leftOnly.images.select("id")
@@ -171,6 +180,10 @@ object CaipyToFiftyone {
     val upsert = graft.operators.Locators.filterImagesByIdDf(fresh, upsertIds)
     val nUp = upsert.images.count()
     Fiftyone.writeJsonl(upsert, f"${c.outDir}/updates/batch_$batch%05d")
+    // driver-side collect is bounded by the image-id count of one removal
+    // batch — the watcher targets inspection-scale trees (the reference
+    // pushes every sample through a local FiftyOne service); the full
+    // exports stay distributed via writeJsonl
     val removedIds = d.rightOnly.images.select("id")
       .collect().map(_.getLong(0)).sorted
     Files.createDirectories(Paths.get(c.outDir, "removed"))
@@ -190,7 +203,11 @@ object CaipyToFiftyone {
       Files.list(p).iterator().asScala.filter(Files.isDirectory(_)).foreach(register)
     }
     register(Paths.get(c.annotationsDir))
-    var old = initial
+    // pin the initial state NOW, while its files are still on disk — the
+    // first change event means the tree no longer matches `initial`, and
+    // an unpinned frame would re-read vanished files at diff time
+    var old = initial.copy(images = initial.images.localCheckpoint(),
+      annotations = initial.annotations.localCheckpoint())
     var batch = 0
     try {
       while (batch < c.maxUpdates) {
@@ -212,10 +229,21 @@ object CaipyToFiftyone {
           }
           k.reset(); k = watcher.poll()
         }
-        val (fresh, nUp, nRm) = applyUpdate(spark, c, old, batch)
-        System.err.println(s"[caipy2fo] batch $batch: upserts=$nUp removed=$nRm")
-        old = fresh
-        batch += 1
+        // a reload can fail transiently — the tree is being rewritten under
+        // us (all JSONs briefly deleted, a half-written file fails parsing).
+        // The watcher must survive that (the reference's watchdog observer
+        // thread does): keep the previous state, stay subscribed, and let
+        // the next event retry; the diff against the kept `old` then emits
+        // everything that changed across the failed window in one batch.
+        try {
+          val (fresh, nUp, nRm) = applyUpdate(spark, c, old, batch)
+          System.err.println(s"[caipy2fo] batch $batch: upserts=$nUp removed=$nRm")
+          old = fresh
+          batch += 1
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[caipy2fo] reload failed (will retry on next change): $e")
+        }
       }
     } finally watcher.close()
   }

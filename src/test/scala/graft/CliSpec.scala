@@ -157,6 +157,32 @@ class CliSpec extends SparkFunSuite {
     assert(jsonlRows(s"$out/updates/batch_00001").exists(_.contains("img31")))
   }
 
+  test("watchLoop survives a transiently empty tree and retries on the next change") {
+    val root = Files.createTempDirectory("cli_resil").toString
+    writeImg(root, "train", 9, 1)
+    val out = Files.createTempDirectory("cli_resil_out").toString
+    val c = CaipyToFiftyone.parseArgs(Array("-i", root, "--out", out,
+      "--watch", "--cooldown-ms", "400", "--max-updates", "1"))
+    val initial = CaipyToFiftyone.load(spark, c)
+    initial.images.count()
+    val t = new Thread(() => CaipyToFiftyone.watchLoop(spark, c, initial))
+    t.setDaemon(true)
+    t.start()
+    Thread.sleep(500) // let the watcher register
+    // the tree goes briefly empty: the triggered reload fails (no split dir
+    // holds any JSON) — the watcher must log and stay alive, not die
+    Files.delete(Paths.get(root, "Annotations", "train", "img9.json"))
+    Thread.sleep(4000) // let the failing reload run its course
+    assert(t.isAlive, "watch loop died on the transiently empty tree")
+    // the tree comes back with different content; the retry diffs against
+    // the KEPT pre-failure state: img40 new, img9 removed, one batch
+    writeImg(root, "train", 40, 7)
+    t.join(60000)
+    assert(!t.isAlive, "watch loop never recovered after the failed reload")
+    assert(jsonlRows(s"$out/updates/batch_00000").exists(_.contains("img40")))
+    assert(Files.readString(Paths.get(out, "removed", "batch_00000.json")) == "[9]")
+  }
+
   test("fromAnnotationsRoot loads a detached annotations tree with its own images root") {
     val root = Files.createTempDirectory("cli_gen").toString
     writeImg(root, "train", 9, 1)
