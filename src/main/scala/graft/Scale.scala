@@ -267,7 +267,50 @@ object Scale {
         Tables.documents(s, d).withColumn("text",
           when(pmod(col("doc_id"), lit(3)) === 0,
             concat(lit("zyxq wvut "), col("text"))).otherwise(col("text"))),
-        n = 2, k = 20)))
+        n = 2, k = 20)),
+
+    // ---- round-8 additions: the heavily-used dataset ops the growth
+    // harness didn't probe yet ---------------------------------------------
+
+    // dense-id reassignment over the FULL dataset — the classic global-sort
+    // scale risk. The library path is range-partitioned sort + zipWithIndex
+    // (every stage parallel; no single-partition window), for BOTH the
+    // images and the annotations table, plus the broadcast FK rewrite. The
+    // final agg touches the minted id, the rewritten FK, and the row count,
+    // so nothing in the pipeline can be pruned away.
+    Probe("reset_index_dense", q = (s, d) => {
+      val out = graft.operators.Ids.resetIndex(Tables.datasetView(s, d))
+      out.annotations.agg(max(col("id")).as("max_ann_id"),
+        max(col("image_id")).as("max_img_id"), count(lit(1)).as("n"))
+    }),
+    // two-phase balanced split at scale: distributed atomize (contraction
+    // CC over the keep-separate column) + distributed per-atom histograms,
+    // then the greedy assigner over a BOUNDED atom set (20k atoms at every
+    // scale factor — the documented driver contract: atoms ≪ images; an
+    // unbounded-atom call fails fast at maxAtoms instead). Data per atom
+    // grows 10×/100× while the driver loop stays fixed.
+    Probe("balanced_split_atoms", q = (s, d) => {
+      val ds0 = Tables.datasetView(s, d)
+      val ds = ds0.copy(images = ds0.images
+        .withColumn("batch_group", (col("id") % 20000L).cast("string"))
+        .withColumn("split", lit(null).cast("string")))
+      val out = graft.split.Splitter.split(ds, seed = 42, Seq("train", "valid"),
+        Seq(0.8, 0.2), keepSeparate = Seq("batch_group"),
+        keepBalanced = Seq(graft.operators.Grouper.CategoricalGroup("category_id")))
+      out.images.groupBy(col("split")).agg(count(lit(1)).as("n"))
+    }),
+    // cell-wise dataset diff over the FULL annotations table: ONE
+    // full-outer shuffle join on the (unique) id with null-safe array
+    // comparison — 1:1 key cardinality, so the join partitions evenly and
+    // growth should track the data
+    Probe("dataset_diff_full", q = (s, d) => {
+      val ann = Tables.annotationsView(s, d)
+      val mutated = ann.filter(col("category_id") =!= 6)
+        .withColumn("box_width", when(col("category_id") === 3,
+          col("box_width") * 2).otherwise(col("box_width")))
+      graft.operators.Diff.frameDiff(ann, mutated)
+        .groupBy(col("status")).count()
+    }))
 
   private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -343,6 +386,14 @@ object Scale {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // Emulate the many-splits regime of a real corpus: these tables are
+      // byte-SMALL but CPU-heavy per row (signatures, shingles), so the
+      // 128 MB default packs a whole 50 MB / 500k-doc table into ONE scan
+      // task — a test-data-layout straggler no engine can split (a 100-TB
+      // table arrives in thousands of splits). 4 MB splits + the
+      // generator's ≤64k-row row groups give local[32] real scan
+      // parallelism at every scale factor.
+      .config("spark.sql.files.maxPartitionBytes", String.valueOf(4 * 1024 * 1024))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -60,14 +60,20 @@ object Tables {
       col("o_orderstatus").as("split"))
 
   /** annotations view over `lineitem`: FK image_id = l_orderkey, 7-way
-    * category, box columns derived from numeric columns. The id is a pure
-    * arithmetic encoding of (orderkey, linenumber, partkey, suppkey,
-    * quantity%100) — verified unique at sf0.001/0.01/0.1 — so the view needs
-    * no global window to mint ids. Mirrored by [[annotationsSql]]. */
+    * category, box columns derived from numeric columns. The id encodes
+    * (orderkey, linenumber ≤ 7, partkey < 1e5, suppkey < 1e4) — the
+    * minimal unique row key of the synthetic lineitem (the TPC-H-ish
+    * generator reuses (orderkey, linenumber) pairs, and the dims stay
+    * UNSCALED under tools/gen_scale.py so the partkey/suppkey bounds hold
+    * at every derived scale factor). The orderkey multiplier is 8e9, so
+    * the encoding is overflow-safe to orderkey ≈ 1.1e9 (~sf2000; the
+    * previous variant also folded quantity in — multiplier 8e11 — and
+    * overflowed Long at the sf10 scale-harness point). No global window
+    * is needed to mint ids. Mirrored by [[annotationsSql]]. */
   def annotationsView(spark: SparkSession, sfDir: String): DataFrame =
     lineitem(spark, sfDir).select(
-      ((((col("l_orderkey") * 8 + col("l_linenumber")) * 100000 + col("l_partkey")) * 10000
-        + col("l_suppkey")) * 100 + col("l_quantity").cast("long") % 100).as("id"),
+      (((col("l_orderkey") * 8 + col("l_linenumber")) * 100000 + col("l_partkey")) * 10000
+        + col("l_suppkey")).as("id"),
       col("l_orderkey").as("image_id"),
       (col("l_partkey") % 7).cast("int").as("category_id"),
       (col("l_partkey") % 1000).cast("double").as("box_x_min"),
@@ -96,8 +102,8 @@ object Tables {
 
   val annotationsSql: String =
     """annotations AS (
-      |  SELECT (((l_orderkey * 8 + l_linenumber) * 100000 + l_partkey) * 10000
-      |          + l_suppkey) * 100 + CAST(l_quantity AS BIGINT) % 100 AS id,
+      |  SELECT ((l_orderkey * 8 + l_linenumber) * 100000 + l_partkey) * 10000
+      |          + l_suppkey AS id,
       |         l_orderkey AS image_id,
       |         CAST(l_partkey % 7 AS INT) AS category_id,
       |         'cat_' || CAST(l_partkey % 7 AS VARCHAR) AS category_str,

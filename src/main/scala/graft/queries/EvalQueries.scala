@@ -247,9 +247,8 @@ object EvalQueries extends graft.QueryModule {
       s"""$viewCte,
          |preds AS (
          |  SELECT l_orderkey AS image_id, CAST(l_partkey % 7 AS INT) AS category_id,
-         |         CAST(((((l_orderkey*8+l_linenumber)*100000+l_partkey)*10000
-         |               +l_suppkey)*100 + CAST(l_quantity AS BIGINT)%100) % 97
-         |              AS DOUBLE) / 96.0 AS confidence
+         |         CAST((((l_orderkey*8+l_linenumber)*100000+l_partkey)*10000
+         |               + l_suppkey) % 97 AS DOUBLE) / 96.0 AS confidence
          |  FROM lineitem),
          |bins(t) AS (VALUES (0.0),(0.25),(0.5),(0.75),(1.0)),
          |pc AS (SELECT category_id, image_id, t,

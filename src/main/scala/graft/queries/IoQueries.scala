@@ -244,7 +244,11 @@ object IoQueries extends graft.QueryModule {
         .agg(count(lit(1)).as("n"),
           round(sum(col("box_width")), 2).as("w_sum"),
           round(sum(col("box_x_min")), 2).as("x_sum"),
-          round(sum(col("confidence")), 4).as("conf_sum"),
+          // ×96 first: confidences are k/96, so the scaled sum is ≈ integer
+          // — rounding an integer-adjacent value can't hit a half-way case,
+          // while round(sum, 4) sat exactly on .xxxx5 boundaries and flipped
+          // on the 1-ulp drift the JSON text round-trip introduces
+          round(sum(col("confidence")) * 96.0, 2).as("conf_sum"),
           countDistinct(col("image_id")).as("n_images"))
     }),
 
@@ -370,7 +374,7 @@ object IoQueries extends graft.QueryModule {
          |SELECT a.category_id + 10 AS category_id, count(*) AS n,
          |       round(sum(a.box_width), 2) AS w_sum,
          |       round(sum(a.box_x_min), 2) AS x_sum,
-         |       round(sum(CAST(a.id % 97 AS DOUBLE) / 96.0), 4) AS conf_sum,
+         |       round(sum(CAST(a.id % 97 AS DOUBLE) / 96.0) * 96.0, 2) AS conf_sum,
          |       count(DISTINCT a.image_id) AS n_images
          |FROM annotations a JOIN images i ON a.image_id = i.id
          |WHERE i.split = 'P' AND i.id % 50 = 0

@@ -60,8 +60,16 @@ def replicate(name, shifts, transform=None):
             t = transform(t, i)
         parts.append(t)
     out = pa.concat_tables(parts)
-    pq.write_table(out, f"{DST}/{name}.parquet")
-    print(f"{name}: {src.num_rows} -> {out.num_rows}")
+    # Row-group layout: a real 100-TB corpus arrives in thousands of file
+    # splits; pyarrow's default (~1M rows/group) wrote the whole derived
+    # documents/embeddings table into ONE row group, so whole-corpus
+    # signature compute landed in one unsplittable scan task and read as a
+    # fake straggler in the skew gate. Target ≥ 64 groups per table (and
+    # ≤ 64k rows/group) so local[32] always has splits to parallelize over.
+    rows_per_group = max(1024, min(65536, out.num_rows // 64))
+    pq.write_table(out, f"{DST}/{name}.parquet", row_group_size=rows_per_group)
+    print(f"{name}: {src.num_rows} -> {out.num_rows} "
+          f"({rows_per_group} rows/group)")
 
 
 def doc_transform(t, i):
