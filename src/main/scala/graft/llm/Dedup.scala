@@ -234,6 +234,127 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Cross-corpus (incremental) near-duplicate pairs: match every `newDocs`
+    * document against `refDocs` — the already-curated corpus / previous
+    * crawl snapshot — WITHOUT self-joining either side. This is the dedup a
+    * training pipeline runs on every incoming batch: the reference corpus
+    * may be 100 TB, the new batch a fraction of it, and neither side's
+    * internal duplicates matter here (run [[minHashNearDups]] per side for
+    * those). Returns `(new_id, ref_id, jaccard)` with exact shingle
+    * Jaccard ≥ threshold.
+    *
+    * Plan shape mirrors [[minHashNearDups]]: band keys explode per side →
+    * ids-only equi-join on the band key restricted to buckets present on
+    * BOTH sides (a one-sided bucket has no cross candidates, so new-batch
+    * rows in unshared buckets are pruned before any wide payload moves) →
+    * estimated-Jaccard prefilter → exact verify on survivors.
+    *
+    * Occupancy guard (cross form): the blow-up bound per bucket is the
+    * PRODUCT n_new·n_ref, so a bucket is safe while that product ≤ cap².
+    * Oversized buckets re-key BOTH sides on the same adaptive slice of the
+    * full-signature hash (the bit count is derived from max(n_new, n_ref),
+    * identical on both sides, so keys stay aligned; exact copies share the
+    * full-signature hash and therefore stay together across sides). A
+    * still-oversized sub-bucket degrades to the star contract of
+    * [[minHashNearDups]], adapted to the cross shape: each NEW member pairs
+    * with the min-id REF member only — one candidate per new doc, which is
+    * exactly what matched-against-corpus semantics consume (`new_id` has a
+    * match), while member↔member pairs inside the mega cluster are dropped.
+    *
+    * Both id columns must be non-null and unique per side; the two sides
+    * may overlap in id space (ids never join across sides). */
+  def crossCorpusNearDups(newDocs: DataFrame, refDocs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 32, bands: Int = 8, threshold: Double = 0.7,
+      shingleN: Int = 3, maxBucketSize: Int = 256,
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val baseN = minHashBase(newDocs, textCol, idCol, k, shingleN).persist(storage)
+    val baseR = minHashBase(refDocs, textCol, idCol, k, shingleN).persist(storage)
+    val pairs = guardedCrossBandPairs(
+      minHashBanded(baseN, k, bands), minHashBanded(baseR, k, bands),
+      maxBucketSize, refineBits = 16, storage)
+      .dropDuplicates("new_id", "ref_id")
+    // estimated-overlap prefilter at the same margin as the self-join path
+    val estFiltered = pairs
+      .join(baseN.select(col("id").as("new_id"), col("sig").as("sig_a")), Seq("new_id"))
+      .join(baseR.select(col("id").as("ref_id"), col("sig").as("sig_b")), Seq("ref_id"))
+      .filter(graft.functions.GraftFunctions.sigOverlap(newDocs.sparkSession,
+        col("sig_a"), col("sig_b")) >= threshold - 0.35)
+      .select("new_id", "ref_id")
+    estFiltered
+      .join(baseN.select(col("id").as("new_id"), col("sh").as("sh_a")), Seq("new_id"))
+      .join(baseR.select(col("id").as("ref_id"), col("sh").as("sh_b")), Seq("ref_id"))
+      .select(col("new_id"), col("ref_id"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** The consuming step: `newDocs` minus every row with a near-dup in
+    * `refDocs` — one anti-join on the matched id set. */
+  def dedupAgainstCorpus(newDocs: DataFrame, refDocs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      threshold: Double = 0.7, maxBucketSize: Int = 256,
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
+    newDocs.join(
+      crossCorpusNearDups(newDocs, refDocs, textCol, idCol,
+        threshold = threshold, maxBucketSize = maxBucketSize, storage = storage)
+        .select(col("new_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
+  /** [[guardedBandPairs]]'s cross-join sibling over two banding frames
+    * `(id, bk, sub)`. Only buckets present on BOTH sides survive the
+    * occupancy join; the safety predicate bounds the cross PRODUCT, and
+    * star repair pairs new members against the min-id ref member. */
+  private def guardedCrossBandPairs(bandedNew: DataFrame, bandedRef: DataFrame,
+      maxBucketSize: Int, refineBits: Int,
+      storage: StorageLevel): DataFrame = {
+    val capSq = lit(maxBucketSize.toLong * maxBucketSize)
+    val occ = bandedNew.groupBy(col("bk")).agg(count(lit(1)).as("__nn"))
+      .join(bandedRef.groupBy(col("bk")).agg(count(lit(1)).as("__nr")), Seq("bk"))
+    val tagN = bandedNew.join(occ, Seq("bk")).persist(storage)
+    val tagR = bandedRef.join(occ, Seq("bk")).persist(storage)
+    val guardCaches = scala.collection.mutable.ListBuffer[DataFrame](tagN, tagR)
+    try {
+      val safe = col("__nn") * col("__nr") <= capSq
+      // both sides derive the refine width from the same (nn, nr) pair the
+      // occupancy join attached, so the adaptive mask is identical and the
+      // sub-keys align across sides
+      def keyed(t: DataFrame): (DataFrame, DataFrame) = (
+        t.filter(safe)
+          .select(col("id"), struct(col("bk"), lit(0L).as("sub")).as("k")),
+        t.filter(!safe)
+          .select(col("id"), struct(col("bk"),
+            adaptiveSub(col("sub"), greatest(col("__nn"), col("__nr")),
+              maxBucketSize, refineBits).as("sub")).as("k")))
+      val (directN, refinedN) = keyed(tagN)
+      val (directR, refinedR) = keyed(tagR)
+      val occ2 = refinedN.groupBy(col("k")).agg(count(lit(1)).as("__n2n"))
+        .join(refinedR.groupBy(col("k")).agg(count(lit(1)).as("__n2r")), Seq("k"))
+        .persist(storage)
+      guardCaches += occ2
+      val safe2 = col("__n2n") * col("__n2r") <= capSq
+      val keyedN = directN.unionByName(
+        refinedN.join(occ2, Seq("k")).filter(safe2).select(col("id"), col("k")))
+        .persist(storage)
+      val keyedR = directR.unionByName(
+        refinedR.join(occ2, Seq("k")).filter(safe2).select(col("id"), col("k")))
+        .persist(storage)
+      guardCaches += keyedN
+      guardCaches += keyedR
+      val crossPairs = keyedN.select(col("id").as("new_id"), col("k"))
+        .join(keyedR.select(col("id").as("ref_id"), col("k")), Seq("k"))
+        .select("new_id", "ref_id")
+      val rep = refinedR.join(occ2, Seq("k")).filter(!safe2)
+        .groupBy(col("k")).agg(min(col("id")).as("ref_id"))
+      val star = refinedN.join(occ2, Seq("k")).filter(!safe2)
+        .join(rep, Seq("k"))
+        .select(col("id").as("new_id"), col("ref_id"))
+      crossPairs.unionByName(star).localCheckpoint()
+    } finally {
+      guardCaches.foreach(_.unpersist())
+    }
+  }
+
   /** Near-duplicate CLUSTERS: connected components over the verified
     * near-dup pair graph. Every document gets `cluster_id` = the smallest
     * doc id transitively reachable through near-dup links (singletons

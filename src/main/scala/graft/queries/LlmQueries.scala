@@ -287,6 +287,25 @@ object LlmQueries extends graft.QueryModule {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // incremental dedup: the NEW batch (doc_id % 3 = 0, plus 20 planted
+    // exact copies of the corpus head) matched against the REFERENCE
+    // corpus (doc_id % 3 <> 0) — no self-join on either side. Full oracle:
+    // exhaustive cross-side exact Jaccard at gate scale (same recall
+    // argument as q29 — every ≥0.7 pair in this corpus sits at j ≥ 0.9,
+    // where 8×4 banding recall is ≈ 0.9998, and the planted copies match
+    // at j = 1 which banding can never miss)
+    "q108_cross_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val planted = docs.orderBy("doc_id").limit(20)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val newSide = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .unionByName(planted)
+      val refSide = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      Dedup.crossCorpusNearDups(newSide, refSide, threshold = 0.7)
+        .select(col("new_id"), col("ref_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+    }),
+
     // cluster, so the arg-max is exercised beyond the min-id tiebreak;
     // oracle = q62's recursive closure + a per-cluster rank
     "q104_keep_best_cluster" -> ((s, d) => {
@@ -766,6 +785,37 @@ object LlmQueries extends graft.QueryModule {
         |           / len(list_distinct(list_concat(a.s, b.s))) AS j
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.7""".stripMargin,
+
+    // exhaustive cross-side Jaccard: new batch (doc_id % 3 = 0 + planted
+    // copies) × reference corpus (doc_id % 3 <> 0); same shingle kernel
+    // as q29
+    "q108_cross_dedup" ->
+      """WITH newdocs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM
+        |    (SELECT * FROM documents ORDER BY doc_id LIMIT 20)),
+        |refdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        |shn AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(range(1, len(w) - 1),
+        |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |        FROM newdocs)),
+        |shr AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(range(1, len(w) - 1),
+        |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |        FROM refdocs)),
+        |pairs AS (
+        |  SELECT n.doc_id AS new_id, r.doc_id AS ref_id,
+        |         CAST(len(list_intersect(n.s, r.s)) AS DOUBLE)
+        |           / len(list_distinct(list_concat(n.s, r.s))) AS j
+        |  FROM shn n CROSS JOIN shr r)
+        |SELECT new_id, ref_id, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.7""".stripMargin,
 
     // q29's exhaustive pair set over the natural corpus + planted copies,
     // UNION the sentinel mega-cluster's star set (min id 3000000 is the

@@ -255,6 +255,63 @@ class DedupSpec extends SparkFunSuite {
     } finally stats.unpersist()
   }
 
+  test("crossCorpusNearDups matches across sides only; dedupAgainstCorpus drops the matched") {
+    val newDocs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),   // exact dup of ref 0
+      (11L, "the quick brown fox jumps over the sleepy dog"), // near dup of ref 0
+      (12L, "completely unrelated text about spark engines and shuffles"),
+      (13L, "alpha beta gamma delta epsilon zeta eta theta")  // dup of new 14: must NOT pair
+    ).toDF("doc_id", "text")
+    val newDocs2 = newDocs.unionByName(
+      Seq((14L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text"))
+    val refDocs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "one two three four five six seven eight nine"),
+      (2L, "one two three four five six seven eight nine")   // ref-internal dup: must NOT pair
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.crossCorpusNearDups(newDocs2, refDocs,
+      k = 16, bands = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((10L, 0L)) && pairs((10L, 0L)) == 1.0)
+    assert(pairs.contains((11L, 0L)) && pairs((11L, 0L)) > 0.5)
+    // no same-side pairs in either direction, no unrelated matches
+    assert(pairs.keySet.forall { case (n, r) => n >= 10L && r < 10L })
+    assert(!pairs.keySet.exists { case (n, _) => n == 12L || n == 13L || n == 14L })
+    val kept = Dedup.dedupAgainstCorpus(newDocs2, refDocs,
+      threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // default k=32/bands=8 banding still catches the j=1 and j≈0.8 pairs
+    assert(kept == Seq(12L, 13L, 14L))
+    spark.catalog.clearCache()
+  }
+
+  test("cross-corpus guard: mega cluster spanning sides degrades to new↔ref-rep stars") {
+    // 80 identical copies on each side + distinct fillers, cap 8: every
+    // shared band bucket holds 80×80 cross candidates, the full-signature
+    // re-key cannot split identical text, so each NEW member pairs exactly
+    // once — with the min-id REF member — and verification scores j = 1.
+    val mega = "the same boilerplate page text repeated here verbatim"
+    val newDocs = ((1000L until 1080L).map(i => (i, mega)) ++
+      Seq((2000L, "alpha beta gamma delta epsilon zeta"),
+        (2001L, "quick brown fox jumps over the lazy dog")))
+      .toDF("doc_id", "text")
+    val refDocs = ((0L until 80L).map(i => (i, mega)) ++
+      Seq((500L, "lorem ipsum dolor sit amet consectetur"),
+        (501L, "spark scala dataset dataframe column row")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.crossCorpusNearDups(newDocs, refDocs,
+      threshold = 0.9, maxBucketSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (1000L until 1080L).map(i => (i, 0L)).toSet,
+      s"expected exactly the 80 (new, ref-rep) star pairs, got ${pairs.size}")
+    // the consuming step: every mega copy in the new batch is dropped
+    val kept = Dedup.dedupAgainstCorpus(newDocs, refDocs,
+      threshold = 0.9, maxBucketSize = 8)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(2000L, 2001L))
+    spark.catalog.clearCache()
+  }
+
   test("simhash guard: mega exact-dup cluster degrades to star pairs") {
     val docs = ((0L until 80L).map(i => (i, "identical page content for the simhash cluster")) ++
       Seq((300L, "completely different words appear in this document")))
