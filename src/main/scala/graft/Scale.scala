@@ -123,6 +123,16 @@ object Scale {
       dedupDecomp(graft.llm.Dedup.simHashBucketStats(Tables.documents(s, d)))),
       q = (s, d) =>
       graft.llm.Dedup.simHashNearDups(Tables.documents(s, d))),
+    // incremental cross-corpus dedup: a ~9% "new batch" matched against
+    // the remaining corpus — both sides grow with the data; candidate
+    // volume is confined to band buckets shared across sides, so growth
+    // should track the self-join dedup probes, not the cross product
+    Probe("cross_corpus_dedup", q = (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.llm.Dedup.crossCorpusNearDups(
+        docs.filter(pmod(col("doc_id"), lit(11)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(11)) =!= 0), threshold = 0.7)
+    }),
     // exact dedup keep-best over all documents
     Probe("exact_dedup_keepbest", q = (s, d) =>
       graft.llm.Dedup.exactDedupKeepBest(

@@ -262,7 +262,10 @@ object Dedup {
     * match), while member↔member pairs inside the mega cluster are dropped.
     *
     * Both id columns must be non-null and unique per side; the two sides
-    * may overlap in id space (ids never join across sides). */
+    * may overlap in id space (ids never join across sides). The two
+    * per-side base persists back the RETURNED lazy frame and are
+    * caller-owned, same contract as [[minHashNearDups]] (clear the cache
+    * catalog after materializing, as the gates do). */
   def crossCorpusNearDups(newDocs: DataFrame, refDocs: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       k: Int = 32, bands: Int = 8, threshold: Double = 0.7,
