@@ -1,0 +1,77 @@
+package graft
+
+/** The determinism doctrine, enforced as a sweep: a 1000-executor cluster
+  * re-plans stages (AQE), retries tasks, and changes partition counts
+  * between runs — an operator whose OUTPUT depends on
+  * `spark.sql.shuffle.partitions` silently corrupts results under any of
+  * those. Every decision in this engine is derived from content (md5/xxhash
+  * uniforms, total orders with explicit tiebreaks) rather than physical
+  * placement (`rand()`, `monotonically_increasing_id`,
+  * partition-local windows), so the same query over the same data must
+  * produce the SAME rows at any partition count.
+  *
+  * This sweep runs a representative compute gate per operator family at
+  * sf0.001 under two different shuffle-partition settings and asserts the
+  * full sorted row sets match — covering ids (range-sort dense mint),
+  * merge/diff, the matcher and PR/AP kernels, the seeded splitters, the
+  * whole dedup ladder (minhash/simhash/embedding/cross-corpus/clusters),
+  * sampling/mixture, windows/sessionization, and the composed e2e
+  * pipeline. IO round-trip gates are excluded (they exercise the
+  * filesystem, not shuffle placement; their executor-side writers are
+  * spec'd in IoSpec).
+  */
+class PartitionInvarianceSpec extends SparkFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private val sweep = Seq(
+    "q01_agg_pricing",          // plain agg
+    "q04_filter_annotations_empties", // locator cascade (semi/anti joins)
+    "q06_reset_index",          // dense ids: range-sort + zipWithIndex
+    "q13_merge_union",          // union + id collision shift
+    "q14_merge_horizontal",     // merge with intersection validation
+    "q15_diff_status",          // full-outer cell-wise diff
+    "q19_binning",              // quantile binning (approxQuantile-free path)
+    "q22_matches",              // per-image bipartite matcher kernel
+    "q23_pr_ap",                // PR/AP windows over the matcher output
+    "q26_simple_split",         // seeded random split
+    "q27_balanced_split",       // atomize + greedy driver assigner
+    "q29_minhash_neardup",      // minhash banding + guard + verify
+    "q36_fingerprint",          // rolling-hash fingerprints
+    "q40_sessionize",           // gap sessionization
+    "q42_match_index",          // anchor join + id realign
+    "q46_group_topk",           // windowed top-k
+    "q58_confusion_matrix",     // matcher + pivot
+    "q59_embedding_neardup",    // LSH banding + adaptive guard
+    "q62_neardup_clusters",     // contraction CC clustering
+    "q70_tfidf_topterms",       // tf-idf + ranked terms
+    "q81_top_ngrams",           // exact n-gram counts
+    "q92_hash_sample",          // md5-uniform sampling
+    "q93_token_mixture",        // token-budget mixture
+    "q103_top_ngrams_approx",   // heavy-hitter pass
+    "q104_keep_best_cluster",   // cluster + arg-max curation
+    "q107_pipeline_e2e",        // composed sample→mixture→packing
+    "q108_cross_dedup")         // cross-corpus dedup
+
+  test("gate outputs are invariant to the shuffle partition count") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    def run(q: String, n: Int): Seq[String] = {
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+      try collectSorted(SparkEntry.queries(q)(spark, dir))
+      finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.catalog.clearCache()
+      }
+    }
+    val diffs = sweep.flatMap { q =>
+      val a = run(q, 3)
+      val b = run(q, 13)
+      if (a == b) None
+      else Some(s"$q: ${a.size} vs ${b.size} rows; " +
+        s"first diff ${a.zipAll(b, "<missing>", "<missing>")
+          .find { case (x, y) => x != y }}")
+    }
+    assert(diffs.isEmpty,
+      s"partition count changed query output:\n${diffs.mkString("\n")}")
+  }
+}
