@@ -148,7 +148,7 @@ object Dedup {
     * never emits an empty array, so this is a no-op guard in practice).
     * ONE definition shared by the operator and [[minHashBucketStats]], so
     * the monitoring surface can never drift from the guard it reports on. */
-  private[llm] def minHashBase(docs: DataFrame, textCol: String,
+  private[graft] def minHashBase(docs: DataFrame, textCol: String,
       idCol: String, k: Int, shingleN: Int): DataFrame =
     docs.select(
       col(idCol).as("id"),
@@ -163,7 +163,7 @@ object Dedup {
     * consumes for MinHash: band keys from [[bandKeys]], refine key `sub`
     * from the FULL-signature hash (identical docs share it → they stay
     * together under re-keying). Shared by the operator and the stats. */
-  private[llm] def minHashBanded(sigs: DataFrame, k: Int, bands: Int): DataFrame =
+  private[graft] def minHashBanded(sigs: DataFrame, k: Int, bands: Int): DataFrame =
     sigs.select(col("id"),
       explode(bandKeys(col("sig"), k, bands)).as("bk"),
       (pmod(xxhash64(col("sig")), lit(1L << 16)) + 1).as("sub"))

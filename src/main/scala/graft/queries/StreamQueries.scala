@@ -70,6 +70,28 @@ object StreamQueries extends graft.QueryModule {
         .select(col("fingerprint"))
     }),
 
+    // the stream-static corpus matcher on its batch face (q108's sides
+    // through StreamDedup.buildCorpusIndex + matchesAgainstCorpus; the
+    // REAL readStream run is parity-asserted in StreamingSpec). distinct
+    // collapses the per-band duplicate emissions the stateless stream
+    // path leaves to the consumer. Oracle = q108's exhaustive cross-side
+    // Jaccard: the two implementations must agree with the ground truth
+    // AND (therefore) each other.
+    "q109_stream_corpus_match" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val planted = docs.orderBy("doc_id").limit(20)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val newSide = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .unionByName(planted)
+      val refSide = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val idx = graft.streaming.StreamDedup.buildCorpusIndex(refSide)
+      graft.streaming.StreamDedup.matchesAgainstCorpus(newSide, idx,
+        threshold = 0.7)
+        .select(col("new_id"), col("ref_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .distinct()
+    }),
+
     // a REAL streaming run of the STATEFUL sessionizer (q88's pattern for
     // the window agg): readStream over events → planted burst timeline →
     // watermarked flatMapGroupsWithState with EventTimeTimeout → memory
@@ -163,6 +185,37 @@ object StreamQueries extends graft.QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical ground truth to q108 (LlmQueries) on purpose: the batch
+    // crossCorpusNearDups and the stream-static index matcher are two
+    // implementations of the same contract
+    "q109_stream_corpus_match" ->
+      """WITH newdocs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM
+        |    (SELECT * FROM documents ORDER BY doc_id LIMIT 20)),
+        |refdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        |shn AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(range(1, len(w) - 1),
+        |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |        FROM newdocs)),
+        |shr AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(range(1, len(w) - 1),
+        |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |        FROM refdocs)),
+        |pairs AS (
+        |  SELECT n.doc_id AS new_id, r.doc_id AS ref_id,
+        |         CAST(len(list_intersect(n.s, r.s)) AS DOUBLE)
+        |           / len(list_distinct(list_concat(n.s, r.s))) AS j
+        |  FROM shn n CROSS JOIN shr r)
+        |SELECT new_id, ref_id, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.7""".stripMargin,
+
     "q88_stream_window" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
         |       count(*) AS n, round(sum(value), 2) AS total_value

@@ -202,6 +202,64 @@ class IvfStreamDedupSpec extends SparkFunSuite {
     assert(out.count() == 2)
   }
 
+  test("stream-static corpus matcher: real stream equals batch, stateless plan") {
+    import graft.streaming.StreamDedup
+    val dir = java.nio.file.Files.createTempDirectory("corpus_match").toString
+    val ref = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "lorem ipsum dolor sit amet consectetur adipiscing elit")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // exact dup of 0
+      (11L, "the quick brown fox jumps over the lazy cat tonight"), // near dup of 0
+      (12L, "completely unrelated words about spark and shuffles here"),
+      (13L, "one two three four five six seven eight nine ten")     // exact dup of 1
+    ).toDF("doc_id", "text")
+    incoming.write.mode("overwrite").parquet(dir)
+    val idx = StreamDedup.buildCorpusIndex(ref)
+    // the ref-side frames are reused every micro-batch — cache them as a
+    // production stream would
+    idx.banded.cache(); idx.shingles.cache()
+    try {
+      val expected = StreamDedup.matchesAgainstCorpus(incoming, idx,
+        threshold = 0.5)
+        .select("new_id", "ref_id").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(expected == Set((10L, 0L), (11L, 0L), (13L, 1L)))
+      val stream = spark.readStream.schema(incoming.schema).parquet(dir)
+      val matched = StreamDedup.matchesAgainstCorpus(stream, idx,
+        threshold = 0.5)
+      assert(matched.isStreaming)
+      val q = matched.writeStream.format("memory").queryName("corpus_match")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      val got = spark.table("corpus_match").collect()
+        .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("ref_id"))).toSet
+      assert(got == expected, s"stream $got != batch $expected")
+    } finally { idx.banded.unpersist(); idx.shingles.unpersist() }
+  }
+
+  test("corpus index caps band buckets; incoming copy of a mega cluster still matches") {
+    import graft.streaming.StreamDedup
+    val mega = "the same boilerplate page text repeated here verbatim"
+    val ref = ((0L until 100L).map(i => (i, mega)) ++
+      Seq((500L, "alpha beta gamma delta epsilon zeta eta")))
+      .toDF("doc_id", "text")
+    val idx = StreamDedup.buildCorpusIndex(ref, maxBucketSize = 8)
+    // every band bucket of the mega cluster holds exactly cap rows
+    val occ = idx.banded.groupBy("bk").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    assert(occ <= 8)
+    val incoming = Seq((1000L, mega),
+      (1001L, "totally different content again")).toDF("doc_id", "text")
+    val got = StreamDedup.matchesAgainstCorpus(incoming, idx, threshold = 0.9)
+      .select("new_id", "ref_id").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the copy matches the capped SURVIVORS (min-id members), nothing else
+    assert(got.nonEmpty && got.forall { case (n, r) => n == 1000L && r < 8L })
+  }
+
   test("quality rules apply unchanged on a stream (stateless column exprs)") {
     val dir = java.nio.file.Files.createTempDirectory("qr_stream").toString
     val docs = Seq(
