@@ -285,15 +285,15 @@ object StreamDedup {
     * shuffle + one per-bucket cap pass over the reference corpus), then
     * every micro-batch joins against it statelessly.
     *
-    * `banded` is (bk, ref_id) with at most `maxBucketSize` min-id members
-    * per band bucket — the streaming face of the occupancy guard: a mega
-    * exact-dup cluster in the reference shares every band key, and keeping
-    * any ≤cap members is enough for an incoming copy to match (identical
-    * text verifies at j = 1 against ANY member); near-identical members
-    * that were capped out of one band are recovered by the other bands.
-    * The cap also bounds the per-row join fan-out: one stream row explodes
-    * to `bands` keys and meets ≤ bands·cap reference rows — a hard
-    * worst-case cost per stream element, whatever the corpus holds. */
+    * `banded` is (bk, ref_id) with ≈ `maxBucketSize` members per band
+    * bucket — the streaming face of the occupancy guard: a mega exact-dup
+    * cluster in the reference shares every band key, and keeping any ~cap
+    * members is enough for an incoming copy to match (identical text
+    * verifies at j = 1 against ANY member); near-identical members thinned
+    * out of one band are recovered by the other bands. The cap also bounds
+    * the per-row join fan-out: one stream row explodes to `bands` keys and
+    * meets ≲ bands·cap reference rows — a worst-case cost per stream
+    * element, whatever the corpus holds. */
   final case class CorpusIndex(banded: DataFrame, shingles: DataFrame,
       k: Int, bands: Int, shingleN: Int)
 
@@ -301,11 +301,21 @@ object StreamDedup {
       idCol: String = "doc_id", k: Int = 32, bands: Int = 8,
       shingleN: Int = 3, maxBucketSize: Int = 256): CorpusIndex = {
     val base = graft.llm.Dedup.minHashBase(refDocs, textCol, idCol, k, shingleN)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("bk").orderBy("id")
-    val banded = graft.llm.Dedup.minHashBanded(base, k, bands)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= maxBucketSize)
+    val banded0 = graft.llm.Dedup.minHashBanded(base, k, bands)
+    // Oversized buckets are thinned by deterministic hash selection, NOT a
+    // per-bucket row_number window: a window would sort an entire mega
+    // bucket (1e8 boilerplate copies at crawl scale) in ONE task. Keeping
+    // id-hash ≡ 0 (mod ceil(n/cap)) is a map-side filter after a plain
+    // count join — fully parallel, partitioning-invariant, and leaves an
+    // EXPECTED cap survivors (a cost bound, not an exact quota; size
+    // asserts belong at ~3× cap).
+    val occ = banded0.groupBy(col("bk")).agg(count(lit(1)).as("__n"))
+    val banded = banded0.join(occ, Seq("bk"))
+      .filter(col("__n") <= maxBucketSize ||
+        pmod(xxhash64(col("id")),
+          // ceil(n/cap) via long floor-div (Column./ is double division)
+          floor((col("__n") + maxBucketSize - 1) / maxBucketSize).cast("long"))
+          === 0)
       .select(col("bk"), col("id").as("ref_id"))
     CorpusIndex(banded, base.select(col("id").as("ref_id"),
       col("sh").as("__sh_ref")), k, bands, shingleN)

@@ -247,17 +247,19 @@ class IvfStreamDedupSpec extends SparkFunSuite {
       Seq((500L, "alpha beta gamma delta epsilon zeta eta")))
       .toDF("doc_id", "text")
     val idx = StreamDedup.buildCorpusIndex(ref, maxBucketSize = 8)
-    // every band bucket of the mega cluster holds exactly cap rows
+    // hash thinning leaves ~cap survivors per mega bucket (expected 8 of
+    // 100; the documented bound for asserts is ~3× cap), far below the
+    // uncapped 100 — and with NO per-bucket sort task
     val occ = idx.banded.groupBy("bk").count()
       .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
-    assert(occ <= 8)
+    assert(occ <= 24, s"expected ~8 survivors per bucket, got $occ")
     val incoming = Seq((1000L, mega),
       (1001L, "totally different content again")).toDF("doc_id", "text")
     val got = StreamDedup.matchesAgainstCorpus(incoming, idx, threshold = 0.9)
       .select("new_id", "ref_id").distinct().collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // the copy matches the capped SURVIVORS (min-id members), nothing else
-    assert(got.nonEmpty && got.forall { case (n, r) => n == 1000L && r < 8L })
+    // the copy matches the thinned SURVIVORS of the mega cluster, nothing else
+    assert(got.nonEmpty && got.forall { case (n, r) => n == 1000L && r < 100L })
   }
 
   test("quality rules apply unchanged on a stream (stateless column exprs)") {
