@@ -51,7 +51,8 @@ class PartitionInvarianceSpec extends SparkFunSuite {
     "q103_top_ngrams_approx",   // heavy-hitter pass
     "q104_keep_best_cluster",   // cluster + arg-max curation
     "q107_pipeline_e2e",        // composed sample→mixture→packing
-    "q108_cross_dedup")         // cross-corpus dedup
+    "q108_cross_dedup",         // cross-corpus dedup
+    "q109_stream_corpus_match") // stream-static corpus matcher (batch face)
 
   test("gate outputs are invariant to the shuffle partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
