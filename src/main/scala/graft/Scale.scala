@@ -359,7 +359,10 @@ object Scale {
     def worstSkew(minMaxMs: Long = 1000, medianFloorMs: Long = 250): (Double, Int) = {
       var worst = 0.0; var stage = -1
       for ((sid, ds) <- durations; if ds.length >= 2) {
-        val sorted = ds.toArray.sorted
+        // snapshot under the writer's lock: a straggler's task-end event —
+        // the very thing this gate measures — can still be draining on the
+        // async listener bus and append mid-read
+        val sorted = ds.synchronized(ds.toArray).sorted
         val mx = sorted.last
         if (mx >= minMaxMs) {
           val med = math.max(sorted(sorted.length / 2), medianFloorMs)
@@ -373,7 +376,7 @@ object Scale {
       * diagnosis (stage id → n tasks, median, max ms). */
     def dump(tag: String): Unit =
       for ((sid, ds) <- durations.toSeq.sortBy(_._1); if ds.nonEmpty) {
-        val sorted = ds.toArray.sorted
+        val sorted = ds.synchronized(ds.toArray).sorted
         System.err.println(s"[scale-debug] $tag stage=$sid n=${sorted.length} " +
           s"med=${sorted(sorted.length / 2)}ms max=${sorted.last}ms " +
           s"maxtask[${maxTask.getOrElse(sid, "")}] " +
@@ -483,20 +486,28 @@ object Scale {
     def decompJson(m: Map[String, Long]): String =
       "{" + m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",") + "}"
     val (small, large) = (dirs.head, dirs.last)
+    // per-probe gate results computed ONCE; the top-level skew_ok below is
+    // a forall over these same values, so the two can never desynchronize
+    val probeGates = selected.map { p =>
+      val a = grid((p.name, small)); val b = grid((p.name, large))
+      // the straggler gate for the planted-skew probes; the mega-dup probe
+      // additionally requires the occupancy guard to have actually fired
+      val guardFired = !p.name.contains("mega_dup") ||
+        (a.decomp.getOrElse("star_buckets", 0L) > 0 &&
+          b.decomp.getOrElse("star_buckets", 0L) > 0)
+      val skewOk =
+        if (!p.gateSkew) None
+        else Some(math.max(a.taskSkew, b.taskSkew) <= 10.0 &&
+          a.rows >= 0 && b.rows >= 0 && guardFired)
+      p.name -> ((guardFired, skewOk))
+    }.toMap
     val entries = selected.map { p =>
       val n = p.name
       val a = grid((n, small)); val b = grid((n, large))
       val ratio = if (a.sec > 0 && b.sec > 0) b.sec / a.sec else -1.0
       val viol = (a.planViolations ++ b.planViolations).distinct
       val skewMax = math.max(a.taskSkew, b.taskSkew)
-      // the straggler gate for the planted-skew probes; the mega-dup probe
-      // additionally requires the occupancy guard to have actually fired
-      val guardFired = !n.contains("mega_dup") ||
-        (a.decomp.getOrElse("star_buckets", 0L) > 0 &&
-          b.decomp.getOrElse("star_buckets", 0L) > 0)
-      val skewOk =
-        if (!p.gateSkew) None
-        else Some(skewMax <= 10.0 && a.rows >= 0 && b.rows >= 0 && guardFired)
+      val (guardFired, skewOk) = probeGates(n)
       s""""$n":{"small_sec":${fmt(a.sec)},"large_sec":${fmt(b.sec)},""" +
         s""""small_rows":${a.rows},"large_rows":${b.rows},"growth":${fmt(ratio)},""" +
         s""""task_skew":${fmt(skewMax)},""" +
@@ -510,14 +521,7 @@ object Scale {
     val totalSmall = selected.map(p => grid((p.name, small)).sec).filter(_ > 0).sum
     val totalLarge = selected.map(p => grid((p.name, large)).sec).filter(_ > 0).sum
     val anyViol = grid.values.exists(_.planViolations.nonEmpty)
-    val skewGates = selected.filter(_.gateSkew)
-    val allSkewOk = skewGates.forall { p =>
-      val a = grid((p.name, small)); val b = grid((p.name, large))
-      math.max(a.taskSkew, b.taskSkew) <= 10.0 && a.rows >= 0 && b.rows >= 0 &&
-        (!p.name.contains("mega_dup") ||
-          (a.decomp.getOrElse("star_buckets", 0L) > 0 &&
-            b.decomp.getOrElse("star_buckets", 0L) > 0))
-    }
+    val allSkewOk = probeGates.values.forall(_._2.getOrElse(true))
     println(s"""{"metric":"scale_growth","small_dir":"$small","large_dir":"$large",""" +
       s""""total_small_sec":${fmt(totalSmall)},"total_large_sec":${fmt(totalLarge)},""" +
       s""""total_growth":${fmt(if (totalSmall > 0) totalLarge / totalSmall else -1.0)},""" +

@@ -105,18 +105,23 @@ object CaipyToFiftyone {
     c
   }
 
-  /** Splits actually on disk (reference: splits_to_read=None → all). */
-  private def splitsOnDisk(annDir: String): Seq[String] = {
-    val p = Paths.get(annDir)
-    if (!Files.isDirectory(p)) Nil
-    else Files.list(p).iterator().asScala.filter(Files.isDirectory(_))
-      .map(_.getFileName.toString).toSeq.sorted
+  /** Splits actually on disk (reference: splits_to_read=None → all).
+    * Listed through the Hadoop FileSystem API, like the loaders this feeds
+    * (Caipy.fromAnnotationsRoot went hdfs/s3-capable in round 8 — a
+    * java.nio probe here would silently discover zero splits on a remote
+    * annotations root and misroute to the flat dialect). */
+  private def splitsOnDisk(spark: SparkSession, annDir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(annDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) || !fs.getFileStatus(p).isDirectory) Nil
+    else fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).sorted
   }
 
   /** Load the caipy tree per the configured mode. A generic root with no
     * split subdirectories falls back to the flat single-folder dialect. */
   def load(spark: SparkSession, c: Config): GraftDataset = {
-    val splits = c.splitsToRead.getOrElse(splitsOnDisk(c.annotationsDir))
+    val splits = c.splitsToRead.getOrElse(splitsOnDisk(spark, c.annotationsDir))
     val ds = c.mode match {
       case "vanilla" =>
         Caipy.fromCaipy(spark, c.inputFolder.get, splits = splits,
@@ -128,8 +133,12 @@ object CaipyToFiftyone {
           datasetName = c.datasetName.orElse(
             Some(Paths.get(c.imagesRoot.get).getFileName.toString)))
       case "generic" =>
+        // SET the root (the flat dialect's relative paths are given w.r.t.
+        // the user's images_root) — resetImagesRoot would RE-ANCHOR them,
+        // i.e. rewrite every path to keep pointing into the annotations
+        // folder the loader happened to start from
         CaipyGeneric.fromCaipyGeneric(spark, c.annotationsRoot.get)
-          .resetImagesRoot(c.imagesRoot.get)
+          .copy(imagesRoot = c.imagesRoot.get)
       case m => throw new IllegalArgumentException(s"unknown mode: $m")
     }
     c.datasetName.fold(ds)(ds.rename)
@@ -138,7 +147,10 @@ object CaipyToFiftyone {
   /** Initial full conversion: `<out>/current/` + `<out>/meta.json`. */
   def convert(ds: GraftDataset, c: Config): Unit = {
     Fiftyone.writeJsonl(ds, s"${c.outDir}/current")
-    val name = c.datasetName.orElse(ds.datasetName).getOrElse("dataset")
+    // escape: the name defaults to a folder basename, which may carry
+    // quotes/backslashes — unescaped they make meta.json unparseable
+    val name = graft.io.ParquetIO.escJson(
+      c.datasetName.orElse(ds.datasetName).getOrElse("dataset"))
     Files.createDirectories(Paths.get(c.outDir))
     Files.writeString(Paths.get(c.outDir, "meta.json"),
       s"""{"dataset_name":"$name","persistent":${c.persistent},""" +
@@ -148,20 +160,26 @@ object CaipyToFiftyone {
   /** One watcher update (reference `update_dataset`): reload the tree,
     * diff against `old`, emit the upsert/remove batch, refresh `current/`.
     * Returns the fresh dataset (the next `old`) and the batch's
-    * (upsertImages, removedImages) counts. */
-  def applyUpdate(spark: SparkSession, c: Config, old: GraftDataset,
+    * (upsertImages, removedImages) counts.
+    *
+    * `old` must be pinned (eager localCheckpoint → lineage-free blocks):
+    * Spark caches leaf-file listings per path for the session (default
+    * TTL = forever), so the refreshByPath below — required for the reload
+    * to see the NEW file set — also cuts any un-pinned frame's lineage
+    * loose, and `old` would re-scan the CHANGED tree at diff time. The
+    * watch loop's frames arrive pinned already ([[watchLoop]] pins at loop
+    * entry; this method pins every `fresh` it returns) and are NOT pinned
+    * again — re-materializing the whole dataset each batch doubled its
+    * block storage for nothing; a direct caller's lineage-carrying frame
+    * is detected and pinned here. */
+  def applyUpdate(spark: SparkSession, c: Config, old0: GraftDataset,
       batch: Int): (GraftDataset, Long, Long) = {
-    // Spark caches leaf-file listings per path for the session (default
-    // TTL = forever), so a plain re-read of the same tree would see the
-    // OLD file set and diff as a no-op. refreshByPath drops the listing
-    // AND uncaches dependent cached plans — but that also cuts `old`'s
-    // lineage loose: un-pinned, its frames would re-scan the CHANGED tree
-    // at diff time and the diff would again be empty. Pin old's content
-    // first (eager localCheckpoint → lineage-free blocks), then refresh,
-    // then reload. Also the cache-leak guard for a long-lived watch loop:
-    // each refresh drops the previous load's cached raw documents.
-    val pinned = old.copy(images = old.images.localCheckpoint(),
-      annotations = old.annotations.localCheckpoint())
+    def pinnedAlready(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.logical.getClass.getSimpleName == "LogicalRDD"
+    val old =
+      if (pinnedAlready(old0.images) && pinnedAlready(old0.annotations)) old0
+      else old0.copy(images = old0.images.localCheckpoint(),
+        annotations = old0.annotations.localCheckpoint())
     spark.catalog.refreshByPath(c.annotationsDir)
     // pin `fresh` EAGERLY too, at the one moment its files are known
     // readable: everything downstream (diff, exports, and this dataset's
@@ -173,7 +191,7 @@ object CaipyToFiftyone {
     val loaded = load(spark, c)
     val fresh = loaded.copy(images = loaded.images.localCheckpoint(),
       annotations = loaded.annotations.localCheckpoint())
-    val d = Diff.datasetDiff(fresh, pinned)
+    val d = Diff.datasetDiff(fresh, old)
     // new or changed (own row OR annotations) → full re-emitted samples
     val upsertIds = d.leftOnly.images.select("id")
       .unionByName(d.changed.images.select("id"))
@@ -197,11 +215,22 @@ object CaipyToFiftyone {
     * `maxUpdates` updates have run (reference: forever). */
   def watchLoop(spark: SparkSession, c: Config, initial: GraftDataset): Unit = {
     val watcher = FileSystems.getDefault.newWatchService()
-    def register(p: Path): Unit = {
-      p.register(watcher, StandardWatchEventKinds.ENTRY_CREATE,
-        StandardWatchEventKinds.ENTRY_MODIFY, StandardWatchEventKinds.ENTRY_DELETE)
-      Files.list(p).iterator().asScala.filter(Files.isDirectory(_)).foreach(register)
-    }
+    // registration races the tree: a subdir seen in an event (or listed
+    // here) can vanish before p.register/Files.list runs — swallow and let
+    // the next event retry, same contract as the reload path below. The
+    // Files.list stream is closed explicitly (each one holds a dir fd; a
+    // long-lived watcher would leak them).
+    def register(p: Path): Unit =
+      try {
+        p.register(watcher, StandardWatchEventKinds.ENTRY_CREATE,
+          StandardWatchEventKinds.ENTRY_MODIFY, StandardWatchEventKinds.ENTRY_DELETE)
+        val s = Files.list(p)
+        try s.iterator().asScala.filter(Files.isDirectory(_)).foreach(register)
+        finally s.close()
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[caipy2fo] watch-register skipped $p: $e")
+      }
     register(Paths.get(c.annotationsDir))
     // pin the initial state NOW, while its files are still on disk — the
     // first change event means the tree no longer matches `initial`, and
@@ -224,8 +253,13 @@ object CaipyToFiftyone {
           // a nested subdir), not the annotations root
           val keyDir = k.watchable().asInstanceOf[Path]
           evs.asScala.foreach { e =>
-            val p = keyDir.resolve(e.context().toString)
-            if (Files.isDirectory(p)) register(p) // new split dir appears
+            // a burst larger than the key's queue emits OVERFLOW with a
+            // null context — nothing to resolve (the reload reads the whole
+            // folder anyway, so dropped events lose no data)
+            if (e.kind() != StandardWatchEventKinds.OVERFLOW && e.context() != null) {
+              val p = keyDir.resolve(e.context().toString)
+              if (Files.isDirectory(p)) register(p) // new split dir appears
+            }
           }
           k.reset(); k = watcher.poll()
         }

@@ -163,7 +163,6 @@ object Caipy {
       if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString else d.toString
     case f: Float => jsonVal(f.toDouble)
     case s: Iterable[_] => s.map(jsonVal).mkString("[", ", ", "]")
-    case s: scala.collection.Seq[_] => s.map(jsonVal).mkString("[", ", ", "]")
     case other => other.toString
   }
 

@@ -43,6 +43,9 @@ object ParquetIO {
     GraftDataset(images, annotations, lm, root, name, booleanized)
   }
 
+  /** JSON string-content escaping, shared with the CLI's meta sidecar. */
+  private[graft] def escJson(s: String): String = esc(s)
+
   private def esc(s: String): String =
     s.flatMap {
       case '"' => "\\\""

@@ -142,8 +142,21 @@ case class GraftDataset(
     * (reset_images_root, dataset.py:1039-1123): the old→new prefix is
     * computed once on the driver; the rewrite is a string concat column. */
   def resetImagesRoot(newRoot: String): GraftDataset = {
-    val oldP = java.nio.file.Paths.get(imagesRoot).toAbsolutePath.normalize
-    val newP = java.nio.file.Paths.get(newRoot).toAbsolutePath.normalize
+    // URI roots (hdfs://nn/..., s3a://bucket/...): relativize the PATH
+    // parts under a matching scheme://authority — java.nio would collapse
+    // the "//" and prefix driver-CWD garbage via toAbsolutePath. Crossing
+    // filesystems has no relative-path answer: fail fast.
+    val (preOld, pathOld) = GraftDataset.splitUriPrefix(imagesRoot)
+    val (preNew, pathNew) = GraftDataset.splitUriPrefix(newRoot)
+    require(preOld == preNew,
+      s"cannot re-root across filesystems: '$imagesRoot' -> '$newRoot'")
+    val (oldP, newP) =
+      if (preOld.nonEmpty)
+        (java.nio.file.Paths.get(pathOld).normalize,
+          java.nio.file.Paths.get(pathNew).normalize)
+      else
+        (java.nio.file.Paths.get(pathOld).toAbsolutePath.normalize,
+          java.nio.file.Paths.get(pathNew).toAbsolutePath.normalize)
     val prefix = newP.relativize(oldP).toString
     val im =
       if (prefix.isEmpty) images
@@ -164,6 +177,18 @@ case class GraftDataset(
 
 object GraftDataset {
   import Schemas._
+
+  /** Split a root into ("scheme://authority", "/path") for URI roots, or
+    * ("", root) for plain local paths — the guard that keeps the
+    * java.nio path algebra (relativize/commonpath) off strings it would
+    * mangle (Paths.get collapses "//" and loses the authority). */
+  private[graft] def splitUriPrefix(root: String): (String, String) = {
+    val m = "^([a-zA-Z][a-zA-Z0-9+.\\-]*://[^/]*)(/.*)?$".r
+    root match {
+      case m(pre, path) => (pre, Option(path).getOrElse("/"))
+      case _ => ("", root)
+    }
+  }
 
   /** Sort by `sortCols` then append dense sequential longs from `start` as
     * `idName` — via `zipWithIndex`, NOT a partition-less window: a global
@@ -223,10 +248,14 @@ object GraftDataset {
       out = zipDenseIds(out, Seq("relative_path"), 0, "id")
     // type derived from path suffix (dataset.py:960-961) — Path.suffix
     // semantics: INCLUDES the dot (".jpg"), empty for no suffix, and a
-    // leading-dot filename (".bashrc") has no suffix (the [^/.] guard)
+    // leading-dot filename (".bashrc") has no suffix. The guard before the
+    // suffix is [^/] (any non-slash, dots INCLUDED): pathlib gives
+    // "scan..jpg" and even "..jpg" the suffix ".jpg" — only a dot in the
+    // basename's FIRST position (nothing before it but start-of-name or
+    // "/") disqualifies
     if (!out.columns.contains("type"))
       out = out.withColumn("type",
-        regexp_extract(col("relative_path"), "[^/.](\\.[^./]+)$", 1))
+        regexp_extract(col("relative_path"), "[^/](\\.[^./]+)$", 1))
     if (!out.columns.contains("split"))
       out = out.withColumn("split", lit(null).cast(StringType))
     coerce(out, ImageCore)

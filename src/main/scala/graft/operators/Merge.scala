@@ -144,18 +144,28 @@ object Merge {
       (a.resetImagesRoot(root), b.resetImagesRoot(root))
     }
 
-  private[operators] def commonRoot(a: String, b: String): String = {
+  private[graft] def commonRoot(a: String, b: String): String = {
     import java.nio.file.Paths
+    // URI roots: common-path the PATH parts under a matching
+    // scheme://authority (java.nio mangles "hdfs://nn/x" into "hdfs:/nn/x"
+    // and toAbsolutePath injects the driver CWD). Different filesystems
+    // have no common root — fail fast instead of silently corrupting
+    // every filepath downstream.
+    val (ua, aPath) = graft.model.GraftDataset.splitUriPrefix(a)
+    val (ub, bPath) = graft.model.GraftDataset.splitUriPrefix(b)
+    require(ua == ub, "cannot merge datasets whose images roots live on " +
+      s"different filesystems: '$a' vs '$b' — reset_images_root one side first")
     val (pa, pb) =
-      if (Paths.get(a).isAbsolute || Paths.get(b).isAbsolute)
-        (Paths.get(a).toAbsolutePath.normalize, Paths.get(b).toAbsolutePath.normalize)
-      else (Paths.get(a).normalize, Paths.get(b).normalize)
+      if (ua.nonEmpty) (Paths.get(aPath).normalize, Paths.get(bPath).normalize)
+      else if (Paths.get(aPath).isAbsolute || Paths.get(bPath).isAbsolute)
+        (Paths.get(aPath).toAbsolutePath.normalize, Paths.get(bPath).toAbsolutePath.normalize)
+      else (Paths.get(aPath).normalize, Paths.get(bPath).normalize)
     def segs(p: java.nio.file.Path) =
       (0 until p.getNameCount).map(p.getName(_).toString).filter(_ != "")
     val shared = segs(pa).zip(segs(pb)).takeWhile { case (x, y) => x == y }
       .map(_._1)
     val prefix = if (pa.isAbsolute) "/" else ""
-    val joined = prefix + shared.mkString("/")
+    val joined = ua + prefix + shared.mkString("/")
     if (joined.isEmpty) "." else joined
   }
 

@@ -297,6 +297,13 @@ object StreamDedup {
   final case class CorpusIndex(banded: DataFrame, shingles: DataFrame,
       k: Int, bands: Int, shingleN: Int)
 
+  /** Both index frames come back PERSISTED (memory+disk): they are read on
+    * every micro-batch (and twice per batch — band join, then shingle
+    * verify), and an unpersisted index would re-run the whole reference
+    * shingle/signature/banding pipeline each time, which is exactly the
+    * cost the index exists to amortize. Unpersist is caller-owned
+    * (`idx.banded.unpersist(); idx.shingles.unpersist()` when retiring the
+    * index — same ownership contract as the dedup operators' base). */
   def buildCorpusIndex(refDocs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", k: Int = 32, bands: Int = 8,
       shingleN: Int = 3, maxBucketSize: Int = 256): CorpusIndex = {
@@ -317,8 +324,11 @@ object StreamDedup {
           floor((col("__n") + maxBucketSize - 1) / maxBucketSize).cast("long"))
           === 0)
       .select(col("bk"), col("id").as("ref_id"))
-    CorpusIndex(banded, base.select(col("id").as("ref_id"),
-      col("sh").as("__sh_ref")), k, bands, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shingles = base.select(col("id").as("ref_id"),
+      col("sh").as("__sh_ref"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CorpusIndex(banded, shingles, k, bands, shingleN)
   }
 
   /** Match a document stream against a static reference corpus: the

@@ -196,4 +196,39 @@ class CliSpec extends SparkFunSuite {
     assert(collectSorted(cli.annotations.select("id", "image_id")) ==
       collectSorted(ds.annotations.select("id", "image_id")))
   }
+
+  test("flat generic mode SETS the images root; filepaths resolve into it") {
+    // a FLAT annotations folder (no split subdirs) → the CaipyGeneric
+    // dialect; --ir must become the root VERBATIM with relative paths
+    // untouched (a re-anchor would rewrite them to "../<annDir>/...",
+    // keeping every filepath pointing into the annotations folder)
+    val flat = Files.createTempDirectory("cli_flat").toString
+    Files.writeString(Paths.get(flat, "img7.json"),
+      """{"image": {"id": 7, "file_name": "img7.jpg", "width": 640, "height": 480},
+        |  "annotations": [
+        |    {"id": 1, "image_id": 7, "category_id": 51, "category_str": "bowl",
+        |     "bbox": [1.0, 2.0, 30.0, 40.0]}]}""".stripMargin)
+    val cli = CaipyToFiftyone.load(spark, CaipyToFiftyone.parseArgs(Array(
+      "--mode", "generic", "--ir", "/data/pictures", "--ar", flat,
+      "--out", "/tmp/unused_flat")))
+    assert(cli.imagesRoot == "/data/pictures")
+    val rel = cli.images.select("relative_path").head().getString(0)
+    assert(rel == "img7.jpg", s"relative_path re-anchored: $rel")
+  }
+
+  test("meta.json survives a dataset name needing JSON escaping") {
+    val root = Files.createTempDirectory("cli_esc").toString
+    writeImg(root, "train", 1, 1)
+    val out = Files.createTempDirectory("cli_esc_out").toString
+    val c = CaipyToFiftyone.parseArgs(Array("-i", root, "-o", out,
+      "--name", "my\"weird\\name"))
+    CaipyToFiftyone.convert(CaipyToFiftyone.load(spark, c), c)
+    val txt = Files.readString(Paths.get(out, "meta.json"))
+    // must parse as JSON and round-trip the name
+    val parsed = spark.range(1).select(
+      from_json(lit(txt), org.apache.spark.sql.types.StructType.fromDDL(
+        "dataset_name STRING, persistent BOOLEAN"))
+        .getField("dataset_name")).head().getString(0)
+    assert(parsed == "my\"weird\\name")
+  }
 }

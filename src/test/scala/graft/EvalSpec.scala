@@ -220,4 +220,34 @@ class ResetRootSpec extends SparkFunSuite {
     assert(same.images.select("relative_path").collect().map(_.getString(0)).toSet ==
       ds.images.select("relative_path").collect().map(_.getString(0)).toSet)
   }
+
+  test("URI roots: path algebra keeps scheme://authority; cross-fs fails fast") {
+    // resetImagesRoot within one filesystem relativizes the PATH part only
+    val ds = tinyDataset().copy(imagesRoot = "hdfs://nn:8020/data/sets/d1")
+    val out = ds.resetImagesRoot("hdfs://nn:8020/data")
+    assert(out.imagesRoot == "hdfs://nn:8020/data")
+    assert(out.images.select("relative_path").collect().map(_.getString(0))
+      .forall(_.startsWith("sets/d1/")))
+    // crossing filesystems has no relative-path answer
+    intercept[IllegalArgumentException](ds.resetImagesRoot("s3a://bucket/data"))
+    intercept[IllegalArgumentException](ds.resetImagesRoot("/local/data"))
+    // merge-side common root: same authority → common PATH with the
+    // authority preserved (java.nio alone would emit "hdfs:/nn:8020/data")
+    assert(graft.operators.Merge.commonRoot(
+      "hdfs://nn:8020/data/a", "hdfs://nn:8020/data/b") == "hdfs://nn:8020/data")
+    intercept[IllegalArgumentException](graft.operators.Merge.commonRoot(
+      "hdfs://nn:8020/data/a", "s3a://bucket/data/b"))
+    // union across same-fs URI roots re-roots both sides instead of
+    // mangling (the pre-fix behavior corrupted every downstream filepath)
+    val a = tinyDataset().copy(imagesRoot = "hdfs://nn:8020/data/a")
+    val b0 = tinyDataset().copy(imagesRoot = "hdfs://nn:8020/data/b")
+    val b = b0.copy(images = b0.images.withColumn("id", col("id") + 100L),
+      annotations = b0.annotations
+        .withColumn("id", col("id") + 100L)
+        .withColumn("image_id", col("image_id") + 100L))
+    val merged = graft.operators.Merge.union(a, b)
+    assert(merged.imagesRoot == "hdfs://nn:8020/data")
+    val rels = merged.images.select("relative_path").collect().map(_.getString(0))
+    assert(rels.count(_.startsWith("a/")) == 4 && rels.count(_.startsWith("b/")) == 4)
+  }
 }

@@ -19,6 +19,26 @@ class ModelSpec extends SparkFunSuite {
       Seq("train", "train", "train", "train", "valid", "valid"))
   }
 
+  test("type column matches pathlib Path.suffix on dotted edge cases") {
+    // goldens from CPython pathlib: PurePath(name).suffix
+    val cases = Seq(
+      "scan..jpg" -> ".jpg",   // suffix preceded by a dot
+      "..jpg" -> ".jpg",       // name ".."+suffix still has one
+      ".bashrc" -> "",         // leading-dot file: NO suffix
+      "dir/.bashrc" -> "",
+      ".hidden.txt" -> ".txt",
+      "archive.tar.gz" -> ".gz",
+      "a." -> "",              // trailing dot
+      "..." -> "",
+      "noext" -> "")
+    val df = cases.zipWithIndex
+      .map { case ((p, _), i) => (i.toLong, 10, 10, p) }
+      .toDF("id", "width", "height", "relative_path")
+    val got = graft.model.GraftDataset.defaultImageColumns(df)
+      .orderBy("id").collect().map(_.getAs[String]("type")).toSeq
+    assert(got == cases.map(_._2), s"suffix mismatch: ${cases.map(_._1).zip(got)}")
+  }
+
   test("validated passes on well-formed data and rejects FK violations") {
     tinyDataset().validated() // should not throw
     val ds = tinyDataset()

@@ -217,10 +217,9 @@ class IvfStreamDedupSpec extends SparkFunSuite {
       (13L, "one two three four five six seven eight nine ten")     // exact dup of 1
     ).toDF("doc_id", "text")
     incoming.write.mode("overwrite").parquet(dir)
+    // buildCorpusIndex persists both frames itself (reused every
+    // micro-batch); unpersist on retirement is caller-owned
     val idx = StreamDedup.buildCorpusIndex(ref)
-    // the ref-side frames are reused every micro-batch — cache them as a
-    // production stream would
-    idx.banded.cache(); idx.shingles.cache()
     try {
       val expected = StreamDedup.matchesAgainstCorpus(incoming, idx,
         threshold = 0.5)
@@ -255,11 +254,13 @@ class IvfStreamDedupSpec extends SparkFunSuite {
     assert(occ <= 24, s"expected ~8 survivors per bucket, got $occ")
     val incoming = Seq((1000L, mega),
       (1001L, "totally different content again")).toDF("doc_id", "text")
-    val got = StreamDedup.matchesAgainstCorpus(incoming, idx, threshold = 0.9)
-      .select("new_id", "ref_id").distinct().collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // the copy matches the thinned SURVIVORS of the mega cluster, nothing else
-    assert(got.nonEmpty && got.forall { case (n, r) => n == 1000L && r < 100L })
+    try {
+      val got = StreamDedup.matchesAgainstCorpus(incoming, idx, threshold = 0.9)
+        .select("new_id", "ref_id").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the copy matches the thinned SURVIVORS of the mega cluster, nothing else
+      assert(got.nonEmpty && got.forall { case (n, r) => n == 1000L && r < 100L })
+    } finally { idx.banded.unpersist(); idx.shingles.unpersist() }
   }
 
   test("quality rules apply unchanged on a stream (stateless column exprs)") {
