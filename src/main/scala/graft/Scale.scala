@@ -320,6 +320,27 @@ object Scale {
           col("box_width") * 2).otherwise(col("box_width")))
       graft.operators.Diff.frameDiff(ann, mutated)
         .groupBy(col("status")).count()
+    }),
+    // paragraph-level dedup over the whole corpus (lines minted every 10
+    // words, the q110 prep): explode → 128-bit fp count → back-join →
+    // per-doc regroup. Two shuffles; growth should stay ~linear since
+    // paragraph multiplicity is flat in this corpus.
+    Probe("paragraph_dedup", q = (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        regexp_replace(col("text"), "((\\S+ ){9}\\S+) ", "$1\n").as("text"))
+        .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      graft.llm.Dedup.removeRepeatedParagraphs(docs, dropEmptied = false)
+    }),
+    // SemDeDup over ALL embeddings: cells from 8 corpus centroids — at sf1
+    // a cell holds ~2.5k vectors (≫ the 256 cap), so the adaptive refine
+    // keys must hold the within-cell quadratic down for growth to stay in
+    // the envelope
+    Probe("semantic_dedup", q = (s, d) => {
+      val embs = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val cents = embs.orderBy("vec_id").limit(8)
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
+      graft.llm.Dedup.semanticDedup(embs, cents, threshold = 0.95)
     }))
 
   private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)

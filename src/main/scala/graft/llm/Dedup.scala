@@ -872,4 +872,197 @@ object Dedup {
         when(col("n") <= maxBucketSize, "kept").otherwise("star").as("status"))
     lvl1.unionByName(lvl2)
   }
+
+  // ------------------------------------------------------- semantic dedup
+
+  /** Nearest-centroid assignment as a PURE PROJECTION: `centroids` is a
+    * small driver-side list (the SemDeDup recipe clusters with K ≪ N, and
+    * K×dim doubles fit in the plan as literals), folded into ONE map-side
+    * expression — array_max over (cosine, −centroid_id) structs, so the
+    * argmax ties break to the smallest centroid id. No shuffle, no join,
+    * no window; the corpus is touched once. Adds `centroid_id` (int) and
+    * `centroid_sim` (double, cosine to the winning centroid). For K too
+    * large to inline (≫10⁴), cluster with [[Ivf.build]] instead — its
+    * `assigned` frame is the same shape. */
+  def assignCentroids(embs: DataFrame, centroids: Seq[Array[Double]],
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(centroids.nonEmpty, "assignCentroids: empty centroid list")
+    val s = embs.sparkSession
+    val centArr = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(array(c.toIndexedSeq.map(x => lit(x)): _*).as("cv"),
+        lit(i).as("cid"))
+    }: _*)
+    val best = array_max(transform(centArr, ct => struct(
+      graft.functions.GraftFunctions.cosine(s, col(vecCol), ct.getField("cv"))
+        .as("s"),
+      (-ct.getField("cid")).as("nid"))))
+    embs.withColumn("centroid_id", (-best.getField("nid")).cast("int"))
+      .withColumn("centroid_sim", best.getField("s"))
+  }
+
+  /** SemDeDup candidate discovery (Abbas et al. 2023, "SemDeDup:
+    * data-efficient learning at web-scale through semantic deduplication"):
+    * within-CLUSTER cosine pairs at ≥ `threshold`, where clusters are
+    * nearest-centroid cells — the paper's trick of never comparing across
+    * clusters, which turns all-pairs O(N²) into Σ n_c². Emits
+    * (id_a, id_b, cosine), id_a < id_b.
+    *
+    * The per-cluster quadratic is the algorithm's own cost model, but a
+    * skewed cell (one centroid owning 1e8 near-identical crawl pages)
+    * would still be quadratic — so the cluster cells run through the SAME
+    * occupancy guard as [[embeddingNearDups]] (`bk` = centroid cell, `sub`
+    * = `refinePlanes` hyperplane-signature bits with the adaptive width):
+    * oversized cells re-key on signature bits; a cell the signature cannot
+    * split degrades to min-id star pairs (identical vectors still verify
+    * at cosine 1; [[clusterPairs]] restores the cluster through the
+    * representative). Guard decisions are integer arithmetic, so the
+    * DuckDB gate (q112) replicates them exactly. Caller owns cleanup after
+    * materializing the result (same contract as [[embeddingNearDups]]). */
+  def semanticDedupPairs(embs: DataFrame, centroids: Seq[Array[Double]],
+      threshold: Double = 0.95, vecCol: String = "embedding",
+      idCol: String = "vec_id", maxBucketSize: Int = 256,
+      refinePlanes: Int = 12,
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(refinePlanes >= 1 && refinePlanes <= 62, "refinePlanes out of range")
+    require(maxBucketSize > 1, "maxBucketSize must allow at least a pair")
+    val s = embs.sparkSession
+    val base = assignCentroids(embs, centroids, vecCol, idCol)
+      .select(col(idCol).as("id"), col(vecCol).as("v"), col("centroid_id"),
+        graft.functions.GraftFunctions.hyperplaneSig(s, col(vecCol), refinePlanes)
+          .as("__rs"))
+      .persist(storage)
+    val banded = base.select(col("id"),
+      struct(lit(0).as("band"), col("centroid_id").cast("long").as("bucket"))
+        .as("bk"),
+      (col("__rs").bitwiseAND((1L << refinePlanes) - 1) + 1L).as("sub"))
+    val pairs = guardedBandPairs(banded, maxBucketSize, refinePlanes, storage,
+      broadcastOcc = true)
+    val cosExpr = graft.functions.GraftFunctions.cosine(s,
+      col("v_a"), col("v_b"))
+    pairs
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), cosExpr.as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Full SemDeDup: within-cluster pairs → connected components → keep ONE
+    * member per semantic group — the one with the LOWEST cosine to its
+    * centroid (the paper keeps the example farthest from the centroid:
+    * of a group of semantic duplicates, the least prototypical one carries
+    * the most residual information), ties → smallest id. Singleton groups
+    * (nothing within `threshold`) survive untouched. Returns the surviving
+    * rows with the input's columns.
+    *
+    * Composition of audited pieces: [[assignCentroids]] (map-only) +
+    * [[semanticDedupPairs]] (guarded band join) + [[clusterPairs]] (CC,
+    * driver fast path under 1M edges) + [[keepBestPerCluster]] (max_by
+    * hash aggregate — no per-group window). */
+  def semanticDedup(embs: DataFrame, centroids: Seq[Array[Double]],
+      threshold: Double = 0.95, vecCol: String = "embedding",
+      idCol: String = "vec_id", maxBucketSize: Int = 256,
+      refinePlanes: Int = 12,
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val pairs = semanticDedupPairs(embs, centroids, threshold, vecCol, idCol,
+      maxBucketSize, refinePlanes, storage)
+    val clusters = clusterPairs(embs.select(col(idCol)), pairs, idCol)
+    keepBestPerCluster(
+      assignCentroids(embs, centroids, vecCol, idCol),
+      clusters, -col("centroid_sim"), idCol)
+      .drop("centroid_id", "centroid_sim")
+  }
+
+  // ------------------------------------------------- paragraph-level dedup
+
+  /** Explode `textCol` into (doc id, position, paragraph) on `sepRegex`
+    * with a 128-bit normalized content fingerprint per paragraph
+    * ([[TextAnalysis.fingerprint]]: lowercase, whitespace-collapsed, md5 —
+    * 64-bit keys birthday-collide at corpus scale, 128-bit doesn't). One
+    * narrow map over the scan; position is kept so documents can be
+    * reassembled in order without ever sorting globally. */
+  private def paragraphFrame(docs: DataFrame, textCol: String, idCol: String,
+      sepRegex: String): DataFrame =
+    docs.select(col(idCol).as("__pg_id"),
+        posexplode(split(col(textCol), sepRegex)).as(Seq("__pg_i", "__pg_p")))
+      .withColumn("__pg_fp", TextAnalysis.fingerprint(col("__pg_p")))
+
+  /** Corpus-wide paragraph duplication counts: one row per distinct
+    * normalized paragraph with its occurrence count — the shared first
+    * stage of [[removeRepeatedParagraphs]] and [[dupLineStats]], exposed
+    * for "what boilerplate dominates this crawl" analyses. ONE shuffle on
+    * the 128-bit fingerprint; partial aggregation collapses a boilerplate
+    * paragraph with 1e8 copies to one row per map task before the
+    * exchange. */
+  def paragraphCounts(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", sepRegex: String = "\n+"): DataFrame =
+    paragraphFrame(docs, textCol, idCol, sepRegex)
+      .groupBy(col("__pg_fp").as("fingerprint"))
+      .agg(count(lit(1)).as("n_dups"),
+        min(col("__pg_id")).as("first_id"),
+        min(col("__pg_p")).as("paragraph"))
+
+  /** Exact paragraph-level dedup (RefinedWeb "exact line dedup" /
+    * MassiveText repeated-passage removal): remove from EVERY document any
+    * paragraph whose normalized form occurs more than `maxOccurrences`
+    * times across the corpus, then reassemble each document's surviving
+    * paragraphs in their original order, joined with `sep`. Removal hits
+    * all copies (the RefinedWeb contract — boilerplate vanishes entirely,
+    * no canonical copy is kept); documents left with zero paragraphs are
+    * dropped when `dropEmptied` (RefinedWeb drops them too) or kept with
+    * empty text otherwise. All non-text columns ride along unchanged.
+    *
+    * Plan at 100 TB: explode → count on the md5 fingerprint (partial agg,
+    * one shuffle) → join counts back on the fingerprint → regroup by doc
+    * id collecting (position, paragraph) structs, array_sort per doc (doc
+    * memory ∝ its own size, never a global sort), array_join. No windows.
+    * The counts-side of the back-join is pre-aggregated (one row per
+    * distinct paragraph), so a mega boilerplate key is skewed only on the
+    * exploded side — exactly the shape AQE skew-join splits, since the
+    * one-row side can be replicated freely for an inner join. */
+  def removeRepeatedParagraphs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", sepRegex: String = "\n+", sep: String = "\n",
+      maxOccurrences: Long = 1, dropEmptied: Boolean = true): DataFrame = {
+    val parts = paragraphFrame(docs, textCol, idCol, sepRegex)
+    val counts = parts.groupBy(col("__pg_fp")).agg(count(lit(1)).as("__pg_n"))
+    val rebuilt = parts.join(counts, Seq("__pg_fp"))
+      .filter(col("__pg_n") <= maxOccurrences)
+      .groupBy(col("__pg_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__pg_i"), col("__pg_p")))),
+          x => x.getField("__pg_p")),
+        sep).as("__pg_text"))
+    docs.join(rebuilt, docs(idCol) === rebuilt("__pg_id"),
+        if (dropEmptied) "inner" else "left")
+      .withColumn(textCol, coalesce(col("__pg_text"), lit("")))
+      .drop("__pg_id", "__pg_text")
+  }
+
+  /** Per-document duplicate-line statistics (the Gopher repetition-quality
+    * signals `duplicate_line_fraction` / `duplicate_line_character_
+    * fraction`, computed CORPUS-wide): for each document, how many of its
+    * paragraphs (and what share of its characters) sit in paragraphs whose
+    * normalized form occurs elsewhere in the corpus. Feed the fractions to
+    * [[TextAnalysis.qualityRules]]-style thresholds (Gopher drops docs
+    * with dup_line_frac > 0.30 or dup_char_frac > 0.20).
+    *
+    * Character counts are over the paragraph text as split (separators
+    * excluded). Same two-shuffle plan as [[removeRepeatedParagraphs]]. */
+  def dupLineStats(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", sepRegex: String = "\n+"): DataFrame = {
+    val parts = paragraphFrame(docs, textCol, idCol, sepRegex)
+    val counts = parts.groupBy(col("__pg_fp")).agg(count(lit(1)).as("__pg_n"))
+    parts.join(counts, Seq("__pg_fp"))
+      .groupBy(col("__pg_id").as(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__pg_n") > 1, 1L).otherwise(0L)).as("dup_lines"),
+        sum(length(col("__pg_p")).cast("long")).as("n_chars"),
+        sum(when(col("__pg_n") > 1, length(col("__pg_p")).cast("long"))
+          .otherwise(0L)).as("dup_chars"))
+      .withColumn("dup_line_frac",
+        col("dup_lines").cast("double") / col("n_lines"))
+      .withColumn("dup_char_frac",
+        when(col("n_chars") === 0, 0.0)
+          .otherwise(col("dup_chars").cast("double") / col("n_chars")))
+  }
 }

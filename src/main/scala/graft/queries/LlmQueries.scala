@@ -33,6 +33,31 @@ object LlmQueries extends graft.QueryModule {
     docs.unionByName(copies)
   }
 
+  /** The paragraph-dedup gate corpus: documents given LINE structure (a
+    * newline after every 10th word — the identical regexp_replace runs in
+    * the DuckDB oracle), plus 20 planted full copies each carrying one
+    * extra UNIQUE sentinel paragraph. The copies make every copied
+    * paragraph corpus-duplicated (so originals AND copies lose them —
+    * the RefinedWeb all-copies contract is exercised), while the sentinel
+    * paragraph survives — locking partial removal + in-order reassembly,
+    * not just whole-doc drops. */
+  private def paragraphized(s: SparkSession, d: String): DataFrame = {
+    val prep = Tables.documents(s, d).select(col("doc_id"),
+      regexp_replace(col("text"), "((\\S+ ){9}\\S+) ", "$1\n").as("text"))
+    val planted = prep.orderBy("doc_id").limit(20)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("text",
+        concat(col("text"), lit("\nsentinel unique paragraph "), col("doc_id")))
+    prep.unionByName(planted)
+  }
+
+  /** q112's centroid set: the 4 lowest-id embeddings as doubles — tiny,
+    * deterministic, and reproducible in the oracle via ORDER BY/LIMIT. */
+  private[graft] def semCentroids(s: SparkSession, d: String): Seq[Array[Double]] =
+    Tables.embeddings(s, d).orderBy("vec_id").limit(4)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
+
   val defs: Map[String, Q] = Map(
     // exact dedup by 128-bit content fingerprint (md5 → full oracle)
     "q28_dedup_exact" -> ((s, d) => {
@@ -304,6 +329,51 @@ object LlmQueries extends graft.QueryModule {
       Dedup.crossCorpusNearDups(newSide, refSide, threshold = 0.7)
         .select(col("new_id"), col("ref_id"),
           round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    // paragraph-level exact dedup (RefinedWeb "exact line dedup"): docs are
+    // given line structure (newline every 10 words — the same regexp runs
+    // in the oracle), 20 full copies + a unique sentinel paragraph are
+    // planted, and every paragraph occurring >1× corpus-wide is removed
+    // from ALL its documents; fully-emptied docs (the copied ones) drop.
+    // Full oracle: md5-fingerprint equality ≡ normalized-string equality,
+    // so DuckDB groups on the normalized paragraph directly.
+    "q110_paragraph_dedup" -> ((s, d) => {
+      val corpus = paragraphized(s, d)
+      Dedup.removeRepeatedParagraphs(corpus)
+        .select(col("doc_id"), col("text"))
+    }),
+
+    // Gopher duplicate-line quality signals over the same corpus — exact
+    // integer ratios, rounded identically on both sides
+    "q111_dup_line_stats" -> ((s, d) => {
+      Dedup.dupLineStats(paragraphized(s, d))
+        .select(col("doc_id"), col("n_lines"), col("dup_lines"),
+          col("n_chars"), col("dup_chars"),
+          round(col("dup_line_frac"), 6).as("dup_line_frac"),
+          round(col("dup_char_frac"), 6).as("dup_char_frac"))
+    }),
+
+    // SemDeDup: nearest-centroid cells (centroids = the 4 lowest-id
+    // embeddings, identically selectable in SQL), within-cell cosine
+    // pairs at ≥0.95, CC, keep the least-prototypical member (lowest
+    // centroid sim, tie → min id). cap 1024 > any cell at oracle scales,
+    // so the guard stays inactive here (its active face is spec-locked in
+    // SemDedupSpec); threshold/argmax margins are data-robust — the
+    // corpus' only ≥0.95 pairs are the planted identical copies, and a
+    // margin tripwire spec asserts the assignment argmax is not close
+    "q112_semantic_dedup" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      val copies = embs.orderBy("vec_id").limit(20)
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+      val corpus = embs.unionByName(copies).select("vec_id", "embedding")
+      val cents = semCentroids(s, d)
+      val kept = Dedup.semanticDedup(corpus, cents,
+        threshold = 0.95, maxBucketSize = 1024)
+      Dedup.assignCentroids(kept, cents)
+        .select(col("vec_id"),
+          col("centroid_id").cast("long").as("centroid_id"),
+          round(col("centroid_sim"), 6).as("centroid_sim"))
     }),
 
     // cluster, so the arg-max is exercised beyond the min-id tiebreak;
@@ -816,6 +886,113 @@ object LlmQueries extends graft.QueryModule {
         |           / len(list_distinct(list_concat(n.s, r.s))) AS j
         |  FROM shn n CROSS JOIN shr r)
         |SELECT new_id, ref_id, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.7""".stripMargin,
+
+    // SemDeDup: exhaustive within-cell pairs (cap inactive by gate
+    // construction) + recursive closure + lowest-sim/min-id keep rank
+    "q112_semantic_dedup" ->
+      """WITH RECURSIVE base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |              FROM embeddings),
+        |allv AS (SELECT vec_id, v FROM base
+        |         UNION ALL
+        |         SELECT vec_id + 1000000 AS vec_id, v FROM
+        |           (SELECT * FROM base ORDER BY vec_id LIMIT 20)),
+        |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+        |          FROM (SELECT * FROM base ORDER BY vec_id LIMIT 4)),
+        |assign AS (
+        |  SELECT vec_id, cid, sim FROM (
+        |    SELECT a.vec_id, c.cid, list_cosine_similarity(a.v, c.cv) AS sim,
+        |           row_number() OVER (PARTITION BY a.vec_id
+        |                              ORDER BY list_cosine_similarity(a.v, c.cv) DESC,
+        |                                       c.cid) AS rn
+        |    FROM allv a CROSS JOIN cents c) WHERE rn = 1),
+        |vp AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+        |  JOIN assign aa ON aa.vec_id = a.vec_id
+        |  JOIN assign ab ON ab.vec_id = b.vec_id
+        |  WHERE aa.cid = ab.cid AND list_cosine_similarity(a.v, b.v) >= 0.95),
+        |bidir AS (SELECT id_a AS a, id_b AS b FROM vp
+        |          UNION ALL SELECT id_b, id_a FROM vp),
+        |reach(a, b) AS (
+        |  SELECT vec_id, vec_id FROM allv
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN bidir e ON r.b = e.a),
+        |clusters AS (SELECT a AS vec_id, min(b) AS cluster_id
+        |             FROM reach GROUP BY a),
+        |keep AS (
+        |  SELECT vec_id FROM (
+        |    SELECT c.vec_id,
+        |           row_number() OVER (PARTITION BY c.cluster_id
+        |                              ORDER BY s.sim ASC, c.vec_id ASC) AS rn
+        |    FROM clusters c JOIN assign s ON s.vec_id = c.vec_id) WHERE rn = 1)
+        |SELECT k.vec_id, CAST(s.cid AS BIGINT) AS centroid_id,
+        |       round(s.sim, 6) AS centroid_sim
+        |FROM keep k JOIN assign s ON s.vec_id = k.vec_id""".stripMargin,
+
+    // paragraph dedup: group on the NORMALIZED paragraph string (the md5
+    // fingerprint's equality relation), drop every paragraph with corpus
+    // count > 1, reassemble in position order; docs with no survivors
+    // vanish via the inner-join + GROUP BY
+    "q110_paragraph_dedup" ->
+      """WITH prep AS (
+        |  SELECT doc_id,
+        |         regexp_replace(text, '((\S+ ){9}\S+) ', '\1' || chr(10), 'g') AS text
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, text FROM prep
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         text || chr(10) || 'sentinel unique paragraph ' || (doc_id + 1000000) AS text
+        |  FROM (SELECT * FROM prep ORDER BY doc_id LIMIT 20)),
+        |para AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(text, chr(10))) AS p,
+        |         generate_subscripts(string_split(text, chr(10)), 1) AS i
+        |  FROM corpus),
+        |cnt AS (
+        |  SELECT regexp_replace(lower(trim(p)), '\s+', ' ', 'g') AS k, count(*) AS c
+        |  FROM para GROUP BY 1)
+        |SELECT doc_id, string_agg(p, chr(10) ORDER BY i) AS text
+        |FROM para JOIN cnt ON regexp_replace(lower(trim(p)), '\s+', ' ', 'g') = k
+        |WHERE c <= 1
+        |GROUP BY doc_id""".stripMargin,
+
+    // Gopher dup-line signals: same paragraph/count CTEs, exact integer
+    // ratios rounded to 6 on both sides
+    "q111_dup_line_stats" ->
+      """WITH prep AS (
+        |  SELECT doc_id,
+        |         regexp_replace(text, '((\S+ ){9}\S+) ', '\1' || chr(10), 'g') AS text
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, text FROM prep
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         text || chr(10) || 'sentinel unique paragraph ' || (doc_id + 1000000) AS text
+        |  FROM (SELECT * FROM prep ORDER BY doc_id LIMIT 20)),
+        |para AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(text, chr(10))) AS p,
+        |         generate_subscripts(string_split(text, chr(10)), 1) AS i
+        |  FROM corpus),
+        |cnt AS (
+        |  SELECT regexp_replace(lower(trim(p)), '\s+', ' ', 'g') AS k, count(*) AS c
+        |  FROM para GROUP BY 1),
+        |joined AS (
+        |  SELECT doc_id, p, c
+        |  FROM para JOIN cnt ON regexp_replace(lower(trim(p)), '\s+', ' ', 'g') = k)
+        |SELECT doc_id,
+        |  count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_lines,
+        |  CAST(sum(len(p)) AS BIGINT) AS n_chars,
+        |  CAST(sum(CASE WHEN c > 1 THEN len(p) ELSE 0 END) AS BIGINT) AS dup_chars,
+        |  round(CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+        |    AS dup_line_frac,
+        |  CASE WHEN sum(len(p)) = 0 THEN 0.0
+        |       ELSE round(CAST(sum(CASE WHEN c > 1 THEN len(p) ELSE 0 END) AS DOUBLE)
+        |                  / sum(len(p)), 6) END AS dup_char_frac
+        |FROM joined
+        |GROUP BY doc_id""".stripMargin,
 
     // q29's exhaustive pair set over the natural corpus + planted copies,
     // UNION the sentinel mega-cluster's star set (min id 3000000 is the

@@ -1099,3 +1099,174 @@ class MinHashExpressionSpec extends SparkFunSuite {
     assert(got == expectedPairs.sorted)
   }
 }
+
+class ParagraphDedupSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "unique one\nCOMMON boilerplate\nunique two"),
+    (2L, "COMMON   boilerplate\nunique three"), // same normalized form
+    (3L, "unique four"),
+    (4L, "common boilerplate"), // lowercased — still the same paragraph
+    (5L, "")                    // empty doc: one empty paragraph, unique
+  ).toDF("doc_id", "text")
+
+  test("removeRepeatedParagraphs drops ALL copies and reassembles in order") {
+    val out = Dedup.removeRepeatedParagraphs(corpus)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toMap
+    // the boilerplate (3 normalized copies, case/space-insensitive) is gone
+    // from every doc; survivors keep original (un-normalized) text + order
+    assert(out == Map(
+      1L -> "unique one\nunique two",
+      2L -> "unique three",
+      3L -> "unique four",
+      5L -> ""))
+    // doc 4 was ONLY boilerplate → emptied → dropped (RefinedWeb contract)
+  }
+
+  test("dropEmptied=false keeps emptied docs with empty text; maxOccurrences widens") {
+    val kept = Dedup.removeRepeatedParagraphs(corpus, dropEmptied = false)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toMap
+    assert(kept(4L) == "" && kept.size == 5)
+    // maxOccurrences = 3 tolerates the triple → nothing removed
+    val loose = Dedup.removeRepeatedParagraphs(corpus, maxOccurrences = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toMap
+    assert(loose(1L) == "unique one\nCOMMON boilerplate\nunique two")
+  }
+
+  test("non-text columns ride along unchanged") {
+    val withMeta = corpus.withColumn("lang", concat(lit("l"), col("doc_id")))
+    val out = Dedup.removeRepeatedParagraphs(withMeta)
+      .select("doc_id", "lang").as[(Long, String)].collect().toMap
+    assert(out(1L) == "l1" && out(2L) == "l2")
+  }
+
+  test("dupLineStats computes Gopher dup-line and dup-char fractions") {
+    val stats = Dedup.dupLineStats(corpus)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("dup_lines"),
+          r.getAs[Double]("dup_line_frac"), r.getAs[Double]("dup_char_frac")))).toMap
+    val (n1, d1, lf1, cf1) = stats(1L)
+    assert(n1 == 3 && d1 == 1 && math.abs(lf1 - 1.0 / 3) < 1e-9)
+    // doc 1 chars: "unique one"(10) + "COMMON boilerplate"(18) + "unique two"(10)
+    assert(math.abs(cf1 - 18.0 / 38) < 1e-9)
+    assert(stats(4L) == ((1L, 1L, 1.0, 1.0)))
+    assert(stats(3L) == ((1L, 0L, 0.0, 0.0)))
+    // empty doc: one zero-length paragraph, n_chars = 0 → char frac 0 by contract
+    assert(stats(5L) == ((1L, 0L, 0.0, 0.0)))
+  }
+
+  test("paragraphCounts exposes corpus-wide boilerplate with first id") {
+    val pc = Dedup.paragraphCounts(corpus)
+      .filter(col("n_dups") > 1)
+      .collect().map(r => (r.getAs[Long]("n_dups"), r.getAs[Long]("first_id")))
+    assert(pc.toSeq == Seq((3L, 1L)))
+  }
+}
+
+class SemDedupSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  // two well-separated centroids; vectors cluster around them
+  private val cents = Seq(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
+  private def corpus = Seq(
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),   // cell 0
+    (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),   // exact dup of 1
+    (3L, Array(0.88f, 0.12f, 0.01f, 0.0f)),// near-dup of 1/2
+    (4L, Array(0.6f, 0.0f, 0.8f, 0.0f)),   // cell 0, far from the others
+    (5L, Array(0.1f, 0.9f, 0.0f, 0.0f)),   // cell 1
+    (6L, Array(0.1f, 0.9f, 0.0f, 0.0f)),   // exact dup of 5
+    (7L, Array(0.9f, 0.1f, 0.0f, 0.0f))    // identical to 1 but in NO pair's
+                                           // cell? same cell 0 — pairs with 1,2
+  ).toDF("vec_id", "embedding")
+
+  test("assignCentroids is a map-only argmax with min-id tie break") {
+    val a = Dedup.assignCentroids(corpus, cents)
+    val m = a.select("vec_id", "centroid_id").as[(Long, Int)].collect().toMap
+    assert(m == Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 0, 5L -> 1, 6L -> 1, 7L -> 0))
+    // exchange-free: pure projection over the scan
+    val plan = a.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment shuffles:\n$plan")
+    // tie: equidistant vector → smallest centroid id
+    val tie = Seq((9L, Array(1.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Dedup.assignCentroids(tie, cents).select("centroid_id")
+      .head().getInt(0) == 0)
+  }
+
+  test("semanticDedupPairs finds within-cell pairs only") {
+    val got = Dedup.semanticDedupPairs(corpus, cents, threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    spark.catalog.clearCache()
+    // {1,2,3,7} are mutual near-dups in cell 0; 4 pairs with nobody
+    // (cosine to the 1-group ≈ 0.56); {5,6} pair in cell 1. Cross-cell
+    // pairs are never emitted even if cosine were high.
+    assert(got == Set((1L, 2L), (1L, 3L), (1L, 7L), (2L, 3L), (2L, 7L), (3L, 7L), (5L, 6L)))
+  }
+
+  test("semanticDedup keeps the LOWEST-centroid-sim member per group, min id on ties") {
+    val kept = Dedup.semanticDedup(corpus, cents, threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    spark.catalog.clearCache()
+    // group {1,2,3,7}: member 3 has the lowest cosine to centroid 0
+    // (least prototypical survives); group {5,6}: tie → min id 5;
+    // singletons 4 survive
+    assert(kept == Set(3L, 4L, 5L))
+  }
+
+  test("a mega cell degrades through the occupancy guard, not quadratically") {
+    // 600 identical vectors in one cell with cap 16: the refine signature
+    // cannot split identical vectors → star repair pairs them all with the
+    // min id; CC still reconstructs ONE group
+    val mega = (0L until 600L).map(i => (i, Array(0.7f, 0.3f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.semanticDedupPairs(mega, cents, threshold = 0.95,
+      maxBucketSize = 16)
+    val cnt = pairs.count()
+    spark.catalog.clearCache()
+    assert(cnt == 599L, s"expected 599 star pairs, got $cnt") // linear, not 600*599/2
+    val kept = Dedup.semanticDedup(mega, cents, threshold = 0.95,
+      maxBucketSize = 16).count()
+    spark.catalog.clearCache()
+    assert(kept == 1L)
+  }
+}
+
+/** q112's oracle determinism rests on two data properties (the q29-style
+  * regeneration tripwire): the corpus' only ≥0.95 within-cell pairs are the
+  * planted identical copies (cosine exactly-ish 1), and every vector's
+  * top-2 centroid sims are separated far beyond cross-engine FP noise. */
+class SemDedupGateMarginSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("q112 corpus: assignment argmax margins and threshold gaps are FP-robust") {
+    val d = "/root/testdata/sf0.01"
+    val embs = Tables.embeddings(spark, d)
+    val cents = graft.queries.LlmQueries.semCentroids(spark, d)
+    val centArr = cents.zipWithIndex
+    // per-vector top-2 centroid-sim margin (excluding exact ties, which
+    // break identically by min-cid in both engines)
+    val sims = embs.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().map { case (id, v) =>
+        val ss = centArr.map { case (c, _) =>
+          val dv = v.map(_.toDouble)
+          val dot = dv.zip(c).map { case (a, b) => a * b }.sum
+          val na = math.sqrt(dv.map(x => x * x).sum)
+          val nb = math.sqrt(c.map(x => x * x).sum)
+          dot / (na * nb)
+        }.sorted.reverse
+        (id, ss(0) - ss(1), ss(0))
+      }
+    val minMargin = sims.map(_._2).filter(_ > 0).min
+    assert(minMargin > 1e-6,
+      s"argmax margin $minMargin too close — q112 oracle can flake cross-engine")
+    // threshold gap: no natural pair may sit within 1e-6 of 0.95
+    val n = embs.count().toInt
+    val pairs = Dedup.semanticDedupPairs(
+      embs.select("vec_id", "embedding"), cents,
+      threshold = 0.0, maxBucketSize = math.max(1024, n + 1))
+      .select("cosine").as[Double].collect()
+    spark.catalog.clearCache()
+    assert(pairs.forall(c => math.abs(c - 0.95) > 1e-6),
+      "a natural within-cell pair sits at the 0.95 boundary — q112 can flake")
+  }
+}

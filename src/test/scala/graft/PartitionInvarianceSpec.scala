@@ -52,7 +52,10 @@ class PartitionInvarianceSpec extends SparkFunSuite {
     "q104_keep_best_cluster",   // cluster + arg-max curation
     "q107_pipeline_e2e",        // composed sample→mixture→packing
     "q108_cross_dedup",         // cross-corpus dedup
-    "q109_stream_corpus_match") // stream-static corpus matcher (batch face)
+    "q109_stream_corpus_match", // stream-static corpus matcher (batch face)
+    "q110_paragraph_dedup",     // paragraph removal + ordered reassembly
+    "q111_dup_line_stats",      // corpus-wide dup-line fractions
+    "q112_semantic_dedup")      // SemDeDup: cells + CC + keep-least-prototypical
 
   test("gate outputs are invariant to the shuffle partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

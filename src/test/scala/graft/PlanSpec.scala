@@ -182,6 +182,14 @@ class PlanSpec extends SparkFunSuite {
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
     }
   }
+
+  test("q110: paragraph dedup is window-free (array_sort per doc, no global sort)") {
+    val plan = planOf("q110_paragraph_dedup")
+    assert(!plan.contains("Window"), s"paragraph reassembly uses a window:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"count back-join degenerated:\n$plan")
+    assert(plan.contains("HashAggregate"), s"no partial-agg count stage:\n$plan")
+  }
 }
 
 class BucketedJoinSpec extends SparkFunSuite {
