@@ -105,6 +105,49 @@ object Corpus {
       .filter(col("rank") <= k)
   }
 
+  /** Unigram counts of a REFERENCE corpus — the model table consumed by
+    * [[crossEntropy]] (one row per distinct lowercased whitespace token).
+    * One explode + one partial-agg groupBy; persist the result when scoring
+    * many batches against the same reference (caller-owned, same contract
+    * as the dedup bases). */
+  def unigramCounts(ref: DataFrame, textCol: String = "text"): DataFrame =
+    ref.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+
+  /** Per-document cross-entropy against a unigram reference model — the
+    * CCNet-style perplexity quality filter, with a unigram proxy standing
+    * in for the KenLM 5-gram (the filtering recipe is identical: score
+    * every document by mean negative log-likelihood per token under a
+    * reference corpus, keep the low/middle of the distribution). Laplace
+    * smoothing over the reference vocabulary: p(w) = (c+1)/(T+V+1), OOV =
+    * 1/(T+V+1). Emits (id, n_tokens, cross_entropy); documents with zero
+    * tokens have no likelihood and are absent.
+    *
+    * Plan: per-(doc, word) counts FIRST (partial agg — a document's "the"s
+    * collapse map-side, so the model join sees one row per doc·word, not
+    * per token), left join to the model on word, (T, V) carried as a
+    * broadcast one-row frame ([[tfIdf]]'s convention — no driver action),
+    * one final groupBy doc. At 100 TB the model join is a plain shuffle
+    * join (a unigram vocab can exceed broadcast range); common-word skew is
+    * already collapsed by the pre-aggregation. */
+  def crossEntropy(docs: DataFrame, refCounts: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tot = refCounts.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
+    val dw = docs.select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("__dc"))
+    dw.join(refCounts, Seq("word"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy(col(idCol))
+      .agg(sum(col("__dc")).as("n_tokens"),
+        (-sum(col("__dc") *
+          log(coalesce(col("c") + 1, lit(1L)).cast("double")
+            / (col("t") + col("v") + 1)))
+          / sum(col("__dc"))).as("cross_entropy"))
+  }
+
   /** Corpus-wide top-`k` word `n`-grams by total occurrence count (ties
     * broken by the n-gram itself), with per-gram document frequency.
     * One explode + one partial-agg groupBy — the classic vocabulary-stats

@@ -442,6 +442,20 @@ object LlmQueries extends graft.QueryModule {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
     }),
 
+    // CCNet-style unigram cross-entropy quality score: model = the English
+    // slice, scored = ALL docs (cross-lingual scoring spreads the
+    // distribution). Full oracle: Laplace arithmetic over exact integer
+    // counts + natural log, identical in both engines; per-doc mean
+    // rounded to 6
+    "q113_cross_entropy" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val refc = graft.llm.Corpus.unigramCounts(
+        docs.filter(col("lang") === "en"))
+      graft.llm.Corpus.crossEntropy(docs, refc)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("cross_entropy"), 6).as("cross_entropy"))
+    }),
+
     // TF-IDF top-3 terms per document (Corpus.tfIdfTopTerms) — full oracle:
     // the operator ranks on the score ROUNDED to 6 decimals (term tiebreak),
     // which both engines agree on because every distinct (tf, df) pair is
@@ -886,6 +900,28 @@ object LlmQueries extends graft.QueryModule {
         |           / len(list_distinct(list_concat(n.s, r.s))) AS j
         |  FROM shn n CROSS JOIN shr r)
         |SELECT new_id, ref_id, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.7""".stripMargin,
+
+    // Laplace unigram model from the en slice; OOV = 1/(T+V+1); per-doc
+    // mean negative log-likelihood per token
+    "q113_cross_entropy" ->
+      """WITH refw AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |  FROM documents WHERE lang = 'en'),
+        |refc AS (SELECT word, count(*) AS c FROM refw
+        |         WHERE length(word) > 0 GROUP BY word),
+        |tot AS (SELECT sum(c) AS t, count(*) AS v FROM refc),
+        |dw AS (
+        |  SELECT doc_id, word, count(*) AS dc FROM (
+        |    SELECT doc_id,
+        |           unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE length(word) > 0 GROUP BY doc_id, word)
+        |SELECT doc_id, CAST(sum(dc) AS BIGINT) AS n_tokens,
+        |       round(-sum(dc * ln(CAST(coalesce(c + 1, 1) AS DOUBLE)
+        |                          / (t + v + 1))) / sum(dc), 6)
+        |         AS cross_entropy
+        |FROM dw LEFT JOIN refc USING (word) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
 
     // SemDeDup: exhaustive within-cell pairs (cap inactive by gate
     // construction) + recursive closure + lowest-sim/min-id keep rank

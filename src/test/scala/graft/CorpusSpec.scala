@@ -127,3 +127,34 @@ class CorpusSpec extends SparkFunSuite {
     }
   }
 }
+
+class CrossEntropySpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("crossEntropy matches hand-computed Laplace unigram likelihoods") {
+    // reference: "a a b" → counts {a:2, b:1}, T=3, V=2 → denom 6
+    // p(a)=(2+1)/6=.5  p(b)=(1+1)/6=1/3  p(OOV)=1/6
+    val ref = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val refc = Corpus.unigramCounts(ref)
+    assert(refc.as[(String, Long)].collect().toMap == Map("a" -> 2L, "b" -> 1L))
+    val docs = Seq(
+      (10L, "a b"),        // -(ln .5 + ln 1/3)/2
+      (11L, "A  a"),       // case/space-normalized: -(2 ln .5)/2
+      (12L, "zzz"),        // pure OOV: -ln 1/6
+      (13L, " "),          // zero tokens → absent
+      (14L, "a zzz")       // mixed: -(ln .5 + ln 1/6)/2
+    ).toDF("doc_id", "text")
+    val got = Corpus.crossEntropy(docs, refc)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("cross_entropy")))).toMap
+    def ce(ps: Double*): Double = -ps.map(math.log).sum / ps.size
+    assert(got.keySet == Set(10L, 11L, 12L, 14L))
+    assert(got(10L)._1 == 2 && math.abs(got(10L)._2 - ce(0.5, 1.0 / 3)) < 1e-12)
+    assert(math.abs(got(11L)._2 - ce(0.5, 0.5)) < 1e-12)
+    assert(math.abs(got(12L)._2 - ce(1.0 / 6)) < 1e-12)
+    assert(math.abs(got(14L)._2 - ce(0.5, 1.0 / 6)) < 1e-12)
+    // the filtering direction the operator exists for: in-vocabulary text
+    // scores LOWER (more fluent) than OOV garbage
+    assert(got(11L)._2 < got(10L)._2 && got(10L)._2 < got(12L)._2)
+  }
+}
