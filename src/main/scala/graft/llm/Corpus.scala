@@ -222,4 +222,45 @@ object Corpus {
       .groupBy(col(groupCol), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col(tokensCol)).as("n_tokens"))
       .withColumn("fill", col("n_tokens").cast("double") / blockTokens)
+
+  /** Sliding-window document chunking: cut each document's whitespace
+    * token stream into `chunkTokens`-sized pieces advancing by
+    * `chunkTokens − overlapTokens` (the long-document context-window prep
+    * that [[packSequences]]'s concat-and-chunk does NOT cover — here every
+    * chunk stays within one document, and consecutive chunks share
+    * `overlapTokens` tokens so no span is ever split without context).
+    * Emits (id, chunk_index, chunk_text, n_tokens); the final chunk may be
+    * short, a document shorter than one window yields exactly one chunk,
+    * and zero-token documents yield none.
+    *
+    * Pure per-row expressions (sequence → slice → posexplode): a single
+    * map over the scan, no shuffle, no window function — at 100 TB this
+    * runs embarrassingly parallel with column pruning intact. Integer
+    * arithmetic only, so the chunk boundaries are engine-exact. */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int,
+      overlapTokens: Int = 0, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      "overlap must be in [0, chunkTokens)")
+    val stride = chunkTokens - overlapTokens
+    docs
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__w"))
+      .withColumn("__n",
+        when(length(concat_ws("", col("__w"))) === 0, 0)
+          .otherwise(size(col("__w"))))
+      .filter(col("__n") > 0)
+      // extra chunks past the first: ceil((n − chunk) / stride) as
+      // floor((n − chunk + stride − 1) / stride) — floor division, the
+      // same semantics as DuckDB's `//`; negative numerators floor below
+      // zero and the greatest() clamps them, so short docs get one chunk
+      .withColumn("__k", lit(1) + greatest(lit(0),
+        floor((col("__n") - chunkTokens + stride - 1) / lit(stride))
+          .cast("int")))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), col("__k") - 1),
+          i => array_join(slice(col("__w"), i * stride + 1, lit(chunkTokens)), " ")))
+          .as(Seq("chunk_index", "chunk_text")))
+      .withColumn("n_tokens", size(split(col("chunk_text"), "\\s+")))
+  }
 }

@@ -442,6 +442,17 @@ object LlmQueries extends graft.QueryModule {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
     }),
 
+    // sliding-window chunking: 32-token windows, 8-token overlap (stride
+    // 24) — integer boundaries, so chunk texts are engine-exact strings
+    "q114_chunk_documents" -> ((s, d) => {
+      graft.llm.Corpus.chunkDocuments(Tables.documents(s, d),
+        chunkTokens = 32, overlapTokens = 8)
+        .select(col("doc_id"),
+          col("chunk_index").cast("long").as("chunk_index"),
+          col("chunk_text"),
+          col("n_tokens").cast("long").as("n_tokens"))
+    }),
+
     // CCNet-style unigram cross-entropy quality score: model = the English
     // slice, scored = ALL docs (cross-lingual scoring spreads the
     // distribution). Full oracle: Laplace arithmetic over exact integer
@@ -900,6 +911,28 @@ object LlmQueries extends graft.QueryModule {
         |           / len(list_distinct(list_concat(n.s, r.s))) AS j
         |  FROM shn n CROSS JOIN shr r)
         |SELECT new_id, ref_id, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.7""".stripMargin,
+
+    // stride 24 = 32 − 8; nchunks = 1 + ceil((n − 32)/24) via floor
+    // division (// floors negatives, greatest clamps); chunk i = tokens
+    // [i·24+1 .. i·24+32] 1-based inclusive
+    "q114_chunk_documents" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, ws,
+        |         CASE WHEN array_to_string(ws, '') = '' THEN 0
+        |              ELSE len(ws) END AS n
+        |  FROM w),
+        |k AS (
+        |  SELECT doc_id, ws, n,
+        |         1 + greatest(0, (n - 32 + 24 - 1) // 24) AS nchunks
+        |  FROM t WHERE n > 0),
+        |c AS (SELECT doc_id, ws, n, unnest(range(0, nchunks)) AS i FROM k)
+        |SELECT doc_id, i AS chunk_index,
+        |       array_to_string(ws[(i*24+1):(i*24+32)], ' ') AS chunk_text,
+        |       CAST(least(32, n - i*24) AS BIGINT) AS n_tokens
+        |FROM c""".stripMargin,
 
     // Laplace unigram model from the en slice; OOV = 1/(T+V+1); per-doc
     // mean negative log-likelihood per token

@@ -158,3 +158,46 @@ class CrossEntropySpec extends SparkFunSuite {
     assert(got(11L)._2 < got(10L)._2 && got(10L)._2 < got(12L)._2)
   }
 }
+
+class ChunkDocumentsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("chunkDocuments: exact boundaries, overlap, short docs, empty docs") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                  // shorter than a window
+      (3L, ""),                                       // empty → no chunks
+      (4L, "   ")                                     // whitespace → no chunks
+    ).toDF("doc_id", "text")
+    val got = Corpus.chunkDocuments(docs, chunkTokens = 4, overlapTokens = 2)
+      .orderBy("doc_id", "chunk_index")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_index"),
+        r.getAs[String]("chunk_text"), r.getAs[Int]("n_tokens")))
+    // stride 2: 10 tokens → 1 + ceil((10-4)/2) = 4 chunks; last is full
+    assert(got.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0, "w1 w2 w3 w4", 4),
+      (1L, 1, "w3 w4 w5 w6", 4),
+      (1L, 2, "w5 w6 w7 w8", 4),
+      (1L, 3, "w7 w8 w9 w10", 4)))
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0, "a b c", 3)))
+    assert(!got.exists(g => g._1 == 3L || g._1 == 4L))
+    // a trailing partial chunk
+    val tail = Corpus.chunkDocuments(Seq((9L, "a b c d e")).toDF("doc_id", "text"),
+      chunkTokens = 4, overlapTokens = 2)
+      .orderBy("chunk_index").collect()
+      .map(r => (r.getAs[String]("chunk_text"), r.getAs[Int]("n_tokens")))
+    assert(tail.toSeq == Seq(("a b c d", 4), ("c d e", 3)))
+    // no overlap: clean partition of the stream
+    val plain = Corpus.chunkDocuments(docs.filter(col("doc_id") === 1L),
+      chunkTokens = 4).orderBy("chunk_index").collect()
+      .map(_.getAs[String]("chunk_text"))
+    assert(plain.toSeq == Seq("w1 w2 w3 w4", "w5 w6 w7 w8", "w9 w10"))
+  }
+
+  test("chunkDocuments is a pure map — no exchange in the plan") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = Corpus.chunkDocuments(docs, 4, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking introduced a shuffle:\n$plan")
+  }
+}

@@ -56,7 +56,8 @@ class PartitionInvarianceSpec extends SparkFunSuite {
     "q110_paragraph_dedup",     // paragraph removal + ordered reassembly
     "q111_dup_line_stats",      // corpus-wide dup-line fractions
     "q112_semantic_dedup",      // SemDeDup: cells + CC + keep-least-prototypical
-    "q113_cross_entropy")       // unigram-model quality scoring
+    "q113_cross_entropy",       // unigram-model quality scoring
+    "q114_chunk_documents")     // sliding-window chunking (pure map)
 
   test("gate outputs are invariant to the shuffle partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
