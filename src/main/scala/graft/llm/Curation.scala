@@ -1,0 +1,140 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Web-corpus curation heuristics from the public C4 (Raffel et al. 2020,
+  * "Exploring the Limits of Transfer Learning", §2.2) and RefinedWeb
+  * (Penedo et al. 2023, §3.1) pipelines: line-level cleaning, URL
+  * canonicalization, and per-domain document caps.
+  *
+  * Everything here is pure column expressions (split / filter / transform /
+  * regexp over arrays) — no UDFs, no explode, so the cleaning pass is one
+  * narrow codegen'd map over the scan regardless of corpus size.
+  */
+object Curation {
+
+  /** C4's line-level cleaning rules, verbatim from the paper:
+    *
+    *   - a LINE survives iff it ends in a terminal punctuation mark
+    *     (`terminalPunct`), carries at least `minWordsPerLine` whitespace
+    *     words, and does not contain (case-insensitively) any of
+    *     `badLineWords` ("javascript" in C4 — cookie/JS-warning
+    *     boilerplate);
+    *   - a DOCUMENT is dropped iff its raw text contains any of
+    *     `dropDocPhrases` anywhere ("lorem ipsum" and the curly brace in
+    *     C4 — placeholder text and source code), or fewer than
+    *     `minKeptLines` lines survive the line filter.
+    *
+    * Returns the surviving documents with `textCol` rewritten to the kept
+    * lines joined by '\n', plus bookkeeping columns `n_lines` (lines in the
+    * input) and `n_kept` (lines that survived); every other column rides
+    * along unchanged.
+    *
+    * Scale: a single whole-stage-codegen map — the line filter runs inside
+    * `filter(lines, …)` on the split array, so there is no explode, no
+    * shuffle, and per-row memory is the document's own line array. At
+    * 100 TB this is scan-bound, exactly like the reference pipelines.
+    */
+  def c4Clean(docs: DataFrame, textCol: String = "text",
+      minWordsPerLine: Int = 5, minKeptLines: Int = 3,
+      terminalPunct: Seq[String] = Seq(".", "!", "?", "\""),
+      badLineWords: Seq[String] = Seq("javascript"),
+      dropDocPhrases: Seq[String] = Seq("lorem ipsum", "{")): DataFrame = {
+    require(terminalPunct.nonEmpty, "need at least one terminal punctuation")
+    val lines = split(col(textCol), "\n")
+    val keepLine: Column => Column = l => {
+      val t = trim(l)
+      val endsOk = terminalPunct.map(p => t.endsWith(p)).reduce(_ || _)
+      val wordsOk = (t =!= "") && (size(split(t, "\\s+")) >= minWordsPerLine)
+      val cleanOk =
+        if (badLineWords.isEmpty) lit(true)
+        else badLineWords.map(w => !lower(t).contains(w.toLowerCase))
+          .reduce(_ && _)
+      endsOk && wordsOk && cleanOk
+    }
+    val docBad =
+      if (dropDocPhrases.isEmpty) lit(false)
+      else dropDocPhrases.map(p => lower(col(textCol)).contains(p.toLowerCase))
+        .reduce(_ || _)
+    docs
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("__c4_kept", filter(lines, keepLine))
+      .withColumn("n_kept", size(col("__c4_kept")).cast("long"))
+      .filter(!docBad && col("n_kept") >= minKeptLines)
+      .withColumn(textCol, array_join(col("__c4_kept"), "\n"))
+      .drop("__c4_kept")
+  }
+
+  /** Canonicalize a URL for dedup/cap bookkeeping (RefinedWeb §3.1-style):
+    * lowercase the scheme and host, strip a leading "www." host label,
+    * drop the `#fragment`, drop explicit default ports (`:80` for http,
+    * `:443` for https), drop `utm_*` tracking query parameters (and the
+    * '?' itself when none survive), and rewrite an empty path to "/".
+    * Non-`utm_` query parameters keep their original order — reordering
+    * would conflate genuinely different URLs on servers where order
+    * matters.
+    *
+    * Inputs that do not look like `scheme://host…` are returned unchanged
+    * (null-safe: null in, null out). Pure regexp/array expressions —
+    * codegen'd, no UDF. Registered-domain extraction (public-suffix list)
+    * is out of scope; [[urlDomain]] returns the canonical host, which is
+    * the right cap key for single-label sites and a conservative
+    * (finer-grained) one for shared suffixes. */
+  def normalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1))
+    val pathq = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$", 1)
+    val host0 = regexp_replace(hostport, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .otherwise(host0)
+    val path = regexp_extract(pathq, "^([^?]*)", 1)
+    val query = regexp_extract(pathq, "\\?(.*)$", 1)
+    val params = filter(split(query, "&"),
+      p => (p =!= "") && !lower(p).startsWith("utm_"))
+    val cleanQuery = when(size(params) > 0,
+      concat(lit("?"), array_join(params, "&"))).otherwise(lit(""))
+    val cleanPath = when(path === "", lit("/")).otherwise(path)
+    when(scheme === "" || hostport === "", url)
+      .otherwise(concat(scheme, lit("://"), host, cleanPath, cleanQuery))
+  }
+
+  /** The canonical host of `url` (see [[normalizeUrl]]) — the grouping key
+    * for per-domain caps and domain-mix reporting. */
+  def urlDomain(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1))
+    val host0 = regexp_replace(hostport, "^www\\.", "")
+    when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .otherwise(host0)
+  }
+
+  /** Per-domain document cap (the RefinedWeb / C4 anti-boilerplate
+    * measure against a single site dominating the corpus): keep at most
+    * `maxPerDomain` documents per canonical host, preferring higher
+    * `priority` (ties → lower `idCol`, so the result is deterministic).
+    * Adds the `domain` column; drops nothing else.
+    *
+    * Plan: one shuffle on the domain + a rank inside each domain
+    * partition. The window is PARTITIONED (never global), and Spark's
+    * window sort spills, so a mega-domain costs one fat sorting task, not
+    * executor memory. If one domain is pathological (≫10⁸ docs), pre-thin
+    * it with [[Sampling.hashSample]] before the exact cap — the cap's
+    * selection inside the survivor set is unchanged for every other
+    * domain. */
+  def perDomainCap(docs: DataFrame, urlCol: String, maxPerDomain: Int,
+      priority: Column, idCol: String = "doc_id"): DataFrame = {
+    require(maxPerDomain > 0, s"maxPerDomain must be positive: $maxPerDomain")
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(priority.desc, col(idCol).asc)
+    docs.withColumn("domain", urlDomain(col(urlCol)))
+      .withColumn("__dc_rn", row_number().over(w))
+      .filter(col("__dc_rn") <= maxPerDomain)
+      .drop("__dc_rn")
+  }
+}

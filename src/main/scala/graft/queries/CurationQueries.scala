@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.llm.{Sampling, TextAnalysis}
+import graft.llm.{Curation, Sampling, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -100,8 +100,73 @@ object CurationQueries extends graft.QueryModule {
           sum(col("n_tokens")).as("sum_tokens"),
           countDistinct(col("pack_id")).as("n_packs"),
           max(col("pack_id")).cast("long").as("max_pack"))
+    }),
+
+    // C4 line-level cleaning (Raffel et al. §2.2) over a fabricated web
+    // page corpus: q110's 10-word line structure, then terminal '.' on 3/4
+    // of the (doc,line) diagonals, a planted " javascript" token on every
+    // 13th diagonal, and doc-level "lorem ipsum" / '{' plants on the
+    // %23/%29 residue classes. Every rule fires on real rows (punct-less
+    // lines, short tail lines, js lines, both doc-level phrases, and the
+    // <3-kept-lines doc floor), and the whole fabrication + filter chain
+    // is deterministic string algebra → full oracle.
+    "q115_c4_clean" -> ((s, d) => {
+      Curation.c4Clean(c4ified(s, d))
+        .select(col("doc_id"), col("n_lines"), col("n_kept"), col("text"))
+    }),
+
+    // RefinedWeb-style URL canonicalization + per-domain cap: fabricated
+    // URLs exercise every normalization rule (case, www, default ports
+    // :443/:80, utm_* params amid kept params, fragments, empty paths are
+    // covered by the spec), one domain per source, cap 15 preferring
+    // longer documents. The rank, the normalized string, and the domain
+    // are all exact → full oracle.
+    "q116_domain_cap" -> ((s, d) => {
+      val docs = Tables.documents(s, d).withColumn("url",
+        concat(
+          when(col("doc_id") % 2 === 0, lit("HTTPS://WWW."))
+            .otherwise(lit("http://")),
+          col("source"), lit(".Example.COM"),
+          when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit(":80")),
+          lit("/docs/"), col("doc_id").cast("string"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("?utm_source=feed&ref="),
+              (col("doc_id") % 5).cast("string"), lit("&utm_medium=x")))
+            .when(col("doc_id") % 3 === 1,
+              concat(lit("?id="), col("doc_id").cast("string")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 4 === 0, lit("#sec-2")).otherwise(lit(""))))
+      Curation.perDomainCap(docs, "url", maxPerDomain = 15,
+        priority = col("n_chars"))
+        .select(col("doc_id"), col("domain"),
+          Curation.normalizeUrl(col("url")).as("url_norm"))
     })
   )
+
+  /** Fabricated C4 input (shared by gate and oracle): q110's 10-word line
+    * regexp, then per-line deterministic plants via an index-aware
+    * transform — the same arithmetic the oracle replays with
+    * list_transform over range(). */
+  private def c4ified(s: SparkSession, d: String): DataFrame = {
+    val prep = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      regexp_replace(col("text"), "((\\S+ ){9}\\S+) ", "$1\n").as("text"))
+    prep.withColumn("text",
+        array_join(
+          transform(split(col("text"), "\n"), (l, i) =>
+            concat(l,
+              when((col("doc_id") * 7 + i) % 13 === 0, lit(" javascript"))
+                .otherwise(lit("")),
+              when((col("doc_id") + i) % 4 =!= 0, lit(".")).otherwise(lit("")))),
+          "\n"))
+      .withColumn("text",
+        when(col("doc_id") % 23 === 0,
+          concat(col("text"), lit("\nthis page uses lorem ipsum filler text.")))
+          .otherwise(col("text")))
+      .withColumn("text",
+        when(col("doc_id") % 29 === 0,
+          concat(col("text"), lit("\nwindow.onload = function() { init(); }.")))
+          .otherwise(col("text")))
+  }
 
   /** DuckDB replication of [[Sampling.hashUniform]] over a precomputed
     * md5-hex column: Σ nibble_i · 16^(6-i) / 16^7 (strpos is 1-based;
@@ -246,6 +311,104 @@ object CurationQueries extends graft.QueryModule {
          |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
          |       count(DISTINCT pack_id) AS n_packs,
          |       CAST(max(pack_id) AS BIGINT) AS max_pack
-         |FROM packed GROUP BY source""".stripMargin
+         |FROM packed GROUP BY source""".stripMargin,
+
+    // fabrication (line structure + plants) replayed with list_transform
+    // over range(); then C4's exact line rules in list_filter and the two
+    // doc-level phrase checks
+    "q115_c4_clean" ->
+      """WITH prep AS (
+        |  SELECT doc_id,
+        |         regexp_replace(text, '((\S+ ){9}\S+) ', '\1' || chr(10), 'g') AS text
+        |  FROM documents),
+        |fab1 AS (
+        |  SELECT doc_id,
+        |    array_to_string(
+        |      list_transform(range(0, len(string_split(text, chr(10)))),
+        |        i -> string_split(text, chr(10))[i+1]
+        |             || CASE WHEN (doc_id*7 + i) % 13 = 0
+        |                     THEN ' javascript' ELSE '' END
+        |             || CASE WHEN (doc_id + i) % 4 <> 0
+        |                     THEN '.' ELSE '' END),
+        |      chr(10)) AS text
+        |  FROM prep),
+        |fab AS (
+        |  SELECT doc_id,
+        |    text
+        |      || CASE WHEN doc_id % 23 = 0
+        |              THEN chr(10) || 'this page uses lorem ipsum filler text.'
+        |              ELSE '' END
+        |      || CASE WHEN doc_id % 29 = 0
+        |              THEN chr(10) || 'window.onload = function() { init(); }.'
+        |              ELSE '' END AS text
+        |  FROM fab1),
+        |f AS (
+        |  SELECT doc_id,
+        |    string_split(text, chr(10)) AS lines,
+        |    list_filter(string_split(text, chr(10)),
+        |      l -> (ends_with(trim(l), '.') OR ends_with(trim(l), '!')
+        |            OR ends_with(trim(l), '?') OR ends_with(trim(l), '"'))
+        |           AND trim(l) <> ''
+        |           AND len(string_split_regex(trim(l), '\s+')) >= 5
+        |           AND NOT contains(lower(trim(l)), 'javascript')) AS kept,
+        |    (contains(lower(text), 'lorem ipsum')
+        |     OR contains(lower(text), '{')) AS bad
+        |  FROM fab)
+        |SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+        |       CAST(len(kept) AS BIGINT) AS n_kept,
+        |       array_to_string(kept, chr(10)) AS text
+        |FROM f WHERE NOT bad AND len(kept) >= 3""".stripMargin,
+
+    // URL fabrication + the full normalization chain (fragment, scheme/
+    // host case, www, default ports, utm_* params) + per-domain rank
+    "q116_domain_cap" ->
+      """WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'http://' END)
+        |    || source || '.Example.COM'
+        |    || (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+        |    || '/docs/' || CAST(doc_id AS VARCHAR)
+        |    || (CASE WHEN doc_id % 3 = 0
+        |             THEN '?utm_source=feed&ref=' || CAST(doc_id % 5 AS VARCHAR)
+        |                  || '&utm_medium=x'
+        |             WHEN doc_id % 3 = 1 THEN '?id=' || CAST(doc_id AS VARCHAR)
+        |             ELSE '' END)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN '#sec-2' ELSE '' END) AS url
+        |  FROM documents),
+        |nf AS (SELECT doc_id, n_chars, regexp_replace(url, '#.*$', '') AS nofrag
+        |       FROM u),
+        |parts AS (SELECT doc_id, n_chars,
+        |    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |      AS scheme,
+        |    lower(regexp_extract(nofrag,
+        |          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS hostport,
+        |    regexp_extract(nofrag,
+        |          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$', 1) AS pathq
+        |  FROM nf),
+        |h AS (SELECT *,
+        |    CASE WHEN scheme = 'http'
+        |           THEN regexp_replace(regexp_replace(hostport, '^www\.', ''),
+        |                               ':80$', '')
+        |         WHEN scheme = 'https'
+        |           THEN regexp_replace(regexp_replace(hostport, '^www\.', ''),
+        |                               ':443$', '')
+        |         ELSE regexp_replace(hostport, '^www\.', '') END AS host
+        |  FROM parts),
+        |pq AS (SELECT *, regexp_extract(pathq, '^([^?]*)', 1) AS path,
+        |              regexp_extract(pathq, '\?(.*)$', 1) AS query FROM h),
+        |par AS (SELECT *, list_filter(string_split(query, '&'),
+        |              p -> p <> '' AND NOT starts_with(lower(p), 'utm_'))
+        |            AS params FROM pq),
+        |norm AS (SELECT doc_id, n_chars, host AS domain,
+        |    scheme || '://' || host
+        |    || (CASE WHEN path = '' THEN '/' ELSE path END)
+        |    || (CASE WHEN len(params) > 0
+        |             THEN '?' || array_to_string(params, '&') ELSE '' END)
+        |      AS url_norm
+        |  FROM par),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY domain
+        |                                   ORDER BY n_chars DESC, doc_id ASC)
+        |               AS rn FROM norm)
+        |SELECT doc_id, domain, url_norm FROM r WHERE rn <= 15""".stripMargin
   )
 }

@@ -1,0 +1,117 @@
+package graft
+
+import graft.llm.Curation
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  // ---------------------------------------------------------- c4Clean
+
+  private def page(id: Long, text: String) = Seq((id, text)).toDF("doc_id", "text")
+
+  test("c4Clean keeps only punctuated lines with enough words") {
+    val text = Seq(
+      "this line has five words.",      // kept
+      "this line has no punctuation",   // dropped: no terminal punct
+      "short line.",                    // dropped: < 5 words
+      "does this line survive with a question mark?", // kept
+      "an exclamation mark also counts as terminal!",  // kept
+      "\"a quoted line with five words\""              // kept (ends in ")
+    ).mkString("\n")
+    val out = Curation.c4Clean(page(0L, text)).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_lines") == 6)
+    assert(r.getAs[Long]("n_kept") == 4)
+    val kept = r.getAs[String]("text").split("\n")
+    assert(kept.length == 4)
+    assert(!kept.exists(_.contains("no punctuation")))
+    assert(!kept.exists(_ == "short line."))
+  }
+
+  test("c4Clean drops lines containing javascript, case-insensitively") {
+    val text = Seq(
+      "please enable JavaScript to view this site.",
+      "a perfectly ordinary line of text here.",
+      "another perfectly ordinary line of text.",
+      "and one more ordinary line to clear the floor."
+    ).mkString("\n")
+    val out = Curation.c4Clean(page(0L, text)).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_kept") == 3)
+    assert(!out.head.getAs[String]("text").toLowerCase.contains("javascript"))
+  }
+
+  test("c4Clean drops whole documents on lorem ipsum, braces, or line floor") {
+    val good = "one good line with five words.\n" * 4
+    assert(Curation.c4Clean(page(0L, good + "Lorem Ipsum dolor sit amet.")).count() == 0)
+    assert(Curation.c4Clean(page(1L, good + "function f() { return 1; }.")).count() == 0)
+    // only 2 kept lines < minKeptLines=3 → dropped
+    val thin = "a good line with five words.\nanother good line right here.\nno punct"
+    assert(Curation.c4Clean(page(2L, thin)).count() == 0)
+    // exactly 3 kept → survives
+    val ok = "a good line with five words.\n" * 3 + "no punct"
+    assert(Curation.c4Clean(page(3L, ok)).count() == 1)
+  }
+
+  test("c4Clean parameters are honored and other columns ride along") {
+    val df = Seq((7L, "x", "tiny line here.\nsecond tiny line."))
+      .toDF("doc_id", "extra", "text")
+    val out = Curation.c4Clean(df, minWordsPerLine = 3, minKeptLines = 2).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("extra") == "x")
+    assert(out.head.getAs[Long]("n_kept") == 2)
+  }
+
+  // ----------------------------------------------------- normalizeUrl
+
+  private def norm(u: String): String =
+    Seq(Tuple1(u)).toDF("u").select(Curation.normalizeUrl(col("u")).as("n"))
+      .collect().head.getString(0)
+
+  test("normalizeUrl canonicalizes case, www, ports, fragments, utm params") {
+    assert(norm("HTTPS://WWW.Example.COM:443/Path/a?x=1#frag")
+      == "https://example.com/Path/a?x=1")
+    assert(norm("http://example.com:80/") == "http://example.com/")
+    assert(norm("http://example.com") == "http://example.com/")
+    assert(norm("https://sub.example.com:8443/a") == "https://sub.example.com:8443/a")
+    // :80 is only a default for http, not https
+    assert(norm("https://example.com:80/a") == "https://example.com:80/a")
+    assert(norm("http://e.com/p?utm_source=x&id=2&UTM_medium=y&q=z")
+      == "http://e.com/p?id=2&q=z")
+    assert(norm("http://e.com/p?utm_source=x") == "http://e.com/p")
+    // path is preserved case-sensitively; query order preserved
+    assert(norm("http://e.com/A/B?b=2&a=1") == "http://e.com/A/B?b=2&a=1")
+  }
+
+  test("normalizeUrl passes through non-URLs and nulls") {
+    assert(norm("not a url at all") == "not a url at all")
+    val r = Seq(Tuple1(null.asInstanceOf[String])).toDF("u")
+      .select(Curation.normalizeUrl(col("u")).as("n")).collect().head
+    assert(r.isNullAt(0))
+  }
+
+  test("urlDomain strips www and default ports") {
+    val d = Seq(Tuple1("HTTPS://WWW.Foo.ORG:443/x?y#z")).toDF("u")
+      .select(Curation.urlDomain(col("u")).as("d")).collect().head.getString(0)
+    assert(d == "foo.org")
+  }
+
+  // ----------------------------------------------------- perDomainCap
+
+  test("perDomainCap keeps top-priority docs per domain, ties by id") {
+    val docs = Seq(
+      (0L, "http://a.com/0", 10),
+      (1L, "http://a.com/1", 30),
+      (2L, "https://WWW.A.com/2", 30), // same domain as a.com, ties with 1 → id wins
+      (3L, "http://a.com/3", 5),
+      (4L, "http://b.com/4", 1)
+    ).toDF("doc_id", "url", "prio")
+    val kept = Curation.perDomainCap(docs, "url", maxPerDomain = 2,
+      priority = col("prio"))
+      .select("doc_id", "domain").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept == Map(1L -> "a.com", 2L -> "a.com", 4L -> "b.com"))
+  }
+}
