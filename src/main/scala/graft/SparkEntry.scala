@@ -38,7 +38,8 @@ object SparkEntry {
     _root_.graft.queries.IoQueries,
     _root_.graft.queries.ExtraQueries,
     _root_.graft.queries.SketchQueries,
-    _root_.graft.queries.CurationQueries
+    _root_.graft.queries.CurationQueries,
+    _root_.graft.queries.CorpusRetrievalQueries
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -105,6 +105,54 @@ object Corpus {
       .filter(col("rank") <= k)
   }
 
+  /** Okapi BM25 retrieval: top-`k` corpus documents per query, scored
+    * `Σ_{t ∈ q∩d} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))` with
+    * the Lucene non-negative idf `ln(1 + (N−df+0.5)/(df+0.5))`. Query
+    * terms are de-duplicated (bag-of-words retrieval — repeating a term in
+    * the query must not multiply its contribution). Ranks on the score
+    * ROUNDED to 6 decimals with a doc-id tiebreak (the [[tfIdfTopTerms]]
+    * cross-engine convention).
+    *
+    * Plan at 100 TB: the corpus becomes a (term, doc, tf) postings frame —
+    * one explode + partial-agg groupBy, the same shuffle [[tfIdf]] pays;
+    * document frequency and length tables derive from it without touching
+    * the scan again. The query side (distinct query terms) is BROADCAST —
+    * query sets are small by construction — so the postings semi-reduce to
+    * query-matching rows map-side before any further join. Corpus stats
+    * (N, total length) ride as a broadcast one-row frame; the final top-k
+    * window is partitioned per query, never global. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text",
+      queryIdCol: String = "query_id", queryTextCol: String = "query"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val toks = docs.select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_len"))
+    val qterms = queries.select(col(queryIdCol),
+        explode(array_distinct(split(lower(trim(col(queryTextCol))), "\\s+")))
+          .as("term"))
+      .filter(length(col("term")) > 0)
+    val contrib = tf.join(broadcast(qterms), Seq("term"))
+      .join(dft, Seq("term"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("tot_len").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("contrib",
+        col("idf") * col("tf") * lit(k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+    val scored = contrib.groupBy(col(queryIdCol), col(idCol))
+      .agg(round(sum(col("contrib")), 6).as("score"))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(desc("score"), col(idCol))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Unigram counts of a REFERENCE corpus — the model table consumed by
     * [[crossEntropy]] (one row per distinct lowercased whitespace token).
     * One explode + one partial-agg groupBy; persist the result when scoring
