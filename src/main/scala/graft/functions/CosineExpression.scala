@@ -105,6 +105,7 @@ object GraftFunctions {
   val GramStatsName = "graft_gram_stats"
   val SigOverlapName = "graft_sig_overlap"
   val WordShinglesName = "graft_word_shingles"
+  val BloomName = "graft_bloom_contains"
 
   /** Idempotent per-session registration into the function registry (also
     * makes the functions available to `spark.sql`). */
@@ -140,6 +141,11 @@ object GraftFunctions {
         exprs => WordShingles(exprs(0), intLit(WordShinglesName, exprs(1)),
           boolLit(WordShinglesName, exprs(2))),
         "built-in")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(BloomName)))
+      reg.createOrReplaceTempFunction(
+        BloomName,
+        exprs => BloomMightContain(exprs(0), binLit(BloomName, exprs(1))),
+        "built-in")
   }
 
   private def intLit(fn: String, e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
@@ -156,6 +162,14 @@ object GraftFunctions {
         v.asInstanceOf[Boolean]
       case other => throw new IllegalArgumentException(
         s"$fn: parameter must be a boolean literal, got $other")
+    }
+
+  private def binLit(fn: String, e: org.apache.spark.sql.catalyst.expressions.Expression): Array[Byte] =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, BinaryType) if v != null =>
+        v.asInstanceOf[Array[Byte]]
+      case other => throw new IllegalArgumentException(
+        s"$fn: parameter must be a non-null binary literal, got $other")
     }
 
   /** Fused cosine as a Column; the session must be registered first
@@ -214,5 +228,15 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function(WordShinglesName, words,
       org.apache.spark.sql.functions.lit(n),
       org.apache.spark.sql.functions.lit(distinct))
+  }
+
+  /** Bloom-filter membership probe over a string column — the map-side
+    * prefilter of [[graft.llm.Dedup.bloomCrossDedup]]. `filter` is the
+    * serialized bytes from [[graft.llm.Dedup.buildFingerprintBloom]]. */
+  def bloomContains(spark: SparkSession, value: Column,
+      filter: Array[Byte]): Column = {
+    ensureRegistered(spark)
+    org.apache.spark.sql.functions.call_function(BloomName, value,
+      org.apache.spark.sql.functions.lit(filter))
   }
 }

@@ -1065,4 +1065,135 @@ object Dedup {
         when(col("n_chars") === 0, 0.0)
           .otherwise(col("dup_chars").cast("double") / col("n_chars")))
   }
+
+  // ------------------------------------------------- duplicated-span coverage
+
+  /** Duplicated-span coverage (the Lee et al. 2022 exact-substring-dedup
+    * signal at fixed n-gram granularity — Dolma ships the same statistic as
+    * its `duplicate_spans` attribute): for every document, how many of its
+    * tokens are covered by at least one `n`-token window whose exact
+    * lowercased form occurs MORE THAN ONCE across the whole corpus
+    * (including twice inside the same document). Returns
+    * `(id, n_tokens, covered_tokens, coverage)`; documents shorter than
+    * `n` tokens have no windows and coverage 0.
+    *
+    * Plan at 100 TB: windows are built per row (`transform` over a
+    * `sequence` — no UDF) and fingerprinted with md5 (128-bit: no birthday
+    * collisions at corpus scale, and the fingerprint — not the window
+    * text — is what shuffles). One partial-agg groupBy on the fingerprint,
+    * a join back (pre-aggregated one-row-per-gram side → AQE-splittable
+    * skew shape, same as [[removeRepeatedParagraphs]]), then covered
+    * positions explode only for windows that ARE duplicated — the common
+    * case explodes nothing. The md5-per-window cost is n× the token count;
+    * a rolling-hash fused expression is the upgrade path if this pass ever
+    * dominates a profile. */
+  def dupSpanStats(docs: DataFrame, n: Int = 10, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(n >= 2, s"span length must be >= 2: $n")
+    val toks = docs.select(col(idCol),
+        split(lower(trim(col(textCol))), "\\s+").as("__ds_w"))
+      .withColumn("__ds_len",
+        when(array_join(col("__ds_w"), "") === "", 0)
+          .otherwise(size(col("__ds_w"))))
+    val grams = toks
+      .filter(col("__ds_len") >= n)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), col("__ds_len") - n),
+          i => md5(array_join(slice(col("__ds_w"), i + 1, lit(n)), " "))))
+          .as(Seq("__ds_i", "__ds_fp")))
+    val counts = grams.groupBy("__ds_fp").agg(count(lit(1)).as("__ds_n"))
+    val covered = grams.join(counts, Seq("__ds_fp"))
+      .filter(col("__ds_n") > 1)
+      .select(col(idCol),
+        explode(sequence(col("__ds_i"), col("__ds_i") + (n - 1))).as("__ds_p"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("__ds_p")).as("covered_tokens"))
+    toks.join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("__ds_len").cast("long").as("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+      .withColumn("coverage",
+        when(col("n_tokens") > 0,
+          col("covered_tokens").cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** The consuming filter: drop documents whose duplicated-span coverage
+    * reaches `maxCoverage` (Dolma-style document removal on the span
+    * signal). Join is on the id against the stats frame — the corpus
+    * passes through once. */
+  def removeDupSpanDocs(docs: DataFrame, n: Int = 10,
+      maxCoverage: Double = 0.5, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val bad = dupSpanStats(docs, n, textCol, idCol)
+      .filter(col("coverage") >= maxCoverage)
+      .select(col(idCol))
+    docs.join(bad, Seq(idCol), "left_anti")
+  }
+
+  // ------------------------------------------------- bloom cross-corpus dedup
+
+  /** Serialized bloom filter over the exact-dedup fingerprints
+    * ([[TextAnalysis.fingerprint]]: md5 of lowercased whitespace-collapsed
+    * text) of a REFERENCE corpus — the reusable index side of
+    * [[bloomCrossDedup]]. Build it once per reference snapshot and keep the
+    * bytes (a few hundred MB indexes ~10⁹ documents at fpp 1e-3); every
+    * incoming batch then dedups against the snapshot without ever
+    * shuffling either side.
+    *
+    * Size `expectedItems` to the reference's distinct-document count —
+    * an undersized filter degrades fpp (more verify work), never
+    * correctness. The build is one `treeAggregate` over the scan: partial
+    * filters merge executor-side (depth 2), only ⌈√partitions⌉ filters ever
+    * reach the driver. This is the one RDD use outside IO probes — the
+    * same mechanics `DataFrameStatFunctions.bloomFilter` uses, done
+    * explicitly so the build hash (`putString`) provably matches the probe
+    * ([[graft.functions.BloomMightContain]] calls `mightContainString`). */
+  def buildFingerprintBloom(ref: DataFrame, textCol: String = "text",
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01): Array[Byte] = {
+    val spark = ref.sparkSession
+    import spark.implicits._
+    val fps = ref.select(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .as[String]
+    val merged = fps.rdd.treeAggregate(
+      org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp))(
+      (bf, s) => { if (s != null) bf.putString(s); bf },
+      (a, b) => { a.mergeInPlace(b); a },
+      depth = 2)
+    val bos = new java.io.ByteArrayOutputStream()
+    merged.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** EXACT cross-corpus dedup with a bloom prefilter: remove from `batch`
+    * every document whose normalized fingerprint appears in `ref` (the
+    * exact-match sibling of [[dedupAgainstCorpus]]). `bloom` is
+    * [[buildFingerprintBloom]]'s bytes over the SAME `ref`. Semantics are
+    * exact regardless of fpp: the bloom has no false negatives, so it only
+    * prunes the verify work — a false positive survives to the verify join
+    * and is confirmed or cleared there.
+    *
+    * Plan at 100 TB vs the naive `batch ⟕̸ ref` anti-join (which shuffles
+    * BOTH corpora on the fingerprint): NEITHER side shuffles here. The
+    * batch splits map-side on the bloom probe; the surviving candidate
+    * fingerprints (true dups + fpp·|batch| false positives — size fpp to
+    * keep this broadcastable) broadcast to a semi-join that `ref` streams
+    * through map-side; the confirmed fingerprints broadcast back to an
+    * anti-join the candidates stream through. Batch scans twice — persist
+    * it first if the source is expensive. */
+  def bloomCrossDedup(batch: DataFrame, ref: DataFrame, bloom: Array[Byte],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = batch.sparkSession
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val might = graft.functions.GraftFunctions.bloomContains(spark, fp, bloom)
+    val clear = batch.filter(!might)
+    val cand = batch.filter(might).withColumn("__bc_fp", fp)
+    val candFps = cand.select("__bc_fp").distinct()
+    val confirmed = ref
+      .select(TextAnalysis.fingerprint(col(textCol)).as("__bc_fp"))
+      .join(broadcast(candFps), Seq("__bc_fp"), "left_semi")
+      .distinct()
+    clear.unionByName(
+      cand.join(broadcast(confirmed), Seq("__bc_fp"), "left_anti")
+        .drop("__bc_fp"))
+  }
 }

@@ -28,6 +28,45 @@ object CorpusRetrievalQueries extends graft.QueryModule {
       Corpus.bm25TopK(docs, queries, k = 10)
         .select(col("query_id"), col("doc_id"), col("score"),
           col("rank").cast("long").as("rank"))
+    }),
+
+    // duplicated-span coverage (Lee et al. exact-substring signal at
+    // 10-gram granularity): a 10-token boilerplate sentence is appended to
+    // every 10th doc (partial coverage) and 20 docs are fully copied
+    // (total coverage); everything else has coverage 0 — all three regimes
+    // in one gate, all md5/integer arithmetic → full oracle.
+    "q118_dup_spans" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val fab = docs.withColumn("text",
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"),
+            lit(" legal notice all rights reserved by the site owner today")))
+          .otherwise(col("text")))
+      val planted = fab.orderBy("doc_id").limit(20)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val corpus = fab.unionByName(planted)
+      graft.llm.Dedup.dupSpanStats(corpus, n = 10)
+        .select(col("doc_id"), col("n_tokens"), col("covered_tokens"),
+          round(col("coverage"), 6).as("coverage"))
+    }),
+
+    // bloom-prefiltered EXACT cross-corpus dedup: the batch (every 3rd doc
+    // + 20 planted copies of ref docs) minus everything whose normalized
+    // fingerprint exists in the ref corpus. The bloom only prunes — the
+    // verify join restores exactness — so the oracle is a plain anti-join
+    // on the same md5 fingerprint.
+    "q119_bloom_cross_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val ref = docs.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(ref.orderBy("doc_id").limit(20)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      val bloom = graft.llm.Dedup.buildFingerprintBloom(ref,
+        expectedItems = 1000, fpp = 0.01)
+      graft.llm.Dedup.bloomCrossDedup(batch, ref, bloom)
+        .select(col("doc_id"))
     })
   )
 
@@ -62,6 +101,63 @@ object CorpusRetrievalQueries extends graft.QueryModule {
         |                                   ORDER BY score DESC, doc_id) AS rank
         |      FROM sc)
         |SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank
-        |FROM r WHERE rank <= 10""".stripMargin
+        |FROM r WHERE rank <= 10""".stripMargin,
+
+    // windows via range(), gram keys via md5 of the joined slice, covered
+    // positions = distinct union of [i, i+10) over duplicated windows
+    "q118_dup_spans" ->
+      """WITH fab AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0
+        |      THEN text || ' legal notice all rights reserved by the site owner today'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, text FROM fab
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM
+        |    (SELECT * FROM fab ORDER BY doc_id LIMIT 20)),
+        |t AS (SELECT doc_id,
+        |        string_split_regex(lower(trim(text)), '\s+') AS ws
+        |      FROM corpus),
+        |tl AS (SELECT doc_id, ws,
+        |         CASE WHEN array_to_string(ws, '') = '' THEN 0
+        |              ELSE len(ws) END AS n
+        |       FROM t),
+        |g AS (SELECT doc_id, ws,
+        |        unnest(range(0, greatest(n - 10 + 1, 0))) AS i
+        |      FROM tl),
+        |fpw AS (SELECT doc_id, i,
+        |          md5(array_to_string(ws[(i+1):(i+10)], ' ')) AS h
+        |        FROM g),
+        |c AS (SELECT h, count(*) AS cnt FROM fpw GROUP BY 1),
+        |cov AS (SELECT doc_id, count(DISTINCT p) AS covered FROM (
+        |          SELECT f.doc_id, unnest(range(f.i, f.i + 10)) AS p
+        |          FROM fpw f JOIN c USING (h) WHERE cnt > 1)
+        |        GROUP BY 1)
+        |SELECT tl.doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(covered, 0) AS BIGINT) AS covered_tokens,
+        |       round(CASE WHEN n > 0
+        |                  THEN CAST(coalesce(covered, 0) AS DOUBLE) / n
+        |                  ELSE 0 END, 6) AS coverage
+        |FROM tl LEFT JOIN cov USING (doc_id)""".stripMargin,
+
+    // the bloom path is exact by construction, so the oracle is the plain
+    // fingerprint anti-join
+    "q119_bloom_cross_dedup" ->
+      """WITH ref AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM
+        |    (SELECT * FROM ref ORDER BY doc_id LIMIT 20)),
+        |rf AS (SELECT DISTINCT
+        |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+        |       FROM ref)
+        |SELECT b.doc_id FROM batch b
+        |LEFT JOIN rf
+        |  ON rf.h = md5(regexp_replace(lower(trim(b.text)), '\s+', ' ', 'g'))
+        |WHERE rf.h IS NULL""".stripMargin
   )
 }
