@@ -341,7 +341,90 @@ object Scale {
         .select("embedding").collect()
         .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
       graft.llm.Dedup.semanticDedup(embs, cents, threshold = 0.95)
+    }),
+
+    // BM25 retrieval: FIXED 50-query set (queries are a broadcast probe set
+    // by contract — a proportional query set would measure queries×corpus,
+    // not the engine) against the full corpus. Growth = the postings build
+    // (linear) + the query-term join (linear in matching postings; this
+    // synthetic vocab is degenerate-small, so every term matches — the
+    // worst case for the join side). The corpus-stats (N, total length)
+    // one-row frame rides as the known-benign single-row broadcast BNLJ.
+    Probe("bm25_retrieval", allowBnlj = true, q = (s, d) => {
+      val docs = scanPar(s, Tables.documents(s, d).select("doc_id", "text"))
+      val queries = docs.orderBy("doc_id").limit(50)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(lower(trim(col("text"))), "\\s+"), 1, 6), " ")
+            .as("query"))
+      graft.llm.Corpus.bm25TopK(docs, queries, k = 10)
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n"),
+          sum(col("score")).as("s"))
+    }),
+    // duplicated-span coverage over the whole corpus: per-row window
+    // fingerprints (compute-bound map), one fp groupBy, back-join; only
+    // duplicated windows explode positions. Dup mass is planted at a fixed
+    // fraction (every 10th doc shares a boilerplate tail) so the covered
+    // explode grows WITH the data instead of vanishing.
+    Probe("dup_span_stats", q = (s, d) => {
+      val docs = scanPar(s, Tables.documents(s, d).select("doc_id", "text"))
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(10)) === 0,
+            concat(col("text"),
+              lit(" legal notice all rights reserved by the site owner today")))
+            .otherwise(col("text")))
+      graft.llm.Dedup.dupSpanStats(docs, n = 10)
+        .agg(sum(col("covered_tokens")).as("cov"),
+          sum(col("n_tokens")).as("tot"), count(lit(1)).as("n"))
+    }),
+    // bloom-prefiltered exact cross-corpus dedup: ~9% batch vs the rest as
+    // reference. The timer covers the bloom BUILD (one treeAggregate over
+    // ref) plus the probe+verify pipeline in which NEITHER side shuffles —
+    // the 100-TB shape. Growth should be scan-linear on both sides.
+    Probe("bloom_cross_dedup", q = (s, d) => {
+      val docs = scanPar(s, Tables.documents(s, d).select("doc_id", "text"))
+      val ref = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+        .unionByName(ref.orderBy("doc_id").limit(100)
+          .withColumn("doc_id", col("doc_id") + 900000000L))
+      val bloom = graft.llm.Dedup.buildFingerprintBloom(ref,
+        expectedItems = 200000, fpp = 0.001)
+      graft.llm.Dedup.bloomCrossDedup(batch, ref, bloom)
+        .agg(count(lit(1)).as("n_kept"))
+    }),
+    // C4 line cleaning: line structure + deterministic punctuation minted
+    // on the fly (the q115 fabrication), then the array-lambda line filter.
+    // Pure map — growth should track the scan.
+    Probe("c4_clean_filter", q = (s, d) => {
+      val docs = scanPar(s, Tables.documents(s, d).select("doc_id", "text"))
+        .withColumn("text",
+          regexp_replace(col("text"), "((\\S+ ){9}\\S+) ", "$1\n"))
+        .withColumn("text",
+          array_join(
+            transform(split(col("text"), "\n"), (l, i) =>
+              concat(l, when((col("doc_id") + i) % 4 =!= 0, lit("."))
+                .otherwise(lit("")))), "\n"))
+      graft.llm.Curation.c4Clean(docs)
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_kept")).as("kept_lines"))
+    }),
+    // per-domain cap: synthetic 20-domain URL space (domains are a fixed
+    // set, so per-domain membership grows 10× — the fat-domain window-sort
+    // case the operator documents), cap 30 preferring longer docs
+    Probe("domain_cap", q = (s, d) => {
+      val docs = scanPar(s, Tables.documents(s, d)
+        .select("doc_id", "source", "n_chars"))
+        .withColumn("url", concat(lit("https://www."), col("source"),
+          lit(".example.com/docs/"), col("doc_id").cast("string")))
+      graft.llm.Curation.perDomainCap(docs, "url", maxPerDomain = 30,
+        priority = col("n_chars"))
+        .groupBy(col("domain")).agg(count(lit(1)).as("n"))
     }))
+
+  /** Spread a single-row-group parquet scan across the session's
+    * parallelism (the documents table ships as ONE row group at every
+    * scale factor — a test-data layout artifact; a real corpus arrives in
+    * thousands of splits). Same rationale as [[megaDupDocuments]]. */
+  private def scanPar(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 
   private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
