@@ -1,0 +1,107 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization for nearest-neighbor search (Jégou et al. 2011):
+  * split each d-dim vector into `m` contiguous subvectors, quantize each
+  * against a small per-subspace codebook, and answer queries by ADC
+  * (asymmetric distance computation) — per-query lookup tables against the
+  * codebooks, then a table-lookup sum per corpus row.
+  *
+  * Why this is THE 100-TB similarity path: the corpus compresses from
+  * d·4 bytes to m bytes per vector (64-dim float → 4 bytes at m=4), so a
+  * billion-vector index fits executor memory where raw vectors cannot; the
+  * scan is a codegen'd per-row lookup-sum with no shuffle of the corpus.
+  * Combine with [[Ivf]] cells to prune the scan (IVFADC) — the two
+  * operators compose on the `centroid_id` column.
+  *
+  * Codebooks are a plain `Seq[Seq[Array[Double]]]` (subspace → centroid →
+  * values), carried as expression literals: tiny by construction
+  * (m · ncentroids · dsub doubles), deterministic, and replicable in an
+  * external oracle. [[trainCodebooks]] fits them with seeded per-subspace
+  * KMeans; any externally-derived codebooks work too.
+  */
+object Pq {
+
+  /** Σ (a_i − b_i)² between an array column slice and a literal centroid —
+    * a sequential left fold, so the summation order is deterministic. */
+  private def l2sq(sub: Column, cent: Array[Double]): Column =
+    aggregate(zip_with(sub, typedLit(cent.toSeq), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def subspace(v: Column, j: Int, dsub: Int): Column =
+    slice(v, j * dsub + 1, dsub)
+
+  /** Encode: adds `pq_codes` (array<int>, one code per subspace) — for
+    * each subspace the argmin-distance centroid, ties → lowest centroid
+    * index (struct min is lexicographic on (distance, index), so the
+    * tiebreak is explicit and engine-stable). One codegen map, no
+    * shuffle. */
+  def encode(corpus: DataFrame, codebooks: Seq[Seq[Array[Double]]],
+      vecCol: String = "embedding"): DataFrame = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty codebooks")
+    val dsub = codebooks.head.head.length
+    val v = col(vecCol).cast("array<double>")
+    val codes = array(codebooks.zipWithIndex.map { case (cb, j) =>
+      val cands = array(cb.zipWithIndex.map { case (cent, ci) =>
+        struct(l2sq(subspace(v, j, dsub), cent).as("d"), lit(ci).as("c"))
+      }: _*)
+      array_min(cands).getField("c")
+    }: _*)
+    corpus.withColumn("pq_codes", codes)
+  }
+
+  /** ADC top-k: each query precomputes its m × ncentroids distance table
+    * ONCE (on the tiny query side), the encoded corpus streams through a
+    * broadcast join doing m array lookups + a sum per row, and a
+    * per-query window ranks on the 6-decimal-rounded distance with a
+    * vec-id tiebreak (the cross-engine convention). The queries frame is
+    * a broadcast probe set by contract (same as [[Similarity
+    * .bruteForceTopK]]); the corpus never shuffles — the only exchange is
+    * the per-query top-k.  */
+  def adcTopK(encoded: DataFrame, queries: DataFrame,
+      codebooks: Seq[Seq[Array[Double]]], k: Int,
+      idCol: String = "vec_id", queryIdCol: String = "query_id",
+      queryVecCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
+    val qv = col(queryVecCol).cast("array<double>")
+    val qtab = array(codebooks.zipWithIndex.map { case (cb, j) =>
+      array(cb.map(cent => l2sq(subspace(qv, j, dsub), cent)): _*)
+    }: _*)
+    val q = broadcast(queries.select(col(queryIdCol), qtab.as("__pq_tab")))
+    val adist = (0 until m).map { j =>
+      element_at(element_at(col("__pq_tab"), j + 1),
+        col("pq_codes").getItem(j) + 1)
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("adist").asc, col(idCol).asc)
+    encoded.crossJoin(q)
+      .withColumn("adist", round(adist, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("adist"), col("rank"))
+  }
+
+  /** Seeded per-subspace KMeans codebooks (the classic PQ training):
+    * subspace `j` is fit on the corpus' j-th subvector slice. Centroid
+    * count per subspace is `ncentroids` (256 in the paper = 1 byte/code;
+    * small corpora cap at their row count). Deterministic for a fixed
+    * (corpus, seed). */
+  def trainCodebooks(corpus: DataFrame, m: Int, ncentroids: Int,
+      seed: Long = 42, vecCol: String = "embedding"): Seq[Seq[Array[Double]]] = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    (0 until m).map { j =>
+      val sub = corpus.select(org.apache.spark.ml.functions.array_to_vector(
+        subspace(col(vecCol).cast("array<double>"), j, dsub)).as("__sub"))
+      val km = new org.apache.spark.ml.clustering.KMeans()
+        .setK(ncentroids).setSeed(seed + j).setFeaturesCol("__sub")
+      km.fit(sub).clusterCenters.map(_.toArray).toSeq
+    }
+  }
+}

@@ -100,6 +100,82 @@ object TextAnalysis {
     struct((size(reasons) === 0).as("keep"), reasons.as("reasons"))
   }
 
+  /** The Gopher stop-word containment set (Rae et al. 2021, A1.1: a page
+    * must contain at least two of these to survive). */
+  val gopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher document-quality signals (Rae et al. 2021, A1.1) over
+    * line-structured text (`\n`-separated; pair with the same line minting
+    * the paragraph operators use when the source has no line breaks):
+    *
+    *   - `n_words`, `mean_word_len` — length gates;
+    *   - `hash_ratio` / `ellipsis_ratio` — '#' and '…'/'...' occurrences
+    *     per word (the symbol-to-word rule);
+    *   - `bullet_line_frac` / `ellipsis_line_frac` — share of lines
+    *     starting with a bullet ('•' or "- ") / ending in an ellipsis;
+    *   - `alpha_word_frac` — share of words containing ≥1 a–z letter;
+    *   - `stop_hits` — distinct [[gopherStopWords]] present.
+    *
+    * Every signal is a ratio of integer counts over one tokenization
+    * (lowercased whitespace words), so the struct reproduces bit-for-bit
+    * cross-engine. One codegen map, no explode, no shuffle. */
+  def gopherSignals(text: Column): Column = {
+    val t = trim(text)
+    val words = split(lower(t), "\\s+")
+    val n = when(t === "", 0).otherwise(size(words))
+    val lines = split(t, "\n")
+    val nLines = size(lines)
+    val hashes = length(t) - length(regexp_replace(t, "#", ""))
+    val ellipses =
+      ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3) +
+        (length(t) - length(regexp_replace(t, "…", "")))
+    val bulletLines = size(filter(lines,
+      l => trim(l).startsWith("•") || trim(l).startsWith("- ")))
+    val ellipsisLines = size(filter(lines,
+      l => trim(l).endsWith("...") || trim(l).endsWith("…")))
+    val alphaWords = size(filter(words, w => w.rlike("[a-z]")))
+    val stopHits = size(array_intersect(array_distinct(words),
+      array(gopherStopWords.map(lit): _*)))
+    val nD = n.cast("double")
+    struct(
+      n.cast("long").as("n_words"),
+      meanWordLength(text).as("mean_word_len"),
+      when(n === 0, 0.0).otherwise(hashes.cast("double") / nD).as("hash_ratio"),
+      when(n === 0, 0.0).otherwise(ellipses.cast("double") / nD).as("ellipsis_ratio"),
+      (bulletLines.cast("double") / nLines).as("bullet_line_frac"),
+      (ellipsisLines.cast("double") / nLines).as("ellipsis_line_frac"),
+      when(n === 0, 0.0).otherwise(alphaWords.cast("double") / nD).as("alpha_word_frac"),
+      stopHits.cast("long").as("stop_hits"))
+  }
+
+  /** The Gopher keep/drop verdict over [[gopherSignals]] with the paper's
+    * published thresholds as defaults: word count in [50, 100k], mean word
+    * length in [3, 10], hash/ellipsis symbol ratios ≤ 0.1, ≤90% bullet
+    * lines, ≤30% ellipsis lines, ≥80% alphabetic words, ≥2 stop words.
+    * Returns `struct(keep, reasons)` in fixed rule order — the
+    * [[qualityRules]] contract. */
+  def gopherRules(text: Column,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletLineFrac: Double = 0.9,
+      maxEllipsisLineFrac: Double = 0.3, minAlphaWordFrac: Double = 0.8,
+      minStopHits: Int = 2): Column = {
+    val s = gopherSignals(text)
+    val reasons = array_compact(array(
+      when(s.getField("n_words") < minWords, "too_few_words"),
+      when(s.getField("n_words") > maxWords, "too_many_words"),
+      when(s.getField("mean_word_len") < minMeanWordLen, "words_too_short"),
+      when(s.getField("mean_word_len") > maxMeanWordLen, "words_too_long"),
+      when(s.getField("hash_ratio") > maxSymbolRatio, "hash_heavy"),
+      when(s.getField("ellipsis_ratio") > maxSymbolRatio, "ellipsis_heavy"),
+      when(s.getField("bullet_line_frac") > maxBulletLineFrac, "bullet_lines"),
+      when(s.getField("ellipsis_line_frac") > maxEllipsisLineFrac, "ellipsis_lines"),
+      when(s.getField("alpha_word_frac") < minAlphaWordFrac, "non_alpha"),
+      when(s.getField("stop_hits") < minStopHits, "no_stop_words")))
+    struct((size(reasons) === 0).as("keep"), reasons.as("reasons"))
+  }
+
   /** Apply [[qualityRules]] and keep only passing documents. */
   def qualityFilter(docs: DataFrame, textCol: String = "text",
       minTokens: Int = 10, maxTokens: Int = 100000,

@@ -67,8 +67,33 @@ object CorpusRetrievalQueries extends graft.QueryModule {
         expectedItems = 1000, fpp = 0.01)
       graft.llm.Dedup.bloomCrossDedup(batch, ref, bloom)
         .select(col("doc_id"))
+    }),
+
+    // product-quantization ADC top-10: codebooks = per-subspace slices of
+    // the 4 lowest-id embeddings (identically selectable in SQL — the q112
+    // centroid recipe), m=4 × dsub=16 over the 64-dim corpus. Encode
+    // argmin margins are tripwired in PqSpec; ranking follows the
+    // 6-decimal-round + vec-id-tiebreak convention.
+    "q121_pq_adc_topk" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val codebooks = pqCodebooks(s, d)
+      val enc = graft.llm.Pq.encode(embs, codebooks)
+      val queries = embs.filter(col("vec_id") % 100 === 7)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.llm.Pq.adcTopK(enc, queries, codebooks, k = 10)
+        .select(col("query_id"), col("vec_id"), col("adist"),
+          col("rank").cast("long").as("rank"))
     })
   )
+
+  /** q121's codebooks: subspace j of centroid c = dims [16j, 16j+16) of
+    * the c-th lowest-id embedding — tiny, deterministic, SQL-replicable. */
+  private[graft] def pqCodebooks(s: SparkSession, d: String): Seq[Seq[Array[Double]]] = {
+    val cents = Tables.embeddings(s, d).orderBy("vec_id").limit(4)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    (0 until 4).map(j => cents.map(c => c.slice(j * 16, (j + 1) * 16)).toSeq)
+  }
 
   val oracles: Map[String, String] = Map(
     // the full BM25 chain: postings → df/dl/stats → query-term join →
@@ -158,6 +183,45 @@ object CorpusRetrievalQueries extends graft.QueryModule {
         |SELECT b.doc_id FROM batch b
         |LEFT JOIN rf
         |  ON rf.h = md5(regexp_replace(lower(trim(b.text)), '\s+', ' ', 'g'))
-        |WHERE rf.h IS NULL""".stripMargin
+        |WHERE rf.h IS NULL""".stripMargin,
+
+    // PQ encode (argmin per (vec, subspace) with the explicit (dist, c)
+    // tiebreak) + ADC (per-subspace lookup distances list-summed in fixed
+    // j order to mirror the engine's left-assoc sum), ranked on the
+    // rounded distance
+    "q121_pq_adc_topk" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |              FROM embeddings),
+        |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
+        |          FROM (SELECT * FROM base ORDER BY vec_id LIMIT 4)),
+        |subs AS (SELECT unnest(range(0, 4)) AS j),
+        |enc0 AS (
+        |  SELECT b.vec_id, s.j, c.c,
+        |    list_sum(list_transform(range(1, 17),
+        |      i -> (b.v[s.j*16 + i] - c.cv[s.j*16 + i])
+        |           * (b.v[s.j*16 + i] - c.cv[s.j*16 + i]))) AS dist
+        |  FROM base b CROSS JOIN subs s CROSS JOIN cents c),
+        |enc AS (
+        |  SELECT vec_id, j, c AS code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+        |                                 ORDER BY dist, c) AS rn
+        |    FROM enc0) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM base
+        |      WHERE vec_id % 100 = 7),
+        |dq AS (
+        |  SELECT q.query_id, e.vec_id, e.j,
+        |    list_sum(list_transform(range(1, 17),
+        |      i -> (q.qv[e.j*16 + i] - c.cv[e.j*16 + i])
+        |           * (q.qv[e.j*16 + i] - c.cv[e.j*16 + i]))) AS dj
+        |  FROM q CROSS JOIN enc e JOIN cents c ON c.c = e.code),
+        |d AS (SELECT query_id, vec_id,
+        |        list_sum(list(dj ORDER BY j)) AS adist
+        |      FROM dq GROUP BY 1, 2),
+        |r AS (SELECT query_id, vec_id, round(adist, 6) AS adist,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY round(adist, 6), vec_id) AS rank
+        |      FROM d)
+        |SELECT query_id, vec_id, adist, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 10""".stripMargin
   )
 }

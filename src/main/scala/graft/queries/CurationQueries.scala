@@ -140,8 +140,65 @@ object CurationQueries extends graft.QueryModule {
         priority = col("n_chars"))
         .select(col("doc_id"), col("domain"),
           Curation.normalizeUrl(col("url")).as("url_norm"))
+    }),
+
+    // Gopher document-quality rules (Rae et al. A1.1) over a fabricated
+    // corpus that makes every rule fire somewhere: all-bullet docs (%31),
+    // ellipsis-line docs (%37), hash-bomb docs (%41), numeric-word docs
+    // (%43), stop-word plants on even ids (odd ids fail the ≥2-stop-word
+    // containment — the corpus only carries 'the' naturally), and the
+    // 50-word floor splitting the natural length range. All signals are
+    // integer-count ratios → bit-exact, full oracle.
+    "q120_gopher_rules" -> ((s, d) => {
+      val fab = gopherFab(s, d)
+      val sig = TextAnalysis.gopherSignals(col("text"))
+      val v = TextAnalysis.gopherRules(col("text"))
+      fab.select(col("doc_id"),
+        sig.getField("n_words").as("n_words"),
+        round(sig.getField("mean_word_len"), 6).as("mean_word_len"),
+        sig.getField("hash_ratio").as("hash_ratio"),
+        sig.getField("ellipsis_ratio").as("ellipsis_ratio"),
+        sig.getField("bullet_line_frac").as("bullet_line_frac"),
+        sig.getField("ellipsis_line_frac").as("ellipsis_line_frac"),
+        sig.getField("alpha_word_frac").as("alpha_word_frac"),
+        sig.getField("stop_hits").as("stop_hits"),
+        v.getField("keep").as("keep"),
+        concat_ws(",", v.getField("reasons")).as("reasons"))
     })
   )
+
+  /** Fabricated Gopher input (shared gate/oracle arithmetic): 10-word line
+    * structure, bullet prefixes on the %5 diagonals (all lines for %31
+    * docs), ellipsis suffixes on even lines of %37 docs, then doc-level
+    * hash-bomb / numeric-word / stop-word plant lines. */
+  private def gopherFab(s: SparkSession, d: String): DataFrame = {
+    val prep = Tables.documents(s, d).select(col("doc_id"),
+      regexp_replace(col("text"), "((\\S+ ){9}\\S+) ", "$1\n").as("text"))
+    prep.withColumn("text",
+        array_join(
+          transform(split(col("text"), "\n"), (l, i) =>
+            concat(
+              when(col("doc_id") % 31 === 0 || (col("doc_id") + i) % 5 === 0,
+                lit("• ")).otherwise(lit("")),
+              l,
+              when(col("doc_id") % 37 === 0 && i % 2 === 0, lit("..."))
+                .otherwise(lit("")))),
+          "\n"))
+      .withColumn("text",
+        when(col("doc_id") % 41 === 0,
+          concat(col("text"), lit("\n# # # # # # # # # # # #")))
+          .otherwise(col("text")))
+      .withColumn("text",
+        when(col("doc_id") % 43 === 0,
+          concat(col("text"),
+            lit("\n0 1 2 3 4 5 6 7 8 9 0 1 2 3 4 5 6 7 8 9"
+              + " 0 1 2 3 4 5 6 7 8 9 0 1 2 3 4 5 6 7 8 9")))
+          .otherwise(col("text")))
+      .withColumn("text",
+        when(col("doc_id") % 2 === 0,
+          concat(col("text"), lit("\nwe prefer to think of and that")))
+          .otherwise(col("text")))
+  }
 
   /** Fabricated C4 input (shared by gate and oracle): q110's 10-word line
     * regexp, then per-line deterministic plants via an index-aware
@@ -409,6 +466,92 @@ object CurationQueries extends graft.QueryModule {
         |r AS (SELECT *, row_number() OVER (PARTITION BY domain
         |                                   ORDER BY n_chars DESC, doc_id ASC)
         |               AS rn FROM norm)
-        |SELECT doc_id, domain, url_norm FROM r WHERE rn <= 15""".stripMargin
+        |SELECT doc_id, domain, url_norm FROM r WHERE rn <= 15""".stripMargin,
+
+    // fabrication + every Gopher signal as integer-count arithmetic, then
+    // the rule list in fixed order (raw unrounded comparisons — the ratios
+    // are int/int, bit-identical in both engines)
+    "q120_gopher_rules" ->
+      """WITH prep AS (
+        |  SELECT doc_id,
+        |         regexp_replace(text, '((\S+ ){9}\S+) ', '\1' || chr(10), 'g') AS text
+        |  FROM documents),
+        |fab1 AS (
+        |  SELECT doc_id,
+        |    array_to_string(
+        |      list_transform(range(0, len(string_split(text, chr(10)))),
+        |        i -> (CASE WHEN doc_id % 31 = 0 OR (doc_id + i) % 5 = 0
+        |                   THEN '• ' ELSE '' END)
+        |             || string_split(text, chr(10))[i+1]
+        |             || (CASE WHEN doc_id % 37 = 0 AND i % 2 = 0
+        |                      THEN '...' ELSE '' END)),
+        |      chr(10)) AS text
+        |  FROM prep),
+        |fab AS (
+        |  SELECT doc_id,
+        |    text
+        |    || CASE WHEN doc_id % 41 = 0
+        |            THEN chr(10) || '# # # # # # # # # # # #' ELSE '' END
+        |    || CASE WHEN doc_id % 43 = 0
+        |            THEN chr(10) || '0 1 2 3 4 5 6 7 8 9 0 1 2 3 4 5 6 7 8 9 0 1 2 3 4 5 6 7 8 9 0 1 2 3 4 5 6 7 8 9'
+        |            ELSE '' END
+        |    || CASE WHEN doc_id % 2 = 0
+        |            THEN chr(10) || 'we prefer to think of and that' ELSE '' END
+        |      AS text
+        |  FROM fab1),
+        |sig AS (
+        |  SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ws,
+        |    string_split(trim(text), chr(10)) AS lines,
+        |    trim(text) AS t
+        |  FROM fab),
+        |c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN t = '' THEN 0 ELSE len(ws) END AS n,
+        |    list_aggregate(list_transform(ws, w -> length(w)), 'sum') AS sumlen,
+        |    length(t) - length(regexp_replace(t, '#', '', 'g')) AS hashes,
+        |    (length(t) - length(regexp_replace(t, '\.\.\.', '', 'g'))) / 3
+        |      + (length(t) - length(regexp_replace(t, '…', '', 'g'))) AS ellipses,
+        |    len(list_filter(lines,
+        |        l -> starts_with(trim(l), '•') OR starts_with(trim(l), '- '))) AS bl,
+        |    len(list_filter(lines,
+        |        l -> ends_with(trim(l), '...') OR ends_with(trim(l), '…'))) AS el,
+        |    len(lines) AS nl,
+        |    len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS aw,
+        |    len(list_intersect(list_distinct(ws),
+        |        ['the','be','to','of','and','that','have','with'])) AS sh
+        |  FROM sig),
+        |m AS (
+        |  SELECT doc_id, n, sh, bl, el, nl,
+        |    CASE WHEN n = 0 THEN 0.0 ELSE CAST(sumlen AS DOUBLE) / n END AS mwl,
+        |    CASE WHEN n = 0 THEN 0.0 ELSE CAST(hashes AS DOUBLE) / n END AS hr,
+        |    CASE WHEN n = 0 THEN 0.0 ELSE CAST(ellipses AS DOUBLE) / n END AS er,
+        |    CAST(bl AS DOUBLE) / nl AS blf,
+        |    CAST(el AS DOUBLE) / nl AS elf,
+        |    CASE WHEN n = 0 THEN 0.0 ELSE CAST(aw AS DOUBLE) / n END AS awf
+        |  FROM c)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+        |  round(mwl, 6) AS mean_word_len,
+        |  hr AS hash_ratio, er AS ellipsis_ratio,
+        |  blf AS bullet_line_frac, elf AS ellipsis_line_frac,
+        |  awf AS alpha_word_frac, CAST(sh AS BIGINT) AS stop_hits,
+        |  (n >= 50 AND n <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+        |   AND hr <= 0.1 AND er <= 0.1 AND blf <= 0.9 AND elf <= 0.3
+        |   AND awf >= 0.8 AND sh >= 2) AS keep,
+        |  -- array_to_string of an EMPTY list is NULL in DuckDB; Spark's
+        |  -- concat_ws gives '' — coalesce aligns them
+        |  coalesce(array_to_string(list_filter([
+        |    CASE WHEN n < 50 THEN 'too_few_words' END,
+        |    CASE WHEN n > 100000 THEN 'too_many_words' END,
+        |    CASE WHEN mwl < 3.0 THEN 'words_too_short' END,
+        |    CASE WHEN mwl > 10.0 THEN 'words_too_long' END,
+        |    CASE WHEN hr > 0.1 THEN 'hash_heavy' END,
+        |    CASE WHEN er > 0.1 THEN 'ellipsis_heavy' END,
+        |    CASE WHEN blf > 0.9 THEN 'bullet_lines' END,
+        |    CASE WHEN elf > 0.3 THEN 'ellipsis_lines' END,
+        |    CASE WHEN awf < 0.8 THEN 'non_alpha' END,
+        |    CASE WHEN sh < 2 THEN 'no_stop_words' END],
+        |    x -> x IS NOT NULL), ','), '') AS reasons
+        |FROM m""".stripMargin
   )
 }

@@ -98,6 +98,52 @@ class CurationSpec extends SparkFunSuite {
     assert(d == "foo.org")
   }
 
+  // ----------------------------------------------------- gopherRules
+
+  test("gopherSignals counts bullets, ellipses, symbols, alpha and stops") {
+    val text = Seq(
+      "• a bullet line of text",
+      "- another bullet style here",
+      "a normal line that trails off...",
+      "numbers 123 456 here",
+      "the and of have # tokens"
+    ).mkString("\n")
+    val r = Seq((0L, text)).toDF("doc_id", "text")
+      .select(graft.llm.TextAnalysis.gopherSignals(col("text")).as("s"))
+      .select("s.*").collect().head
+    assert(r.getAs[Long]("n_words") == 27) // bullet markers are words too
+    assert(r.getAs[Double]("bullet_line_frac") == 2.0 / 5)
+    assert(r.getAs[Double]("ellipsis_line_frac") == 1.0 / 5)
+    assert(r.getAs[Double]("hash_ratio") == 1.0 / 27)
+    assert(r.getAs[Double]("ellipsis_ratio") == 1.0 / 27)
+    // non-alpha words: '•', '-', 123, 456, '#'
+    assert(r.getAs[Double]("alpha_word_frac") == 22.0 / 27)
+    assert(r.getAs[Long]("stop_hits") == 5) // the, and, of, have, that
+  }
+
+  test("gopherRules fires each threshold") {
+    def reasons(t: String, minWords: Int = 1): Seq[String] =
+      Seq((0L, t)).toDF("doc_id", "text")
+        .select(graft.llm.TextAnalysis.gopherRules(col("text"),
+          minWords = minWords, minStopHits = 0).getField("reasons").as("r"))
+        .collect().head.getSeq[String](0).toSeq
+    assert(reasons("short text", minWords = 50).contains("too_few_words"))
+    assert(reasons("a b c d e f g h i j").contains("words_too_short"))
+    assert(reasons("extraordinarily sesquipedalian circumlocutions notwithstanding")
+      .contains("words_too_long"))
+    assert(reasons("only # ## hash ### marks").contains("hash_heavy"))
+    assert(reasons("• one\n• two\n• three").contains("bullet_lines"))
+    assert(reasons("drifting off...\nmore drift...\nsolid line here")
+      .contains("ellipsis_lines"))
+    assert(reasons("1234 5678 9999 0000 word").contains("non_alpha"))
+    // a clean doc keeps
+    val ok = "the quick brown fox jumps over that lazy dog with style " * 5
+    val keep = Seq((0L, ok.trim)).toDF("doc_id", "text")
+      .select(graft.llm.TextAnalysis.gopherRules(col("text")).getField("keep"))
+      .collect().head.getBoolean(0)
+    assert(keep)
+  }
+
   // ----------------------------------------------------- perDomainCap
 
   test("perDomainCap keeps top-priority docs per domain, ties by id") {

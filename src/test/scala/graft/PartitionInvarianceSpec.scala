@@ -57,7 +57,14 @@ class PartitionInvarianceSpec extends SparkFunSuite {
     "q111_dup_line_stats",      // corpus-wide dup-line fractions
     "q112_semantic_dedup",      // SemDeDup: cells + CC + keep-least-prototypical
     "q113_cross_entropy",       // unigram-model quality scoring
-    "q114_chunk_documents")     // sliding-window chunking (pure map)
+    "q114_chunk_documents",     // sliding-window chunking (pure map)
+    "q115_c4_clean",            // C4 line rules (array-lambda map)
+    "q116_domain_cap",          // URL canon + per-domain rank
+    "q117_bm25_topk",           // BM25 postings + ranked retrieval
+    "q118_dup_spans",           // duplicated-window coverage
+    "q119_bloom_cross_dedup",   // bloom prefilter + exact verify
+    "q120_gopher_rules",        // Gopher quality verdicts (pure map)
+    "q121_pq_adc_topk")         // PQ encode + ADC ranked scan
 
   test("gate outputs are invariant to the shuffle partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
