@@ -106,6 +106,7 @@ object GraftFunctions {
   val SigOverlapName = "graft_sig_overlap"
   val WordShinglesName = "graft_word_shingles"
   val BloomName = "graft_bloom_contains"
+  val NormalizeTextName = "graft_normalize_text"
 
   /** Idempotent per-session registration into the function registry (also
     * makes the functions available to `spark.sql`). */
@@ -145,6 +146,12 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction(
         BloomName,
         exprs => BloomMightContain(exprs(0), binLit(BloomName, exprs(1))),
+        "built-in")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(NormalizeTextName)))
+      reg.createOrReplaceTempFunction(
+        NormalizeTextName,
+        exprs => NormalizeText(exprs(0), boolLit(NormalizeTextName, exprs(1)),
+          boolLit(NormalizeTextName, exprs(2))),
         "built-in")
   }
 
@@ -238,5 +245,16 @@ object GraftFunctions {
     ensureRegistered(spark)
     org.apache.spark.sql.functions.call_function(BloomName, value,
       org.apache.spark.sql.functions.lit(filter))
+  }
+
+  /** Unicode canonicalization (NFC → optional accent strip → optional
+    * Locale.ROOT lowercase) — run corpus keys through this BEFORE
+    * fingerprinting when the source is real-world text. */
+  def normalizeText(spark: SparkSession, text: Column,
+      stripAccents: Boolean = true, toLower: Boolean = true): Column = {
+    ensureRegistered(spark)
+    org.apache.spark.sql.functions.call_function(NormalizeTextName, text,
+      org.apache.spark.sql.functions.lit(stripAccents),
+      org.apache.spark.sql.functions.lit(toLower))
   }
 }

@@ -164,6 +164,23 @@ object CurationQueries extends graft.QueryModule {
         sig.getField("stop_hits").as("stop_hits"),
         v.getField("keep").as("keep"),
         concat_ws(",", v.getField("reasons")).as("reasons"))
+    }),
+
+    // Unicode canonicalization: accented suffixes planted per residue
+    // class — including a DECOMPOSED diaeresis (i + U+0308), which md5
+    // treats as a different document until NFC folds it. The oracle is
+    // DuckDB's own ICU chain lower(strip_accents(nfc_normalize(…))), so
+    // this gate is a genuine cross-library Unicode-semantics check, and
+    // the md5 over the normalized text locks the exact output bytes.
+    "q122_normalize_text" -> ((s, d) => {
+      val fab = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(" Café RÉSUMÉ"))
+            .when(col("doc_id") % 3 === 1, lit(" naïve señor"))
+            .otherwise(lit(" voilà Über ça"))).as("text"))
+      fab.select(col("doc_id"),
+        graft.functions.GraftFunctions.normalizeText(s, col("text")).as("norm"))
+        .withColumn("fp", md5(col("norm")))
     })
   )
 
@@ -552,6 +569,20 @@ object CurationQueries extends graft.QueryModule {
         |    CASE WHEN awf < 0.8 THEN 'non_alpha' END,
         |    CASE WHEN sh < 2 THEN 'no_stop_words' END],
         |    x -> x IS NOT NULL), ','), '') AS reasons
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    // DuckDB's ICU chain vs the engine's Normalizer kernel; chr(776) is
+    // the combining diaeresis (the decomposed plant)
+    "q122_normalize_text" ->
+      """WITH fab AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' Café RÉSUMÉ'
+        |         WHEN doc_id % 3 = 1 THEN ' nai' || chr(776) || 've señor'
+        |         ELSE ' voilà Über ça' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  lower(strip_accents(nfc_normalize(text))) AS norm,
+        |  md5(lower(strip_accents(nfc_normalize(text)))) AS fp
+        |FROM fab""".stripMargin
   )
 }

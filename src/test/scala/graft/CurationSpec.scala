@@ -144,6 +144,29 @@ class CurationSpec extends SparkFunSuite {
     assert(keep)
   }
 
+  // ----------------------------------------------------- normalizeText
+
+  test("normalizeText folds decomposed forms, strips accents, lowercases") {
+    import graft.functions.GraftFunctions.normalizeText
+    def run(s0: String, strip: Boolean = true, lower: Boolean = true): String =
+      Seq(Tuple1(s0)).toDF("t")
+        .select(normalizeText(spark, col("t"), strip, lower)).collect().head.getString(0)
+    assert(run("Café") == "cafe")              // precomposed é
+    assert(run("Café") == "cafe")             // decomposed e + ´
+    assert(run("naïve Señor") == "naive senor")
+    assert(run("Über", strip = false) == "über") // ü survives, lowered
+    assert(run("Café", lower = false) == "Cafe")      // case survives
+    // NFC alone (both off) still folds decomposed → composed
+    assert(run("Café", strip = false, lower = false) == "Café")
+    val r = Seq(Tuple1(null.asInstanceOf[String])).toDF("t")
+      .select(normalizeText(spark, col("t"))).collect().head
+    assert(r.isNullAt(0))
+    // registered SQL surface
+    Seq(Tuple1("RÉSUMÉ")).toDF("t").createOrReplaceTempView("norm_t")
+    assert(spark.sql("SELECT graft_normalize_text(t, true, true) FROM norm_t")
+      .collect().head.getString(0) == "resume")
+  }
+
   // ----------------------------------------------------- perDomainCap
 
   test("perDomainCap keeps top-priority docs per domain, ties by id") {
