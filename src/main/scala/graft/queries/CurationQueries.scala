@@ -181,6 +181,26 @@ object CurationQueries extends graft.QueryModule {
       fab.select(col("doc_id"),
         graft.functions.GraftFunctions.normalizeText(s, col("text")).as("norm"))
         .withColumn("fp", md5(col("norm")))
+    }),
+
+    // END-TO-END web-curation pipeline COMPOSED from the individually
+    // gated operators — C4 line cleaning (q115's fabrication) → Gopher
+    // quality verdicts on the CLEANED text (thresholds tuned to the
+    // post-clean corpus: 30-word floor, ≥1 stop word) → per-domain cap
+    // preferring line-rich docs — because per-operator gates can't catch
+    // composition bugs (a bookkeeping column one stage adds colliding
+    // with the next, rules reading pre-clean text, the cap ranking on a
+    // stale count). ONE DuckDB oracle replays the whole chain.
+    "q123_web_curation_e2e" -> ((s, d) => {
+      val cleaned = Curation.c4Clean(c4ified(s, d))
+      val quality = cleaned.filter(TextAnalysis.gopherRules(col("text"),
+        minWords = 30, minStopHits = 1).getField("keep"))
+      val withUrl = quality.withColumn("url",
+        concat(lit("https://www."), col("source"),
+          lit(".example.com/docs/"), col("doc_id").cast("string")))
+      Curation.perDomainCap(withUrl, "url", maxPerDomain = 10,
+        priority = col("n_kept"))
+        .select(col("doc_id"), col("domain"), col("n_lines"), col("n_kept"))
     })
   )
 
@@ -583,6 +603,91 @@ object CurationQueries extends graft.QueryModule {
         |SELECT doc_id,
         |  lower(strip_accents(nfc_normalize(text))) AS norm,
         |  md5(lower(strip_accents(nfc_normalize(text)))) AS fp
-        |FROM fab""".stripMargin
+        |FROM fab""".stripMargin,
+
+    // q115's fabrication+clean (with source carried through), q120's
+    // signal arithmetic on the CLEANED text, q116's rank — one statement
+    "q123_web_curation_e2e" ->
+      """WITH prep AS (
+        |  SELECT doc_id, source,
+        |         regexp_replace(text, '((\S+ ){9}\S+) ', '\1' || chr(10), 'g') AS text
+        |  FROM documents),
+        |fab1 AS (
+        |  SELECT doc_id, source,
+        |    array_to_string(
+        |      list_transform(range(0, len(string_split(text, chr(10)))),
+        |        i -> string_split(text, chr(10))[i+1]
+        |             || CASE WHEN (doc_id*7 + i) % 13 = 0
+        |                     THEN ' javascript' ELSE '' END
+        |             || CASE WHEN (doc_id + i) % 4 <> 0
+        |                     THEN '.' ELSE '' END),
+        |      chr(10)) AS text
+        |  FROM prep),
+        |fab AS (
+        |  SELECT doc_id, source,
+        |    text
+        |      || CASE WHEN doc_id % 23 = 0
+        |              THEN chr(10) || 'this page uses lorem ipsum filler text.'
+        |              ELSE '' END
+        |      || CASE WHEN doc_id % 29 = 0
+        |              THEN chr(10) || 'window.onload = function() { init(); }.'
+        |              ELSE '' END AS text
+        |  FROM fab1),
+        |cl AS (
+        |  SELECT doc_id, source,
+        |    len(string_split(text, chr(10))) AS n_lines,
+        |    list_filter(string_split(text, chr(10)),
+        |      l -> (ends_with(trim(l), '.') OR ends_with(trim(l), '!')
+        |            OR ends_with(trim(l), '?') OR ends_with(trim(l), '"'))
+        |           AND trim(l) <> ''
+        |           AND len(string_split_regex(trim(l), '\s+')) >= 5
+        |           AND NOT contains(lower(trim(l)), 'javascript')) AS kept,
+        |    (contains(lower(text), 'lorem ipsum')
+        |     OR contains(lower(text), '{')) AS bad
+        |  FROM fab),
+        |cleaned AS (
+        |  SELECT doc_id, source, CAST(n_lines AS BIGINT) AS n_lines,
+        |         CAST(len(kept) AS BIGINT) AS n_kept,
+        |         array_to_string(kept, chr(10)) AS text
+        |  FROM cl WHERE NOT bad AND len(kept) >= 3),
+        |sig AS (
+        |  SELECT doc_id, source, n_lines, n_kept,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ws,
+        |    string_split(trim(text), chr(10)) AS lines,
+        |    trim(text) AS t
+        |  FROM cleaned),
+        |c AS (
+        |  SELECT doc_id, source, n_lines, n_kept,
+        |    CASE WHEN t = '' THEN 0 ELSE len(ws) END AS n,
+        |    list_aggregate(list_transform(ws, w -> length(w)), 'sum') AS sumlen,
+        |    length(t) - length(regexp_replace(t, '#', '', 'g')) AS hashes,
+        |    (length(t) - length(regexp_replace(t, '\.\.\.', '', 'g'))) / 3
+        |      + (length(t) - length(regexp_replace(t, '…', '', 'g'))) AS ellipses,
+        |    len(list_filter(lines,
+        |        l -> starts_with(trim(l), '•') OR starts_with(trim(l), '- '))) AS bl,
+        |    len(list_filter(lines,
+        |        l -> ends_with(trim(l), '...') OR ends_with(trim(l), '…'))) AS el,
+        |    len(lines) AS nl,
+        |    len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS aw,
+        |    len(list_intersect(list_distinct(ws),
+        |        ['the','be','to','of','and','that','have','with'])) AS sh
+        |  FROM sig),
+        |quality AS (
+        |  SELECT doc_id, source, n_lines, n_kept FROM c
+        |  WHERE n >= 30 AND n <= 100000
+        |    AND (CASE WHEN n = 0 THEN 0.0 ELSE CAST(sumlen AS DOUBLE)/n END) >= 3.0
+        |    AND (CASE WHEN n = 0 THEN 0.0 ELSE CAST(sumlen AS DOUBLE)/n END) <= 10.0
+        |    AND (CASE WHEN n = 0 THEN 0.0 ELSE CAST(hashes AS DOUBLE)/n END) <= 0.1
+        |    AND (CASE WHEN n = 0 THEN 0.0 ELSE CAST(ellipses AS DOUBLE)/n END) <= 0.1
+        |    AND CAST(bl AS DOUBLE)/nl <= 0.9
+        |    AND CAST(el AS DOUBLE)/nl <= 0.3
+        |    AND (CASE WHEN n = 0 THEN 0.0 ELSE CAST(aw AS DOUBLE)/n END) >= 0.8
+        |    AND sh >= 1),
+        |r AS (
+        |  SELECT doc_id, source || '.example.com' AS domain, n_lines, n_kept,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_kept DESC, doc_id ASC) AS rn
+        |  FROM quality)
+        |SELECT doc_id, domain, n_lines, n_kept FROM r WHERE rn <= 10""".stripMargin
   )
 }

@@ -64,7 +64,8 @@ class PartitionInvarianceSpec extends SparkFunSuite {
     "q118_dup_spans",           // duplicated-window coverage
     "q119_bloom_cross_dedup",   // bloom prefilter + exact verify
     "q120_gopher_rules",        // Gopher quality verdicts (pure map)
-    "q121_pq_adc_topk")         // PQ encode + ADC ranked scan
+    "q121_pq_adc_topk",         // PQ encode + ADC ranked scan
+    "q123_web_curation_e2e")    // composed clean -> quality -> cap chain
 
   test("gate outputs are invariant to the shuffle partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
