@@ -406,6 +406,23 @@ object Scale {
       graft.llm.Curation.c4Clean(docs)
         .agg(count(lit(1)).as("n_docs"), sum(col("n_kept")).as("kept_lines"))
     }),
+    // PQ + IVFADC: encode/cell-assign the whole corpus (map), then a
+    // fixed 50-query probe at nprobe=2/4 — each query's lookup-sum scan
+    // touches ~half the corpus, so growth should track the data while the
+    // query side stays a broadcast constant
+    Probe("pq_ivfadc_scan", q = (s, d) => {
+      val embs = scanPar(s, Tables.embeddings(s, d).select("vec_id", "embedding"))
+      val cents = embs.orderBy("vec_id").limit(4).select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val cbs = (0 until 4).map(j => cents.map(_.slice(j * 16, (j + 1) * 16)).toSeq)
+      val enc = graft.llm.Pq.assignCells(
+        graft.llm.Pq.encode(embs, cbs), cents.toSeq)
+      val queries = embs.orderBy("vec_id").limit(50)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.llm.Pq.ivfAdcTopK(enc, queries, cbs, cents.toSeq, nprobe = 2, k = 10)
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n"),
+          sum(col("adist")).as("s"))
+    }),
     // per-domain cap: synthetic 20-domain URL space (domains are a fixed
     // set, so per-domain membership grows 10× — the fat-domain window-sort
     // case the operator documents), cap 30 preferring longer docs

@@ -86,6 +86,69 @@ object Pq {
       .select(col(queryIdCol), col(idCol), col("adist"), col("rank"))
   }
 
+  /** Coarse-cell assignment for IVFADC: adds `cell_id` = the argmin-L2
+    * full-dimension centroid (ties → lowest cell index) — same struct-min
+    * mechanics as [[encode]], so the tiebreak is engine-stable. Cells are
+    * literal centroids (from [[Ivf.build]], a seeded KMeans, or any
+    * deterministic recipe). One codegen map; at 100 TB you'd follow it
+    * with a write partitioned/bucketed BY `cell_id`, making every probe
+    * below a partition-pruned scan. */
+  def assignCells(df: DataFrame, cells: Seq[Array[Double]],
+      vecCol: String = "embedding"): DataFrame = {
+    require(cells.nonEmpty, "no cells")
+    val v = col(vecCol).cast("array<double>")
+    val cands = array(cells.zipWithIndex.map { case (cent, ci) =>
+      struct(l2sq(v, cent).as("d"), lit(ci).as("c"))
+    }: _*)
+    df.withColumn("cell_id", array_min(cands).getField("c"))
+  }
+
+  /** IVFADC (Jégou et al. 2011 §IV — the composition that makes PQ a
+    * billion-vector index): each query ranks the coarse cells, probes its
+    * `nprobe` nearest, and runs the ADC lookup-sum ONLY over rows of those
+    * cells. `encoded` must carry `pq_codes` ([[encode]]) and `cell_id`
+    * ([[assignCells]]). With `nprobe = cells.size` this is EXACTLY
+    * [[adcTopK]] (the correctness-gate face); smaller `nprobe` trades
+    * recall for scan fraction — at 1024 cells and nprobe 8, ~0.8% of the
+    * corpus is touched per query.
+    *
+    * Plan: the query side explodes to (query, probed cell) — still tiny,
+    * still broadcast — and the corpus streams through an equality join on
+    * `cell_id` with NO shuffle of the corpus side; per-query top-k is the
+    * only exchange. */
+  def ivfAdcTopK(encoded: DataFrame, queries: DataFrame,
+      codebooks: Seq[Seq[Array[Double]]], cells: Seq[Array[Double]],
+      nprobe: Int, k: Int,
+      idCol: String = "vec_id", queryIdCol: String = "query_id",
+      queryVecCol: String = "embedding"): DataFrame = {
+    require(nprobe > 0 && nprobe <= cells.size,
+      s"nprobe $nprobe out of range 1..${cells.size}")
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
+    val qv = col(queryVecCol).cast("array<double>")
+    val qtab = array(codebooks.zipWithIndex.map { case (cb, j) =>
+      array(cb.map(cent => l2sq(subspace(qv, j, dsub), cent)): _*)
+    }: _*)
+    val cellRank = array(cells.zipWithIndex.map { case (cent, ci) =>
+      struct(l2sq(qv, cent).as("d"), lit(ci).as("c"))
+    }: _*)
+    val probed = slice(transform(array_sort(cellRank), s => s.getField("c")),
+      1, nprobe)
+    val q = broadcast(queries.select(col(queryIdCol), qtab.as("__pq_tab"),
+        explode(probed).as("cell_id")))
+    val adist = (0 until m).map { j =>
+      element_at(element_at(col("__pq_tab"), j + 1),
+        col("pq_codes").getItem(j) + 1)
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("adist").asc, col(idCol).asc)
+    encoded.join(q, Seq("cell_id"))
+      .withColumn("adist", round(adist, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("adist"), col("rank"))
+  }
+
   /** Seeded per-subspace KMeans codebooks (the classic PQ training):
     * subspace `j` is fit on the corpus' j-th subvector slice. Centroid
     * count per subspace is `ncentroids` (256 in the paper = 1 byte/code;

@@ -83,8 +83,33 @@ object CorpusRetrievalQueries extends graft.QueryModule {
       graft.llm.Pq.adcTopK(enc, queries, codebooks, k = 10)
         .select(col("query_id"), col("vec_id"), col("adist"),
           col("rank").cast("long").as("rank"))
+    }),
+
+    // IVFADC with nprobe = ALL cells ≡ the plain ADC scan (the q60
+    // nprobe=K trick): the composed cell-assign → probe → lookup-sum
+    // pipeline must reproduce q121's oracle EXACTLY — any bug in the cell
+    // join, the probe ranking, or the table plumbing breaks the hash. The
+    // recall-vs-nprobe face is spec-locked in PqSpec.
+    "q124_ivfadc_topk" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val codebooks = pqCodebooks(s, d)
+      val cells = pqCells(s, d)
+      val enc = graft.llm.Pq.assignCells(
+        graft.llm.Pq.encode(embs, codebooks), cells)
+      val queries = embs.filter(col("vec_id") % 100 === 7)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.llm.Pq.ivfAdcTopK(enc, queries, codebooks, cells,
+        nprobe = cells.size, k = 10)
+        .select(col("query_id"), col("vec_id"), col("adist"),
+          col("rank").cast("long").as("rank"))
     })
   )
+
+  /** q124's coarse cells: the 4 lowest-id embeddings at full dimension. */
+  private[graft] def pqCells(s: SparkSession, d: String): Seq[Array[Double]] =
+    Tables.embeddings(s, d).orderBy("vec_id").limit(4)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
 
   /** q121's codebooks: subspace j of centroid c = dims [16j, 16j+16) of
     * the c-th lowest-id embedding — tiny, deterministic, SQL-replicable. */
@@ -189,7 +214,13 @@ object CorpusRetrievalQueries extends graft.QueryModule {
     // tiebreak) + ADC (per-subspace lookup distances list-summed in fixed
     // j order to mirror the engine's left-assoc sum), ranked on the
     // rounded distance
-    "q121_pq_adc_topk" ->
+    "q121_pq_adc_topk" -> pqAdcSql,
+
+    // nprobe = all cells makes IVFADC ≡ ADC, so the oracle is IDENTICAL
+    "q124_ivfadc_topk" -> pqAdcSql
+  )
+
+  private lazy val pqAdcSql: String =
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |              FROM embeddings),
         |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
@@ -223,5 +254,4 @@ object CorpusRetrievalQueries extends graft.QueryModule {
         |      FROM d)
         |SELECT query_id, vec_id, adist, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 10""".stripMargin
-  )
 }

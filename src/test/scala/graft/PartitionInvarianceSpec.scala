@@ -65,6 +65,7 @@ class PartitionInvarianceSpec extends SparkFunSuite {
     "q119_bloom_cross_dedup",   // bloom prefilter + exact verify
     "q120_gopher_rules",        // Gopher quality verdicts (pure map)
     "q121_pq_adc_topk",         // PQ encode + ADC ranked scan
+    "q124_ivfadc_topk",         // cell-pruned ADC (nprobe=all face)
     "q123_web_curation_e2e")    // composed clean -> quality -> cap chain
 
   test("gate outputs are invariant to the shuffle partition count") {

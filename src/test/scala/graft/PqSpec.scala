@@ -56,6 +56,31 @@ class PqSpec extends SparkFunSuite {
     assert(used > 1)
   }
 
+  test("ivfAdcTopK: nprobe=all equals the full ADC scan; nprobe=1 stays in-cell") {
+    val d = "/root/testdata/sf0.001"
+    val embs = Tables.embeddings(spark, d).select("vec_id", "embedding")
+    val cbs = graft.queries.CorpusRetrievalQueries.pqCodebooks(spark, d)
+    val cells = graft.queries.CorpusRetrievalQueries.pqCells(spark, d)
+    val enc = Pq.assignCells(Pq.encode(embs, cbs), cells)
+    val q = embs.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val full = Pq.adcTopK(enc, q, cbs, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val all = Pq.ivfAdcTopK(enc, q, cbs, cells, nprobe = cells.size, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(all == full)
+    // nprobe=1: every hit lives in its query's own best cell
+    val one = Pq.ivfAdcTopK(enc, q, cbs, cells, nprobe = 1, k = 5)
+    val cellOf = enc.select("vec_id", "cell_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val qCell = Pq.assignCells(q, cells, vecCol = "embedding")
+      .select("query_id", "cell_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    one.collect().foreach { r =>
+      assert(cellOf(r.getAs[Long]("vec_id")) == qCell(r.getAs[Long]("query_id")))
+    }
+  }
+
   test("gate margin tripwire: q121 encode argmins are not ulp-close") {
     // The oracle recomputes the same argmin with its own float ops; assert
     // every (vec, subspace) best-vs-second-best gap is far above the
