@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.Bbox
-import graft.io.{Caipy, Coco, CrowdHuman, Darknet, DarknetConfig, ImagesFolder, Mot, ParquetIO, Yolov5}
+import graft.io.{Caipy, Coco, CrowdHuman, Darknet, DarknetConfig, ImagesFolder, Mot, ParquetIO, WebDataset, Yolov5}
 import graft.model.GraftDataset
 import graft.operators.Locators
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -44,6 +44,22 @@ object IoQueries extends graft.QueryModule {
         countDistinct(col("image_id")).as("n_images"))
 
   val defs: Map[String, Q] = Map(
+    // WebDataset tar shards: documents → 8 deterministic USTAR shards →
+    // binaryFile read-back; text and every meta column must survive the
+    // (.txt, .json) member roundtrip byte-for-byte. Oracle = the source
+    // table itself (the IO-gate convention).
+    "q125_webdataset_roundtrip" -> ((s, d) => {
+      val docs = graft.Tables.documents(s, d)
+      val dir = tmp("graft_wds_rt")
+      WebDataset.toWebDataset(docs, dir, numShards = 8)
+      val meta = org.apache.spark.sql.types.StructType.fromDDL(
+        "lang STRING, source STRING, n_chars BIGINT")
+      WebDataset.fromWebDataset(s, dir)
+        .select(col("doc_id"), col("text"),
+          from_json(col("meta_json"), meta).as("m"))
+        .select(col("doc_id"), col("text"), col("m.lang").as("lang"),
+          col("m.source").as("source"), col("m.n_chars").as("n_chars"))
+    }),
     "q41_coco_roundtrip" -> ((s, d) => {
       val ds = subset(s, d)
       val written = Coco.toCoco(ds, tmp("graft_coco_rt"), overwrite = true)
@@ -356,6 +372,8 @@ object IoQueries extends graft.QueryModule {
        |GROUP BY a.category_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q125_webdataset_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "q41_coco_roundtrip" -> (
       s"""$viewCte
          |SELECT a.category_id, count(*) AS n,
