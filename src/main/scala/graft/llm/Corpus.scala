@@ -153,6 +153,27 @@ object Corpus {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Corpus data card: the per-(source, language) release manifest every
+    * curated dataset ships — document/token/char volume, exact-duplicate
+    * mass (distinct 128-bit fingerprints vs rows), and each stratum's
+    * share of the corpus. One partial-agg groupBy + a broadcast one-row
+    * total — no window, no second scan. Shares are int/int divisions —
+    * bit-identical cross-engine. */
+  def dataCard(docs: DataFrame, textCol: String = "text",
+      strataCols: Seq[String] = Seq("source", "lang")): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val per = docs.groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"),
+        countDistinct(fp).as("n_distinct"))
+      .withColumn("dup_docs", col("n_docs") - col("n_distinct"))
+    val tot = docs.agg(count(lit(1)).as("__total"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("doc_share", col("n_docs").cast("double") / col("__total"))
+      .drop("__total")
+  }
+
   /** Unigram counts of a REFERENCE corpus — the model table consumed by
     * [[crossEntropy]] (one row per distinct lowercased whitespace token).
     * One explode + one partial-agg groupBy; persist the result when scoring

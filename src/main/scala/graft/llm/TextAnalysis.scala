@@ -246,6 +246,47 @@ object TextAnalysis {
           .as("dup_trigram_frac"))
   }
 
+  /** Unicode script ranges for [[scriptShares]] — BMP blocks, so both
+    * UTF-16 (JVM) and codepoint (ICU) length semantics agree. Order is the
+    * dominance tiebreak preference. */
+  val scriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "A-Za-z",
+    "cyrillic" -> "Ѐ-ӿ",
+    "cjk" -> "一-鿿",
+    "arabic" -> "؀-ۿ",
+    "greek" -> "Ͱ-Ͽ")
+
+  /** Per-script character counts + shares (of all characters) — the
+    * wrong-script / mixed-script curation signal for multilingual corpora
+    * (a "French" doc that is 40% CJK is a mislabel or an injection).
+    * Struct fields: `n_<script>` counts, `<script>_share` ratios, plus
+    * `n_chars`. Pure regexp arithmetic, one codegen map. */
+  def scriptShares(text: Column): Column = {
+    val n = length(text)
+    val counts = scriptRanges.map { case (name, range) =>
+      name -> (n - length(regexp_replace(text, s"[$range]", "")))
+    }
+    struct(
+      (counts.map { case (name, c) => c.cast("long").as(s"n_$name") } ++
+        counts.map { case (name, c) =>
+          when(n === 0, 0.0).otherwise(c.cast("double") / n)
+            .as(s"${name}_share")
+        } :+ n.cast("long").as("n_chars")): _*)
+  }
+
+  /** The dominant script by character count; ties break toward the
+    * earlier [[scriptRanges]] entry (an explicit total order — the
+    * struct-max trick with a negated index). */
+  def dominantScript(text: Column): Column = {
+    val n = length(text)
+    val cands = array(scriptRanges.zipWithIndex.map { case ((_, range), i) =>
+      struct((n - length(regexp_replace(text, s"[$range]", ""))).as("c"),
+        lit(-i).as("ni"))
+    }: _*)
+    val best = array_max(cands)
+    element_at(typedLit(scriptRanges.map(_._1)), -best.getField("ni") + 1)
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text —
     * stable across engines (md5 is bit-identical everywhere), suitable as an
     * exact-dedup key at any corpus size (128-bit: no birthday collisions at

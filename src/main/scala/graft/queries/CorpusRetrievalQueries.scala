@@ -102,6 +102,41 @@ object CorpusRetrievalQueries extends graft.QueryModule {
         nprobe = cells.size, k = 10)
         .select(col("query_id"), col("vec_id"), col("adist"),
           col("rank").cast("long").as("rank"))
+    }),
+
+    // script-mix signals: Cyrillic/CJK/Arabic/Greek snippets appended per
+    // residue class, every 97th doc REPLACED by a Cyrillic page (so
+    // dominance flips somewhere); counts are regexp-range arithmetic over
+    // BMP blocks — identical in Java regex and RE2 → full oracle
+    "q127_script_mix" -> ((s, d) => {
+      val fab = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 97 === 0,
+          lit("много русских слов здесь очень много слов подряд"))
+          .otherwise(concat(col("text"),
+            when(col("doc_id") % 5 === 1, lit(" привет мир как дела"))
+              .when(col("doc_id") % 5 === 2, lit(" 你好世界再见"))
+              .when(col("doc_id") % 5 === 3, lit(" مرحبا بالعالم"))
+              .when(col("doc_id") % 5 === 4, lit(" γειά σου κόσμε"))
+              .otherwise(lit("")))).as("text"))
+      val sh = graft.llm.TextAnalysis.scriptShares(col("text"))
+      fab.select(col("doc_id"),
+        sh.getField("n_latin").as("n_latin"),
+        sh.getField("n_cyrillic").as("n_cyrillic"),
+        sh.getField("n_cjk").as("n_cjk"),
+        sh.getField("n_arabic").as("n_arabic"),
+        sh.getField("n_greek").as("n_greek"),
+        sh.getField("n_chars").as("n_chars"),
+        sh.getField("cyrillic_share").as("cyrillic_share"),
+        graft.llm.TextAnalysis.dominantScript(col("text")).as("dominant"))
+    }),
+
+    // corpus data card over the dup-planted corpus (q107's 20 copies):
+    // volumes, exact-dup mass, and corpus shares per (source, lang) —
+    // every aggregate an exact integer, the share an int/int double
+    "q126_data_card" -> ((s, d) => {
+      graft.llm.Corpus.dataCard(LlmQueries.docsWithDups(s, d))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+          col("n_chars"), col("n_distinct"), col("dup_docs"), col("doc_share"))
     })
   )
 
@@ -217,7 +252,61 @@ object CorpusRetrievalQueries extends graft.QueryModule {
     "q121_pq_adc_topk" -> pqAdcSql,
 
     // nprobe = all cells makes IVFADC ≡ ADC, so the oracle is IDENTICAL
-    "q124_ivfadc_topk" -> pqAdcSql
+    "q124_ivfadc_topk" -> pqAdcSql,
+
+    "q127_script_mix" ->
+      """WITH fab AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 97 = 0
+        |         THEN 'много русских слов здесь очень много слов подряд'
+        |         ELSE text ||
+        |           CASE WHEN doc_id % 5 = 1 THEN ' привет мир как дела'
+        |                WHEN doc_id % 5 = 2 THEN ' 你好世界再见'
+        |                WHEN doc_id % 5 = 3 THEN ' مرحبا بالعالم'
+        |                WHEN doc_id % 5 = 4 THEN ' γειά σου κόσμε'
+        |                ELSE '' END END AS text
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, length(text) AS n,
+        |    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS lat,
+        |    length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g')) AS cyr,
+        |    length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS cjk,
+        |    length(text) - length(regexp_replace(text, '[؀-ۿ]', '', 'g')) AS ara,
+        |    length(text) - length(regexp_replace(text, '[Ͱ-Ͽ]', '', 'g')) AS gre
+        |  FROM fab)
+        |SELECT doc_id,
+        |  CAST(lat AS BIGINT) AS n_latin, CAST(cyr AS BIGINT) AS n_cyrillic,
+        |  CAST(cjk AS BIGINT) AS n_cjk, CAST(ara AS BIGINT) AS n_arabic,
+        |  CAST(gre AS BIGINT) AS n_greek, CAST(n AS BIGINT) AS n_chars,
+        |  CASE WHEN n = 0 THEN 0.0 ELSE CAST(cyr AS DOUBLE) / n END
+        |    AS cyrillic_share,
+        |  CASE WHEN lat >= cyr AND lat >= cjk AND lat >= ara AND lat >= gre
+        |         THEN 'latin'
+        |       WHEN cyr >= cjk AND cyr >= ara AND cyr >= gre THEN 'cyrillic'
+        |       WHEN cjk >= ara AND cjk >= gre THEN 'cjk'
+        |       WHEN ara >= gre THEN 'arabic'
+        |       ELSE 'greek' END AS dominant
+        |FROM c""".stripMargin,
+
+    "q126_data_card" ->
+      """WITH alldocs AS (
+        |  SELECT doc_id, text, lang, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text, lang, source FROM
+        |    (SELECT * FROM documents ORDER BY doc_id LIMIT 20)),
+        |tot AS (SELECT count(*) AS total FROM alldocs)
+        |SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN trim(text) = '' THEN 0
+        |           ELSE len(string_split_regex(trim(text), '\s+')) END)
+        |       AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+        |    AS n_distinct,
+        |  count(*) - count(DISTINCT
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS dup_docs,
+        |  CAST(count(*) AS DOUBLE) / any_value(total) AS doc_share
+        |FROM alldocs CROSS JOIN tot
+        |GROUP BY source, lang""".stripMargin
   )
 
   private lazy val pqAdcSql: String =

@@ -144,6 +144,39 @@ class CurationSpec extends SparkFunSuite {
     assert(keep)
   }
 
+  // ------------------------------------------------ scripts & data card
+
+  test("scriptShares counts per-script chars; dominantScript breaks ties in order") {
+    val sh = Seq(Tuple1("abc привет 你好 مرحبا γεια"))
+      .toDF("t").select(graft.llm.TextAnalysis.scriptShares(col("t")).as("s"))
+      .select("s.*").collect().head
+    assert(sh.getAs[Long]("n_latin") == 3)
+    assert(sh.getAs[Long]("n_cyrillic") == 6)
+    assert(sh.getAs[Long]("n_cjk") == 2)
+    assert(sh.getAs[Long]("n_arabic") == 5)
+    assert(sh.getAs[Long]("n_greek") == 4)
+    def dom(t: String): String = Seq(Tuple1(t)).toDF("t")
+      .select(graft.llm.TextAnalysis.dominantScript(col("t"))).collect().head.getString(0)
+    assert(dom("hello мир") == "latin")       // 5 latin > 3 cyrillic
+    assert(dom("hi мирно") == "cyrillic")
+    assert(dom("ab яж") == "latin")           // 2-2 tie → earlier entry
+  }
+
+  test("dataCard: volumes, dup mass, and shares per stratum") {
+    val docs = Seq(
+      (0L, "a b c", "en", "s1"),
+      (1L, "a  B c", "en", "s1"),   // dup of 0 modulo case/ws
+      (2L, "x y", "fr", "s2")
+    ).toDF("doc_id", "text", "lang", "source")
+    val card = graft.llm.Corpus.dataCard(docs).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("lang")) -> r).toMap
+    val s1 = card(("s1", "en"))
+    assert(s1.getAs[Long]("n_docs") == 2 && s1.getAs[Long]("n_distinct") == 1
+      && s1.getAs[Long]("dup_docs") == 1 && s1.getAs[Long]("n_tokens") == 6)
+    assert(s1.getAs[Double]("doc_share") == 2.0 / 3)
+    assert(card(("s2", "fr")).getAs[Long]("dup_docs") == 0)
+  }
+
   // ----------------------------------------------------- normalizeText
 
   test("normalizeText folds decomposed forms, strips accents, lowercases") {

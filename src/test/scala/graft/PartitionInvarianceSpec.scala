@@ -66,6 +66,8 @@ class PartitionInvarianceSpec extends SparkFunSuite {
     "q120_gopher_rules",        // Gopher quality verdicts (pure map)
     "q121_pq_adc_topk",         // PQ encode + ADC ranked scan
     "q124_ivfadc_topk",         // cell-pruned ADC (nprobe=all face)
+    "q126_data_card",           // stratified manifest aggregates
+    "q127_script_mix",          // unicode script counting (pure map)
     "q123_web_curation_e2e")    // composed clean -> quality -> cap chain
 
   test("gate outputs are invariant to the shuffle partition count") {
