@@ -77,6 +77,26 @@ object StreamQueries extends graft.QueryModule {
     // path leaves to the consumer. Oracle = q108's exhaustive cross-side
     // Jaccard: the two implementations must agree with the ground truth
     // AND (therefore) each other.
+    // bloom-prefiltered EXACT dedup against a static corpus, batch face
+    // (the REAL readStream run is parity-asserted in StreamingSpec):
+    // q119's sides, a deliberately loose fpp (0.05 — verify traffic must
+    // flow), and the stream-static anti-join verify. Oracle = the plain
+    // fingerprint anti-join, identical to q119's.
+    "q128_stream_bloom_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val ref = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val planted = ref.orderBy("doc_id").limit(20)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val incoming = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .unionByName(planted)
+      val bloom = graft.llm.Dedup.buildFingerprintBloom(ref,
+        expectedItems = 1000, fpp = 0.05)
+      val refFps = ref.select(graft.llm.TextAnalysis.fingerprint(col("text"))
+        .as("fingerprint")).distinct()
+      graft.streaming.StreamDedup.bloomDedupAgainstCorpus(incoming, refFps, bloom)
+        .select(col("doc_id"))
+    }),
+
     "q109_stream_corpus_match" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val planted = docs.orderBy("doc_id").limit(20)
@@ -188,6 +208,22 @@ object StreamQueries extends graft.QueryModule {
     // identical ground truth to q108 (LlmQueries) on purpose: the batch
     // crossCorpusNearDups and the stream-static index matcher are two
     // implementations of the same contract
+    "q128_stream_bloom_dedup" ->
+      """WITH ref AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        |incoming AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM
+        |    (SELECT * FROM ref ORDER BY doc_id LIMIT 20)),
+        |rf AS (SELECT DISTINCT
+        |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+        |       FROM ref)
+        |SELECT b.doc_id FROM incoming b
+        |LEFT JOIN rf
+        |  ON rf.h = md5(regexp_replace(lower(trim(b.text)), '\s+', ' ', 'g'))
+        |WHERE rf.h IS NULL""".stripMargin,
+
     "q109_stream_corpus_match" ->
       """WITH newdocs AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0

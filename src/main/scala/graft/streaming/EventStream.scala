@@ -366,4 +366,30 @@ object StreamDedup {
         graft.llm.Dedup.jaccard(col("__sh"), col("__sh_ref")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** EXACT streaming dedup against a STATIC reference corpus with a bloom
+    * prefilter — the streaming face of
+    * [[graft.llm.Dedup.bloomCrossDedup]]: rows whose fingerprint the bloom
+    * rejects pass through map-side (the overwhelming majority on a clean
+    * stream — zero joins, zero state); bloom hits are verified by a
+    * stream-static LEFT ANTI join against the reference fingerprint set,
+    * so fpp only costs verify work, never correctness. Stateless (no
+    * watermark needed): each row's verdict depends only on itself and the
+    * static side. `refFps` must be the distinct fingerprint frame of the
+    * SAME corpus the bloom was built over (persist it — it is read every
+    * micro-batch). Works identically on a batch frame (the gate's oracle
+    * face). */
+  def bloomDedupAgainstCorpus(stream: DataFrame, refFps: DataFrame,
+      bloom: Array[Byte], textCol: String = "text"): DataFrame = {
+    val spark = stream.sparkSession
+    val fp = graft.llm.TextAnalysis.fingerprint(col(textCol))
+    val might = graft.functions.GraftFunctions.bloomContains(spark, fp, bloom)
+    val clear = stream.filter(!might)
+    val verified = stream.filter(might)
+      .withColumn("__bd_fp", fp)
+      .join(refFps.select(col("fingerprint").as("__bd_fp")), Seq("__bd_fp"),
+        "left_anti")
+      .drop("__bd_fp")
+    clear.unionByName(verified)
+  }
 }

@@ -68,6 +68,7 @@ class PartitionInvarianceSpec extends SparkFunSuite {
     "q124_ivfadc_topk",         // cell-pruned ADC (nprobe=all face)
     "q126_data_card",           // stratified manifest aggregates
     "q127_script_mix",          // unicode script counting (pure map)
+    "q128_stream_bloom_dedup",  // bloom prefilter + static-verify (batch face)
     "q123_web_curation_e2e")    // composed clean -> quality -> cap chain
 
   test("gate outputs are invariant to the shuffle partition count") {

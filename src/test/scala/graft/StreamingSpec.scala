@@ -202,6 +202,43 @@ class IvfStreamDedupSpec extends SparkFunSuite {
     assert(out.count() == 2)
   }
 
+  test("stream bloom dedup: real stream equals batch face, exact under high fpp") {
+    import graft.streaming.StreamDedup
+    import graft.llm.{Dedup, TextAnalysis}
+    val dir = java.nio.file.Files.createTempDirectory("bloom_stream").toString
+    val ref = Seq(
+      (0L, "the quick brown fox"),
+      (1L, "jumps over the lazy dog"),
+      (2L, "spark engines shuffle data")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "THE  quick Brown fox"),        // dup of 0 modulo case/ws
+      (11L, "a brand new document"),
+      (12L, "jumps over the lazy dog"),     // exact dup of 1
+      (13L, "another novel text entirely")
+    ).toDF("doc_id", "text")
+    incoming.write.mode("overwrite").parquet(dir)
+    // tiny filter → high fpp: verify traffic must flow, result stays exact
+    val bloom = Dedup.buildFingerprintBloom(ref, expectedItems = 2, fpp = 0.5)
+    val refFps = ref.select(TextAnalysis.fingerprint(col("text"))
+      .as("fingerprint")).distinct().persist()
+    try {
+      val batch = StreamDedup.bloomDedupAgainstCorpus(incoming, refFps, bloom)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(batch == Set(11L, 13L))
+      val stream = spark.readStream.schema(incoming.schema).parquet(dir)
+      val out = StreamDedup.bloomDedupAgainstCorpus(stream, refFps, bloom)
+      assert(out.isStreaming)
+      val q = out.select("doc_id").writeStream.format("memory")
+        .queryName("bloom_stream_out")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      val streamed = spark.table("bloom_stream_out")
+        .collect().map(_.getLong(0)).toSet
+      assert(streamed == batch)
+    } finally refFps.unpersist()
+  }
+
   test("stream-static corpus matcher: real stream equals batch, stateless plan") {
     import graft.streaming.StreamDedup
     val dir = java.nio.file.Files.createTempDirectory("corpus_match").toString
