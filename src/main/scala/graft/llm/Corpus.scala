@@ -217,6 +217,58 @@ object Corpus {
           / sum(col("__dc"))).as("cross_entropy"))
   }
 
+  /** Word-bigram counts of a REFERENCE corpus — the model table for
+    * [[crossEntropyBigram]] (one row per distinct adjacent lowercased
+    * word pair). Same shuffle shape as [[unigramCounts]]. */
+  def bigramCounts(ref: DataFrame, textCol: String = "text"): DataFrame = {
+    val ws = split(lower(trim(col(textCol))), "\\s+")
+    ref.select(explode(transform(sequence(lit(2), size(ws)), i =>
+        struct(element_at(ws, i - 1).as("prev"), element_at(ws, i).as("word"))))
+        .as("bg"))
+      .select(col("bg.prev").as("prev"), col("bg.word").as("word"))
+      .filter(length(col("word")) > 0 && length(col("prev")) > 0)
+      .groupBy("prev", "word").agg(count(lit(1)).as("c"))
+  }
+
+  /** Interpolated-bigram cross-entropy — [[crossEntropy]] with a stronger
+    * model (the CCNet recipe one order up):
+    * `p(w_i) = λ·(c(w_{i-1},w_i)+1)/(c(w_{i-1})+V+1)
+    *         + (1−λ)·(c(w_i)+1)/(T+V+1)`,
+    * the document's first token scoring by the unigram term alone. Use an
+    * EXACTLY-representable λ (0.75, 0.5 …) so `1−λ` is the same double in
+    * any engine. Positions (not distinct words) are the scoring unit, so
+    * repeated bigrams weigh naturally; the model joins are word-keyed
+    * (broadcast for small models via AQE), the corpus shuffles once on the
+    * position explode's doc regroup. */
+  def crossEntropyBigram(docs: DataFrame, uniCounts: DataFrame,
+      biCounts: DataFrame, lambda: Double = 0.75,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tot = uniCounts.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
+    val ws = split(lower(trim(col(textCol))), "\\s+")
+    val pos = docs.select(col(idCol),
+        explode(transform(sequence(lit(1), size(ws)), i =>
+          struct(element_at(ws, i).as("word"),
+            when(i > 1, element_at(ws, i - 1)).as("prev")))).as("p"))
+      .select(col(idCol), col("p.word").as("word"), col("p.prev").as("prev"))
+      .filter(length(col("word")) > 0)
+    pos
+      .join(uniCounts.select(col("word"), col("c").as("__cu")), Seq("word"), "left")
+      .join(uniCounts.select(col("word").as("prev"), col("c").as("__cp")),
+        Seq("prev"), "left")
+      .join(biCounts.select(col("prev"), col("word"), col("c").as("__cb")),
+        Seq("prev", "word"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("__pu", coalesce(col("__cu") + 1, lit(1L)).cast("double")
+        / (col("t") + col("v") + 1))
+      .withColumn("__pb", coalesce(col("__cb") + 1, lit(1L)).cast("double")
+        / (coalesce(col("__cp"), lit(0L)) + col("v") + 1))
+      .withColumn("__p", when(col("prev").isNull, col("__pu"))
+        .otherwise(lit(lambda) * col("__pb") + lit(1 - lambda) * col("__pu")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        (-sum(log(col("__p"))) / count(lit(1))).as("cross_entropy"))
+  }
+
   /** Corpus-wide top-`k` word `n`-grams by total occurrence count (ties
     * broken by the n-gram itself), with per-gram document frequency.
     * One explode + one partial-agg groupBy — the classic vocabulary-stats

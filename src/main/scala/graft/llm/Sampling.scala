@@ -91,4 +91,23 @@ object Sampling {
       .filter(hashUniform(col(idCol), salt) < col("__rate"))
       .drop("__tot", "__rate")
   }
+
+  /** Deterministic epoch shuffle + round-robin sharding — training-order
+    * assembly: `epoch_rank` = the row's position in the `md5(id:epoch)`
+    * order (range-partitioned sort + zipWithIndex, the dense-id path — no
+    * single-partition window at any scale), `shard` = rank mod
+    * `numShards` (balanced by construction, |shard sizes| differ by ≤1).
+    * Same (corpus, epoch) → same order on any cluster, any partitioning;
+    * bump `epoch` for a fresh order. Feed shards to
+    * [[graft.io.WebDataset.toWebDataset]] (or any sink) for reproducible
+    * training runs. */
+  def epochShuffle(docs: DataFrame, numShards: Int, epoch: Long = 0,
+      idCol: String = "doc_id"): DataFrame = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    val withU = docs.withColumn("__es_u",
+      md5(concat(col(idCol).cast("string"), lit(s":epoch$epoch"))))
+    graft.operators.Ids.denseIds(withU, Seq("__es_u", idCol), 0L, "epoch_rank")
+      .withColumn("shard", pmod(col("epoch_rank"), lit(numShards.toLong)))
+      .drop("__es_u")
+  }
 }

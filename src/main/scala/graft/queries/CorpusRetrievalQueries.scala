@@ -130,6 +130,21 @@ object CorpusRetrievalQueries extends graft.QueryModule {
         graft.llm.TextAnalysis.dominantScript(col("text")).as("dominant"))
     }),
 
+    // interpolated-bigram cross-entropy (q113's model one order up):
+    // model = the en slice's unigram + bigram tables, λ=0.75 (exactly
+    // representable, so 1−λ is the same double everywhere), scored = all
+    // docs per POSITION. Laplace arithmetic over exact counts → full
+    // oracle at round-6.
+    "q130_bigram_entropy" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val en = docs.filter(col("lang") === "en")
+      val uni = graft.llm.Corpus.unigramCounts(en)
+      val bi = graft.llm.Corpus.bigramCounts(en)
+      graft.llm.Corpus.crossEntropyBigram(docs, uni, bi, lambda = 0.75)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("cross_entropy"), 6).as("cross_entropy"))
+    }),
+
     // corpus data card over the dup-planted corpus (q107's 20 copies):
     // volumes, exact-dup mass, and corpus shares per (source, lang) —
     // every aggregate an exact integer, the share an int/int double
@@ -253,6 +268,49 @@ object CorpusRetrievalQueries extends graft.QueryModule {
 
     // nprobe = all cells makes IVFADC ≡ ADC, so the oracle is IDENTICAL
     "q124_ivfadc_topk" -> pqAdcSql,
+
+    // unigram CTEs as q113, plus the bigram table; positions via range();
+    // first token scores unigram-only (prev IS NULL)
+    "q130_bigram_entropy" ->
+      """WITH refw AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |  FROM documents WHERE lang = 'en'),
+        |refc AS (SELECT word, count(*) AS c FROM refw
+        |         WHERE length(word) > 0 GROUP BY word),
+        |refbsrc AS (
+        |  SELECT string_split_regex(lower(trim(text)), '\s+') AS ws
+        |  FROM documents WHERE lang = 'en'),
+        |refb AS (
+        |  SELECT ws[i-1] AS prev, ws[i] AS word, count(*) AS c
+        |  FROM (SELECT ws, unnest(range(2, len(ws) + 1)) AS i FROM refbsrc)
+        |  WHERE length(ws[i]) > 0 AND length(ws[i-1]) > 0
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT sum(c) AS t, count(*) AS v FROM refc),
+        |pos AS (
+        |  SELECT doc_id, ws[i] AS word,
+        |         CASE WHEN i > 1 THEN ws[i-1] END AS prev
+        |  FROM (SELECT doc_id,
+        |               string_split_regex(lower(trim(text)), '\s+') AS ws
+        |        FROM documents),
+        |       unnest(range(1, len(ws) + 1)) AS u(i)
+        |  ),
+        |flt AS (SELECT * FROM pos WHERE length(word) > 0),
+        |p AS (
+        |  SELECT f.doc_id,
+        |    CASE WHEN f.prev IS NULL
+        |      THEN CAST(coalesce(u.c + 1, 1) AS DOUBLE) / (t.t + t.v + 1)
+        |      ELSE 0.75 * (CAST(coalesce(b.c + 1, 1) AS DOUBLE)
+        |                   / (coalesce(pu.c, 0) + t.v + 1))
+        |           + (1 - 0.75) * (CAST(coalesce(u.c + 1, 1) AS DOUBLE)
+        |                           / (t.t + t.v + 1)) END AS prob
+        |  FROM flt f
+        |  LEFT JOIN refc u ON u.word = f.word
+        |  LEFT JOIN refc pu ON pu.word = f.prev
+        |  LEFT JOIN refb b ON b.prev = f.prev AND b.word = f.word
+        |  CROSS JOIN tot t)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       round(-sum(ln(prob)) / count(*), 6) AS cross_entropy
+        |FROM p GROUP BY doc_id""".stripMargin,
 
     "q127_script_mix" ->
       """WITH fab AS (

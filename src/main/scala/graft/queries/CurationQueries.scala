@@ -183,6 +183,14 @@ object CurationQueries extends graft.QueryModule {
         .withColumn("fp", md5(col("norm")))
     }),
 
+    // deterministic epoch shuffle + round-robin sharding: the md5 order,
+    // the dense rank (range-sort + zipWithIndex — partition-invariant by
+    // the sweep), and the mod-shard assignment are all exact
+    "q129_epoch_shuffle" -> ((s, d) => {
+      Sampling.epochShuffle(Tables.documents(s, d), numShards = 8, epoch = 1)
+        .select(col("doc_id"), col("epoch_rank"), col("shard"))
+    }),
+
     // END-TO-END web-curation pipeline COMPOSED from the individually
     // gated operators — C4 line cleaning (q115's fabrication) → Gopher
     // quality verdicts on the CLEANED text (thresholds tuned to the
@@ -604,6 +612,16 @@ object CurationQueries extends graft.QueryModule {
         |  lower(strip_accents(nfc_normalize(text))) AS norm,
         |  md5(lower(strip_accents(nfc_normalize(text)))) AS fp
         |FROM fab""".stripMargin,
+
+    "q129_epoch_shuffle" ->
+      """SELECT doc_id,
+        |  row_number() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':epoch1'), doc_id) - 1
+        |    AS epoch_rank,
+        |  (row_number() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':epoch1'), doc_id) - 1) % 8
+        |    AS shard
+        |FROM documents""".stripMargin,
 
     // q115's fabrication+clean (with source carried through), q120's
     // signal arithmetic on the CLEANED text, q116's rank — one statement

@@ -144,6 +144,44 @@ class CurationSpec extends SparkFunSuite {
     assert(keep)
   }
 
+  // ------------------------------------------- epoch shuffle & bigram CE
+
+  test("epochShuffle: dense ranks, balanced shards, epoch changes the order") {
+    val docs = (0L until 64L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val e1 = graft.llm.Sampling.epochShuffle(docs, numShards = 8, epoch = 1)
+    val ranks = e1.select("epoch_rank").collect().map(_.getLong(0)).sorted
+    assert(ranks.toSeq == (0L until 64L))
+    val shardSizes = e1.groupBy("shard").count().collect().map(_.getLong(1))
+    assert(shardSizes.forall(_ == 8))
+    val order1 = e1.orderBy("epoch_rank").collect().map(_.getLong(0)).toSeq
+    val order2 = graft.llm.Sampling.epochShuffle(docs, 8, epoch = 2)
+      .orderBy("epoch_rank").collect().map(_.getLong(0)).toSeq
+    assert(order1 != order2)         // fresh order per epoch
+    assert(order1.toSet == order2.toSet)
+    // deterministic: same epoch → same order
+    val again = graft.llm.Sampling.epochShuffle(docs, 8, epoch = 1)
+      .orderBy("epoch_rank").collect().map(_.getLong(0)).toSeq
+    assert(again == order1)
+  }
+
+  test("crossEntropyBigram: in-domain order beats shuffled order") {
+    val ref = Seq.tabulate(20)(i => (i.toLong, "the quick brown fox jumps"))
+      .toDF("doc_id", "text")
+    val uni = graft.llm.Corpus.unigramCounts(ref)
+    val bi = graft.llm.Corpus.bigramCounts(ref)
+    val probe = Seq(
+      (100L, "the quick brown fox jumps"), // model order
+      (101L, "fox the jumps quick brown")  // same words, broken bigrams
+    ).toDF("doc_id", "text")
+    val ce = graft.llm.Corpus.crossEntropyBigram(probe, uni, bi)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("cross_entropy")).toMap
+    assert(ce(100L) < ce(101L))
+    // unigram-only scoring (λ irrelevant for first token) sees them equal
+    val ceUni = graft.llm.Corpus.crossEntropy(probe, uni)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("cross_entropy")).toMap
+    assert(math.abs(ceUni(100L) - ceUni(101L)) < 1e-12)
+  }
+
   // ------------------------------------------------ scripts & data card
 
   test("scriptShares counts per-script chars; dominantScript breaks ties in order") {

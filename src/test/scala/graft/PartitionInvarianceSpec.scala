@@ -69,6 +69,8 @@ class PartitionInvarianceSpec extends SparkFunSuite {
     "q126_data_card",           // stratified manifest aggregates
     "q127_script_mix",          // unicode script counting (pure map)
     "q128_stream_bloom_dedup",  // bloom prefilter + static-verify (batch face)
+    "q129_epoch_shuffle",       // md5-order dense rank + round-robin shards
+    "q130_bigram_entropy",      // interpolated bigram LM scoring
     "q123_web_curation_e2e")    // composed clean -> quality -> cap chain
 
   test("gate outputs are invariant to the shuffle partition count") {
