@@ -136,7 +136,12 @@ object CorpusRetrievalQueries extends graft.QueryModule {
     // docs per POSITION. Laplace arithmetic over exact counts → full
     // oracle at round-6.
     "q130_bigram_entropy" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      // the documents parquet ships as ONE row group, so the five scans'
+      // position/gram explodes would each serialize onto a single task (a
+      // test-data layout artifact, same note as the Scale harness);
+      // spreading the scan is 4× here and result-invariant (swept)
+      val docs = Tables.documents(s, d).repartition(
+        s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
       val en = docs.filter(col("lang") === "en")
       val uni = graft.llm.Corpus.unigramCounts(en)
       val bi = graft.llm.Corpus.bigramCounts(en)
