@@ -92,6 +92,32 @@ object Sampling {
       .drop("__tot", "__rate")
   }
 
+  /** Deterministic class rebalancing to EXACTLY `targetPerLabel` rows per
+    * label: every row gets `target div n` copies, and the first
+    * `target mod n` rows of the label's md5 order get one more — so
+    * under-represented labels oversample (copy_idx marks the replicas)
+    * and over-represented ones keep their md5-top `target` rows. Exact by
+    * construction (Σ copies = target for every label), deterministic on
+    * any partitioning. Plan: a broadcast per-label count join + a window
+    * partitioned BY LABEL (never global) + a sequence explode bounded by
+    * the replication factor. */
+  def balanceLabels(df: DataFrame, labelCol: String, targetPerLabel: Long,
+      idCol: String = "vec_id", salt: String = ""): DataFrame = {
+    require(targetPerLabel > 0, s"targetPerLabel must be positive: $targetPerLabel")
+    val w = Window.partitionBy(col(labelCol))
+      .orderBy(md5(concat(col(idCol).cast("string"), lit(":" + salt))),
+        col(idCol))
+    val counts = df.groupBy(col(labelCol)).agg(count(lit(1)).as("__n"))
+    df.join(broadcast(counts), Seq(labelCol))
+      .withColumn("__rk", row_number().over(w).cast("long") - 1)
+      .withColumn("__copies",
+        expr(s"$targetPerLabel div __n") +
+          when(col("__rk") < lit(targetPerLabel) % col("__n"), 1L).otherwise(0L))
+      .filter(col("__copies") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__n", "__rk", "__copies")
+  }
+
   /** Deterministic epoch shuffle + round-robin sharding — training-order
     * assembly: `epoch_rank` = the row's position in the `md5(id:epoch)`
     * order (range-partitioned sort + zipWithIndex, the dense-id path — no

@@ -120,6 +120,32 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training (DPR/SimCSE-style data
+    * prep): for each anchor, the top-`k` most-cosine-similar corpus
+    * vectors whose label DIFFERS from the anchor's — the negatives that
+    * actually teach the margin, versus random negatives that are trivially
+    * separable. Brute-force face over a BROADCAST anchor set (the
+    * [[bruteForceTopK]] contract); at corpus scale pre-restrict candidates
+    * with [[lshTopK]] buckets or [[Ivf]] cells and re-rank here. */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int,
+      labelCol: String = "label", vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val a = broadcast(anchors.select(col(idCol).as("anchor_id"),
+      col(labelCol).as("anchor_label"), col(vecCol).as("av")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("neighbor_label"), col(vecCol).as("cv"))
+    val cos = graft.functions.GraftFunctions.cosine(
+      corpus.sparkSession, col("av"), col("cv"))
+    val scored = c.crossJoin(a)
+      .filter(col("neighbor_label") =!= col("anchor_label"))
+      .select(col("anchor_id"), col("neighbor_id"), col("neighbor_label"),
+        cos.as("cosine"))
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(desc("cosine"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Approximate top-k: queries only score corpus rows sharing their LSH
     * bucket (equality join on the signature). Recall grows with fewer
     * planes / more probes; this is the 1000-executor-scale path where the

@@ -130,6 +130,22 @@ object CorpusRetrievalQueries extends graft.QueryModule {
         graft.llm.TextAnalysis.dominantScript(col("text")).as("dominant"))
     }),
 
+    // hard-negative mining: 5 anchors, top-10 most-similar DIFFERENT-label
+    // vectors each; q32's rank-on-rounded-cosine convention
+    "q131_hard_negatives" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      val anchors = embs.filter(col("vec_id") < 5)
+      val scored = graft.llm.Similarity
+        .hardNegatives(embs, anchors, k = Int.MaxValue)
+        .withColumn("cosine", round(col("cosine"), 4))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("anchor_id").orderBy(desc("cosine"), col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+        .select(col("anchor_id"), col("neighbor_id"),
+          col("neighbor_label").cast("long").as("neighbor_label"),
+          col("cosine"), col("rank").cast("long").as("rank"))
+    }),
+
     // interpolated-bigram cross-entropy (q113's model one order up):
     // model = the en slice's unigram + bigram tables, λ=0.75 (exactly
     // representable, so 1−λ is the same double everywhere), scored = all
@@ -273,6 +289,26 @@ object CorpusRetrievalQueries extends graft.QueryModule {
 
     // nprobe = all cells makes IVFADC ≡ ADC, so the oracle is IDENTICAL
     "q124_ivfadc_topk" -> pqAdcSql,
+
+    "q131_hard_negatives" ->
+      """WITH a AS (SELECT vec_id AS anchor_id, label AS al,
+        |                  CAST(embedding AS DOUBLE[]) AS av
+        |           FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT a.anchor_id, e.vec_id AS neighbor_id, e.label AS nl,
+        |         list_cosine_similarity(a.av, CAST(e.embedding AS DOUBLE[]))
+        |           AS cos
+        |  FROM embeddings e CROSS JOIN a WHERE e.label <> a.al),
+        |r AS (SELECT anchor_id, neighbor_id,
+        |             CAST(nl AS BIGINT) AS neighbor_label,
+        |             round(cos, 4) AS cosine,
+        |             row_number() OVER (PARTITION BY anchor_id
+        |                                ORDER BY round(cos, 4) DESC,
+        |                                         neighbor_id) AS rank
+        |      FROM scored)
+        |SELECT anchor_id, neighbor_id, neighbor_label, cosine,
+        |       CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 10""".stripMargin,
 
     // unigram CTEs as q113, plus the bigram table; positions via range();
     // first token scores unigram-only (prev IS NULL)

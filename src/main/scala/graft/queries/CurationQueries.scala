@@ -183,6 +183,17 @@ object CurationQueries extends graft.QueryModule {
         .withColumn("fp", md5(col("norm")))
     }),
 
+    // exact deterministic class rebalancing: every label stratum lands on
+    // EXACTLY 50 rows (labels run 44..59 at gate scale, so both over- and
+    // under-sampling fire); copies + md5-rank arithmetic replicated in SQL
+    "q132_balance_labels" -> ((s, d) => {
+      Sampling.balanceLabels(
+        Tables.embeddings(s, d).select(col("vec_id"), col("label")),
+        "label", targetPerLabel = 50, salt = "bal")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("copy_idx"))
+    }),
+
     // deterministic epoch shuffle + round-robin sharding: the md5 order,
     // the dense rank (range-sort + zipWithIndex — partition-invariant by
     // the sweep), and the mod-shard assignment are all exact
@@ -200,7 +211,15 @@ object CurationQueries extends graft.QueryModule {
     // with the next, rules reading pre-clean text, the cap ranking on a
     // stale count). ONE DuckDB oracle replays the whole chain.
     "q123_web_curation_e2e" -> ((s, d) => {
-      val cleaned = Curation.c4Clean(c4ified(s, d))
+      // materialization barrier between the stages: the cleaned text is an
+      // expensive higher-order-lambda expression, and lambdas evaluate
+      // INTERPRETED (no codegen subexpression elimination) — without the
+      // barrier every downstream Gopher signal re-runs the whole cleaning
+      // chain per row (~10× amplification, measured 5.8 s → ~1 s).
+      // localCheckpoint severs the lineage the optimizer would otherwise
+      // inline through (a plain repartition doesn't: filters push through
+      // exchanges and re-fuse).
+      val cleaned = Curation.c4Clean(c4ified(s, d)).localCheckpoint()
       val quality = cleaned.filter(TextAnalysis.gopherRules(col("text"),
         minWords = 30, minStopHits = 1).getField("keep"))
       val withUrl = quality.withColumn("url",
@@ -250,7 +269,12 @@ object CurationQueries extends graft.QueryModule {
     * transform — the same arithmetic the oracle replays with
     * list_transform over range(). */
   private def c4ified(s: SparkSession, d: String): DataFrame = {
-    val prep = Tables.documents(s, d).select(col("doc_id"), col("source"),
+    // spread the single-row-group documents scan: the fabrication's regexp
+    // + index transform and the downstream line/signal lambdas otherwise
+    // serialize onto ONE task (test-data layout artifact; q130's note)
+    val docs = Tables.documents(s, d)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val prep = docs.select(col("doc_id"), col("source"),
       regexp_replace(col("text"), "((\\S+ ){9}\\S+) ", "$1\n").as("text"))
     prep.withColumn("text",
         array_join(
@@ -612,6 +636,21 @@ object CurationQueries extends graft.QueryModule {
         |  lower(strip_accents(nfc_normalize(text))) AS norm,
         |  md5(lower(strip_accents(nfc_normalize(text)))) AS fp
         |FROM fab""".stripMargin,
+
+    "q132_balance_labels" ->
+      """WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+        |r AS (SELECT e.vec_id, e.label, c.n,
+        |        row_number() OVER (
+        |          PARTITION BY e.label
+        |          ORDER BY md5(CAST(e.vec_id AS VARCHAR) || ':bal'),
+        |                   e.vec_id) - 1 AS rk
+        |      FROM embeddings e JOIN c USING (label)),
+        |k AS (SELECT vec_id, label,
+        |        (50 // n) + (CASE WHEN rk < 50 % n THEN 1 ELSE 0 END) AS copies
+        |      FROM r)
+        |SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |       unnest(range(0, copies)) AS copy_idx
+        |FROM k WHERE copies > 0""".stripMargin,
 
     "q129_epoch_shuffle" ->
       """SELECT doc_id,

@@ -144,6 +144,44 @@ class CurationSpec extends SparkFunSuite {
     assert(keep)
   }
 
+  // ------------------------------------------------ training-prep ops
+
+  test("hardNegatives returns only different-label rows, hardest first") {
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),
+      (1L, Seq(0.99f, 0.1f), 0),   // same label — must never appear
+      (2L, Seq(0.9f, 0.4f), 1),    // hard negative (close)
+      (3L, Seq(0.0f, 1.0f), 1),    // easy negative (orthogonal)
+      (4L, Seq(0.7f, 0.7f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.llm.Similarity.hardNegatives(
+      corpus, corpus.filter(col("vec_id") === 0), k = 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(2L, 4L))
+    assert(out.forall(_.getAs[Int]("neighbor_label") != 0))
+  }
+
+  test("balanceLabels hits the target exactly, up and down") {
+    val df = (0L until 30L).map(i => (i, if (i < 24) "big" else "small"))
+      .toDF("vec_id", "label")
+    val out = graft.llm.Sampling.balanceLabels(df, "label",
+      targetPerLabel = 12, idCol = "vec_id")
+    val byLabel = out.groupBy("label").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel == Map("big" -> 12L, "small" -> 12L))
+    // downsampled label: distinct rows, no copies
+    assert(out.filter(col("label") === "big")
+      .select("vec_id").distinct().count() == 12)
+    assert(out.filter(col("label") === "big" && col("copy_idx") > 0).count() == 0)
+    // upsampled label: all 6 originals present, each 2 copies
+    val small = out.filter(col("label") === "small")
+    assert(small.select("vec_id").distinct().count() == 6)
+    assert(small.groupBy("vec_id").count().collect().forall(_.getLong(1) == 2))
+    // deterministic
+    val again = graft.llm.Sampling.balanceLabels(df, "label", 12, idCol = "vec_id")
+    assert(collectSorted(again) == collectSorted(out))
+  }
+
   // ------------------------------------------- epoch shuffle & bigram CE
 
   test("epochShuffle: dense ranks, balanced shards, epoch changes the order") {

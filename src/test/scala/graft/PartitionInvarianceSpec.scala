@@ -71,6 +71,8 @@ class PartitionInvarianceSpec extends SparkFunSuite {
     "q128_stream_bloom_dedup",  // bloom prefilter + static-verify (batch face)
     "q129_epoch_shuffle",       // md5-order dense rank + round-robin shards
     "q130_bigram_entropy",      // interpolated bigram LM scoring
+    "q131_hard_negatives",      // cross-label cosine ranking
+    "q132_balance_labels",      // exact per-label resampling
     "q123_web_curation_e2e")    // composed clean -> quality -> cap chain
 
   test("gate outputs are invariant to the shuffle partition count") {
