@@ -107,6 +107,8 @@ object GraftFunctions {
   val WordShinglesName = "graft_word_shingles"
   val BloomName = "graft_bloom_contains"
   val NormalizeTextName = "graft_normalize_text"
+  val C4CleanName = "graft_c4_clean"
+  val GopherName = "graft_gopher_signals"
 
   /** Idempotent per-session registration into the function registry (also
     * makes the functions available to `spark.sql`). */
@@ -153,6 +155,18 @@ object GraftFunctions {
         exprs => NormalizeText(exprs(0), boolLit(NormalizeTextName, exprs(1)),
           boolLit(NormalizeTextName, exprs(2))),
         "built-in")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(C4CleanName)))
+      reg.createOrReplaceTempFunction(
+        C4CleanName,
+        exprs => C4CleanExpr(exprs(0), intLit(C4CleanName, exprs(1)),
+          strArrLit(C4CleanName, exprs(2)), strArrLit(C4CleanName, exprs(3)),
+          strArrLit(C4CleanName, exprs(4))),
+        "built-in")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(GopherName)))
+      reg.createOrReplaceTempFunction(
+        GopherName,
+        exprs => GopherSignalsExpr(exprs(0), strArrLit(GopherName, exprs(1))),
+        "built-in")
   }
 
   private def intLit(fn: String, e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
@@ -177,6 +191,16 @@ object GraftFunctions {
         v.asInstanceOf[Array[Byte]]
       case other => throw new IllegalArgumentException(
         s"$fn: parameter must be a non-null binary literal, got $other")
+    }
+
+  private def strArrLit(fn: String, e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[String] =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(
+          a: org.apache.spark.sql.catalyst.util.ArrayData, ArrayType(StringType, _)) =>
+        a.toArray[org.apache.spark.unsafe.types.UTF8String](StringType)
+          .map(s => if (s == null) null else s.toString).toSeq
+      case other => throw new IllegalArgumentException(
+        s"$fn: parameter must be an array<string> literal, got $other")
     }
 
   /** Fused cosine as a Column; the session must be registered first
@@ -245,6 +269,26 @@ object GraftFunctions {
     ensureRegistered(spark)
     org.apache.spark.sql.functions.call_function(BloomName, value,
       org.apache.spark.sql.functions.lit(filter))
+  }
+
+  /** Fused C4 line cleaning — struct(text, n_lines, n_kept, doc_bad) in
+    * one kernel call per row (see
+    * [[graft.functions.CurationKernels]]). */
+  def c4CleanStruct(spark: SparkSession, text: Column, minWordsPerLine: Int,
+      terminalPunct: Seq[String], badLineWords: Seq[String],
+      dropDocPhrases: Seq[String]): Column = {
+    ensureRegistered(spark)
+    import org.apache.spark.sql.functions.{call_function, lit, typedlit}
+    call_function(C4CleanName, text, lit(minWordsPerLine),
+      typedlit(terminalPunct), typedlit(badLineWords), typedlit(dropDocPhrases))
+  }
+
+  /** Fused Gopher quality signals — one kernel call per row. */
+  def gopherSignalsStruct(spark: SparkSession, text: Column,
+      stopWords: Seq[String]): Column = {
+    ensureRegistered(spark)
+    import org.apache.spark.sql.functions.{call_function, typedlit}
+    call_function(GopherName, text, typedlit(stopWords))
   }
 
   /** Unicode canonicalization (NFC → optional accent strip → optional

@@ -43,6 +43,30 @@ object Curation {
       badLineWords: Seq[String] = Seq("javascript"),
       dropDocPhrases: Seq[String] = Seq("lorem ipsum", "{")): DataFrame = {
     require(terminalPunct.nonEmpty, "need at least one terminal punctuation")
+    val c4 = graft.functions.GraftFunctions.c4CleanStruct(docs.sparkSession,
+      col(textCol), minWordsPerLine, terminalPunct, badLineWords,
+      dropDocPhrases)
+    docs
+      .withColumn("__c4", c4)
+      .withColumn("n_lines", col("__c4").getField("n_lines").cast("long"))
+      .withColumn("n_kept", col("__c4").getField("n_kept").cast("long"))
+      .filter(!col("__c4").getField("doc_bad") &&
+        col("n_kept") >= minKeptLines)
+      .withColumn(textCol, col("__c4").getField("text"))
+      .drop("__c4")
+  }
+
+  /** The declarative (array-lambda) formulation of [[c4Clean]] — kept as
+    * the parity reference for the fused kernel (CurationSpec asserts the
+    * two produce identical frames over the gate corpus). Lambdas evaluate
+    * interpreted, so this face is ~10× slower when composed downstream —
+    * use [[c4Clean]]. */
+  private[graft] def c4CleanLambda(docs: DataFrame, textCol: String = "text",
+      minWordsPerLine: Int = 5, minKeptLines: Int = 3,
+      terminalPunct: Seq[String] = Seq(".", "!", "?", "\""),
+      badLineWords: Seq[String] = Seq("javascript"),
+      dropDocPhrases: Seq[String] = Seq("lorem ipsum", "{")): DataFrame = {
+    require(terminalPunct.nonEmpty, "need at least one terminal punctuation")
     val lines = split(col(textCol), "\n")
     val keepLine: Column => Column = l => {
       val t = trim(l)

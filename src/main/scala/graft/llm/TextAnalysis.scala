@@ -120,7 +120,14 @@ object TextAnalysis {
     * Every signal is a ratio of integer counts over one tokenization
     * (lowercased whitespace words), so the struct reproduces bit-for-bit
     * cross-engine. One codegen map, no explode, no shuffle. */
-  def gopherSignals(text: Column): Column = {
+  def gopherSignals(text: Column): Column =
+    graft.functions.GraftFunctions.gopherSignalsStruct(
+      org.apache.spark.sql.SparkSession.active, text, gopherStopWords)
+
+  /** The declarative (array-lambda) formulation of [[gopherSignals]] —
+    * parity reference for the fused kernel (interpreted lambdas re-run per
+    * downstream field reference; the fused struct codegens and CSEs). */
+  private[graft] def gopherSignalsLambda(text: Column): Column = {
     val t = trim(text)
     val words = split(lower(t), "\\s+")
     val n = when(t === "", 0).otherwise(size(words))

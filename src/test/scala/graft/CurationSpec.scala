@@ -144,6 +144,44 @@ class CurationSpec extends SparkFunSuite {
     assert(keep)
   }
 
+  // --------------------------------------- fused-kernel parity (vs lambda)
+
+  test("fused C4 kernel is bit-identical to the lambda formulation") {
+    // the real corpus + fabricated structure + edge strings
+    val base = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), regexp_replace(col("text"),
+        "((\\S+ ){9}\\S+) ", "$1.\n").as("text"))
+    val edges = Seq(
+      (9000001L, ""), (9000002L, "   "), (9000003L, "\n\n\n"),
+      (9000004L, "ends with dot but few.\nlots of words make this line survive."),
+      (9000005L, "JavaScript MiXeD CaSe line with many words here.\nok line with five words."),
+      (9000006L, "trailing newline line with five words.\n"),
+      (9000007L, "Ünïcödé wörds with five tokens here.")
+    ).toDF("doc_id", "text")
+    val docs = base.unionByName(edges)
+    val a = collectSorted(graft.llm.Curation.c4Clean(docs, minKeptLines = 1))
+    val b = collectSorted(graft.llm.Curation.c4CleanLambda(docs, minKeptLines = 1))
+    assert(a == b)
+  }
+
+  test("fused Gopher kernel is bit-identical to the lambda formulation") {
+    val base = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), regexp_replace(col("text"),
+        "((\\S+ ){9}\\S+) ", "$1\n").as("text"))
+    val edges = Seq(
+      (9000001L, ""), (9000002L, "• bullet\n- dash bullet\nplain"),
+      (9000003L, "dots...everywhere....and….more…"),
+      (9000004L, "# ## ### #s and 123 456"),
+      (9000005L, "the be to of and that have with all stops")
+    ).toDF("doc_id", "text")
+    val docs = base.unionByName(edges)
+    def run(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      collectSorted(docs.select(col("doc_id"), f(col("text")).as("s"))
+        .select(col("doc_id"), col("s.*")))
+    assert(run(graft.llm.TextAnalysis.gopherSignals)
+      == run(graft.llm.TextAnalysis.gopherSignalsLambda))
+  }
+
   // ------------------------------------------------ training-prep ops
 
   test("hardNegatives returns only different-label rows, hardest first") {
