@@ -556,10 +556,22 @@ object Dedup {
       idCol: String = "doc_id", maxDist: Int = 3,
       maxBucketSize: Int = 256,
       storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
-    // persisted: read by the banding pass and BOTH verify joins (the old
-    // self-join shape recomputed the simhash aggregation for each side);
-    // cleanup is caller-owned, as with the other dedup pipelines
-    val base = simHashes(docs, textCol, idCol).persist(storage)
+    hammingNearDups(simHashes(docs, textCol, idCol), maxDist,
+      maxBucketSize, storage)
+  }
+
+  /** Near-dup pairs for ANY 64-bit signature frame `(id, sig)` with
+    * hamming ≤ `maxDist` — the engine behind [[simHashNearDups]] and the
+    * perceptual-hash image dedup
+    * ([[graft.llm.Multimodal.imageNearDups]]): 4×16-bit band blocking
+    * (pigeonhole-exact for maxDist ≤ 3 under the occupancy cap), the
+    * shared guard + star repair, exact hamming verify. The base persists
+    * internally — read by the banding pass and BOTH verify joins — and
+    * cleanup is caller-owned, as with the other dedup pipelines. */
+  def hammingNearDups(sigs: DataFrame, maxDist: Int = 3,
+      maxBucketSize: Int = 256,
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val base = sigs.select(col("id"), col("sig")).persist(storage)
     val pairs =
       guardedBandPairs(simHashBanded(base), maxBucketSize, refineBits = 16,
         storage, broadcastOcc = true)

@@ -141,6 +141,78 @@ object Multimodal {
   /** Result of a REAL audio header decode (JDK `javax.sound.sampled`,
     * WAV/AIFF/AU built in): container format, PCM shape, frame count and
     * integer-exact duration. */
+  case class ImageHash(media_id: Long, decode_ok: Boolean, dhash: Long,
+      dhash_bits: String)
+
+  /** dHash (difference hash) kernel — the classic perceptual image
+    * fingerprint: sample a 9×8 grayscale grid (nearest-pixel sampling,
+    * `gx = x·w/9`, `gy = y·h/8` in integer math — deterministic, no
+    * resampling filter to disagree about), set bit `y·8+x` iff
+    * `g(x+1,y) > g(x,y)`. Gray images use the raster sample directly;
+    * RGB uses the integer luma `(299r + 587g + 114b)/1000`. Near-identical
+    * images (recompression, small edits) land within a few bits; the
+    * 64-char bit string rides along for oracle-friendly comparison.
+    * Fail-closed: undecodable payloads yield decode_ok=false. */
+  def dHashKernel(id: Long, payload: Array[Byte]): ImageHash = {
+    val img =
+      if (payload == null || payload.length == 0) null
+      else
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: Exception => null }
+    if (img == null) ImageHash(id, decode_ok = false, 0L, "")
+    else {
+      val raster = img.getRaster
+      val w = img.getWidth; val h = img.getHeight
+      val bands = raster.getNumBands
+      def gray(px: Int, py: Int): Int =
+        if (bands >= 3)
+          (299 * raster.getSample(px, py, 0) + 587 * raster.getSample(px, py, 1)
+            + 114 * raster.getSample(px, py, 2)) / 1000
+        else raster.getSample(px, py, 0)
+      val g = Array.tabulate(8, 9)((y, x) => gray(x * w / 9, y * h / 8))
+      var hash = 0L
+      val bits = new StringBuilder(64)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val bit = g(y)(x + 1) > g(y)(x)
+          if (bit) hash |= 1L << (y * 8 + x)
+          bits.append(if (bit) '1' else '0')
+          x += 1
+        }
+        y += 1
+      }
+      ImageHash(id, decode_ok = true, hash, bits.toString)
+    }
+  }
+
+  /** Distributed dHash over (media_id, payload) rows — same partitioning
+    * and codec-cache contract as [[decodeImages]]. */
+  def imageHashes(media: DataFrame, partitions: Int = 0): Dataset[ImageHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val src = if (partitions > 0) media.repartition(partitions, col("media_id")) else media
+    src.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, payload) => dHashKernel(id, payload) }
+      }
+  }
+
+  /** Perceptual-hash image near-dup pairs: decode → dHash → the shared
+    * 64-bit hamming banding pipeline ([[graft.llm.Dedup.hammingNearDups]]
+    * — 4×16-bit bands, occupancy guard, exact verify). Pigeonhole-exact
+    * recall for `maxHamming ≤ 3` under the bucket cap; undecodable
+    * payloads are dropped (they have no visual content to match). */
+  def imageNearDups(media: DataFrame, maxHamming: Int = 3,
+      maxBucketSize: Int = 256): DataFrame =
+    graft.llm.Dedup.hammingNearDups(
+      imageHashes(media).toDF().filter(col("decode_ok"))
+        .select(col("media_id").as("id"), col("dhash").as("sig")),
+      maxHamming, maxBucketSize)
+
   case class DecodedAudio(media_id: Long, n_bytes: Int, format: String,
       decode_ok: Boolean, sample_rate: Int, channels: Int, bits: Int,
       n_frames: Long, duration_ms: Long)

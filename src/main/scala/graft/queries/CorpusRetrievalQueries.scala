@@ -130,6 +130,33 @@ object CorpusRetrievalQueries extends graft.QueryModule {
         graft.llm.TextAnalysis.dominantScript(col("text")).as("dominant"))
     }),
 
+    // perceptual-hash image dedup over REAL decoded PNGs: 60 driver-encoded
+    // 9×8 grayscale fixtures with pixel(x,y) = ((key·31 + y·9 + x)·37 +
+    // key) % 256, key = id % 20 — three ids per key share pixels, so their
+    // dHashes collide at hamming 0. The 9×8 size makes the sampling grid
+    // the identity and PNG is lossless, so the ORACLE computes the same 64
+    // comparison bits straight from the pixel formula — the decode, the
+    // hash kernel, and the banding pipeline all have to agree with pure
+    // arithmetic for the pair set to match.
+    "q133_image_phash_dedup" -> ((s, d) => {
+      import s.implicits._
+      def grayPng(key: Long): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(9, 8,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val r = img.getRaster
+        for (y <- 0 until 8; x <- 0 until 9)
+          r.setSample(x, y, 0, (((key * 31 + y * 9 + x) * 37 + key) % 256).toInt)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+      val media = (0L until 60L).map(id => (id, grayPng(id % 20)))
+        .toDF("media_id", "payload")
+      graft.llm.Multimodal.imageNearDups(media, maxHamming = 0)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))
+    }),
+
     // hard-negative mining: 5 anchors, top-10 most-similar DIFFERENT-label
     // vectors each; q32's rank-on-rounded-cosine convention
     "q131_hard_negatives" -> ((s, d) => {
@@ -289,6 +316,21 @@ object CorpusRetrievalQueries extends graft.QueryModule {
 
     // nprobe = all cells makes IVFADC ≡ ADC, so the oracle is IDENTICAL
     "q124_ivfadc_topk" -> pqAdcSql,
+
+    // bit b: y = b//8, x = b%8; compare p(x+1,y) > p(x,y) from the planted
+    // pixel formula — no image anywhere in the oracle
+    "q133_image_phash_dedup" ->
+      """WITH ids AS (SELECT unnest(range(0, 60)) AS id),
+        |k AS (SELECT id, id % 20 AS key FROM ids),
+        |bits AS (
+        |  SELECT id,
+        |    array_to_string(list_transform(range(0, 64), b ->
+        |      CASE WHEN ((key*31 + (b // 8)*9 + ((b % 8) + 1))*37 + key) % 256
+        |              > ((key*31 + (b // 8)*9 + (b % 8))*37 + key) % 256
+        |           THEN '1' ELSE '0' END), '') AS h
+        |  FROM k)
+        |SELECT a.id AS id_a, b.id AS id_b, CAST(0 AS BIGINT) AS hamming
+        |FROM bits a JOIN bits b ON a.id < b.id AND a.h = b.h""".stripMargin,
 
     "q131_hard_negatives" ->
       """WITH a AS (SELECT vec_id AS anchor_id, label AS al,
