@@ -253,6 +253,82 @@ object Multimodal {
     }
   }
 
+  case class AudioHash(media_id: Long, decode_ok: Boolean, ahash: Long,
+      ahash_bits: String)
+
+  /** Audio envelope hash — the audio face of the dHash idea: decode the
+    * PCM sample stream (javax.sound.sampled — REAL decode, not a header
+    * parse), split channel 0 into 65 equal windows, sum |sample| per
+    * window as EXACT integer energy, set bit `w` iff
+    * `energy(w+1) > energy(w)`. Loudness-scale-invariant-ish (the envelope
+    * SHAPE is what's hashed) and integer-exact, so a lossless-PCM fixture
+    * reproduces the bits from its sample formula in an external oracle.
+    * 16-bit PCM only (the lossless interchange format); anything else
+    * fails closed. */
+  def audioHashKernel(id: Long, payload: Array[Byte]): AudioHash = {
+    if (payload == null || payload.length == 0)
+      return AudioHash(id, decode_ok = false, 0L, "")
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val f = ais.getFormat
+      if (f.getSampleSizeInBits != 16 ||
+        f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        return AudioHash(id, decode_ok = false, 0L, "")
+      val bytes = ais.readAllBytes()
+      val frame = f.getFrameSize // bytes per frame (all channels)
+      val n = bytes.length / frame
+      if (n < 65) return AudioHash(id, decode_ok = false, 0L, "")
+      def sample(i: Int): Int = {
+        val off = i * frame // channel 0 = first 2 bytes of the frame
+        if (f.isBigEndian) (bytes(off) << 8) | (bytes(off + 1) & 0xFF)
+        else (bytes(off + 1) << 8) | (bytes(off) & 0xFF)
+      }
+      val energy = new Array[Long](65)
+      var w = 0
+      while (w < 65) {
+        var i = w * n / 65
+        val end = (w + 1) * n / 65
+        var e = 0L
+        while (i < end) { e += math.abs(sample(i)); i += 1 }
+        energy(w) = e
+        w += 1
+      }
+      var hash = 0L
+      val bits = new StringBuilder(64)
+      var b = 0
+      while (b < 64) {
+        val bit = energy(b + 1) > energy(b)
+        if (bit) hash |= 1L << b
+        bits.append(if (bit) '1' else '0')
+        b += 1
+      }
+      AudioHash(id, decode_ok = true, hash, bits.toString)
+    } catch {
+      case _: Exception => AudioHash(id, decode_ok = false, 0L, "")
+    }
+  }
+
+  /** Distributed audio-envelope hashing — same contract as
+    * [[imageHashes]]. */
+  def audioHashes(media: DataFrame, partitions: Int = 0): Dataset[AudioHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val src = if (partitions > 0) media.repartition(partitions, col("media_id")) else media
+    src.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => audioHashKernel(id, payload) })
+  }
+
+  /** Audio near-dup pairs: envelope hash → the shared 64-bit hamming
+    * banding ([[graft.llm.Dedup.hammingNearDups]]). */
+  def audioNearDups(media: DataFrame, maxHamming: Int = 3,
+      maxBucketSize: Int = 256): DataFrame =
+    graft.llm.Dedup.hammingNearDups(
+      audioHashes(media).toDF().filter(col("decode_ok"))
+        .select(col("media_id").as("id"), col("ahash").as("sig")),
+      maxHamming, maxBucketSize)
+
   /** Distributed REAL audio decode over (media_id, payload) rows — same
     * partitioning contract as [[decodeImages]]. */
   def decodeAudio(media: DataFrame, partitions: Int = 0): Dataset[DecodedAudio] = {

@@ -157,6 +157,37 @@ object CorpusRetrievalQueries extends graft.QueryModule {
           col("hamming").cast("long").as("hamming"))
     }),
 
+    // audio-envelope dedup over REAL PCM decode: 45 driver-encoded WAVs
+    // (650 samples, 16-bit mono), sample(i) = ((key·7 + i·13) % 401) − 200
+    // with key = id % 15 — three ids per key share samples → envelope
+    // hashes collide at hamming 0. PCM is lossless and the window energies
+    // are exact integer sums, so the oracle recomputes the 64 comparison
+    // bits from the sample formula.
+    "q134_audio_dedup" -> ((s, d) => {
+      import s.implicits._
+      def wav(key: Long): Array[Byte] = {
+        val n = 650
+        val pcm = new Array[Byte](n * 2)
+        for (i <- 0 until n) {
+          val v = (((key * 7 + i * 13) % 401) - 200).toInt
+          pcm(2 * i) = (v & 0xFF).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        bos.toByteArray
+      }
+      val media = (0L until 45L).map(id => (id, wav(id % 15)))
+        .toDF("media_id", "payload")
+      graft.llm.Multimodal.audioNearDups(media, maxHamming = 0)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))
+    }),
+
     // hard-negative mining: 5 anchors, top-10 most-similar DIFFERENT-label
     // vectors each; q32's rank-on-rounded-cosine convention
     "q131_hard_negatives" -> ((s, d) => {
@@ -316,6 +347,25 @@ object CorpusRetrievalQueries extends graft.QueryModule {
 
     // nprobe = all cells makes IVFADC ≡ ADC, so the oracle is IDENTICAL
     "q124_ivfadc_topk" -> pqAdcSql,
+
+    // window energies as integer sums over the sample formula; bit w
+    // compares window w+1 vs w
+    "q134_audio_dedup" ->
+      """WITH ids AS (SELECT unnest(range(0, 45)) AS id),
+        |k AS (SELECT id, id % 15 AS key FROM ids),
+        |en AS (
+        |  SELECT id, tw.w AS w,
+        |    sum(abs(((key*7 + (tw.w*10 + tj.j)*13) % 401) - 200)) AS e
+        |  FROM k, unnest(range(0, 65)) AS tw(w), unnest(range(0, 10)) AS tj(j)
+        |  GROUP BY id, tw.w),
+        |bits AS (
+        |  SELECT a.id,
+        |    array_to_string(list(CASE WHEN b.e > a.e THEN '1' ELSE '0' END
+        |                         ORDER BY a.w), '') AS h
+        |  FROM en a JOIN en b ON b.id = a.id AND b.w = a.w + 1
+        |  WHERE a.w < 64 GROUP BY a.id)
+        |SELECT x.id AS id_a, y.id AS id_b, CAST(0 AS BIGINT) AS hamming
+        |FROM bits x JOIN bits y ON x.id < y.id AND x.h = y.h""".stripMargin,
 
     // bit b: y = b//8, x = b%8; compare p(x+1,y) > p(x,y) from the planted
     // pixel formula — no image anywhere in the oracle

@@ -46,6 +46,46 @@ class ImageHashSpec extends SparkFunSuite {
     assert(Multimodal.dHashKernel(4L, null).decode_ok == false)
   }
 
+  private def wav(samples: Array[Int]): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audio envelope hash: shape-sensitive, amplitude-invariant, fail-closed") {
+    val rising = Array.tabulate(650)(i => i / 4)          // growing envelope
+    val a = Multimodal.audioHashKernel(0L, wav(rising))
+    assert(a.decode_ok && a.ahash_bits.count(_ == '1') == 64)
+    val doubled = Multimodal.audioHashKernel(1L, wav(rising.map(_ * 2)))
+    assert(doubled.ahash == a.ahash) // scale-invariant comparisons
+    val flat = Multimodal.audioHashKernel(2L, wav(Array.fill(650)(100)))
+    assert(flat.ahash == 0L)
+    val falling = Multimodal.audioHashKernel(3L, wav(rising.reverse))
+    assert(falling.ahash != a.ahash)
+    assert(!Multimodal.audioHashKernel(4L, "garbage".getBytes).decode_ok)
+    assert(!Multimodal.audioHashKernel(5L, wav(Array.fill(10)(5))).decode_ok) // <65 samples
+  }
+
+  test("audioNearDups pairs identical envelopes only") {
+    val rising = Array.tabulate(650)(i => i / 4)
+    val media = Seq(
+      (0L, wav(rising)), (1L, wav(rising)),
+      (2L, wav(rising.reverse)), (3L, Array[Byte](9, 9))
+    ).toDF("media_id", "payload")
+    val pairs = Multimodal.audioNearDups(media, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
   test("imageNearDups finds planted dups and drops undecodables") {
     val media = Seq(
       (0L, gradient(90, 80)),

@@ -74,6 +74,7 @@ class PartitionInvarianceSpec extends SparkFunSuite {
     "q131_hard_negatives",      // cross-label cosine ranking
     "q132_balance_labels",      // exact per-label resampling
     "q133_image_phash_dedup",   // decode -> dHash -> hamming banding
+    "q134_audio_dedup",         // PCM decode -> envelope hash -> banding
     "q123_web_curation_e2e")    // composed clean -> quality -> cap chain
 
   test("gate outputs are invariant to the shuffle partition count") {
