@@ -57,6 +57,24 @@ class WebDatasetSpec extends SparkFunSuite {
     assert(n == 8) // 4 samples x (.txt + .json)
   }
 
+  test("reader fails closed on truncated and garbled shards") {
+    val dir = java.nio.file.Files.createTempDirectory("wds4").toString
+    WebDataset.toWebDataset(docs(), dir, numShards = 1)
+    val tar = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".tar")).head
+    val bytes = java.nio.file.Files.readAllBytes(tar.toPath)
+    // truncate mid-member: the samples before the cut still come back
+    val cutDir = java.nio.file.Files.createTempDirectory("wds5").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(cutDir, "shard-00000.tar"),
+      bytes.take(bytes.length / 2))
+    val partial = WebDataset.fromWebDataset(spark, cutDir).count()
+    assert(partial >= 0 && partial < 4) // no throw, strictly fewer samples
+    // pure garbage shard → zero rows, no exception
+    val badDir = java.nio.file.Files.createTempDirectory("wds6").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(badDir, "shard-00000.tar"),
+      Array.fill[Byte](2048)(0x5a))
+    assert(WebDataset.fromWebDataset(spark, badDir).count() == 0)
+  }
+
   test("shard bytes are deterministic: same input, same md5") {
     def writeAndHash(): Seq[String] = {
       val dir = java.nio.file.Files.createTempDirectory("wds3").toString
