@@ -1196,7 +1196,13 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val spark = batch.sparkSession
     val fp = TextAnalysis.fingerprint(col(textCol))
-    val might = graft.functions.GraftFunctions.bloomContains(spark, fp, bloom)
+    // null text → null fingerprint → null probe; a null key can't equal
+    // any reference fingerprint, so those rows are KEPT (matching the
+    // plain anti-join semantics, where a null join key never matches) —
+    // without the coalesce both filter branches would silently drop them
+    val might = coalesce(
+      graft.functions.GraftFunctions.bloomContains(spark, fp, bloom),
+      lit(false))
     val clear = batch.filter(!might)
     val cand = batch.filter(might).withColumn("__bc_fp", fp)
     val candFps = cand.select("__bc_fp").distinct()

@@ -50,7 +50,11 @@ object Pq {
       }: _*)
       array_min(cands).getField("c")
     }: _*)
-    corpus.withColumn("pq_codes", codes)
+    // a NULL vector must encode to NULL codes — without the guard the
+    // struct-min over null distances silently argmins to centroid 0 and
+    // the phantom row would score like a real one downstream
+    corpus.withColumn("pq_codes",
+      when(col(vecCol).isNotNull, codes))
   }
 
   /** ADC top-k: each query precomputes its m × ncentroids distance table
@@ -72,14 +76,21 @@ object Pq {
     val qtab = array(codebooks.zipWithIndex.map { case (cb, j) =>
       array(cb.map(cent => l2sq(subspace(qv, j, dsub), cent)): _*)
     }: _*)
-    val q = broadcast(queries.select(col(queryIdCol), qtab.as("__pq_tab")))
+    // vector-less queries have no distances to tabulate (the outer array()
+    // is non-null even when every cell is — filter on the source column)
+    val q = broadcast(queries.filter(col(queryVecCol).isNotNull)
+      .select(col(queryIdCol), qtab.as("__pq_tab")))
     val adist = (0 until m).map { j =>
       element_at(element_at(col("__pq_tab"), j + 1),
         col("pq_codes").getItem(j) + 1)
     }.reduce(_ + _)
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col("adist").asc, col(idCol).asc)
-    encoded.crossJoin(q)
+    // a null embedding encodes to null codes → null distance, and Spark's
+    // ascending sort puts nulls FIRST — without the guard a vector-less
+    // corpus row would outrank every real neighbor
+    encoded.filter(col("pq_codes").isNotNull)
+      .crossJoin(q)
       .withColumn("adist", round(adist, 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -100,7 +111,9 @@ object Pq {
     val cands = array(cells.zipWithIndex.map { case (cent, ci) =>
       struct(l2sq(v, cent).as("d"), lit(ci).as("c"))
     }: _*)
-    df.withColumn("cell_id", array_min(cands).getField("c"))
+    // null vector → null cell (same phantom-argmin hazard as [[encode]])
+    df.withColumn("cell_id",
+      when(col(vecCol).isNotNull, array_min(cands).getField("c")))
   }
 
   /** IVFADC (Jégou et al. 2011 §IV — the composition that makes PQ a
@@ -134,7 +147,8 @@ object Pq {
     }: _*)
     val probed = slice(transform(array_sort(cellRank), s => s.getField("c")),
       1, nprobe)
-    val q = broadcast(queries.select(col(queryIdCol), qtab.as("__pq_tab"),
+    val q = broadcast(queries.filter(col(queryVecCol).isNotNull)
+      .select(col(queryIdCol), qtab.as("__pq_tab"),
         explode(probed).as("cell_id")))
     val adist = (0 until m).map { j =>
       element_at(element_at(col("__pq_tab"), j + 1),

@@ -383,7 +383,11 @@ object StreamDedup {
       bloom: Array[Byte], textCol: String = "text"): DataFrame = {
     val spark = stream.sparkSession
     val fp = graft.llm.TextAnalysis.fingerprint(col(textCol))
-    val might = graft.functions.GraftFunctions.bloomContains(spark, fp, bloom)
+    // null text → null probe; keep such rows (a null key never matches the
+    // reference anti-join) instead of dropping them from BOTH branches
+    val might = coalesce(
+      graft.functions.GraftFunctions.bloomContains(spark, fp, bloom),
+      lit(false))
     val clear = stream.filter(!might)
     val verified = stream.filter(might)
       .withColumn("__bd_fp", fp)

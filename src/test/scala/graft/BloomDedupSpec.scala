@@ -37,6 +37,24 @@ class BloomDedupSpec extends SparkFunSuite {
     assert(Dedup.bloomCrossDedup(ref(), ref(), tiny).count() == 0)
   }
 
+  test("null-text batch rows are KEPT (anti-join semantics), batch and stream faces") {
+    val batch = Seq(
+      (0L, Option("the quick brown fox")),   // dup of ref
+      (1L, Option("a novel document")),
+      (2L, None: Option[String])             // null text: null key never matches
+    ).toDF("doc_id", "text")
+    val bloom = Dedup.buildFingerprintBloom(ref(), expectedItems = 100)
+    val kept = Dedup.bloomCrossDedup(batch, ref(), bloom)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L))
+    val refFps = ref().select(
+      graft.llm.TextAnalysis.fingerprint(col("text")).as("fingerprint")).distinct()
+    val keptStream = graft.streaming.StreamDedup
+      .bloomDedupAgainstCorpus(batch, refFps, bloom)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptStream == Set(1L, 2L))
+  }
+
   test("bloomContains expression: membership, null safety, codegen path") {
     val bloom = Dedup.buildFingerprintBloom(ref(), expectedItems = 100)
     val df = Seq(

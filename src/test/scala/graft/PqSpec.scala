@@ -43,6 +43,23 @@ class PqSpec extends SparkFunSuite {
     assert(out.head.getAs[Double]("adist") == 3.0)
   }
 
+  test("null embeddings never outrank real neighbors (corpus or query side)") {
+    val corpus = Seq(
+      (0L, Some(Seq(1.0f, 1.0f, 0.0f, 4.0f))),
+      (1L, Some(Seq(9.0f, 9.0f, 4.0f, 1.0f))),
+      (2L, None: Option[Seq[Float]])
+    ).toDF("vec_id", "embedding")
+    val q = Seq(
+      (7L, Some(Seq(1.0f, 1.0f, 0.0f, 4.0f))),
+      (8L, None: Option[Seq[Float]])
+    ).toDF("query_id", "embedding")
+    val out = Pq.adcTopK(Pq.encode(corpus, codebooks), q, codebooks, k = 5)
+      .collect()
+    assert(out.forall(_.getAs[Long]("query_id") == 7L)) // null query emits nothing
+    assert(out.map(_.getAs[Long]("vec_id")).toSet == Set(0L, 1L)) // null row absent
+    assert(out.minBy(_.getAs[Int]("rank")).getAs[Long]("vec_id") == 0L)
+  }
+
   test("trainCodebooks: shapes, determinism, and better reconstruction than one centroid") {
     val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select("vec_id", "embedding")
