@@ -57,6 +57,21 @@ class WebDatasetSpec extends SparkFunSuite {
     assert(n == 8) // 4 samples x (.txt + .json)
   }
 
+  test("null text writes as empty; null id is refused loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("wds7").toString
+    val withNullText = Seq((1L, null.asInstanceOf[String], "en", 0L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    WebDataset.toWebDataset(withNullText, dir, numShards = 1)
+    val back = WebDataset.fromWebDataset(spark, dir).collect()
+    assert(back.length == 1 && back.head.getAs[String]("text") == "")
+    val withNullId = Seq((Option.empty[Long], "x"))
+      .toDF("doc_id", "text")
+    val err = intercept[IllegalArgumentException] {
+      WebDataset.toWebDataset(withNullId, dir, numShards = 1)
+    }
+    assert(err.getMessage.contains("null"))
+  }
+
   test("reader fails closed on truncated and garbled shards") {
     val dir = java.nio.file.Files.createTempDirectory("wds4").toString
     WebDataset.toWebDataset(docs(), dir, numShards = 1)
