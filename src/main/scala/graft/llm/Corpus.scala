@@ -217,6 +217,31 @@ object Corpus {
           / sum(col("__dc"))).as("cross_entropy"))
   }
 
+  /** The reference corpus' top-`n` vocabulary by total count (ties → the
+    * word itself — deterministic) — the table [[oovRate]] scores
+    * against. */
+  def topVocabulary(ref: DataFrame, n: Int,
+      textCol: String = "text"): DataFrame =
+    unigramCounts(ref, textCol)
+      .orderBy(desc("c"), col("word")).limit(n).select(col("word"))
+
+  /** Per-document OOV (out-of-vocabulary) rate against `vocab` — the
+    * tokenizer/vocab-coverage signal (a doc whose tokens are mostly
+    * unknown to the model's vocabulary trains badly and usually indicates
+    * wrong language or binary junk). One explode + a vocabulary join
+    * (broadcast for real vocab sizes) + a per-doc regroup; rates are
+    * int/int divisions — bit-exact cross-engine. */
+  def oovRate(docs: DataFrame, vocab: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(vocab.select(col("word"), lit(1).as("__iv")), Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
+
   /** Word-bigram counts of a REFERENCE corpus — the model table for
     * [[crossEntropyBigram]] (one row per distinct adjacent lowercased
     * word pair). Same shuffle shape as [[unigramCounts]]. */

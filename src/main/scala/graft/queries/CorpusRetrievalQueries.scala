@@ -224,6 +224,17 @@ object CorpusRetrievalQueries extends graft.QueryModule {
           round(col("cross_entropy"), 6).as("cross_entropy"))
     }),
 
+    // OOV rate against the en slice's top-20 vocabulary (ties on count
+    // break by the word — deterministically selectable in SQL); rates are
+    // exact integer ratios
+    "q135_oov_rate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val vocab = graft.llm.Corpus.topVocabulary(
+        docs.filter(col("lang") === "en"), n = 20)
+      graft.llm.Corpus.oovRate(docs, vocab)
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"), col("oov_rate"))
+    }),
+
     // corpus data card over the dup-planted corpus (q107's 20 copies):
     // volumes, exact-dup mass, and corpus shares per (source, lang) —
     // every aggregate an exact integer, the share an int/int double
@@ -478,6 +489,27 @@ object CorpusRetrievalQueries extends graft.QueryModule {
         |       WHEN ara >= gre THEN 'arabic'
         |       ELSE 'greek' END AS dominant
         |FROM c""".stripMargin,
+
+    "q135_oov_rate" ->
+      """WITH refw AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |  FROM documents WHERE lang = 'en'),
+        |vocab AS (
+        |  SELECT word FROM (SELECT word, count(*) AS c FROM refw
+        |                    WHERE length(word) > 0 GROUP BY word)
+        |  ORDER BY c DESC, word LIMIT 20),
+        |tok AS (
+        |  SELECT doc_id,
+        |         unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |  FROM documents),
+        |t AS (SELECT doc_id, word FROM tok WHERE length(word) > 0)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |       CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_oov,
+        |       CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / count(*) AS oov_rate
+        |FROM t LEFT JOIN vocab v USING (word)
+        |GROUP BY t.doc_id""".stripMargin,
 
     "q126_data_card" ->
       """WITH alldocs AS (

@@ -182,6 +182,19 @@ class CurationSpec extends SparkFunSuite {
       == run(graft.llm.TextAnalysis.gopherSignalsLambda))
   }
 
+  test("topVocabulary + oovRate: coverage arithmetic and tiebreaks") {
+    val ref = Seq((0L, "a a a b b c")).toDF("doc_id", "text")
+    // counts: a=3, b=2, c=1 -> top-2 = {a, b}
+    val vocab = graft.llm.Corpus.topVocabulary(ref, n = 2)
+    assert(vocab.collect().map(_.getString(0)).toSet == Set("a", "b"))
+    val probe = Seq((1L, "a b z z"), (2L, "z q"), (3L, "A  B")).toDF("doc_id", "text")
+    val out = graft.llm.Corpus.oovRate(probe, vocab).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_oov"), r.getAs[Double]("oov_rate")))).toMap
+    assert(out(1L) == ((2L, 0.5)))
+    assert(out(2L) == ((2L, 1.0)))
+    assert(out(3L) == ((0L, 0.0))) // case-folded, whitespace-collapsed
+  }
+
   // ------------------------------------------------ training-prep ops
 
   test("hardNegatives returns only different-label rows, hardest first") {

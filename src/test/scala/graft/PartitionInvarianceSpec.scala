@@ -75,6 +75,7 @@ class PartitionInvarianceSpec extends SparkFunSuite {
     "q132_balance_labels",      // exact per-label resampling
     "q133_image_phash_dedup",   // decode -> dHash -> hamming banding
     "q134_audio_dedup",         // PCM decode -> envelope hash -> banding
+    "q135_oov_rate",            // vocabulary-coverage scoring
     "q123_web_curation_e2e")    // composed clean -> quality -> cap chain
 
   test("gate outputs are invariant to the shuffle partition count") {
