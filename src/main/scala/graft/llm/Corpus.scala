@@ -247,9 +247,15 @@ object Corpus {
     * word pair). Same shuffle shape as [[unigramCounts]]. */
   def bigramCounts(ref: DataFrame, textCol: String = "text"): DataFrame = {
     val ws = split(lower(trim(col(textCol))), "\\s+")
-    ref.select(explode(transform(sequence(lit(2), size(ws)), i =>
-        struct(element_at(ws, i - 1).as("prev"), element_at(ws, i).as("word"))))
-        .as("bg"))
+    // docs with < 2 tokens have no bigrams and MUST be filtered before the
+    // sequence: sequence(2, 1) counts DOWN ([2, 1]), so an unguarded
+    // transform would evaluate element_at(ws, 0) (invalid index) /
+    // element_at(ws, 2) (out of bounds under ANSI) on single-token docs
+    ref.select(ws.as("__ws"))
+      .filter(size(col("__ws")) >= 2)
+      .select(explode(transform(sequence(lit(2), size(col("__ws"))), i =>
+        struct(element_at(col("__ws"), i - 1).as("prev"),
+          element_at(col("__ws"), i).as("word")))).as("bg"))
       .select(col("bg.prev").as("prev"), col("bg.word").as("word"))
       .filter(length(col("word")) > 0 && length(col("prev")) > 0)
       .groupBy("prev", "word").agg(count(lit(1)).as("c"))

@@ -271,6 +271,17 @@ class CurationSpec extends SparkFunSuite {
     assert(math.abs(ceUni(100L) - ceUni(101L)) < 1e-12)
   }
 
+  test("bigramCounts survives empty and single-token docs") {
+    // sequence(2, size) counts DOWN to [2, 1] when size = 1 — unguarded,
+    // single-token docs crash with an invalid element_at index
+    val ref = Seq(
+      (1L, "solo"), (2L, ""), (3L, "   "), (4L, null.asInstanceOf[String]),
+      (5L, "a b a b")).toDF("doc_id", "text")
+    val bi = graft.llm.Corpus.bigramCounts(ref)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(bi == Map(("a", "b") -> 2L, ("b", "a") -> 1L))
+  }
+
   // ------------------------------------------------ scripts & data card
 
   test("scriptShares counts per-script chars; dominantScript breaks ties in order") {

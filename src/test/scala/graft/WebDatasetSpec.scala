@@ -70,6 +70,13 @@ class WebDatasetSpec extends SparkFunSuite {
       WebDataset.toWebDataset(withNullId, dir, numShards = 1)
     }
     assert(err.getMessage.contains("null"))
+    // a non-integral id casts to null long → would silently collide every
+    // such sample onto key 0; must be refused just as loudly
+    val strId = Seq(("doc-7", "x")).toDF("doc_id", "text")
+    val err2 = intercept[IllegalArgumentException] {
+      WebDataset.toWebDataset(strId, dir, numShards = 1)
+    }
+    assert(err2.getMessage.contains("non-integral"))
   }
 
   test("reader fails closed on truncated and garbled shards") {
