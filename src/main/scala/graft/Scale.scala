@@ -42,6 +42,7 @@ object Scale {
       conf: Map[String, String] = Map.empty,
       gateSkew: Boolean = false,
       decompose: Option[(SparkSession, String) => Map[String, Long]] = None,
+      setup: Option[(SparkSession, String) => Unit] = None,
       q: (SparkSession, String) => DataFrame)
 
   /** Candidate-volume bound + guard counters from a bucket-stats frame
@@ -279,6 +280,116 @@ object Scale {
             concat(lit("zyxq wvut "), col("text"))).otherwise(col("text"))),
         n = 2, k = 20)),
 
+    // ---- round-9 planted-skew probes: the heavy curation/retrieval ops
+    // the r8 skew harness didn't cover -------------------------------------
+
+    // ONE domain owns ~10% of the crawl; the two-phase per-domain cap must
+    // keep it out of any single sort task (each scan partition prunes to
+    // ≤ cap rows per domain map-side; the mega-domain's raw rows never
+    // shuffle)
+    Probe("skew_mega_domain", gateSkew = true, q = (s, d) => {
+      val docs = scanPar(s, Tables.documents(s, d)
+        .select("doc_id", "source", "n_chars"))
+        .withColumn("url",
+          when(pmod(col("doc_id"), lit(10)) === 0,
+            concat(lit("https://megasite.example.com/p/"),
+              col("doc_id").cast("string")))
+            .otherwise(concat(lit("https://www."), col("source"),
+              lit(".example.com/docs/"), col("doc_id").cast("string"))))
+      graft.llm.Curation.perDomainCap(docs, "url", maxPerDomain = 30,
+        priority = col("n_chars"))
+        .groupBy(col("domain")).agg(count(lit(1)).as("n"))
+    }),
+    // ONE boilerplate paragraph in 50% of all documents through paragraph
+    // dedup: the hot fingerprint skews the counts back-join's exploded
+    // side — the AQE-skew-join shape the operator doc claims. The skew
+    // thresholds scale down to gate-size data (at 100 TB the hot key
+    // clears the 256 MB default on its own); the straggler gate then
+    // MEASURES the claim instead of trusting it.
+    Probe("skew_boilerplate_paragraph", gateSkew = true,
+      conf = Map(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1m"),
+      q = (s, d) => {
+        val docs = scanPar(s, Tables.documents(s, d).select("doc_id", "text"))
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(2)) === 0,
+              concat(col("text"),
+                lit("\nsubscribe to our newsletter for updates and offers")))
+              .otherwise(col("text")))
+        graft.llm.Dedup.removeRepeatedParagraphs(docs, maxOccurrences = 1)
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text")).cast("long")).as("chars"))
+      }),
+    // ONE 10-token span in 50% of all documents through duplicated-span
+    // coverage: two hot window fingerprints at N/2 occurrences each skew
+    // the counts back-join; same AQE shape, same measured gate
+    Probe("skew_dominant_span", gateSkew = true,
+      conf = Map(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1m"),
+      q = (s, d) => {
+        val docs = scanPar(s, Tables.documents(s, d).select("doc_id", "text"))
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(2)) === 0,
+              concat(col("text"),
+                lit(" legal notice all rights reserved by the site owner today now")))
+              .otherwise(col("text")))
+        graft.llm.Dedup.dupSpanStats(docs, n = 10)
+          .agg(sum(col("covered_tokens")).as("cov"),
+            sum(col("n_tokens")).as("tot"), count(lit(1)).as("n"))
+      }),
+    // planted stop-word retrieval: every document contains the query term,
+    // so each query's scored candidate set is the WHOLE corpus — the case
+    // where the old single-window rank funneled N rows per query into one
+    // sort task. The two-phase rank must hold the straggler gate.
+    Probe("skew_retrieval_rank", gateSkew = true, allowBnlj = true,
+      q = (s, d) => {
+        val docs = scanPar(s, Tables.documents(s, d).select("doc_id", "text"))
+          .withColumn("text", concat(col("text"), lit(" commonstop")))
+        val queries = docs.orderBy("doc_id").limit(8)
+          .select(col("doc_id").as("query_id"),
+            concat(lit("commonstop "),
+              array_join(slice(split(lower(trim(col("text"))), "\\s+"), 1, 3), " "))
+              .as("query"))
+        graft.llm.Corpus.bm25TopK(docs, queries, k = 10)
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n"), sum(col("score")).as("sc"))
+      }),
+    // production incremental dedup: a FIXED 400-doc batch against a stored
+    // reference index that grows 10× across the run's two dirs. The index
+    // build+write happens in UNTIMED setup (an index is a snapshot
+    // artifact, not per-batch work); the timed query pays the new-batch
+    // work plus column-pruned index scans, and the decomposition proves
+    // the shared-bucket restriction keeps ref-side JOIN volume tied to the
+    // batch (cand_product ≪ index_rows, ~flat across ref growth)
+    Probe("cross_corpus_tiny_batch",
+      setup = Some((s, d) => {
+        graft.llm.Dedup.buildMinHashIndex(
+            scanPar(s, Tables.documents(s, d).select("doc_id", "text")))
+          .write.mode("overwrite").parquet(tinyBatchIdxDir(d))
+      }),
+      decompose = Some((s, d) => {
+        val idx = s.read.parquet(tinyBatchIdxDir(d))
+        val bN = graft.llm.Dedup.minHashBanded(
+          graft.llm.Dedup.minHashBase(tinyBatch(s, d), "text", "doc_id", 32, 3),
+          32, 8)
+        val bR = graft.llm.Dedup.minHashBanded(idx, 32, 8)
+        val occ = bN.groupBy("bk").agg(count(lit(1)).as("nn"))
+          .join(bR.groupBy("bk").agg(count(lit(1)).as("nr")), Seq("bk"))
+        val r = occ.agg(
+          coalesce(sum(col("nn") * col("nr")), lit(0L)).cast("long").as("cand"),
+          coalesce(sum(col("nr")), lit(0L)).cast("long").as("ref_shared"),
+          count(lit(1)).cast("long").as("buckets")).head()
+        Map("cand_product" -> r.getLong(0), "ref_rows_shared" -> r.getLong(1),
+          "shared_buckets" -> r.getLong(2), "index_rows" -> idx.count())
+      }),
+      q = (s, d) => {
+        val idx = s.read.parquet(tinyBatchIdxDir(d))
+        graft.llm.Dedup.crossCorpusNearDupsAgainstIndex(tinyBatch(s, d), idx)
+          .agg(count(lit(1)).as("n_matches"))
+      }),
+
     // ---- round-8 additions: the heavily-used dataset ops the growth
     // harness didn't probe yet ---------------------------------------------
 
@@ -443,6 +554,19 @@ object Scale {
   private def scanPar(s: SparkSession, df: DataFrame): DataFrame =
     df.repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 
+  /** Stored-index location for the tiny-batch incremental-dedup probe,
+    * keyed by scale dir so the two sides of a run can't collide. */
+  private def tinyBatchIdxDir(d: String): String =
+    "/tmp/graft_scale_ccidx_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** The FIXED 400-doc "daily batch": re-minted copies of reference docs,
+    * so every batch doc has a ref match and the probe's match volume is
+    * pinned to the batch size at every scale factor. */
+  private def tinyBatch(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select("doc_id", "text")
+      .orderBy("doc_id").limit(400)
+      .withColumn("doc_id", col("doc_id") + 800000000L)
+
   private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Per-stage task-duration collector (the Spark UI's data, read through a
@@ -561,6 +685,15 @@ object Scale {
       val savedConf = p.conf.keys.map(k =>
         k -> (try Some(spark.conf.get(k)) catch { case _: Throwable => None })).toMap
       p.conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      // UNTIMED setup (e.g. building + storing the reference index the
+      // timed query then reads — the production incremental-dedup shape
+      // where the index is a stored artifact, not per-batch work)
+      p.setup.foreach { f =>
+        try f(spark, dir)
+        catch { case e: Throwable =>
+          System.err.println(s"[scale] setup failed ${p.name}/$dir: $e")
+        }
+      }
       taskStats.clear()
       // the timer covers the BUILDER too: some probes do eager work there
       // (IVF's KMeans fit, the streaming probe's AvailableNow run)

@@ -109,6 +109,7 @@ object GraftFunctions {
   val NormalizeTextName = "graft_normalize_text"
   val C4CleanName = "graft_c4_clean"
   val GopherName = "graft_gopher_signals"
+  val RollingWindowFpsName = "graft_rolling_window_fps"
 
   /** Idempotent per-session registration into the function registry (also
     * makes the functions available to `spark.sql`). */
@@ -166,6 +167,11 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction(
         GopherName,
         exprs => GopherSignalsExpr(exprs(0), strArrLit(GopherName, exprs(1))),
+        "built-in")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(RollingWindowFpsName)))
+      reg.createOrReplaceTempFunction(
+        RollingWindowFpsName,
+        exprs => RollingWindowFps(exprs(0), intLit(RollingWindowFpsName, exprs(1))),
         "built-in")
   }
 
@@ -226,6 +232,15 @@ object GraftFunctions {
     ensureRegistered(spark)
     org.apache.spark.sql.functions.call_function(
       MinHashName, sh, org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** Rabin–Karp rolling fingerprints of every `n`-word window — one pass
+    * over the word array instead of the md5-per-window n× re-hash; see
+    * [[RollingHash.windowFps]] for the collision contract. */
+  def rollingWindowFps(spark: SparkSession, words: Column, n: Int): Column = {
+    ensureRegistered(spark)
+    org.apache.spark.sql.functions.call_function(
+      RollingWindowFpsName, words, org.apache.spark.sql.functions.lit(n))
   }
 
   /** Fused 64-bit SimHash over a token array — bit-identical to the

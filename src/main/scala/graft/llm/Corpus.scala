@@ -119,8 +119,10 @@ object Corpus {
     * the scan again. The query side (distinct query terms) is BROADCAST —
     * query sets are small by construction — so the postings semi-reduce to
     * query-matching rows map-side before any further join. Corpus stats
-    * (N, total length) ride as a broadcast one-row frame; the final top-k
-    * window is partitioned per query, never global. */
+    * (N, total length) ride as a broadcast one-row frame; the final rank
+    * is the two-phase [[graft.operators.TopK.topKPerQuery]], so even a
+    * stop-word query whose candidate set is the whole corpus never funnels
+    * it through one sort task. */
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75,
       idCol: String = "doc_id", textCol: String = "text",
@@ -149,8 +151,10 @@ object Corpus {
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
     val scored = contrib.groupBy(col(queryIdCol), col(idCol))
       .agg(round(sum(col("contrib")), 6).as("score"))
-    val w = Window.partitionBy(col(queryIdCol)).orderBy(desc("score"), col(idCol))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    // two-phase rank: a stop-word-bearing query's candidate set is
+    // corpus-scale — it must not land in one sort task
+    graft.operators.TopK.topKPerQuery(scored, queryIdCol,
+      Seq(desc("score"), col(idCol)), k)
   }
 
   /** Corpus data card: the per-(source, language) release manifest every

@@ -144,21 +144,21 @@ object Curation {
     * `priority` (ties → lower `idCol`, so the result is deterministic).
     * Adds the `domain` column; drops nothing else.
     *
-    * Plan: one shuffle on the domain + a rank inside each domain
-    * partition. The window is PARTITIONED (never global), and Spark's
-    * window sort spills, so a mega-domain costs one fat sorting task, not
-    * executor memory. If one domain is pathological (≫10⁸ docs), pre-thin
-    * it with [[Sampling.hashSample]] before the exact cap — the cap's
-    * selection inside the survivor set is unchanged for every other
-    * domain. */
+    * Plan: the two-phase per-key rank ([[graft.operators.TopK
+    * .topKPerQuery]]) — each scan partition keeps at most `maxPerDomain`
+    * rows per domain map-side (local sort + streaming prune, no
+    * exchange), and only the ≤ cap·P survivors shuffle into the exact
+    * per-domain window. A mega-domain (one site at 10% of the crawl)
+    * therefore never funnels its membership through one sort task, and
+    * its raw rows never shuffle at all — the skew probe plants exactly
+    * this case and gates the straggler ratio. */
   def perDomainCap(docs: DataFrame, urlCol: String, maxPerDomain: Int,
       priority: Column, idCol: String = "doc_id"): DataFrame = {
     require(maxPerDomain > 0, s"maxPerDomain must be positive: $maxPerDomain")
-    val w = Window.partitionBy(col("domain"))
-      .orderBy(priority.desc, col(idCol).asc)
-    docs.withColumn("domain", urlDomain(col(urlCol)))
-      .withColumn("__dc_rn", row_number().over(w))
-      .filter(col("__dc_rn") <= maxPerDomain)
+    graft.operators.TopK.topKPerQuery(
+        docs.withColumn("domain", urlDomain(col(urlCol))),
+        "domain", Seq(priority.desc, col(idCol).asc), maxPerDomain,
+        rankCol = "__dc_rn")
       .drop("__dc_rn")
   }
 }

@@ -270,9 +270,37 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id",
       k: Int = 32, bands: Int = 8, threshold: Double = 0.7,
       shingleN: Int = 3, maxBucketSize: Int = 256,
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
+    // the freshly-computed ref base is persisted here (caller-owned, see
+    // below) so its three consumers don't re-shingle the ref corpus; a
+    // STORED index passed to [[crossCorpusNearDupsAgainstIndex]] directly
+    // is deliberately NOT persisted — re-reads are column-pruned scans
+    crossCorpusNearDupsAgainstIndex(newDocs,
+      buildMinHashIndex(refDocs, textCol, idCol, k, shingleN).persist(storage),
+      textCol, idCol, k, bands, threshold, shingleN, maxBucketSize, storage)
+
+  /** Reusable MinHash index of a REFERENCE corpus: the `(id, sh, sig)`
+    * base frame [[crossCorpusNearDupsAgainstIndex]] consumes. Build it
+    * once per reference snapshot and WRITE IT (parquet) — the production
+    * incremental-dedup loop then never re-shingles or re-hashes the
+    * reference: a daily 0.1%-sized batch pays the new-batch work plus a
+    * column-pruned scan of this index, not a recompute of the 100-TB ref
+    * text. Schema: id (from `idCol`), sh (distinct word shingles), sig
+    * (k-element MinHash signature). */
+  def buildMinHashIndex(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 32, shingleN: Int = 3): DataFrame =
+    minHashBase(docs, textCol, idCol, k, shingleN)
+
+  /** [[crossCorpusNearDups]] against a PREBUILT reference index
+    * ([[buildMinHashIndex]], typically read back from storage). `k` and
+    * `shingleN` must match the index's build parameters. */
+  def crossCorpusNearDupsAgainstIndex(newDocs: DataFrame, refIndex: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 32, bands: Int = 8, threshold: Double = 0.7,
+      shingleN: Int = 3, maxBucketSize: Int = 256,
       storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val baseN = minHashBase(newDocs, textCol, idCol, k, shingleN).persist(storage)
-    val baseR = minHashBase(refDocs, textCol, idCol, k, shingleN).persist(storage)
+    val baseR = refIndex
     val pairs = guardedCrossBandPairs(
       minHashBanded(baseN, k, bands), minHashBanded(baseR, k, bands),
       maxBucketSize, refineBits = 16, storage)
@@ -312,10 +340,20 @@ object Dedup {
       maxBucketSize: Int, refineBits: Int,
       storage: StorageLevel): DataFrame = {
     val capSq = lit(maxBucketSize.toLong * maxBucketSize)
+    // restrict the REF side to buckets the new batch actually occupies
+    // BEFORE any ref-side aggregation: for the production shape (tiny
+    // daily batch vs 100-TB reference) the new bucket set is a broadcast
+    // semi-join, so ref rows in unshared buckets — almost all of them —
+    // drop map-side and never reach the occupancy shuffle; ref-side JOIN
+    // work is bounded by the new batch, not the reference size. (AQE
+    // falls back to a shuffle semi-join when the batch is large, where
+    // the restriction is moot anyway.)
+    val refShared = bandedRef
+      .join(bandedNew.select(col("bk")).distinct(), Seq("bk"), "left_semi")
     val occ = bandedNew.groupBy(col("bk")).agg(count(lit(1)).as("__nn"))
-      .join(bandedRef.groupBy(col("bk")).agg(count(lit(1)).as("__nr")), Seq("bk"))
+      .join(refShared.groupBy(col("bk")).agg(count(lit(1)).as("__nr")), Seq("bk"))
     val tagN = bandedNew.join(occ, Seq("bk")).persist(storage)
-    val tagR = bandedRef.join(occ, Seq("bk")).persist(storage)
+    val tagR = refShared.join(occ, Seq("bk")).persist(storage)
     val guardCaches = scala.collection.mutable.ListBuffer[DataFrame](tagN, tagR)
     try {
       val safe = col("__nn") * col("__nr") <= capSq
@@ -1089,30 +1127,51 @@ object Dedup {
     * `(id, n_tokens, covered_tokens, coverage)`; documents shorter than
     * `n` tokens have no windows and coverage 0.
     *
-    * Plan at 100 TB: windows are built per row (`transform` over a
-    * `sequence` — no UDF) and fingerprinted with md5 (128-bit: no birthday
-    * collisions at corpus scale, and the fingerprint — not the window
-    * text — is what shuffles). One partial-agg groupBy on the fingerprint,
-    * a join back (pre-aggregated one-row-per-gram side → AQE-splittable
-    * skew shape, same as [[removeRepeatedParagraphs]]), then covered
-    * positions explode only for windows that ARE duplicated — the common
-    * case explodes nothing. The md5-per-window cost is n× the token count;
-    * a rolling-hash fused expression is the upgrade path if this pass ever
-    * dominates a profile. */
+    * Plan at 100 TB: window fingerprints are computed map-side in ONE pass
+    * per row by the fused Rabin–Karp kernel
+    * ([[graft.functions.RollingHash.windowFps]]: per-word XXH64 once, then
+    * an O(1) roll per window — the md5-per-window reference formulation
+    * re-hashed every token n times), and the 8-byte fingerprint — not the
+    * window text — is what shuffles. One partial-agg groupBy on the
+    * fingerprint, a join back (pre-aggregated one-row-per-gram side →
+    * AQE-splittable skew shape, same as [[removeRepeatedParagraphs]]),
+    * then covered positions explode only for windows that ARE duplicated —
+    * the common case explodes nothing. Fingerprints are 61-bit and
+    * internal; a random collision (birthday bound ≈ 1.5·10⁹ distinct
+    * windows) can only nudge the coverage statistic by one window — the
+    * Lee-et-al tradeoff. [[dupSpanStatsReference]] keeps the md5 path as
+    * the spec-locked parity reference. */
   def dupSpanStats(docs: DataFrame, n: Int = 10, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id"): DataFrame =
+    dupSpanStatsImpl(docs, n, textCol, idCol, fused = true)
+
+  /** REFERENCE formulation of [[dupSpanStats]] — md5 per window, 128-bit,
+    * n× the token stream. Kept (not dead code) as the collision-free
+    * cross-check: DupSpanSpec locks the fused kernel's outputs against
+    * this path, the same parity-insurance pattern as the C4/Gopher
+    * kernels and [[Similarity.hyperplaneSignature]]. */
+  private[graft] def dupSpanStatsReference(docs: DataFrame, n: Int = 10,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    dupSpanStatsImpl(docs, n, textCol, idCol, fused = false)
+
+  private def dupSpanStatsImpl(docs: DataFrame, n: Int, textCol: String,
+      idCol: String, fused: Boolean): DataFrame = {
     require(n >= 2, s"span length must be >= 2: $n")
     val toks = docs.select(col(idCol),
         split(lower(trim(col(textCol))), "\\s+").as("__ds_w"))
       .withColumn("__ds_len",
         when(array_join(col("__ds_w"), "") === "", 0)
           .otherwise(size(col("__ds_w"))))
+    val fps =
+      if (fused)
+        graft.functions.GraftFunctions.rollingWindowFps(
+          docs.sparkSession, col("__ds_w"), n)
+      else
+        transform(sequence(lit(0), col("__ds_len") - n),
+          i => md5(array_join(slice(col("__ds_w"), i + 1, lit(n)), " ")))
     val grams = toks
       .filter(col("__ds_len") >= n)
-      .select(col(idCol),
-        posexplode(transform(sequence(lit(0), col("__ds_len") - n),
-          i => md5(array_join(slice(col("__ds_w"), i + 1, lit(n)), " "))))
-          .as(Seq("__ds_i", "__ds_fp")))
+      .select(col(idCol), posexplode(fps).as(Seq("__ds_i", "__ds_fp")))
     val counts = grams.groupBy("__ds_fp").agg(count(lit(1)).as("__ds_n"))
     val covered = grams.join(counts, Seq("__ds_fp"))
       .filter(col("__ds_n") > 1)

@@ -59,12 +59,14 @@ object Pq {
 
   /** ADC top-k: each query precomputes its m × ncentroids distance table
     * ONCE (on the tiny query side), the encoded corpus streams through a
-    * broadcast join doing m array lookups + a sum per row, and a
-    * per-query window ranks on the 6-decimal-rounded distance with a
-    * vec-id tiebreak (the cross-engine convention). The queries frame is
-    * a broadcast probe set by contract (same as [[Similarity
-    * .bruteForceTopK]]); the corpus never shuffles — the only exchange is
-    * the per-query top-k.  */
+    * broadcast join doing m array lookups + a sum per row, and the
+    * two-phase [[graft.operators.TopK.topKPerQuery]] ranks on the
+    * 6-decimal-rounded distance with a vec-id tiebreak (the cross-engine
+    * convention). The queries frame is a broadcast probe set by contract
+    * (same as [[Similarity.bruteForceTopK]]); the corpus never shuffles —
+    * scoring is map-side, each scan partition keeps only its local top-k
+    * per query, and the one exchange carries k rows per (query,
+    * partition), never the scored corpus. */
   def adcTopK(encoded: DataFrame, queries: DataFrame,
       codebooks: Seq[Seq[Array[Double]]], k: Int,
       idCol: String = "vec_id", queryIdCol: String = "query_id",
@@ -84,17 +86,14 @@ object Pq {
       element_at(element_at(col("__pq_tab"), j + 1),
         col("pq_codes").getItem(j) + 1)
     }.reduce(_ + _)
-    val w = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("adist").asc, col(idCol).asc)
     // a null embedding encodes to null codes → null distance, and Spark's
     // ascending sort puts nulls FIRST — without the guard a vector-less
     // corpus row would outrank every real neighbor
-    encoded.filter(col("pq_codes").isNotNull)
+    val scored = encoded.filter(col("pq_codes").isNotNull)
       .crossJoin(q)
-      .withColumn("adist", round(adist, 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryIdCol), col(idCol), col("adist"), col("rank"))
+      .select(col(queryIdCol), col(idCol), round(adist, 6).as("adist"))
+    graft.operators.TopK.topKPerQuery(scored, queryIdCol,
+      Seq(col("adist").asc, col(idCol).asc), k)
   }
 
   /** Coarse-cell assignment for IVFADC: adds `cell_id` = the argmin-L2
@@ -154,13 +153,10 @@ object Pq {
       element_at(element_at(col("__pq_tab"), j + 1),
         col("pq_codes").getItem(j) + 1)
     }.reduce(_ + _)
-    val w = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("adist").asc, col(idCol).asc)
-    encoded.join(q, Seq("cell_id"))
-      .withColumn("adist", round(adist, 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryIdCol), col(idCol), col("adist"), col("rank"))
+    val scored = encoded.join(q, Seq("cell_id"))
+      .select(col(queryIdCol), col(idCol), round(adist, 6).as("adist"))
+    graft.operators.TopK.topKPerQuery(scored, queryIdCol,
+      Seq(col("adist").asc, col(idCol).asc), k)
   }
 
   /** Seeded per-subspace KMeans codebooks (the classic PQ training):

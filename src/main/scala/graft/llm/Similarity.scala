@@ -8,8 +8,10 @@ import org.apache.spark.sql.expressions.Window
   *
   * Two paths:
   *  - [[bruteForceTopK]]: exact — broadcast the (small) query set against
-  *    the corpus, cosine per pair, window top-k. Scales linearly in corpus
-  *    size × queries; the corpus is never shuffled.
+  *    the corpus, cosine per pair, two-phase top-k
+  *    ([[graft.operators.TopK.topKPerQuery]]). Scales linearly in corpus
+  *    size × queries; the corpus is never shuffled and no single task
+  *    ever sorts a query's full candidate set.
   *  - [[lshTopK]]: approximate scale path — random-hyperplane signatures
   *    bucket the corpus; queries only score their own bucket's rows.
   *    Bucket count 2^planes; the cross join disappears into an equality
@@ -114,10 +116,8 @@ object Similarity {
     val scored = c.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), cosExpr.as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(desc("cosine"), col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    graft.operators.TopK.topKPerQuery(scored, "query_id",
+      Seq(desc("cosine"), col("neighbor_id")), k)
   }
 
   /** Hard-negative mining for contrastive training (DPR/SimCSE-style data
@@ -141,9 +141,8 @@ object Similarity {
       .filter(col("neighbor_label") =!= col("anchor_label"))
       .select(col("anchor_id"), col("neighbor_id"), col("neighbor_label"),
         cos.as("cosine"))
-    val w = Window.partitionBy("anchor_id")
-      .orderBy(desc("cosine"), col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    graft.operators.TopK.topKPerQuery(scored, "anchor_id",
+      Seq(desc("cosine"), col("neighbor_id")), k)
   }
 
   /** Approximate top-k: queries only score corpus rows sharing their LSH
@@ -164,10 +163,8 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         graft.functions.GraftFunctions.cosine(
           corpus.sparkSession, col("qv"), col("cv")).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(desc("cosine"), col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    graft.operators.TopK.topKPerQuery(scored, "query_id",
+      Seq(desc("cosine"), col("neighbor_id")), k)
   }
 }
 
@@ -232,7 +229,7 @@ object Ivf {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         graft.functions.GraftFunctions.cosine(spark, col("qv"), col("cv")).as("cosine"))
-    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    graft.operators.TopK.topKPerQuery(scored, "query_id",
+      Seq(desc("cosine"), col("neighbor_id")), k)
   }
 }

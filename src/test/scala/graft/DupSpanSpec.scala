@@ -50,4 +50,43 @@ class DupSpanSpec extends SparkFunSuite {
     val keptAll = Dedup.removeDupSpanDocs(docs, n = 3, maxCoverage = 0.4)
     assert(keptAll.count() == 0)
   }
+
+  test("fused rolling-hash path matches the md5 reference formulation") {
+    // varied shapes: shared prefixes, internal repeats, sub-n docs, empty
+    // and null text, punctuation — coverage stats must be identical
+    val docs = (Seq(
+      (0L, "a b c d e x y z"), (1L, "a b c d e p q r"),
+      (2L, "u v w x u v w y"), (3L, "short one"), (4L, ""),
+      (5L, null.asInstanceOf[String]),
+      (6L, "The, quick; brown fox! The, quick; brown cow")) ++
+      (10L until 60L).map(i => (i, s"filler text block ${i % 7} common tail of words")))
+      .toDF("doc_id", "text").repartition(5)
+    for (n <- Seq(2, 3, 10)) {
+      val fusedOut = Dedup.dupSpanStats(docs, n = n)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val refOut = Dedup.dupSpanStatsReference(docs, n = n)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(fusedOut == refOut, s"fused/reference divergence at n=$n")
+    }
+  }
+
+  test("rolling window fingerprints: same window text → same fp, position-independent") {
+    import graft.functions.RollingHash
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def fps(words: Seq[String], n: Int): Seq[Long] =
+      RollingHash.windowFps(new GenericArrayData(
+        words.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray), n).toSeq
+    val a = fps(Seq("a", "b", "c", "d", "e"), 3)
+    val b = fps(Seq("x", "a", "b", "c", "d", "e"), 3)
+    assert(a.length == 3 && b.length == 4)
+    assert(b.drop(1) == a)                  // rolled fps equal direct fps
+    assert(a.toSet.size == 3)               // distinct windows → distinct fps
+    // fewer than n words → null (callers filter len >= n)
+    assert(RollingHash.windowFps(new GenericArrayData(
+      Array(org.apache.spark.unsafe.types.UTF8String.fromString("solo"))), 2) == null)
+    // the roll must equal the direct Horner evaluation at every position,
+    // not just drift consistently: recompute window 2 from scratch
+    val direct = fps(Seq("c", "d", "e"), 3)
+    assert(a(2) == direct.head)
+  }
 }
