@@ -5,9 +5,11 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every gate query against SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line {"metric":"total", ...} for the driver.
   *
-  * Methodology: one untimed warmup pass at sf0.001 (JIT + codegen caches;
-  * plan shapes are identical across scale factors), then SPARK_GRAFT_REPS
-  * (default 3) timed passes at the target SF — per-query MIN across reps is
+  * Methodology (the official clean protocol: run Bench LAST on an
+  * otherwise idle box): one untimed warmup pass at sf0.001 (JIT + codegen
+  * caches; plan shapes are identical across scale factors), adaptive
+  * warm passes at the target SF, then SPARK_GRAFT_REPS
+  * (default 5) timed passes — per-query MIN across reps is
   * the headline (`value`, `queries`), with the median kept as a secondary
   * field (`value_median`). Min, not median: contention on this box inflates
   * whole reps ~uniformly (r6: reps at 237/239/117 s), so the median of 3
@@ -23,7 +25,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

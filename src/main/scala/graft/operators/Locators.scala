@@ -99,7 +99,8 @@ object Locators {
     * predicate kernel utils/testing.py:477-577): negative coords, non-positive
     * size (unless keypoints allowed: zero-size ok), out-of-image bounds. */
   def removeInvalidAnnotations(ds: GraftDataset, allowKeypoints: Boolean = false,
-      removeEmptiedImages: Boolean = false): GraftDataset = {
+      removeEmptiedImages: Boolean = false,
+      removeRelatedImages: Boolean = false): GraftDataset = {
     val dims = broadcast(ds.images.select(col("id").as("__iid"),
       col("width").as("__w"), col("height").as("__h")))
     val joined = ds.annotations.join(dims, col("image_id") === col("__iid"), "left")
@@ -109,6 +110,18 @@ object Locators {
     val valid = col("box_x_min") >= 0 && col("box_y_min") >= 0 && sizeOk &&
       (col("box_x_min") + col("box_width")) <= col("__w") &&
       (col("box_y_min") + col("box_height")) <= col("__h")
+    if (removeRelatedImages) {
+      // dataset.py:1313-1330 remove_related_images: drop every image that
+      // carries ANY invalid annotation (its valid annotations go with it —
+      // the loc-images cascade), keep the rest untouched
+      val badImages = joined.filter(!valid)
+        .select(col("image_id").as("__bad_iid")).distinct()
+      val keptImages = ds.images.join(badImages,
+        col("id") === col("__bad_iid"), "left_anti")
+      val keptAnn = ds.annotations.join(badImages,
+        col("image_id") === col("__bad_iid"), "left_anti")
+      return ds.copy(images = keptImages, annotations = keptAnn)
+    }
     val newAnn = joined.filter(valid).drop("__iid", "__w", "__h")
     if (!removeEmptiedImages) ds.copy(annotations = newAnn)
     else {

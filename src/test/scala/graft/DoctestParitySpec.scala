@@ -207,6 +207,72 @@ class DoctestParitySpec extends SparkFunSuite {
       19 -> "why", 22 -> "reach", 25 -> "interview"))
   }
 
+  /** The remove_invalid_annotations doctest corpus (dataset.py:1265-1290),
+    * rebuilt from the repr the doctest PRINTS (dummy_dataset(2, 4, seed=1)
+    * needs the faker package, absent offline — but the doctest shows every
+    * load-bearing value, so the literal frames ARE the doctest's input;
+    * box_x_min is elided by the repr's `...` and set to an in-range 0.0,
+    * which no assertion touches). */
+  private def invalidAnnDoctest(badIds: Seq[Long]) = {
+    val images = Seq(
+      (0L, 955, 229, "determine/story.jpg", "eval"),
+      (1L, 131, 840, "air/method.bmp", "train")
+    ).toDF("id", "width", "height", "relative_path", "split")
+    val annotations = Seq(
+      (0L, 1L, 15, 0.0, 276.974642, 353.331683, 353.331683),
+      (1L, 0L, 14, 0.0, 64.213606, 358.653949, 116.336568),
+      (2L, 0L, 22, 0.0, 69.431616, 525.305264, 41.677117),
+      (3L, 1L, 14, 0.0, 380.938227, 36.133726, 442.881021)
+    ).toDF("id", "image_id", "category_id",
+      "box_x_min", "box_y_min", "box_width", "box_height")
+      // the doctest corrupts box_width post-construction (loc[ids] = -1)
+      .withColumn("box_width",
+        when(col("id").isin(badIds: _*), -1.0).otherwise(col("box_width")))
+    GraftDataset.create(images, annotations,
+      Map(14 -> "listen", 15 -> "marriage", 22 -> "reach"),
+      datasetName = Some("shake_effort_many"))
+  }
+
+  test("remove_invalid_annotations doctest: default drops the bad box only") {
+    // dataset.py:1290-1309: "Removed 1 annotation, in 1 image" →
+    // 2 images and 3 objects, ids 1, 2, 3 survive
+    val ds = invalidAnnDoctest(badIds = Seq(0L))
+    val out = graft.operators.Locators.removeInvalidAnnotations(ds)
+    assert(out.numImages == 2 && out.numAnnotations == 3)
+    val kept = out.annotations.orderBy("id").collect()
+    assert(kept.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L, 3L))
+    // the printed message's counts: 1 annotation removed, in 1 image
+    assert(ds.numAnnotations - out.numAnnotations == 1)
+    assert(kept.map(_.getAs[String]("category_str")).toSeq
+      == Seq("listen", "reach", "listen"))
+    assert(out.labelMap == Map(14 -> "listen", 15 -> "marriage", 22 -> "reach"))
+  }
+
+  test("remove_invalid_annotations doctest: remove_related_images drops the image") {
+    // dataset.py:1313-1330: "Removed 1 image with invalid annotations" →
+    // 1 image and 2 objects; image 1 goes, its VALID annotation 3 goes too
+    val ds = invalidAnnDoctest(badIds = Seq(0L))
+    val out = graft.operators.Locators.removeInvalidAnnotations(ds,
+      removeRelatedImages = true)
+    assert(out.numImages == 1 && out.numAnnotations == 2)
+    assert(out.images.collect().map(_.getAs[Long]("id")).toSeq == Seq(0L))
+    assert(out.annotations.orderBy("id").collect()
+      .map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L))
+  }
+
+  test("remove_invalid_annotations doctest: remove_emptied_images cascades") {
+    // dataset.py:1334-1380: ids 0 AND 3 corrupted → "Removed 2
+    // annotations, in 1 image" → image 1 emptied and dropped
+    val ds = invalidAnnDoctest(badIds = Seq(0L, 3L))
+    val out = graft.operators.Locators.removeInvalidAnnotations(ds,
+      removeEmptiedImages = true)
+    assert(out.numImages == 1 && out.numAnnotations == 2)
+    assert(out.images.collect().map(_.getAs[Long]("id")).toSeq == Seq(0L))
+    assert(out.annotations.orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("box_width"))).toSeq
+      == Seq((1L, 358.653949), (2L, 525.305264)))
+  }
+
   test("label_map_merger doctest: inner subset, outer union, conflicts") {
     // label_map_merger.py:29-48, values asserted verbatim
     val m1 = Map(0 -> "car", 1 -> "person", 2 -> "truck")
