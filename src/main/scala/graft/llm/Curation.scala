@@ -126,6 +126,60 @@ object Curation {
       .otherwise(concat(scheme, lit("://"), host, cleanPath, cleanQuery))
   }
 
+  /** HTML → text extraction — the ingest stage in front of every web
+    * pipeline here (C4/RefinedWeb run a WET/trafilatura extraction before
+    * any quality rule; this is the engine-side equivalent for raw HTML
+    * columns). Deterministic regex chain, not a DOM parser — the
+    * curation-scale contract is "strip markup, keep prose structure":
+    *
+    *   1. `<script>`/`<style>` elements and HTML comments drop WITH their
+    *      contents;
+    *   2. block-level tags (`p`, `div`, `br`, `li`, `ul`, `ol`, `tr`,
+    *      `table`, `h1`–`h6`, `section`, `article`) become newlines, so
+    *      paragraph boundaries survive for the line-level rules
+    *      downstream ([[c4Clean]], paragraph dedup);
+    *   3. every remaining tag becomes a space;
+    *   4. the common named entities decode (`&nbsp; &lt; &gt; &quot;
+    *      &#39; &apos;`, then `&amp;` LAST so `&amp;lt;` stays literal
+    *      `&lt;`); exotic numeric entities pass through — at curation
+    *      scale they are noise the quality rules score, not markup;
+    *   5. horizontal whitespace collapses, blank lines collapse, ends
+    *      trim.
+    *
+    * Pure codegen'd regexp chain (RE2-compatible patterns: the same chain
+    * is the DuckDB oracle), one narrow map over the scan — no UDF, no
+    * explode. */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val blocks = regexp_replace(noComment,
+      "(?i)</?(?:p|div|br|li|ul|ol|tr|table|h[1-6]|section|article)\\b[^>]*/?>",
+      "\n")
+    val noTags = regexp_replace(blocks, "(?s)<[^>]*>", " ")
+    val ent1 = regexp_replace(noTags, "&nbsp;", " ")
+    val ent2 = regexp_replace(ent1, "&lt;", "<")
+    val ent3 = regexp_replace(ent2, "&gt;", ">")
+    val ent4 = regexp_replace(ent3, "&quot;", "\"")
+    val ent5 = regexp_replace(ent4, "&#39;|&apos;", "'")
+    val ent6 = regexp_replace(ent5, "&amp;", "&")
+    val sp = regexp_replace(ent6, "[ \\t\\x0B\\f\\r]+", " ")
+    val nl = regexp_replace(sp, " ?\\n ?", "\n")
+    // trim spaces AND newlines (functions.trim is space-only by default)
+    trim(regexp_replace(nl, "\\n+", "\n"), " \n")
+  }
+
+  /** [[stripHtml]] over a frame: rewrites `textCol` in place (every other
+    * column rides along), dropping documents whose extraction comes out
+    * empty when `dropEmpty`. */
+  def extractHtmlText(docs: DataFrame, textCol: String = "text",
+      dropEmpty: Boolean = true): DataFrame = {
+    val out = docs.withColumn(textCol, stripHtml(col(textCol)))
+    if (dropEmpty) out.filter(length(col(textCol)) > 0) else out
+  }
+
   /** The canonical host of `url` (see [[normalizeUrl]]) — the grouping key
     * for per-domain caps and domain-mix reporting. */
   def urlDomain(url: Column): Column = {

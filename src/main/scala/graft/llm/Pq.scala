@@ -159,6 +159,76 @@ object Pq {
       Seq(col("adist").asc, col(idCol).asc), k)
   }
 
+  /** Per-dimension (min, max) ranges for [[sqEncode]] — ONE distributed
+    * pass (posexplode → partial-agg groupBy over ≤ dim keys), returned as
+    * a one-row frame of aligned arrays to broadcast, the
+    * [[Similarity.standardizeEmbeddings]] moments pattern. */
+  def sqStats(corpus: DataFrame, vecCol: String = "embedding"): DataFrame =
+    corpus
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(
+        transform(sort_array(collect_list(struct(col("dim"), col("mn")))),
+          s => s.getField("mn")).as("__mins"),
+        transform(sort_array(collect_list(struct(col("dim"), col("mx")))),
+          s => s.getField("mx")).as("__maxs"))
+
+  /** Affine int8 scalar quantization (the FAISS `SQ8` baseline — 4× less
+    * compression than PQ at m=4 but with NO training and near-exact
+    * recall): `code_d = clamp(⌊(x_d − min_d)/(max_d − min_d) · 256⌋, 0,
+    * 255)`. Floor, not round — floor semantics are identical in every
+    * engine, so the codes replicate bit-exactly in the DuckDB oracle.
+    * Adds `sq_codes` (array<int>); a null vector encodes to null codes
+    * (same phantom-row hazard as [[encode]]). Constant dimensions
+    * (max = min) encode to 0. One codegen map; the stats frame is the
+    * broadcast one-row [[sqStats]] output. */
+  def sqEncode(corpus: DataFrame, stats: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    val codes = transform(col(vecCol).cast("array<double>"), (x, i) => {
+      val mn = element_at(col("__mins"), i + 1)
+      val mx = element_at(col("__maxs"), i + 1)
+      val span = mx - mn
+      when(span <= 0, 0)
+        .otherwise(greatest(lit(0),
+          least(lit(255), floor((x - mn) / span * 256).cast("int"))))
+    })
+    corpus.crossJoin(broadcast(stats))
+      .withColumn("sq_codes", when(col(vecCol).isNotNull, codes))
+      .drop("__mins", "__maxs")
+  }
+
+  /** Asymmetric top-k over SQ8 codes: the query keeps full precision,
+    * corpus dimensions reconstruct at their quantization-cell MIDPOINT
+    * (`min_d + (code_d + 0.5)/256 · span_d` — halves the worst-case cell
+    * error vs left-edge reconstruction), L2 distance, two-phase rank
+    * ([[graft.operators.TopK.topKPerQuery]]) on the 6-decimal-rounded
+    * distance with the id tiebreak. Same contract as [[adcTopK]]: queries
+    * broadcast, the corpus never shuffles, the one exchange is k rows per
+    * (query, partition). */
+  def sqTopK(encoded: DataFrame, queries: DataFrame, stats: DataFrame, k: Int,
+      idCol: String = "vec_id", queryIdCol: String = "query_id",
+      queryVecCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val q = broadcast(queries.filter(col(queryVecCol).isNotNull)
+      .select(col(queryIdCol),
+        col(queryVecCol).cast("array<double>").as("__qv")))
+    val dequant = transform(col("sq_codes"), (c, i) => {
+      val mn = element_at(col("__mins"), i + 1)
+      val mx = element_at(col("__maxs"), i + 1)
+      mn + (c.cast("double") + 0.5) / 256.0 * (mx - mn)
+    })
+    val dist = aggregate(
+      zip_with(col("__qv"), dequant, (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val scored = encoded.filter(col("sq_codes").isNotNull)
+      .crossJoin(broadcast(stats))
+      .crossJoin(q)
+      .select(col(queryIdCol), col(idCol), round(dist, 6).as("sq_dist"))
+    graft.operators.TopK.topKPerQuery(scored, queryIdCol,
+      Seq(col("sq_dist").asc, col(idCol).asc), k)
+  }
+
   /** Seeded per-subspace KMeans codebooks (the classic PQ training):
     * subspace `j` is fit on the corpus' j-th subvector slice. Centroid
     * count per subspace is `ncentroids` (256 in the paper = 1 byte/code;

@@ -74,6 +74,21 @@ object CorpusRetrievalQueries extends graft.QueryModule {
     // centroid recipe), m=4 × dsub=16 over the 64-dim corpus. Encode
     // argmin margins are tripwired in PqSpec; ranking follows the
     // 6-decimal-round + vec-id-tiebreak convention.
+    // SQ8 scalar quantization: per-dim (min, max) trained on the corpus,
+    // floor-quantized int8 codes, asymmetric midpoint-dequant L2 top-k.
+    // Floor (not round) makes the codes bit-replicable in DuckDB; the
+    // distance ranks on the round-6 + id-tiebreak convention.
+    "q137_sq8_topk" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val stats = graft.llm.Pq.sqStats(embs)
+      val enc = graft.llm.Pq.sqEncode(embs, stats)
+      val queries = embs.filter(col("vec_id") % 100 === 7)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.llm.Pq.sqTopK(enc, queries, stats, k = 10)
+        .select(col("query_id"), col("vec_id"), col("sq_dist"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     "q121_pq_adc_topk" -> ((s, d) => {
       val embs = Tables.embeddings(s, d).select("vec_id", "embedding")
       val codebooks = pqCodebooks(s, d)
@@ -354,6 +369,35 @@ object CorpusRetrievalQueries extends graft.QueryModule {
     // tiebreak) + ADC (per-subspace lookup distances list-summed in fixed
     // j order to mirror the engine's left-assoc sum), ranked on the
     // rounded distance
+    "q137_sq8_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |d AS (SELECT vec_id, unnest(v) AS x,
+        |             generate_subscripts(v, 1) - 1 AS dim FROM e),
+        |st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM d GROUP BY 1),
+        |c AS (SELECT d.vec_id, d.dim,
+        |        CASE WHEN st.mx - st.mn <= 0 THEN 0
+        |             ELSE greatest(0, least(255,
+        |               CAST(floor((d.x - st.mn) / (st.mx - st.mn) * 256)
+        |                    AS INT))) END AS code,
+        |        st.mn, st.mx
+        |      FROM d JOIN st USING (dim)),
+        |q AS (SELECT vec_id AS query_id, dim, x AS qx
+        |      FROM d WHERE vec_id % 100 = 7),
+        |dist AS (SELECT q.query_id, c.vec_id,
+        |           sum((q.qx - (c.mn + (c.code + 0.5) / 256.0 *
+        |                (c.mx - c.mn))) *
+        |               (q.qx - (c.mn + (c.code + 0.5) / 256.0 *
+        |                (c.mx - c.mn)))) AS dd
+        |         FROM c JOIN q USING (dim)
+        |         GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, vec_id, round(dd, 6) AS sq_dist,
+        |             row_number() OVER (PARTITION BY query_id
+        |               ORDER BY round(dd, 6), vec_id) AS rank
+        |           FROM dist)
+        |SELECT query_id, vec_id, sq_dist, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 10""".stripMargin,
+
     "q121_pq_adc_topk" -> pqAdcSql,
 
     // nprobe = all cells makes IVFADC ≡ ADC, so the oracle is IDENTICAL

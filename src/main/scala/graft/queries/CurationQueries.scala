@@ -115,6 +115,25 @@ object CurationQueries extends graft.QueryModule {
         .select(col("doc_id"), col("n_lines"), col("n_kept"), col("text"))
     }),
 
+    // HTML → text extraction: every document wrapped in a deterministic
+    // HTML shell exercising all five chain stages (script/style/comment
+    // content drop, block tags → newlines, inline tag strip, the named
+    // entities incl. the &amp;-last rule, whitespace collapse). The same
+    // regexp chain IS the oracle (RE2-compatible patterns on both sides).
+    "q136_html_extract" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val html = concat(
+        lit("<html><head><script type=\"text/javascript\">var x = 1 < 2;" +
+          "</script><style>.m{color:red}</style></head><body>" +
+          "<!-- nav bar --><div class=\"main\"><h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><ul><li>&amp;amp; stays</li><li>&lt;tag&gt; " +
+          "&quot;q&#39;s&quot;&nbsp;end</li></ul></div></body></html>"))
+      Curation.extractHtmlText(docs.withColumn("text", html))
+        .select(col("doc_id"), col("text"))
+    }),
+
     // RefinedWeb-style URL canonicalization + per-domain cap: fabricated
     // URLs exercise every normalization rule (case, www, default ports
     // :443/:80, utm_* params amid kept params, fragments, empty paths are
@@ -442,6 +461,51 @@ object CurationQueries extends graft.QueryModule {
     // fabrication (line structure + plants) replayed with list_transform
     // over range(); then C4's exact line rules in list_filter and the two
     // doc-level phrase checks
+    "q136_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><script type="text/javascript">var x = 1 < 2;' ||
+        |    '</script><style>.m{color:red}</style></head><body>' ||
+        |    '<!-- nav bar --><div class="main"><h1>Doc ' ||
+        |    CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
+        |    '</p><ul><li>&amp;amp; stays</li><li>&lt;tag&gt; ' ||
+        |    '&quot;q&#39;s&quot;&nbsp;end</li></ul></div></body></html>'
+        |      AS t
+        |  FROM documents),
+        |s1 AS (SELECT doc_id,
+        |         regexp_replace(t, '(?is)<script\b[^>]*>.*?</script>', ' ', 'g') AS t
+        |       FROM h),
+        |s2 AS (SELECT doc_id,
+        |         regexp_replace(t, '(?is)<style\b[^>]*>.*?</style>', ' ', 'g') AS t
+        |       FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t
+        |       FROM s2),
+        |s4 AS (SELECT doc_id,
+        |         regexp_replace(t,
+        |           '(?i)</?(?:p|div|br|li|ul|ol|tr|table|h[1-6]|section|article)\b[^>]*/?>',
+        |           chr(10), 'g') AS t
+        |       FROM s3),
+        |s5 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t
+        |       FROM s4),
+        |e AS (SELECT doc_id,
+        |        replace(replace(replace(replace(
+        |          regexp_replace(replace(t, '&nbsp;', ' '),
+        |            '&#39;|&apos;', chr(39), 'g'),
+        |          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |          '&amp;', '&') AS t
+        |      FROM s5),
+        |w1 AS (SELECT doc_id,
+        |         regexp_replace(t, '[ ' || chr(9) || chr(11) || chr(12) ||
+        |           chr(13) || ']+', ' ', 'g') AS t
+        |       FROM e),
+        |w2 AS (SELECT doc_id,
+        |         regexp_replace(t, ' ?' || chr(10) || ' ?', chr(10), 'g') AS t
+        |       FROM w1)
+        |SELECT doc_id,
+        |       trim(regexp_replace(t, chr(10) || '+', chr(10), 'g'),
+        |            ' ' || chr(10)) AS text
+        |FROM w2""".stripMargin,
+
     "q115_c4_clean" ->
       """WITH prep AS (
         |  SELECT doc_id,

@@ -79,6 +79,19 @@ object EvalQueries extends graft.QueryModule {
     // compression, endpoint padding, reverse running-max precision, 101-bin
     // ffill reindex, right-Riemann AP); the construction makes every
     // intermediate an exact ratio of integers the oracle reproduces.
+    //
+    // KNOWN SCALE-FACTOR DEPENDENCE (pre-round-9, measured): the oracle's
+    // `rows` CTE assumes the minIou=0 greedy assignment is the analytic
+    // one (each prediction ↔ its own groundtruth). That holds on the
+    // sf0.01 gate data (and sf0.1), but at sf0.001 the smaller id space
+    // changes which forced rows coexist per (image, category) group and
+    // the assumption breaks for one category (q23 ap 0.391637 vs oracle
+    // 0.391992; same mechanism shifts seven q58 shares and two q15
+    // counts) — verified identical on the untouched round-8 build, i.e.
+    // an oracle-emulation limit at that scale, not an engine change. The
+    // raw match table (q22, minIou = 0.5) is oracle-exact at EVERY scale
+    // factor; the kernel itself is locked bit-exact against the
+    // reference's own outputs in MatcherFidelitySpec/PrCurveSpec.
     "q23_pr_ap" -> ((s, d) => {
       val (gt, preds) = forcedSetup(s, d)
       val ev = new DetectionEvaluator(

@@ -340,6 +340,35 @@ class CurationSpec extends SparkFunSuite {
 
   // ----------------------------------------------------- perDomainCap
 
+  test("stripHtml: scripts/styles/comments drop, blocks break lines, entities decode") {
+    def strip(s: String): String = Seq(Tuple1(s)).toDF("h")
+      .select(graft.llm.Curation.stripHtml(col("h"))).collect().head.getString(0)
+    assert(strip("<p>Hello <b>world</b></p>") == "Hello world")
+    // script/style CONTENT vanishes, even with attributes and '<' inside
+    assert(strip("<script type=\"a\">var x = 1 < 2;</script>keep") == "keep")
+    assert(strip("a<style>.x{}</style>b") == "a b")
+    assert(strip("a<!-- hidden <b>bold</b> -->b") == "a b")
+    // block tags become line breaks; inline tags become spaces
+    assert(strip("<div>one</div><div>two</div>") == "one\ntwo")
+    assert(strip("one<br/>two") == "one\ntwo")
+    assert(strip("a<span>b</span>c") == "a b c")
+    // entity decode, &amp; last so double-escapes stay literal
+    assert(strip("&lt;tag&gt; &quot;q&#39;s&quot; &amp; more") ==
+      "<tag> \"q's\" & more")
+    assert(strip("&amp;lt; stays literal") == "&lt; stays literal")
+    assert(strip("a&nbsp;b") == "a b")
+    // whitespace collapse + trim of spaces AND newlines
+    assert(strip("<p>  padded   text </p> ") == "padded text")
+    assert(strip("<p></p><p>x</p><p></p>") == "x")
+    // extractHtmlText drops emptied docs when asked
+    val docs = Seq((1L, "<p>real</p>"), (2L, "<script>only()</script>"))
+      .toDF("doc_id", "text")
+    val kept = graft.llm.Curation.extractHtmlText(docs)
+    assert(kept.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((1L, "real")))
+    assert(graft.llm.Curation.extractHtmlText(docs, dropEmpty = false).count() == 2)
+  }
+
   test("perDomainCap keeps top-priority docs per domain, ties by id") {
     val docs = Seq(
       (0L, "http://a.com/0", 10),

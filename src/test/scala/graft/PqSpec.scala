@@ -121,4 +121,66 @@ class PqSpec extends SparkFunSuite {
       min(col("gap_2")), min(col("gap_3")))).head().getDouble(0)
     assert(minGap > 1e-9, s"argmin margin too small: $minGap")
   }
+
+  test("SQ8: codes in range, constant dims to 0, null vectors null") {
+    import spark.implicits._
+    val embs = Seq(
+      (0L, Some(Array(0.0f, 5.0f, 1.0f))),
+      (1L, Some(Array(1.0f, 5.0f, 3.0f))),
+      (2L, Some(Array(2.0f, 5.0f, 9.0f))),
+      (3L, Option.empty[Array[Float]])
+    ).toDF("vec_id", "embedding")
+    val stats = Pq.sqStats(embs)
+    val enc = Pq.sqEncode(embs, stats).orderBy("vec_id")
+      .select("sq_codes").collect().map(r =>
+        Option(r.get(0)).map(_.asInstanceOf[scala.collection.Seq[Int]].toSeq))
+    // dim 0 spans [0,2]: 0→0, 1→128, 2→clamped 255; dim 1 constant → 0;
+    // dim 2 spans [1,9]: 1→0, 3→64, 9→255
+    assert(enc(0).get == Seq(0, 0, 0))
+    assert(enc(1).get == Seq(128, 0, 64))
+    assert(enc(2).get == Seq(255, 0, 255))
+    assert(enc(3).isEmpty)
+  }
+
+  test("SQ8 topK: self is nearest under midpoint dequant; order is exact") {
+    import spark.implicits._
+    val embs = (0L until 64L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 7 + d * 13) % 29).toFloat)))
+      .toDF("vec_id", "embedding").repartition(5)
+    val stats = Pq.sqStats(embs)
+    val enc = Pq.sqEncode(embs, stats)
+    val queries = embs.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val top = Pq.sqTopK(enc, queries, stats, k = 5)
+    // rank 1 for each query is the query itself (distance ≈ quantization
+    // noise only, far below any other vector's distance on this lattice)
+    val first = top.filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(first == Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+    // exact reference: full-precision dequant distance computed in Scala
+    val st = stats.head()
+    val mins = st.getSeq[Double](0)
+    val maxs = st.getSeq[Double](1)
+    val vecs = embs.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def code(x: Double, d: Int): Int = {
+      val span = maxs(d) - mins(d)
+      if (span <= 0) 0
+      else math.max(0, math.min(255, math.floor((x - mins(d)) / span * 256).toInt))
+    }
+    def dist(q: Array[Float], c: Array[Float]): Double = {
+      var s = 0.0
+      for (d <- q.indices) {
+        val deq = mins(d) + (code(c(d), d) + 0.5) / 256.0 * (maxs(d) - mins(d))
+        s += (q(d) - deq) * (q(d) - deq)
+      }
+      // Spark's round() is HALF_UP — match it exactly
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = top.filter(col("query_id") === 1)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    val want = vecs.keys.toSeq
+      .map(id => (dist(vecs(1L), vecs(id)), id)).sorted.take(5).map(_._2)
+    assert(got == want)
+  }
 }
