@@ -159,6 +159,75 @@ object Pq {
       Seq(col("adist").asc, col(idCol).asc), k)
   }
 
+  /** Materialize an encoded+cell-assigned corpus ([[encode]] +
+    * [[assignCells]]) as parquet PARTITIONED BY `cell_id` — the storage
+    * layout the IVFADC doc prescribes at 100 TB: each coarse cell is its
+    * own directory, so a probe of `nprobe` cells is a partition-PRUNED
+    * scan that never opens the other ~99% of files. The vector column is
+    * dropped by default (`keepVectors = false`): the ADC scan needs only
+    * (id, pq_codes) — m bytes a vector — which is the whole point of PQ;
+    * keep vectors only if exact re-ranking reads the store too. */
+  def writeCellPartitioned(encoded: DataFrame, path: String,
+      keepVectors: Boolean = false, vecCol: String = "embedding"): Unit = {
+    require(encoded.columns.contains("cell_id"), "run assignCells first")
+    require(encoded.columns.contains("pq_codes"), "run encode first")
+    val slim = if (keepVectors) encoded else encoded.drop(vecCol)
+    // null cells (null vectors) have nothing to serve — drop at write
+    slim.filter(col("cell_id").isNotNull)
+      .write.mode("overwrite").partitionBy("cell_id").parquet(path)
+  }
+
+  /** [[ivfAdcTopK]] against a [[writeCellPartitioned]] store: the probed
+    * cells arrive as a pushed-down `cell_id IN (…)` partition filter, so
+    * the scan reads ONLY the probed directories (verify with
+    * `.explain`: the scan shows the cell_id partition filters and no
+    * other partition is listed). Query→cell ranking is computed
+    * driver-side from the literal `cells` — the same tiny centroid table
+    * every variant broadcasts — so the per-query probe lists are known
+    * before the plan is built, which is what makes static pruning
+    * possible; the per-query distance tables still broadcast and the
+    * final rank is the two-phase [[graft.operators.TopK.topKPerQuery]].
+    * Results are EXACTLY [[ivfAdcTopK]]'s for the same (codebooks,
+    * cells, nprobe, k). */
+  def ivfAdcTopKFromStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame,
+      codebooks: Seq[Seq[Array[Double]]], cells: Seq[Array[Double]],
+      nprobe: Int, k: Int,
+      idCol: String = "vec_id", queryIdCol: String = "query_id",
+      queryVecCol: String = "embedding"): DataFrame = {
+    require(nprobe > 0 && nprobe <= cells.size,
+      s"nprobe $nprobe out of range 1..${cells.size}")
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
+    val qv = col(queryVecCol).cast("array<double>")
+    val qtab = array(codebooks.zipWithIndex.map { case (cb, j) =>
+      array(cb.map(cent => l2sq(subspace(qv, j, dsub), cent)): _*)
+    }: _*)
+    val cellRank = array(cells.zipWithIndex.map { case (cent, ci) =>
+      struct(l2sq(qv, cent).as("d"), lit(ci).as("c"))
+    }: _*)
+    val probed = slice(transform(array_sort(cellRank), s => s.getField("c")),
+      1, nprobe)
+    val q = broadcast(queries.filter(col(queryVecCol).isNotNull)
+      .select(col(queryIdCol), qtab.as("__pq_tab"),
+        explode(probed).as("cell_id")))
+    // the UNION of all queries' probe lists prunes the scan statically;
+    // the equality join below then routes each cell's rows to its queries
+    val allProbed = queries.filter(col(queryVecCol).isNotNull)
+      .select(explode(probed).as("c")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val adist = (0 until m).map { j =>
+      element_at(element_at(col("__pq_tab"), j + 1),
+        col("pq_codes").getItem(j) + 1)
+    }.reduce(_ + _)
+    val store = spark.read.parquet(path)
+      .filter(col("cell_id").isin(allProbed.map(Int.box): _*))
+    val scored = store.join(q, Seq("cell_id"))
+      .select(col(queryIdCol), col(idCol), round(adist, 6).as("adist"))
+    graft.operators.TopK.topKPerQuery(scored, queryIdCol,
+      Seq(col("adist").asc, col(idCol).asc), k)
+  }
+
   /** Per-dimension (min, max) ranges for [[sqEncode]] — ONE distributed
     * pass (posexplode → partial-agg groupBy over ≤ dim keys), returned as
     * a one-row frame of aligned arrays to broadcast, the

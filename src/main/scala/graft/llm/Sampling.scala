@@ -31,6 +31,34 @@ object Sampling {
       salt: String = ""): DataFrame =
     df.filter(hashUniform(keyCol, salt) < fraction)
 
+  /** Leakage-safe split by GROUP (sklearn's GroupShuffleSplit shape, at
+    * corpus scale): every row of a group lands in the SAME split, so
+    * near-identical documents from one domain/site/session can never
+    * straddle train and eval — the document-level analogue of the image
+    * splitter's keep-separate contract, and the standard guard against
+    * the train→test leakage that per-ROW splitting bakes into web
+    * corpora. Splits are assigned by the group key's hash uniform against
+    * cumulative `shares` (must sum to ~1), so the assignment is a pure
+    * map over the scan: no shuffle, no group table, no driver state,
+    * identical at any partition count, and stable under corpus growth
+    * (new rows of a known group join its split; only genuinely new
+    * groups draw fresh assignments). Adds `split`. */
+  def groupHoldout(df: DataFrame, groupCol: Column,
+      shares: Seq[(String, Double)], salt: String = ""): DataFrame = {
+    require(shares.nonEmpty, "no shares")
+    require(shares.forall(_._2 >= 0), s"negative share in $shares")
+    val tot = shares.map(_._2).sum
+    require(math.abs(tot - 1.0) < 1e-6, s"shares must sum to 1, got $tot")
+    val u = hashUniform(groupCol, salt)
+    val cum = shares.scanLeft(0.0)(_ + _._2).tail
+    // last split takes the remainder so float edges can't drop a group
+    val expr = shares.init.zip(cum.init).reverse.foldLeft(
+      lit(shares.last._1)) { case (acc, ((name, _), hi)) =>
+      when(u < hi, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
   /** Per-stratum deterministic rates (e.g. per-source keep fractions).
     * Strata absent from `rates` fall back to `defaultRate`. Still a pure
     * filter — the rate lookup is a literal CASE chain, not a join. */

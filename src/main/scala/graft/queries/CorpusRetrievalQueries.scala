@@ -119,6 +119,28 @@ object CorpusRetrievalQueries extends graft.QueryModule {
           col("rank").cast("long").as("rank"))
     }),
 
+    // the stored-index face: encode + assign → parquet PARTITIONED BY
+    // cell_id → partition-pruned probe read. nprobe = all cells ≡ the
+    // plain ADC scan, so the write→read→probe pipeline must reproduce
+    // q121's oracle EXACTLY; the pruning itself (only probed directories
+    // scanned) is plan-locked in PqSpec.
+    "q138_ivfadc_store" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val codebooks = pqCodebooks(s, d)
+      val cells = pqCells(s, d)
+      val enc = graft.llm.Pq.assignCells(
+        graft.llm.Pq.encode(embs, codebooks), cells)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_store")
+        .toString
+      graft.llm.Pq.writeCellPartitioned(enc, dir)
+      val queries = embs.filter(col("vec_id") % 100 === 7)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.llm.Pq.ivfAdcTopKFromStore(s, dir, queries, codebooks, cells,
+        nprobe = cells.size, k = 10)
+        .select(col("query_id"), col("vec_id"), col("adist"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     // script-mix signals: Cyrillic/CJK/Arabic/Greek snippets appended per
     // residue class, every 97th doc REPLACED by a Cyrillic page (so
     // dominance flips somewhere); counts are regexp-range arithmetic over
@@ -399,6 +421,9 @@ object CorpusRetrievalQueries extends graft.QueryModule {
         |FROM ranked WHERE rank <= 10""".stripMargin,
 
     "q121_pq_adc_topk" -> pqAdcSql,
+
+    // stored-index face ≡ plain ADC at nprobe = all (same trick as q124)
+    "q138_ivfadc_store" -> pqAdcSql,
 
     // nprobe = all cells makes IVFADC ≡ ADC, so the oracle is IDENTICAL
     "q124_ivfadc_topk" -> pqAdcSql,

@@ -25,6 +25,18 @@ object CurationQueries extends graft.QueryModule {
           Sampling.hashUniform(col("doc_id"), "mix").as("u"))
     }),
 
+    // leakage-safe group-holdout split: ~50 synthetic groups per source;
+    // the (group, split) aggregation proves atomicity (every group shows
+    // exactly one split) and the assignment is the md5-uniform both
+    // engines replicate digit-for-digit
+    "q139_group_holdout" -> ((s, d) => {
+      val docs = Tables.documents(s, d).withColumn("grp",
+        concat(col("source"), lit("#"), (col("doc_id") % 50).cast("string")))
+      Sampling.groupHoldout(docs, col("grp"),
+          Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1), salt = "hold")
+        .groupBy(col("grp"), col("split")).agg(count(lit(1)).as("n"))
+    }),
+
     // token-budget mixture, BOTH variants over the same budgets: the exact
     // per-source window cumsum ('exact') and the scale-path rate filter
     // ('rate'), each summarized per source. Budgeted sources src0..src4;
@@ -336,6 +348,19 @@ object CurationQueries extends graft.QueryModule {
          |           FROM documents),
          |u AS (SELECT doc_id, ${hashUniformSql("hx")} AS u FROM h)
          |SELECT doc_id, u FROM u WHERE u < 0.1""".stripMargin,
+
+    "q139_group_holdout" ->
+      s"""WITH g AS (SELECT source || '#' || CAST(doc_id % 50 AS VARCHAR)
+         |             AS grp
+         |           FROM documents),
+         |h AS (SELECT grp, md5(concat(grp, ':hold')) AS hx FROM g),
+         |u AS (SELECT grp, ${hashUniformSql("hx")} AS u FROM h)
+         |SELECT grp,
+         |       CASE WHEN u < 0.8 THEN 'train'
+         |            WHEN u < 0.9 THEN 'valid'
+         |            ELSE 'test' END AS split,
+         |       count(*) AS n
+         |FROM u GROUP BY 1, 2""".stripMargin,
 
     "q93_token_mixture" ->
       s"""WITH d AS (SELECT doc_id, source,

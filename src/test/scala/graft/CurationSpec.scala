@@ -340,6 +340,45 @@ class CurationSpec extends SparkFunSuite {
 
   // ----------------------------------------------------- perDomainCap
 
+  test("groupHoldout: groups are atomic, deterministic, shares roughly honored") {
+    val docs = (0L until 3000L).map(i => (i, s"dom${i % 150}"))
+      .toDF("doc_id", "grp").repartition(7)
+    val out = graft.llm.Sampling.groupHoldout(docs, col("grp"),
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1), salt = "s1")
+    // atomicity: every group maps to exactly one split
+    val perGroup = out.groupBy("grp")
+      .agg(countDistinct(col("split")).as("k")).agg(max("k")).head().getLong(0)
+    assert(perGroup == 1L)
+    // determinism: same salt → same assignment; different salt → different
+    val again = graft.llm.Sampling.groupHoldout(docs, col("grp"),
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1), salt = "s1")
+    assert(out.orderBy("doc_id").collect().toSeq
+      == again.orderBy("doc_id").collect().toSeq)
+    val other = graft.llm.Sampling.groupHoldout(docs, col("grp"),
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1), salt = "s2")
+    assert(out.orderBy("doc_id").collect().toSeq
+      != other.orderBy("doc_id").collect().toSeq)
+    // shares: 150 groups at 80/10/10 → train should dominate clearly
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet.subsetOf(Set("train", "valid", "test")))
+    assert(counts("train") > counts.getOrElse("valid", 0L))
+    assert(counts("train") > counts.getOrElse("test", 0L))
+    // stability under growth: adding rows of KNOWN groups can't move them
+    val grown = docs.unionByName(
+      Seq((9001L, "dom3"), (9002L, "dom7")).toDF("doc_id", "grp"))
+    val g = graft.llm.Sampling.groupHoldout(grown, col("grp"),
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1), salt = "s1")
+    val before = out.filter(col("grp").isin("dom3", "dom7"))
+      .select("grp", "split").distinct().collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val after = g.filter(col("grp").isin("dom3", "dom7"))
+      .select("grp", "split").distinct().collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(before == after)
+    intercept[IllegalArgumentException] {
+      graft.llm.Sampling.groupHoldout(docs, col("grp"), Seq("a" -> 0.5))
+    }
+  }
+
   test("stripHtml: scripts/styles/comments drop, blocks break lines, entities decode") {
     def strip(s: String): String = Seq(Tuple1(s)).toDF("h")
       .select(graft.llm.Curation.stripHtml(col("h"))).collect().head.getString(0)

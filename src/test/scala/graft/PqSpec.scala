@@ -122,6 +122,39 @@ class PqSpec extends SparkFunSuite {
     assert(minGap > 1e-9, s"argmin margin too small: $minGap")
   }
 
+  test("cell-partitioned store: probes are partition-PRUNED and results exact") {
+    import spark.implicits._
+    val embs = (0L until 120L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 5 + d * 11) % 23).toFloat)))
+      .toDF("vec_id", "embedding")
+    // 4 fixed cells + 2-centroid-per-subspace codebooks (literal, tiny)
+    val cells = (0 until 4).map(c =>
+      Array.tabulate(8)(d => (c * 6 + d).toDouble)).toSeq
+    val cbs = (0 until 4).map(j =>
+      Seq(Array.tabulate(2)(x => j * 2.0 + x), Array.tabulate(2)(x => 20.0 - j - x)))
+    val enc = Pq.assignCells(Pq.encode(embs, cbs), cells)
+    val dir = java.nio.file.Files.createTempDirectory("pqstore").toString
+    Pq.writeCellPartitioned(enc, dir)
+    // one directory per non-empty cell; no vector column in the files
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("cell_id=")).sorted
+    assert(dirs.nonEmpty && dirs.forall(_.matches("cell_id=\\d+")))
+    assert(!spark.read.parquet(dir).columns.contains("embedding"))
+    val queries = embs.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val fromStore = Pq.ivfAdcTopKFromStore(spark, dir, queries, cbs, cells,
+      nprobe = 2, k = 5)
+    val direct = Pq.ivfAdcTopK(enc, queries, cbs, cells, nprobe = 2, k = 5)
+      .select("query_id", "vec_id", "adist", "rank")
+    assert(fromStore.select("query_id", "vec_id", "adist", "rank")
+      .orderBy("query_id", "rank").collect().toSeq
+      == direct.orderBy("query_id", "rank").collect().toSeq)
+    // the scan lists ONLY the probed cells' partitions
+    val plan = fromStore.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell_id"),
+      s"no partition filter on the store scan:\n$plan")
+  }
+
   test("SQ8: codes in range, constant dims to 0, null vectors null") {
     import spark.implicits._
     val embs = Seq(
