@@ -86,6 +86,14 @@ class DetectionEvaluator(
       .join(images.select(col("id")), p("image_id") === images("id"), "left_anti")
       .limit(1).count()
     require(orphan == 0, s"'$model': prediction image_id not in images")
+    // a duplicated prediction id fans out every id-keyed join in the
+    // results assembly (measured: one dup id → 2×2 phantom unmatched
+    // rows) — fail loudly, like assert_ids_well_formed does for datasets
+    val dup = p.agg(count(lit(1)).as("n"),
+      countDistinct(col("id")).as("d")).head()
+    require(dup.getLong(0) == dup.getLong(1),
+      s"'$model': duplicate prediction ids " +
+        s"(${dup.getLong(0)} rows, ${dup.getLong(1)} distinct)")
     if (labelMap.nonEmpty) {
       val unknown = p.select("category_id").distinct()
         .filter(!col("category_id").isin(labelMap.keySet.toSeq: _*))

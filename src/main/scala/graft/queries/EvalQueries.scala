@@ -80,18 +80,14 @@ object EvalQueries extends graft.QueryModule {
     // ffill reindex, right-Riemann AP); the construction makes every
     // intermediate an exact ratio of integers the oracle reproduces.
     //
-    // KNOWN SCALE-FACTOR DEPENDENCE (pre-round-9, measured): the oracle's
-    // `rows` CTE assumes the minIou=0 greedy assignment is the analytic
-    // one (each prediction ↔ its own groundtruth). That holds on the
-    // sf0.01 gate data (and sf0.1), but at sf0.001 the smaller id space
-    // changes which forced rows coexist per (image, category) group and
-    // the assumption breaks for one category (q23 ap 0.391637 vs oracle
-    // 0.391992; same mechanism shifts seven q58 shares and two q15
-    // counts) — verified identical on the untouched round-8 build, i.e.
-    // an oracle-emulation limit at that scale, not an engine change. The
-    // raw match table (q22, minIou = 0.5) is oracle-exact at EVERY scale
-    // factor; the kernel itself is locked bit-exact against the
-    // reference's own outputs in MatcherFidelitySpec/PrCurveSpec.
+    // Round-9 divergence hunt: this gate (with q58/q15) used to mismatch
+    // its oracle at sf0.001 ONLY. Root cause was neither the kernel nor
+    // the oracle's math but a DUPLICATE minted annotation id (the smoke
+    // lineitem ships one fully-duplicated natural key), which fanned the
+    // results assembly's id-keyed joins 2×2. Fixed at the source — the
+    // view id now folds in a quantity digit (Tables.annotationsView) —
+    // and guarded: the evaluator now refuses duplicate prediction ids.
+    // All three gates are oracle-exact at every shipped scale factor.
     "q23_pr_ap" -> ((s, d) => {
       val (gt, preds) = forcedSetup(s, d)
       val ev = new DetectionEvaluator(
@@ -259,10 +255,12 @@ object EvalQueries extends graft.QueryModule {
     "q24_count_error" ->
       s"""$viewCte,
          |preds AS (
-         |  SELECT l_orderkey AS image_id, CAST(l_partkey % 7 AS INT) AS category_id,
-         |         CAST((((l_orderkey*8+l_linenumber)*100000+l_partkey)*10000
-         |               + l_suppkey) % 97 AS DOUBLE) / 96.0 AS confidence
-         |  FROM lineitem),
+         |  -- derive from the shared annotations CTE (not an inlined id
+         |  -- formula) so an id-minting change can never desynchronize
+         |  -- this oracle from predsView again
+         |  SELECT image_id, category_id,
+         |         CAST(id % 97 AS DOUBLE) / 96.0 AS confidence
+         |  FROM annotations),
          |bins(t) AS (VALUES (0.0),(0.25),(0.5),(0.75),(1.0)),
          |pc AS (SELECT category_id, image_id, t,
          |              sum(CASE WHEN confidence >= t THEN 1 ELSE 0 END) AS cnt
