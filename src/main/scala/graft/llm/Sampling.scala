@@ -155,6 +155,107 @@ object Sampling {
     * bump `epoch` for a fresh order. Feed shards to
     * [[graft.io.WebDataset.toWebDataset]] (or any sink) for reproducible
     * training runs. */
+  /** UniMax language-budget allocation (Chung et al. 2023, "UniMax:
+    * Fairer and More Effective Language Sampling for Large-Scale
+    * Multilingual Pretraining"): split a total token budget across
+    * languages so that no language repeats more than `maxEpochs` times,
+    * and whatever a capped (low-resource) language cannot absorb is
+    * shared EQUALLY among the remaining (larger) languages — the
+    * published waterfilling recipe that replaces ad-hoc temperature
+    * sampling.
+    *
+    * Closed form (bit-reproducible, no iterative float drift): sort
+    * languages by cap `c_l = maxEpochs · n_l` ascending; language `l` (at
+    * ascending rank i of L) is FULLY allocated its cap iff
+    * `c_i ≤ (B − Σ_{j<i} c_j) / (L − i + 1)`; caps are monotone, so the
+    * fully-capped set is a prefix, and every language after the prefix
+    * receives the constant water level `(B − Σ_prefix c_j) / (L − k)`.
+    * With `maxEpochs` exactly representable (0.5/1/2/4…) and integer
+    * token counts, every comparison is over exact doubles and the single
+    * final division is the only rounding site — the DuckDB oracle replays
+    * it digit-for-digit.
+    *
+    * `perLangTokens` is the per-language aggregate (langCol, tokensCol) —
+    * languages number in the hundreds at most, so the closed form runs on
+    * the driver (the splitter's documented driver-sized pattern). Returns
+    * (lang, n_tokens, cap, alloc_tokens, epochs[round 6]). If the budget
+    * exceeds Σ caps, every language is capped and the leftover stays
+    * unallocated (UniMax's contract: never exceed maxEpochs). */
+  def uniMaxAllocation(perLangTokens: DataFrame, totalBudget: Long,
+      maxEpochs: Double, langCol: String = "lang",
+      tokensCol: String = "n_tokens"): DataFrame = {
+    require(totalBudget > 0, s"budget must be positive: $totalBudget")
+    require(maxEpochs > 0, s"maxEpochs must be positive: $maxEpochs")
+    val spark = perLangTokens.sparkSession
+    val langs = perLangTokens
+      .select(col(langCol).cast("string"), col(tokensCol).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (l, n) => (maxEpochs * n, l) }
+    require(langs.forall(_._2 > 0),
+      s"zero-token language(s): ${langs.filter(_._2 <= 0).map(_._1).mkString(",")}")
+    val caps = langs.map { case (_, n) => maxEpochs * n }
+    val cumBefore = caps.scanLeft(0.0)(_ + _) // exact: integers × maxEpochs
+    val L = langs.length
+    // longest prefix whose caps fit under the running water level
+    var k = 0
+    while (k < L && caps(k) <= (totalBudget - cumBefore(k)) / (L - k)) k += 1
+    val level = if (k < L) (totalBudget - cumBefore(k)) / (L - k) else 0.0
+    // HALF_UP at 6 decimals — what Spark's round() and DuckDB's round()
+    // both do for positive doubles (rint would tie-to-even and diverge)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = langs.zipWithIndex.map { case ((l, n), i) =>
+      val alloc = if (i < k) caps(i) else level
+      (l, n, caps(i), r6(alloc), r6(alloc / n))
+    }
+    import spark.implicits._
+    rows.toSeq.toDF(langCol, tokensCol, "cap", "alloc_tokens", "epochs")
+  }
+
+  /** Temperature-based language-budget allocation — the pre-UniMax
+    * baseline (multilingual BERT / XLM-R convention): sampling share
+    * `q_l ∝ n_l^α` (α = 1/T; α = 1 is proportional, α → 0 uniform),
+    * allocation `B·q_l`. Kept alongside [[uniMaxAllocation]] because it
+    * is what most published mixtures still specify — and because its
+    * failure mode (no epoch cap: a low-resource language can be assigned
+    * many times its own token count) is exactly what UniMax fixes; the
+    * `epochs` column makes that overshoot visible.
+    *
+    * Determinism contract (same as uniMax): driver-sized per-language
+    * table, the normalizer Σ n^α accumulated in ASCENDING language order
+    * (binary string order — DuckDB's ordered aggregate replays it), and
+    * `α = 0.5` computes via `sqrt` (IEEE-exact in every engine) rather
+    * than `pow`. Emits (lang, n_tokens, share[round 6],
+    * alloc_tokens[round 6], epochs[round 6]). */
+  def temperatureAllocation(perLangTokens: DataFrame, totalBudget: Long,
+      alpha: Double = 0.5, langCol: String = "lang",
+      tokensCol: String = "n_tokens"): DataFrame = {
+    require(totalBudget > 0, s"budget must be positive: $totalBudget")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    val spark = perLangTokens.sparkSession
+    val langs = perLangTokens
+      .select(col(langCol).cast("string"), col(tokensCol).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    require(langs.forall(_._2 > 0),
+      s"zero-token language(s): ${langs.filter(_._2 <= 0).map(_._1).mkString(",")}")
+    def p(n: Long): Double =
+      if (alpha == 0.5) math.sqrt(n.toDouble)
+      else if (alpha == 1.0) n.toDouble
+      else math.pow(n.toDouble, alpha)
+    var z = 0.0
+    langs.foreach { case (_, n) => z += p(n) } // ascending-lang order
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = langs.map { case (l, n) =>
+      val share = p(n) / z
+      val alloc = totalBudget * share
+      (l, n, r6(share), r6(alloc), r6(alloc / n))
+    }
+    import spark.implicits._
+    rows.toSeq.toDF(langCol, tokensCol, "share", "alloc_tokens", "epochs")
+  }
+
   def epochShuffle(docs: DataFrame, numShards: Int, epoch: Long = 0,
       idCol: String = "doc_id"): DataFrame = {
     require(numShards > 0, s"numShards must be positive: $numShards")

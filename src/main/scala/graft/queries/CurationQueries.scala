@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.llm.{Curation, Sampling, TextAnalysis}
+import graft.llm.{Curation, Dsir, Sampling, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -35,6 +35,34 @@ object CurationQueries extends graft.QueryModule {
       Sampling.groupHoldout(docs, col("grp"),
           Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1), salt = "hold")
         .groupBy(col("grp"), col("split")).agg(count(lit(1)).as("n"))
+    }),
+
+    // DSIR importance resampling: target = the en slice, raw = the whole
+    // corpus, 512 hash buckets over uni+bigrams, Gumbel top-100. Bucket
+    // ids are md5-nibble integers and scores are 6-decimal-rounded with
+    // doc-id tiebreaks, so the oracle replays model fit, per-doc weights,
+    // noise, and the final selection exactly.
+    "q140_dsir_resample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dsir.resample(docs, docs.filter(col("lang") === "en"),
+          k = 100, buckets = 512, salt = "dsir")
+        .select(col("doc_id"), col("n_grams"), col("log_weight"),
+          col("score"))
+    }),
+
+    // UniMax budget allocation: 2-epoch cap, 40k-token budget over the 5
+    // language totals — sized so SOME languages are fully capped and the
+    // rest sit at the shared water level (both branches of the closed
+    // form exercised); the oracle recomputes the waterfilling with window
+    // functions over identical exact-double operands.
+    "q141_unimax" -> ((s, d) => {
+      val perLang = Tables.documents(s, d)
+        .select(col("lang"),
+          size(filter(split(lower(trim(col("text"))), "\\s+"),
+            w => length(w) > 0)).cast("long").as("n"))
+        .groupBy(col("lang")).agg(sum(col("n")).as("n_tokens"))
+      Sampling.uniMaxAllocation(perLang, totalBudget = 40000L,
+        maxEpochs = 2.0)
     }),
 
     // token-budget mixture, BOTH variants over the same budgets: the exact
@@ -348,6 +376,84 @@ object CurationQueries extends graft.QueryModule {
          |           FROM documents),
          |u AS (SELECT doc_id, ${hashUniformSql("hx")} AS u FROM h)
          |SELECT doc_id, u FROM u WHERE u < 0.1""".stripMargin,
+
+    "q140_dsir_resample" -> {
+      // 28-bit md5-nibble hash of a gram, mod 512 — Dsir.gramBucket
+      val nibsum = (0 until 7).map { i =>
+        s"(strpos('0123456789abcdef', substring(hx, ${i + 1}, 1)) - 1)" +
+          s" * ${1L << (4 * (6 - i))}"
+      }.mkString(" + ")
+      s"""WITH ws AS (SELECT doc_id, lang,
+         |              string_split_regex(lower(trim(text)), '\\s+') AS w
+         |            FROM documents),
+         |uni AS (SELECT doc_id, lang, w[i] AS gram
+         |        FROM ws, unnest(range(1, len(w) + 1)) AS u(i)
+         |        WHERE length(w[i]) > 0),
+         |bi AS (SELECT doc_id, lang, w[i-1] || ' ' || w[i] AS gram
+         |       FROM ws, unnest(range(2, len(w) + 1)) AS u(i)
+         |       WHERE length(w[i]) > 0 AND length(w[i-1]) > 0),
+         |grams AS (SELECT doc_id, lang, md5(gram) AS hx FROM uni
+         |          UNION ALL SELECT doc_id, lang, md5(gram) FROM bi),
+         |gb AS (SELECT doc_id, lang, ($nibsum) % 512 AS bucket FROM grams),
+         |qm AS (SELECT bucket, count(*) AS cq FROM gb GROUP BY 1),
+         |tm AS (SELECT bucket, count(*) AS ct FROM gb
+         |       WHERE lang = 'en' GROUP BY 1),
+         |tt AS (SELECT sum(ct) AS t FROM tm),
+         |tq AS (SELECT sum(cq) AS t FROM qm),
+         |db AS (SELECT doc_id, bucket, count(*) AS dc FROM gb GROUP BY 1, 2),
+         |lw AS (SELECT doc_id, CAST(sum(dc) AS BIGINT) AS n_grams,
+         |         round(sum(dc * (ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE)
+         |                            / (tt.t + 512))
+         |                       - ln(CAST(coalesce(cq, 0) + 1 AS DOUBLE)
+         |                            / (tq.t + 512)))), 6) AS log_weight
+         |       FROM db LEFT JOIN tm USING (bucket)
+         |       LEFT JOIN qm USING (bucket)
+         |       CROSS JOIN tt CROSS JOIN tq GROUP BY doc_id),
+         |nz AS (SELECT doc_id, n_grams, log_weight,
+         |              md5(concat(CAST(doc_id AS VARCHAR), ':dsir'))
+         |                AS hx
+         |       FROM lw),
+         |sc AS (SELECT doc_id, n_grams, log_weight,
+         |         round(log_weight
+         |               + (-ln(-ln((($nibsum) + 0.5) / 268435456.0))),
+         |           6) AS score
+         |       FROM nz)
+         |SELECT doc_id, n_grams, log_weight, score
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 100""".stripMargin
+    },
+
+    "q141_unimax" ->
+      """WITH n AS (
+        |  SELECT lang,
+        |         CAST(sum(len(list_filter(
+        |           string_split_regex(lower(trim(text)), '\s+'),
+        |           w -> length(w) > 0))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |c AS (SELECT lang, n_tokens, 2.0 * n_tokens AS cap,
+        |        row_number() OVER (ORDER BY 2.0 * n_tokens, lang) AS rn,
+        |        count(*) OVER () AS nl,
+        |        coalesce(sum(2.0 * n_tokens)
+        |          OVER (ORDER BY 2.0 * n_tokens, lang
+        |                ROWS BETWEEN UNBOUNDED PRECEDING
+        |                AND 1 PRECEDING), 0) AS cumbefore
+        |      FROM n),
+        |f AS (SELECT *,
+        |        CASE WHEN cap <= (40000 - cumbefore) / (nl - rn + 1)
+        |             THEN 1 ELSE 0 END AS fits
+        |      FROM c),
+        |agg AS (SELECT sum(CASE WHEN fits = 1 THEN 1 ELSE 0 END) AS k,
+        |               sum(CASE WHEN fits = 1 THEN cap ELSE 0 END)
+        |                 AS capsum,
+        |               count(*) AS nl2
+        |        FROM f)
+        |SELECT lang, n_tokens, cap,
+        |       round(CASE WHEN fits = 1 THEN cap
+        |                  ELSE (40000 - capsum) / (nl2 - k) END, 6)
+        |         AS alloc_tokens,
+        |       round((CASE WHEN fits = 1 THEN cap
+        |                   ELSE (40000 - capsum) / (nl2 - k) END)
+        |             / n_tokens, 6) AS epochs
+        |FROM f CROSS JOIN agg""".stripMargin,
 
     "q139_group_holdout" ->
       s"""WITH g AS (SELECT source || '#' || CAST(doc_id % 50 AS VARCHAR)
