@@ -110,6 +110,7 @@ object GraftFunctions {
   val C4CleanName = "graft_c4_clean"
   val GopherName = "graft_gopher_signals"
   val RollingWindowFpsName = "graft_rolling_window_fps"
+  val CharEntropyName = "graft_char_entropy"
 
   /** Idempotent per-session registration into the function registry (also
     * makes the functions available to `spark.sql`). */
@@ -173,6 +174,9 @@ object GraftFunctions {
         RollingWindowFpsName,
         exprs => RollingWindowFps(exprs(0), intLit(RollingWindowFpsName, exprs(1))),
         "built-in")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(CharEntropyName)))
+      reg.createOrReplaceTempFunction(
+        CharEntropyName, exprs => CharEntropyExpr(exprs(0)), "built-in")
   }
 
   private def intLit(fn: String, e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
@@ -256,6 +260,14 @@ object GraftFunctions {
   def gramStats(spark: SparkSession, grams: Column): Column = {
     ensureRegistered(spark)
     org.apache.spark.sql.functions.call_function(GramStatsName, grams)
+  }
+
+  /** Fused character-distribution signals (codepoint count/distinct,
+    * Shannon entropy in bits, top-character share) — one map-side pass,
+    * no explode; see [[CharEntropyExpr]] for the determinism contract. */
+  def charEntropy(spark: SparkSession, text: Column): Column = {
+    ensureRegistered(spark)
+    org.apache.spark.sql.functions.call_function(CharEntropyName, text)
   }
 
   /** Fused MinHash-estimator overlap (share of equal signature positions)

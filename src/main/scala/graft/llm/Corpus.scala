@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -176,6 +176,44 @@ object Corpus {
     per.crossJoin(broadcast(tot))
       .withColumn("doc_share", col("n_docs").cast("double") / col("__total"))
       .drop("__total")
+  }
+
+  /** Corpus feature-distribution profile — exact quantiles of per-document
+    * numeric features (token counts, char counts, quality scores …), the
+    * data-card companion every release audit wants ("what does the length
+    * distribution look like before/after filtering?"). Emits one row per
+    * (feature, p): `(feature, p, value[round 6])`.
+    *
+    * `exact = true` (the gate path) uses Spark's `percentile` aggregate —
+    * partial aggregation merges per-partition value→count maps, so memory
+    * is bounded by DISTINCT values, fine for the integer-ish features this
+    * is meant for (lengths, counts, 6-decimal scores). For genuinely
+    * continuous features at 100-TB scale set `exact = false`:
+    * `percentile_approx` (t-digest-style sketch, constant memory, one
+    * pass) — approximate, so not DuckDB-replayable; its semantics are
+    * spec-locked instead. Interpolation convention of the exact path is
+    * `index = p·(n−1)` + linear interpolation — identical to DuckDB/
+    * Postgres `quantile_cont`, so values replay bit-for-bit on integer
+    * features. */
+  def featureQuantiles(df: DataFrame, features: Seq[(String, Column)],
+      ps: Seq[Double], exact: Boolean = true,
+      accuracy: Int = 10000): DataFrame = {
+    require(features.nonEmpty, "featureQuantiles: no features given")
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+      s"percentiles must be in [0, 1]: ${ps.mkString(",")}")
+    val base = df.select(features.map { case (n, c) =>
+      c.cast("double").as(n) }: _*)
+    val aggs = features.map { case (n, _) =>
+      if (exact) percentile(col(n), typedLit(ps)).as(n)
+      else percentile_approx(col(n), typedLit(ps), lit(accuracy)).as(n)
+    }
+    val row = base.agg(aggs.head, aggs.tail: _*)
+    val entries = for {
+      (n, _) <- features
+      (p, i) <- ps.zipWithIndex
+    } yield struct(lit(n).as("feature"), lit(p).as("p"),
+      round(element_at(col(n), i + 1), 6).as("value"))
+    row.select(explode(array(entries: _*)).as("e")).select(col("e.*"))
   }
 
   /** Unigram counts of a REFERENCE corpus — the model table consumed by

@@ -320,6 +320,99 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Write a reference MinHash index as a PARTITION-PRUNED serving store —
+    * the production layout for the daily incremental-dedup loop (the
+    * [[graft.llm.Pq.writeCellPartitioned]] idea applied to dedup). Two
+    * parquet datasets under `path`:
+    *
+    *   - `postings/` — one ids-only row per (doc, band): (bk, sub, id),
+    *     partitioned by `pb = hash(band key) mod nParts`. A tiny batch
+    *     occupies few band-key hash partitions, so the probe's scan is
+    *     partition-pruned to the directories its keys can live in — the
+    *     reference's posting rows in other partitions are never READ, not
+    *     just never joined.
+    *   - `payload/` — the wide arrays (id, sh, sig) stored ONCE per doc
+    *     (not once per band), partitioned by `ib = hash(id) mod nParts`;
+    *     only candidate ids' partitions are read at verify time.
+    *
+    * Rebuild per reference snapshot; `k`/`bands`/`shingleN`/`nParts` must
+    * match between write and probe ([[crossCorpusNearDupsFromStore]]). */
+  def writeMinHashStore(docs: DataFrame, path: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 32, bands: Int = 8, shingleN: Int = 3, nParts: Int = 64,
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): Unit = {
+    require(nParts > 0, s"nParts must be positive: $nParts")
+    val base = minHashBase(docs, textCol, idCol, k, shingleN).persist(storage)
+    try {
+      minHashBanded(base, k, bands)
+        .withColumn("pb", storePb(nParts))
+        .write.mode("overwrite").partitionBy("pb")
+        .parquet(path + "/postings")
+      base.withColumn("ib", storeIb(col("id"), nParts))
+        .write.mode("overwrite").partitionBy("ib")
+        .parquet(path + "/payload")
+    } finally base.unpersist()
+  }
+
+  /** The band-key → partition assignment shared by store write and probe
+    * (both sides MUST derive it identically for pruning to be sound). */
+  private def storePb(nParts: Int): Column =
+    pmod(xxhash64(col("bk.band"), col("bk.bucket")), lit(nParts.toLong))
+  private def storeIb(id: Column, nParts: Int): Column =
+    pmod(xxhash64(id), lit(nParts.toLong))
+
+  /** [[crossCorpusNearDups]] against a [[writeMinHashStore]] directory,
+    * with the ref-side SCAN itself partition-pruned: the probe reads only
+    * the posting partitions the batch's band keys hash into, and only the
+    * payload partitions candidate ids hash into. For the production shape
+    * (0.1%-sized daily batch vs a 100-TB reference) that bounds ref-side
+    * IO by the BATCH size — the direct index path
+    * ([[crossCorpusNearDupsAgainstIndex]]) already bounds ref-side JOIN
+    * work this way, but still scans the full index. Results are identical
+    * to [[crossCorpusNearDups]] over the same corpora (spec-asserted).
+    *
+    * Two driver actions compute the pruning sets — both bounded by
+    * `nParts` values, never by data volume. Returned frame's caches are
+    * caller-owned (clear the catalog after materializing, as the gates
+    * do). */
+  def crossCorpusNearDupsFromStore(newDocs: DataFrame, path: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 32, bands: Int = 8, threshold: Double = 0.7,
+      shingleN: Int = 3, maxBucketSize: Int = 256, nParts: Int = 64,
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val spark = newDocs.sparkSession
+    val baseN = minHashBase(newDocs, textCol, idCol, k, shingleN).persist(storage)
+    val bandedN = minHashBanded(baseN, k, bands)
+    val pbs = bandedN.select(storePb(nParts).as("pb")).distinct()
+      .collect().map(_.getLong(0))
+    val empty = newDocs.select(col(idCol).as("new_id"),
+      col(idCol).as("ref_id"), lit(0.0).as("jaccard")).limit(0)
+    if (pbs.isEmpty) return empty
+    val postings = spark.read.parquet(path + "/postings")
+      .filter(col("pb").isin(pbs: _*))
+    val pairs = guardedCrossBandPairs(bandedN,
+        postings.select(col("id"), col("bk"), col("sub")),
+        maxBucketSize, refineBits = 16, storage)
+      .dropDuplicates("new_id", "ref_id").persist(storage)
+    val ibs = pairs.select(storeIb(col("ref_id"), nParts).as("ib")).distinct()
+      .collect().map(_.getLong(0))
+    if (ibs.isEmpty) return empty
+    val payload = spark.read.parquet(path + "/payload")
+      .filter(col("ib").isin(ibs: _*))
+    val estFiltered = pairs
+      .join(baseN.select(col("id").as("new_id"), col("sig").as("sig_a")), Seq("new_id"))
+      .join(payload.select(col("id").as("ref_id"), col("sig").as("sig_b")), Seq("ref_id"))
+      .filter(graft.functions.GraftFunctions.sigOverlap(spark,
+        col("sig_a"), col("sig_b")) >= threshold - 0.35)
+      .select("new_id", "ref_id")
+    estFiltered
+      .join(baseN.select(col("id").as("new_id"), col("sh").as("sh_a")), Seq("new_id"))
+      .join(payload.select(col("id").as("ref_id"), col("sh").as("sh_b")), Seq("ref_id"))
+      .select(col("new_id"), col("ref_id"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** The consuming step: `newDocs` minus every row with a near-dup in
     * `refDocs` — one anti-join on the matched id set. */
   def dedupAgainstCorpus(newDocs: DataFrame, refDocs: DataFrame,

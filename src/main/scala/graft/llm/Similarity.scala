@@ -145,6 +145,67 @@ object Similarity {
       Seq(desc("cosine"), col("neighbor_id")), k)
   }
 
+  /** Nearest-class-centroid labeling (Rocchio classification — the
+    * simplest embedding classifier, the shape FineWeb-Edu-style corpus
+    * labeling uses for classifier inference at scale): fit per-label mean
+    * vectors from a SMALL labeled `seeds` frame, then assign every corpus
+    * vector the label of its most-cosine-similar centroid. Returns
+    * (idCol, label_pred, cosine[round 6]).
+    *
+    * 100-TB shape: the seed set is labeled data — small by construction —
+    * so centroids are computed on the DRIVER (the splitter's documented
+    * driver-sized pattern) and ride into the plan as LITERAL arrays; the
+    * corpus is scored by a pure map over the scan (fused cosine per
+    * centroid, codegen) — no join, no shuffle, no window. Labels number
+    * in the tens/hundreds, so the per-row work is `labels × dims`
+    * multiply-adds inside whole-stage codegen.
+    *
+    * Determinism contract: seed vectors are accumulated per label in
+    * ASCENDING seed-id order in float64 (the oracle replays the identical
+    * ordered sum), the cosine is the fused left-to-right kernel, scores
+    * compare ROUNDED to `roundTo` decimals (the cosine-gate convention),
+    * and centroid ties break toward the SMALLEST label. */
+  def nearestCentroid(corpus: DataFrame, seeds: DataFrame,
+      labelCol: String = "label", vecCol: String = "embedding",
+      idCol: String = "vec_id", roundTo: Int = 6): DataFrame = {
+    val seedRows = seeds
+      .select(col(idCol).cast("long"), col(labelCol).cast("int"),
+        col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .sortBy(_._1)
+    require(seedRows.nonEmpty, "nearestCentroid: empty seed set")
+    val dim = seedRows.head._3.length
+    require(seedRows.forall(_._3.length == dim),
+      s"nearestCentroid: mixed seed dimensions (expected $dim)")
+    val centroids: Seq[(Int, Array[Double])] = seedRows
+      .groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (label, rows) =>
+        val acc = new Array[Double](dim)
+        // rows arrive seed-id-ascending (global sort above is stable
+        // through groupBy on Array grouping? -- enforce explicitly)
+        rows.sortBy(_._1).foreach { case (_, _, v) =>
+          var i = 0
+          while (i < dim) { acc(i) += v(i); i += 1 }
+        }
+        var i = 0
+        while (i < dim) { acc(i) /= rows.length; i += 1 }
+        (label, acc)
+      }
+    val spark = corpus.sparkSession
+    val cv = col(vecCol)
+    val scored = centroids.map { case (label, c) =>
+      struct(
+        round(graft.functions.GraftFunctions.cosine(spark, cv,
+          typedLit(c.toSeq)), roundTo).as("c"),
+        lit(-label).as("nl"))
+    }
+    corpus.select(col(idCol),
+        array_max(array(scored: _*)).as("best"))
+      .select(col(idCol), (-col("best.nl")).as("label_pred"),
+        col("best.c").as("cosine"))
+  }
+
   /** Approximate top-k: queries only score corpus rows sharing their LSH
     * bucket (equality join on the signature). Recall grows with fewer
     * planes / more probes; this is the 1000-executor-scale path where the

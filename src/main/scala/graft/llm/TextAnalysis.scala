@@ -301,6 +301,19 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Character-distribution signals — struct(n_chars, n_distinct,
+    * entropy, max_char_ratio); the binary-junk / repeated-character-spam
+    * detector. Shannon entropy over Unicode codepoints in BITS: ≈0 for
+    * "aaaa…", ≈4–4.5 for natural English prose, ≳6 for base64/compressed
+    * junk; `max_char_ratio` catches whitespace floods and padding. One
+    * fused codegen pass per row ([[graft.functions.CharEntropyExpr]]) —
+    * no explode, no shuffle, 100-TB shape identical to the Gopher kernel.
+    * Typical gates: `entropy between 2.0 and 6.0`,
+    * `max_char_ratio < 0.25`. */
+  def charSignals(text: Column): Column =
+    graft.functions.GraftFunctions.charEntropy(
+      org.apache.spark.sql.SparkSession.active, text)
+
   /** Full per-document stats projection. */
   def documentStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

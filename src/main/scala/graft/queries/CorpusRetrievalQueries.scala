@@ -241,6 +241,18 @@ object CorpusRetrievalQueries extends graft.QueryModule {
           col("cosine"), col("rank").cast("long").as("rank"))
     }),
 
+    // nearest-class-centroid labeling: centroids fit on every 5th vector
+    // (the labeled seed set), driver-computed in ascending-id order,
+    // broadcast as literals; the whole corpus is labeled by a pure map
+    // (fused cosine per centroid). q32's round-4 cosine convention;
+    // centroid ties break toward the smallest label in both engines.
+    "q145_centroid_label" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      val seeds = embs.filter(col("vec_id") % 5 === 0)
+      graft.llm.Similarity.nearestCentroid(embs, seeds, roundTo = 4)
+        .select(col("vec_id"), col("label_pred"), col("cosine"))
+    }),
+
     // interpolated-bigram cross-entropy (q113's model one order up):
     // model = the en slice's unigram + bigram tables, λ=0.75 (exactly
     // representable, so 1−λ is the same double everywhere), scored = all
@@ -481,6 +493,25 @@ object CorpusRetrievalQueries extends graft.QueryModule {
         |SELECT anchor_id, neighbor_id, neighbor_label, cosine,
         |       CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 10""".stripMargin,
+
+    "q145_centroid_label" ->
+      """WITH s AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id % 5 = 0),
+        |d AS (SELECT label, vec_id, i, v[i] AS x
+        |      FROM s, unnest(range(1, len(v) + 1)) AS u(i)),
+        |m AS (SELECT label, i, sum(x ORDER BY vec_id) / count(*) AS m
+        |      FROM d GROUP BY label, i),
+        |cent AS (SELECT label, list(m ORDER BY i) AS cv FROM m GROUP BY label),
+        |sc AS (SELECT e.vec_id, cent.label,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                      cent.cv), 4) AS cos
+        |       FROM embeddings e CROSS JOIN cent),
+        |r AS (SELECT vec_id, label, cos,
+        |        row_number() OVER (PARTITION BY vec_id
+        |                           ORDER BY cos DESC, label) AS rn
+        |      FROM sc)
+        |SELECT vec_id, label AS label_pred, cos AS cosine
+        |FROM r WHERE rn = 1""".stripMargin,
 
     // unigram CTEs as q113, plus the bigram table; positions via range();
     // first token scores unigram-only (prev IS NULL)

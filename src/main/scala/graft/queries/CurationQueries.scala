@@ -65,6 +65,49 @@ object CurationQueries extends graft.QueryModule {
         maxEpochs = 2.0)
     }),
 
+    // temperature-sampling allocation (the pre-UniMax baseline) over the
+    // same language totals and budget as q141 — α = 0.5 so the power is
+    // sqrt (IEEE-exact in every engine); the normalizer accumulates in
+    // ascending-lang order, replayed by the oracle's ordered aggregate.
+    // The uncapped-epochs overshoot UniMax fixes is visible per row.
+    "q143_temperature_mixture" -> ((s, d) => {
+      val perLang = Tables.documents(s, d)
+        .select(col("lang"),
+          size(filter(split(lower(trim(col("text"))), "\\s+"),
+            w => length(w) > 0)).cast("long").as("n"))
+        .groupBy(col("lang")).agg(sum(col("n")).as("n_tokens"))
+      Sampling.temperatureAllocation(perLang, totalBudget = 40000L,
+        alpha = 0.5)
+    }),
+
+    // character-distribution signals via the fused entropy kernel: one
+    // codegen pass per row, no explode. The oracle rebuilds the codepoint
+    // histogram by exploding characters and replays the entropy sum in
+    // codepoint order (binary collation = UTF-8 byte order = codepoint
+    // order), so the doubles match bit-for-bit before the round.
+    "q142_char_entropy" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+      docs.select(col("doc_id"),
+          TextAnalysis.charSignals(col("text")).as("cs"))
+        .select(col("doc_id"), col("cs.n_chars").as("n_cp"),
+          col("cs.n_distinct").as("n_distinct"),
+          round(col("cs.entropy"), 6).as("entropy"),
+          round(col("cs.max_char_ratio"), 6).as("max_char_ratio"))
+    }),
+
+    // corpus feature-distribution profile: EXACT percentiles (Spark's
+    // percentile aggregate ≡ DuckDB quantile_cont: index p·(n−1), linear
+    // interpolation) of three integer-valued per-doc features.
+    "q144_feature_profile" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.llm.Corpus.featureQuantiles(docs, Seq(
+          ("n_tokens", TextAnalysis.tokenCount(col("text")).cast("double")),
+          ("n_chars", length(col("text")).cast("double")),
+          ("n_lines", size(split(col("text"), "\n")).cast("double"))),
+        Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
+    }),
+
     // token-budget mixture, BOTH variants over the same budgets: the exact
     // per-source window cumsum ('exact') and the scale-path rate filter
     // ('rate'), each summarized per source. Budgeted sources src0..src4;
@@ -454,6 +497,61 @@ object CurationQueries extends graft.QueryModule {
         |                   ELSE (40000 - capsum) / (nl2 - k) END)
         |             / n_tokens, 6) AS epochs
         |FROM f CROSS JOIN agg""".stripMargin,
+
+    "q143_temperature_mixture" ->
+      """WITH n AS (
+        |  SELECT lang,
+        |         CAST(sum(len(list_filter(
+        |           string_split_regex(lower(trim(text)), '\s+'),
+        |           w -> length(w) > 0))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |z AS (SELECT sum(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY lang)
+        |        AS z FROM n)
+        |SELECT lang, n_tokens,
+        |       round(sqrt(CAST(n_tokens AS DOUBLE)) / z.z, 6) AS share,
+        |       round(40000 * (sqrt(CAST(n_tokens AS DOUBLE)) / z.z), 6)
+        |         AS alloc_tokens,
+        |       round(40000 * (sqrt(CAST(n_tokens AS DOUBLE)) / z.z)
+        |             / n_tokens, 6) AS epochs
+        |FROM n CROSS JOIN z""".stripMargin,
+
+    "q142_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+        |            FROM documents
+        |            WHERE text IS NOT NULL AND length(text) > 0),
+        |cc AS (SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS k
+        |       FROM ch GROUP BY 1, 2),
+        |n AS (SELECT doc_id, sum(k) AS n FROM cc GROUP BY 1)
+        |SELECT cc.doc_id,
+        |       CAST(n.n AS BIGINT) AS n_cp,
+        |       CAST(count(*) AS INT) AS n_distinct,
+        |       round(-sum((k / n.n) * (ln(k / n.n) / ln(2)) ORDER BY c), 6)
+        |         AS entropy,
+        |       round(max(k) / n.n, 6) AS max_char_ratio
+        |FROM cc JOIN n USING (doc_id)
+        |GROUP BY cc.doc_id, n.n""".stripMargin,
+
+    "q144_feature_profile" -> {
+      val psList = "[0.1, 0.25, 0.5, 0.75, 0.9, 0.99]"
+      s"""WITH f AS (SELECT
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END
+         |      AS DOUBLE) AS n_tokens,
+         |    CAST(length(text) AS DOUBLE) AS n_chars,
+         |    CAST(len(string_split(text, chr(10))) AS DOUBLE) AS n_lines
+         |  FROM documents),
+         |q AS (SELECT quantile_cont(n_tokens, $psList) AS qt,
+         |             quantile_cont(n_chars, $psList) AS qc,
+         |             quantile_cont(n_lines, $psList) AS ql
+         |      FROM f),
+         |x AS (SELECT unnest(generate_series(1, 6)) AS i)
+         |SELECT 'n_tokens' AS feature, ($psList)[i] AS p,
+         |       round(qt[i], 6) AS value FROM q, x
+         |UNION ALL
+         |SELECT 'n_chars', ($psList)[i], round(qc[i], 6) FROM q, x
+         |UNION ALL
+         |SELECT 'n_lines', ($psList)[i], round(ql[i], 6) FROM q, x""".stripMargin
+    },
 
     "q139_group_holdout" ->
       s"""WITH g AS (SELECT source || '#' || CAST(doc_id % 50 AS VARCHAR)

@@ -331,6 +331,26 @@ object LlmQueries extends graft.QueryModule {
           round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // the q108 computation routed through the PERSISTED serving store:
+    // write the ref index (partition-pruned postings + payload layouts),
+    // probe the same new batch against the directory. Same oracle SQL as
+    // q108 — the store roundtrip must be invisible in the answers (the
+    // q138 write→read gate pattern applied to dedup).
+    "q146_minhash_store" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val planted = docs.orderBy("doc_id").limit(20)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val newSide = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .unionByName(planted)
+      val refSide = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val dir = java.nio.file.Files.createTempDirectory("graft_mh_store")
+        .toString
+      Dedup.writeMinHashStore(refSide, dir)
+      Dedup.crossCorpusNearDupsFromStore(newSide, dir, threshold = 0.7)
+        .select(col("new_id"), col("ref_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+    }),
+
     // paragraph-level exact dedup (RefinedWeb "exact line dedup"): docs are
     // given line structure (newline every 10 words — the same regexp runs
     // in the oracle), 20 full copies + a unique sentinel paragraph are
@@ -885,6 +905,35 @@ object LlmQueries extends graft.QueryModule {
     // copies) × reference corpus (doc_id % 3 <> 0); same shingle kernel
     // as q29
     "q108_cross_dedup" ->
+      """WITH newdocs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM
+        |    (SELECT * FROM documents ORDER BY doc_id LIMIT 20)),
+        |refdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        |shn AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(range(1, len(w) - 1),
+        |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |        FROM newdocs)),
+        |shr AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(range(1, len(w) - 1),
+        |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |        FROM refdocs)),
+        |pairs AS (
+        |  SELECT n.doc_id AS new_id, r.doc_id AS ref_id,
+        |         CAST(len(list_intersect(n.s, r.s)) AS DOUBLE)
+        |           / len(list_distinct(list_concat(n.s, r.s))) AS j
+        |  FROM shn n CROSS JOIN shr r)
+        |SELECT new_id, ref_id, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.7""".stripMargin,
+
+    // identical answers contract: the store roundtrip replays q108's SQL
+    "q146_minhash_store" ->
       """WITH newdocs AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
         |  UNION ALL

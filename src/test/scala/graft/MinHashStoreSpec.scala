@@ -1,0 +1,73 @@
+package graft
+
+import graft.llm.Dedup
+import org.apache.spark.sql.functions._
+
+/** The persisted MinHash serving store: write→probe must be invisible in
+  * the answers (identical to the direct cross-corpus path), the layout
+  * must be the partition-pruned one the docs promise, and degenerate
+  * probes must not blow up. */
+class MinHashStoreSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def corpus(n: Int, prefix: String) = (0 until n).map { i =>
+    (i.toLong, s"$prefix document number $i talks about topic ${i % 7} " +
+      s"with shared boilerplate words common to all pages in this corpus " +
+      s"plus unique tail $prefix$i")
+  }
+
+  test("store probe ≡ direct crossCorpusNearDups; layout is partitioned") {
+    // ref corpus + a new batch containing near-copies of ref docs 3 and 8
+    val ref = corpus(40, "ref").toDF("doc_id", "text")
+    val newBatch = Seq(
+      (100L, corpus(40, "ref")(3)._2),          // exact copy of ref 3
+      (101L, corpus(40, "ref")(8)._2 + " x"),   // near copy of ref 8
+      (102L, "completely unrelated content about celestial navigation")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mh_store_spec").toString
+    Dedup.writeMinHashStore(ref, dir, nParts = 16)
+    // layout contract: hash-partitioned postings + payload directories
+    val post = new java.io.File(dir + "/postings")
+      .listFiles().map(_.getName).filter(_.startsWith("pb="))
+    val pay = new java.io.File(dir + "/payload")
+      .listFiles().map(_.getName).filter(_.startsWith("ib="))
+    assert(post.nonEmpty && pay.nonEmpty,
+      s"expected pb=/ib= partition dirs, got ${post.length}/${pay.length}")
+    val viaStore = Dedup.crossCorpusNearDupsFromStore(newBatch, dir,
+        threshold = 0.5, nParts = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = Dedup.crossCorpusNearDups(newBatch, ref, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    spark.catalog.clearCache()
+    assert(viaStore === direct)
+    assert(viaStore.exists(t => t._1 == 100L && t._2 == 3L && t._3 == 1.0))
+    assert(viaStore.exists(t => t._1 == 101L && t._2 == 8L))
+    assert(!viaStore.exists(_._1 == 102L))
+  }
+
+  test("mismatched nParts between write and probe is still correct when equal-keyed") {
+    // pruning soundness depends on write/probe deriving the SAME pb; the
+    // doc requires matching nParts — assert the matched case at another
+    // partition count to catch accidental hard-coding
+    val ref = corpus(20, "r").toDF("doc_id", "text")
+    val newBatch = Seq((500L, corpus(20, "r")(5)._2)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mh_store_spec2").toString
+    Dedup.writeMinHashStore(ref, dir, nParts = 4)
+    val out = Dedup.crossCorpusNearDupsFromStore(newBatch, dir,
+      threshold = 0.7, nParts = 4).collect()
+    spark.catalog.clearCache()
+    assert(out.length == 1 && out.head.getLong(1) == 5L)
+  }
+
+  test("a batch with no shingled docs returns an empty, well-typed frame") {
+    val ref = corpus(10, "r").toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mh_store_spec3").toString
+    Dedup.writeMinHashStore(ref, dir, nParts = 4)
+    val emptyBatch = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    val out = Dedup.crossCorpusNearDupsFromStore(emptyBatch, dir,
+      threshold = 0.7, nParts = 4)
+    assert(out.columns.toSeq === Seq("new_id", "ref_id", "jaccard"))
+    assert(out.count() == 0)
+    spark.catalog.clearCache()
+  }
+}
