@@ -545,7 +545,46 @@ object Scale {
       graft.llm.Curation.perDomainCap(docs, "url", maxPerDomain = 30,
         priority = col("n_chars"))
         .groupBy(col("domain")).agg(count(lit(1)).as("n"))
-    }))
+    }),
+
+    // ---- round-9 additions --------------------------------------------
+
+    // EXACT prefix-filtered set-similarity join with a planted 100%-df
+    // flood token: controlled unique-token sets (so true output pairs are
+    // the planted 10% — linear by construction), every set polluted with
+    // ONE universal token. The rare-first canonical order must keep the
+    // flood token out of every prefix (21-element sets at t=0.9 index only
+    // their 3 rarest elements) — otherwise candidates go quadratic and the
+    // flood key's join task trips the straggler gate.
+    Probe("setsim_prefix_join", gateSkew = true, q = (s, d) => {
+      val ids = scanPar(s, Tables.documents(s, d).select("doc_id"))
+      val base = ids.select(col("doc_id").as("id"),
+        concat(
+          transform(sequence(lit(0L), lit(19L)),
+            i => concat(lit("t"), (col("doc_id") * 20L + i).cast("string"))),
+          array(lit("zzcommon"))).as("t"))
+      val copies = base.filter(pmod(col("id"), lit(10)) === 0)
+        .select((col("id") + 950000000L).as("id"),
+          concat(slice(col("t"), 1, 19),
+            array(lit("qqswap"), lit("zzcommon"))).as("t"))
+      graft.llm.Dedup.setSimilarityJoinOnSets(base.unionByName(copies),
+          threshold = 0.9)
+        .agg(count(lit(1)).as("n_pairs"), sum(col("jaccard")).as("sj"))
+    }),
+    // PMI with a planted dominant bigram: every 5th document is prefixed
+    // with the same repeated phrase, so ONE bigram key carries ~10% of all
+    // bigram mass. The model-table groupBys must partial-agg it map-side
+    // (the hot key collapses to ~one row per map partition before the
+    // shuffle) — the straggler gate measures that instead of trusting it.
+    Probe("pmi_collocations", gateSkew = true, allowBnlj = true,
+      q = (s, d) => {
+        val docs = scanPar(s, Tables.documents(s, d).select("doc_id", "text"))
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(5)) === 0,
+              concat(lit("megatok megatok megatok megatok "), col("text")))
+              .otherwise(col("text")))
+        graft.llm.Corpus.pmiCollocations(docs, minCount = 5, topK = 20)
+      }))
 
   /** Spread a single-row-group parquet scan across the session's
     * parallelism (the documents table ships as ONE row group at every

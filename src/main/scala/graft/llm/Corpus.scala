@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Corpus-level operators for training-data pipelines: test-set
   * decontamination, TF-IDF term scoring, and sequence packing.
@@ -284,6 +285,48 @@ object Corpus {
         sum(when(col("__iv").isNull, 1L).otherwise(0L)).as("n_oov"))
       .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
 
+  /** Per-document n-gram NOVELTY against a reference corpus — the
+    * memorization / overlap-analysis signal (share of a document's
+    * distinct word n-grams absent from the reference): ≈1 for genuinely
+    * new text, ≈0 for text copied from the reference — the standard lens
+    * for "how much of this (generated / newly crawled) corpus is already
+    * in the training set", the continuous companion to the
+    * [[contaminationPairs]] hit test. Emits
+    * `(idCol, n_grams, n_novel, novelty_rate)`; rates are int/int —
+    * engine-exact. Gram construction is [[graft.llm.Dedup.shingles]]'
+    * convention (docs shorter than n contribute their whole text as one
+    * gram), shared with the dedup/contamination family.
+    *
+    * Plan: both sides explode to distinct grams (map-side, fused shingle
+    * kernel), one left join on the gram, one per-doc regroup. At corpus
+    * scale set `broadcastRef = true` when the reference gram set fits the
+    * broadcast budget; otherwise it is a plain shuffle join whose hot
+    * keys are ALREADY collapsed (both sides are per-doc DISTINCT gram
+    * sets, and the ref side is globally distinct — a boilerplate gram is
+    * ONE ref row). A bloom-prefiltered variant (build on ref grams, probe
+    * map-side — [[graft.llm.Dedup.buildFingerprintBloom]]'s shape) is the
+    * documented upgrade when even the gram join must not shuffle; its
+    * false positives only DEFLATE novelty by the fpp, which the exact
+    * join avoids. */
+  def ngramNovelty(docs: DataFrame, ref: DataFrame, n: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id",
+      broadcastRef: Boolean = false): DataFrame = {
+    def grams(df: DataFrame, cols: Seq[Column]): DataFrame =
+      df.select(cols :+ explode(
+        graft.functions.GraftFunctions.wordShingles(df.sparkSession,
+          split(lower(trim(col(textCol))), "\\s+"), n, distinct = true))
+        .as("__gram"): _*)
+    val refGrams = grams(ref, Seq.empty).distinct()
+      .withColumn("__hit", lit(1))
+    val hinted = if (broadcastRef) broadcast(refGrams) else refGrams
+    grams(docs, Seq(col(idCol)))
+      .join(hinted, Seq("__gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_rate", col("n_novel").cast("double") / col("n_grams"))
+  }
+
   /** Word-bigram counts of a REFERENCE corpus — the model table for
     * [[crossEntropyBigram]] (one row per distinct adjacent lowercased
     * word pair). Same shuffle shape as [[unigramCounts]]. */
@@ -389,6 +432,52 @@ object Corpus {
         countDistinct(col(idCol)).as("n_docs"))
       .orderBy(desc("n_occurrences"), col("ngram"))
       .limit(k)
+  }
+
+  /** PMI collocation extraction — the top-`k` adjacent word pairs by
+    * pointwise mutual information, the classic lexical-association pass
+    * (Church & Hanks 1990) a corpus audit runs to find multi-word
+    * expressions, boilerplate phrases, and tokenizer-merge candidates:
+    * `PMI(a,b) = log2( p(a,b) / (p(a)·p(b)) )` with `p(a,b)` over bigram
+    * positions and `p(·)` over unigram positions. `minCount` floors the
+    * pair count first (rare-pair PMI is pure noise — the standard fix).
+    * Emits `(w1, w2, n_pair, pmi[round 6])`, the top `k` by PMI.
+    *
+    * Plan shape (100-TB): both model tables come from one-explode
+    * partial-agg groupBys ([[unigramCounts]]/[[bigramCounts]] — vocab-sized
+    * results, corpus shuffles on the gram key once each); the totals ride
+    * as a broadcast one-row frame (no driver action); the unigram
+    * attachment joins are vocab×vocab-sized, never corpus-sized; the final
+    * top-k is `orderBy().limit()` over the minCount-floored pair table —
+    * `TakeOrderedAndProject`, k rows to the driver. The model tables are
+    * persisted for their double use (totals + scoring); caches are
+    * caller-owned.
+    *
+    * Determinism contract: ORDER uses the ratio `c_ab / (c_a·c_b)` — one
+    * integer-operand IEEE division, monotone in PMI (the N terms are
+    * constant), bit-identical in any engine — with `(w1, w2)` tiebreaks;
+    * `log2` touches only the DISPLAYED value, rounded to 6. */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5, topK: Int = 50,
+      textCol: String = "text",
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val uni = unigramCounts(docs, textCol).persist(storage)
+    val biAll = bigramCounts(docs, textCol).persist(storage)
+    val tot = uni.agg(sum(col("c")).as("__nu"))
+      .crossJoin(biAll.agg(sum(col("c")).as("__nb")))
+    biAll.filter(col("c") >= minCount)
+      .join(uni.select(col("word").as("prev"), col("c").as("__ca")), Seq("prev"))
+      .join(uni.select(col("word"), col("c").as("__cb")), Seq("word"))
+      .crossJoin(broadcast(tot))
+      .select(col("prev").as("w1"), col("word").as("w2"),
+        col("c").as("n_pair"),
+        (col("c").cast("double") / (col("__ca") * col("__cb"))).as("__r"),
+        round(log2((col("c").cast("double") * col("__nu") / col("__ca"))
+          * (col("__nu").cast("double") / col("__cb")) / col("__nb")), 6)
+          .as("pmi"))
+      .orderBy(desc("__r"), col("w1"), col("w2"))
+      .limit(topK)
+      .drop("__r")
   }
 
   /** Concat-and-chunk sequence packing: within each `groupCol` shard, lay

@@ -723,6 +723,90 @@ object Dedup {
       n: Int = 3): Column =
     jaccard(array_distinct(shingles(textA, n)), array_distinct(shingles(textB, n)))
 
+  // ---------------------------------------------- exact set-similarity join
+
+  /** EXACT all-pairs Jaccard self-join over per-document TOKEN sets —
+    * prefix filtering (Chaudhuri et al. 2006 / Bayardo et al. 2007), the
+    * exact counterpart to [[minHashNearDups]]: every pair with token-set
+    * Jaccard ≥ `threshold`, no probabilistic recall loss. Use it when a
+    * missed near-dup is unacceptable (contamination sweeps, eval-set
+    * hygiene) and the threshold is high enough for the filters to bite.
+    * Returns (id_a, id_b, jaccard[exact]) with id_a < id_b. */
+  def setSimilarityJoin(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", threshold: Double = 0.7,
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val sets = docs.select(col(idCol).cast("long").as("id"),
+        array_distinct(filter(split(lower(trim(col(textCol))), "\\s+"),
+          w => length(w) > 0)).as("t"))
+      .filter(size(col("t")) > 0)
+    setSimilarityJoinOnSets(sets, threshold, storage)
+  }
+
+  /** [[setSimilarityJoin]] over an arbitrary pre-built `(id, t)` frame of
+    * DISTINCT-element arrays (word sets, shingle sets, URL sets …); ids
+    * must be unique longs.
+    *
+    * Why this is exact AND sub-quadratic: elements are put in one global
+    * canonical order — document frequency ASCENDING (rare first), ties by
+    * the element — and each set only indexes its first
+    * `n − ⌈threshold·n⌉ + 1` elements (its "prefix"). The prefix-filtering
+    * principle guarantees any pair with Jaccard ≥ threshold shares at
+    * least one PREFIX element (J ≥ t ⟹ overlap ≥ ⌈t·max(n_a,n_b)⌉, and
+    * two sorted sets sharing ≥ O elements must collide within their first
+    * n − O + 1), so the prefix self-join is a complete candidate set.
+    * Because prefixes hold each set's globally RAREST elements, join
+    * buckets are df-bounded precisely where df is smallest — stop-word
+    * floods never become join keys. The ceil is epsilon-biased DOWN so
+    * float error can only LENGTHEN a prefix (extra candidates, never a
+    * missed pair); candidates then pass the length filter
+    * (t·max(n_a,n_b) ≤ min(n_a,n_b) — necessary for J ≥ t) and exact
+    * Jaccard verification on the sorted arrays, which is the final
+    * authority.
+    *
+    * Plan shape (100-TB): one explode + vocab-sized df groupBy, one
+    * corpus-shuffle regroup to attach the canonical order, an ids-only
+    * prefix self-join (wide arrays stay OFF the exploded join — the
+    * [[minHashNearDups]] staging), payload re-attachment only for
+    * surviving candidates. NO occupancy cap: exactness forbids dropping
+    * candidates, and none is needed — candidate volume is Σ_prefix-token
+    * df², driven by the rare end of the vocabulary; a degenerate corpus
+    * (thousands of identical docs) produces quadratic OUTPUT, so its
+    * quadratic work is output-driven, not waste. For approximate-recall
+    * budgets at lower thresholds, [[minHashNearDups]] is the scale path.
+    *
+    * Caches (`storage`) are caller-owned, as in
+    * [[crossCorpusNearDupsFromStore]]. */
+  def setSimilarityJoinOnSets(sets: DataFrame, threshold: Double,
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1]: $threshold")
+    val el = sets.select(col("id"), explode(col("t")).as("w"))
+    val dfreq = el.groupBy("w").agg(count(lit(1)).as("__df"))
+    val sorted = el.join(dfreq, Seq("w"))
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("__df"), col("w")))).as("__sw"))
+      .select(col("id"),
+        transform(col("__sw"), e => e("w")).as("t"),
+        size(col("__sw")).as("n"))
+      .persist(storage)
+    val plen = col("n") -
+      ceil(col("n") * lit(threshold) - lit(1e-9)).cast("int") + 1
+    val pre = sorted.select(col("id"), col("n"),
+      explode(slice(col("t"), lit(1), plen)).as("w"))
+    val cand = pre.as("a").join(pre.as("b"),
+        col("a.w") === col("b.w") && col("a.id") < col("b.id"))
+      .filter(greatest(col("a.n"), col("b.n")).cast("double") * lit(threshold)
+        <= least(col("a.n"), col("b.n")).cast("double") + lit(1e-9))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(sorted.select(col("id").as("id_a"), col("t").as("__ta")), Seq("id_a"))
+      .join(sorted.select(col("id").as("id_b"), col("t").as("__tb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("__ta"), col("__tb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   // ---------------------------------------------- embedding cosine near-dup
 
   /** Embedding near-dup pairs: cosine ≥ threshold, blocked by

@@ -71,6 +71,44 @@ object Sampling {
     df.filter(hashUniform(keyCol, salt) < rate)
   }
 
+  /** Deterministic EXACT-k uniform sample without replacement — the
+    * corpus-scale replacement for reservoir sampling: rank every row by
+    * its [[hashUniform]] key and keep the k smallest (a uniform k-subset,
+    * since the hash order is a uniform permutation of distinct keys).
+    * Unlike [[hashSample]] (exact RATE, binomial count) this pins the
+    * COUNT exactly — eval-set carving, fixed-size audits, "give me
+    * exactly 10k docs".
+    *
+    * Plan: `orderBy(u).limit(k)` = `TakeOrderedAndProject` — each scan
+    * partition keeps a k-element heap, the driver merges P heads; the
+    * corpus is never globally sorted and never shuffles. Deterministic in
+    * the key (ties broken by the key itself), so retries and re-runs
+    * agree, and k rows must fit on the driver by contract. */
+  def sampleExactK(df: DataFrame, keyCol: Column, k: Int,
+      salt: String = ""): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    df.withColumn("__u", hashUniform(keyCol, salt))
+      .orderBy(col("__u"), keyCol)
+      .limit(k)
+      .drop("__u")
+  }
+
+  /** EXACT-k per GROUP — a fixed quota from every stratum (per-language
+    * eval slices, per-source audit samples), where
+    * [[stratifiedSample]]'s rates give only expected counts. Routed
+    * through the shared two-phase top-k
+    * ([[graft.operators.TopK.topKPerQuery]]): each scan partition prunes
+    * to ≤ k rows per group map-side, so the group shuffle carries ≤ k·P
+    * rows per group — a mega-group never funnels its full membership into
+    * one sort task. Output stays distributed (k rows per group, any
+    * number of groups). */
+  def sampleExactKPerGroup(df: DataFrame, groupCol: String, keyCol: Column,
+      k: Int, salt: String = ""): DataFrame =
+    graft.operators.TopK.topKPerQuery(
+        df.withColumn("__u", hashUniform(keyCol, salt)), groupCol,
+        Seq(col("__u"), keyCol), k, rankCol = "__rank")
+      .drop("__u", "__rank")
+
   /** EXACT token-budget mixture: per source, take documents in
     * deterministic hash-shuffled order (u, id) until the running token
     * total reaches the source's budget. A document is kept iff the total

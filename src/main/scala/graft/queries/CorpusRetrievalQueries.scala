@@ -241,6 +241,29 @@ object CorpusRetrievalQueries extends graft.QueryModule {
           col("cosine"), col("rank").cast("long").as("rank"))
     }),
 
+    // n-gram novelty: every 3rd document scored against the rest of the
+    // corpus as reference. Dup-heavy docs score ≈0, unique docs ≈1 — the
+    // corpus' natural similarity spread exercises both ends. Trigram
+    // construction is the q108 shingle convention (docs < 3 tokens
+    // contribute their whole text); rates are int/int.
+    "q150_ngram_novelty" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val ref = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      Corpus.ngramNovelty(scored, ref, n = 3)
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          round(col("novelty_rate"), 6).as("novelty_rate"))
+    }),
+
+    // PMI collocations: top-40 adjacent pairs by pointwise mutual
+    // information, pair count ≥ 5. Rank order is the integer-exact ratio
+    // c_ab/(c_a·c_b) (monotone in PMI, one IEEE division) with (w1, w2)
+    // tiebreaks; log2 appears only in the displayed value, rounded 6 with
+    // identical parenthesization in both engines.
+    "q148_pmi_collocations" -> ((s, d) => {
+      Corpus.pmiCollocations(Tables.documents(s, d), minCount = 5, topK = 40)
+    }),
+
     // nearest-class-centroid labeling: centroids fit on every 5th vector
     // (the labeled seed set), driver-computed in ascending-id order,
     // broadcast as literals; the whole corpus is labeled by a pure map
@@ -493,6 +516,59 @@ object CorpusRetrievalQueries extends graft.QueryModule {
         |SELECT anchor_id, neighbor_id, neighbor_label, cosine,
         |       CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 10""".stripMargin,
+
+    "q150_ngram_novelty" ->
+      """WITH sc AS (SELECT doc_id,
+        |              string_split_regex(lower(trim(text)), '\s+') AS w
+        |            FROM documents WHERE doc_id % 3 = 0),
+        |rf AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS w
+        |       FROM documents WHERE doc_id % 3 <> 0),
+        |dg AS (SELECT doc_id, unnest(list_distinct(
+        |         CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |         ELSE list_transform(range(1, len(w) - 1),
+        |              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END))
+        |         AS gram
+        |       FROM sc),
+        |rg AS (SELECT DISTINCT gram FROM
+        |        (SELECT unnest(list_distinct(
+        |           CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |           ELSE list_transform(range(1, len(w) - 1),
+        |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END))
+        |           AS gram
+        |         FROM rf) t)
+        |SELECT dg.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(count(*) FILTER (rg.gram IS NULL) AS BIGINT) AS n_novel,
+        |       round(CAST(count(*) FILTER (rg.gram IS NULL) AS DOUBLE)
+        |             / count(*), 6) AS novelty_rate
+        |FROM dg LEFT JOIN rg ON dg.gram = rg.gram
+        |GROUP BY dg.doc_id""".stripMargin,
+
+    "q148_pmi_collocations" ->
+      """WITH w AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS ws
+        |           FROM documents),
+        |uni AS (SELECT a AS word, CAST(count(*) AS BIGINT) AS c
+        |        FROM (SELECT unnest(ws) AS a FROM w) t
+        |        WHERE length(a) > 0 GROUP BY 1),
+        |bi AS (SELECT ws[i-1] AS prev, ws[i] AS word,
+        |         CAST(count(*) AS BIGINT) AS c
+        |       FROM (SELECT ws FROM w WHERE len(ws) >= 2) x,
+        |            unnest(range(2, len(ws) + 1)) AS r(i)
+        |       WHERE length(ws[i-1]) > 0 AND length(ws[i]) > 0
+        |       GROUP BY 1, 2),
+        |tot AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS nu,
+        |               (SELECT CAST(sum(c) AS BIGINT) FROM bi) AS nb),
+        |sc AS (SELECT bi.prev AS w1, bi.word AS w2, bi.c AS n_pair,
+        |         CAST(bi.c AS DOUBLE) / (ua.c * ub.c) AS r,
+        |         round(log2((CAST(bi.c AS DOUBLE) * tot.nu / ua.c)
+        |               * (CAST(tot.nu AS DOUBLE) / ub.c) / tot.nb), 6) AS pmi
+        |       FROM bi
+        |       JOIN uni ua ON ua.word = bi.prev
+        |       JOIN uni ub ON ub.word = bi.word
+        |       CROSS JOIN tot
+        |       WHERE bi.c >= 5)
+        |SELECT w1, w2, n_pair, pmi
+        |FROM sc ORDER BY r DESC, w1, w2 LIMIT 40""".stripMargin,
 
     "q145_centroid_label" ->
       """WITH s AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v

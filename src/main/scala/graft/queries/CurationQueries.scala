@@ -65,6 +65,22 @@ object CurationQueries extends graft.QueryModule {
         maxEpochs = 2.0)
     }),
 
+    // EXACT-k deterministic sampling, both shapes in one gate: a global
+    // 100-doc sample (TakeOrdered over the hash-uniform order) and a
+    // 20-per-lang quota (two-phase per-group top-k), tagged by mode. The
+    // oracle replays the md5-nibble uniform and both ORDER BY ... LIMIT
+    // selections; ties in the uniform break on doc_id in both engines.
+    "q149_exact_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val global = Sampling.sampleExactK(docs, col("doc_id"), k = 100,
+          salt = "xk9")
+        .select(lit("global").as("mode"), col("doc_id"), col("lang"))
+      val perLang = Sampling.sampleExactKPerGroup(docs, "lang",
+          col("doc_id"), k = 20, salt = "xk9")
+        .select(lit("per_lang").as("mode"), col("doc_id"), col("lang"))
+      global.unionByName(perLang)
+    }),
+
     // temperature-sampling allocation (the pre-UniMax baseline) over the
     // same language totals and budget as q141 — α = 0.5 so the power is
     // sqrt (IEEE-exact in every engine); the normalizer accumulates in
@@ -497,6 +513,20 @@ object CurationQueries extends graft.QueryModule {
         |                   ELSE (40000 - capsum) / (nl2 - k) END)
         |             / n_tokens, 6) AS epochs
         |FROM f CROSS JOIN agg""".stripMargin,
+
+    "q149_exact_sample" ->
+      s"""WITH h AS (SELECT doc_id, lang,
+         |             md5(concat(CAST(doc_id AS VARCHAR), ':xk9')) AS hx
+         |           FROM documents),
+         |u AS (SELECT doc_id, lang, ${hashUniformSql("hx")} AS u FROM h),
+         |g AS (SELECT doc_id, lang FROM u ORDER BY u, doc_id LIMIT 100),
+         |p AS (SELECT doc_id, lang,
+         |        row_number() OVER (PARTITION BY lang ORDER BY u, doc_id)
+         |          AS rn
+         |      FROM u)
+         |SELECT 'global' AS mode, doc_id, lang FROM g
+         |UNION ALL
+         |SELECT 'per_lang', doc_id, lang FROM p WHERE rn <= 20""".stripMargin,
 
     "q143_temperature_mixture" ->
       """WITH n AS (

@@ -351,6 +351,22 @@ object LlmQueries extends graft.QueryModule {
           round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // EXACT set-similarity self-join (prefix filtering) at a high
+    // threshold (0.9 — where the length+prefix filters bite), over the
+    // corpus plus 20 planted one-token-appended copies (token-set
+    // J = n/(n+1) ≈ 0.97, above threshold by construction). The oracle is
+    // the brute-force definition: every pair, exact token-set Jaccard —
+    // prefix filtering must reproduce it verbatim or it dropped a pair.
+    "q147_setsim_join" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val planted = docs.orderBy("doc_id").limit(20)
+        .withColumn("doc_id", col("doc_id") + 2000000L)
+        .withColumn("text", concat(col("text"), lit(" qqplanttoken")))
+      Dedup.setSimilarityJoin(docs.unionByName(planted), threshold = 0.9)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+    }),
+
     // paragraph-level exact dedup (RefinedWeb "exact line dedup"): docs are
     // given line structure (newline every 10 words — the same regexp runs
     // in the oracle), 20 full copies + a unique sentinel paragraph are
@@ -931,6 +947,28 @@ object LlmQueries extends graft.QueryModule {
         |           / len(list_distinct(list_concat(n.s, r.s))) AS j
         |  FROM shn n CROSS JOIN shr r)
         |SELECT new_id, ref_id, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.7""".stripMargin,
+
+    // the brute-force definition — every pair, exact token-set Jaccard;
+    // planted copies differ by exactly one appended token
+    "q147_setsim_join" ->
+      """WITH alldocs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text || ' qqplanttoken' FROM
+        |    (SELECT * FROM documents ORDER BY doc_id LIMIT 20)),
+        |s AS (SELECT doc_id,
+        |        list_distinct(list_filter(
+        |          string_split_regex(lower(trim(text)), '\s+'),
+        |          w -> length(w) > 0)) AS t
+        |      FROM alldocs),
+        |s2 AS (SELECT doc_id, t FROM s WHERE len(t) > 0),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+        |           / len(list_distinct(list_concat(a.t, b.t))) AS j
+        |  FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(j, 6) AS jaccard
+        |FROM pairs WHERE j >= 0.9""".stripMargin,
 
     // identical answers contract: the store roundtrip replays q108's SQL
     "q146_minhash_store" ->
