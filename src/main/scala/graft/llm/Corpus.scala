@@ -434,6 +434,89 @@ object Corpus {
       .limit(k)
   }
 
+  /** Zipf rank–frequency fit over the corpus' top-`topN` vocabulary — the
+    * corpus-health diagnostic (natural language tracks slope ≈ −1 on
+    * log rank vs log frequency; templated/synthetic/spammy corpora bend
+    * the curve): OLS over `(x, y) = (ln rank, ln count)` for the topN
+    * words, emitting one row
+    * `(n_points, slope, intercept, r2)` (each rounded 6).
+    *
+    * Plan: the vocab aggregate is the [[unigramCounts]] shuffle; the
+    * top-N cut is `orderBy().limit()` (`TakeOrderedAndProject` — the
+    * corpus-scale vocabulary is never globally sorted); everything after
+    * operates on ONE row holding ≤ topN points — ranks come from the
+    * sorted point array's own indices (no window anywhere), and the
+    * bounded tail is the splitter's driver-sized-by-contract pattern
+    * (default 1000 points).
+    *
+    * Determinism: the regression sums are LEFT-TO-RIGHT folds in rank
+    * order over an `array_sort`ed point list — one fixed accumulation
+    * order that a DuckDB `sum(… ORDER BY rank)` replays exactly; `ln` on
+    * the same doubles; the OLS closed form is written with one
+    * parenthesization. */
+  def zipfFit(docs: DataFrame, topN: Int = 1000,
+      textCol: String = "text"): DataFrame = {
+    require(topN >= 2, s"zipfFit needs at least 2 points: $topN")
+    val top = unigramCounts(docs, textCol)
+      .orderBy(desc("c"), col("word")).limit(topN)
+    // rank = 1 + index in the (count desc, word) order — read off the
+    // sorted array itself
+    val pts = top
+      .agg(array_sort(collect_list(
+        struct((-col("c")).as("nc"), col("word"), col("c")))).as("s"))
+      .select(transform(col("s"), (e, i) => struct(
+        log((i + 1).cast("double")).as("x"),
+        log(e.getField("c").cast("double")).as("y"))).as("p"))
+    def fsum(f: Column => Column): Column =
+      aggregate(col("p"), lit(0.0), (acc, e) => acc + f(e))
+    val n = size(col("p")).cast("double")
+    val (sx, sy) = (fsum(_.getField("x")), fsum(_.getField("y")))
+    val sxy = fsum(e => e.getField("x") * e.getField("y"))
+    val sxx = fsum(e => e.getField("x") * e.getField("x"))
+    val syy = fsum(e => e.getField("y") * e.getField("y"))
+    pts.select(size(col("p")).cast("long").as("n_points"),
+        n.as("__n"), sx.as("__sx"), sy.as("__sy"),
+        sxy.as("__sxy"), sxx.as("__sxx"), syy.as("__syy"))
+      .select(col("n_points"),
+        round((col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+          / (col("__n") * col("__sxx") - col("__sx") * col("__sx")), 6)
+          .as("slope"),
+        round((col("__sy") - (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+          / (col("__n") * col("__sxx") - col("__sx") * col("__sx")) * col("__sx"))
+          / col("__n"), 6).as("intercept"),
+        round(((col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+          * (col("__n") * col("__sxy") - col("__sx") * col("__sy")))
+          / ((col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+            * (col("__n") * col("__syy") - col("__sy") * col("__sy"))), 6)
+          .as("r2"))
+  }
+
+  /** Inter-source exact-duplicate overlap matrix — the data-card adjacency
+    * a release audit wants ("is dump-2 mostly a re-crawl of dump-1?"):
+    * for every source pair, the number of distinct normalized-text
+    * fingerprints ([[TextAnalysis.fingerprint]]) present in BOTH sources.
+    * The diagonal `(s, s)` is each source's distinct-fingerprint count.
+    * Emits `(src_a, src_b, n_shared)` with src_a ≤ src_b.
+    *
+    * Plan: one distinct over `(fp, source)` (map-side partial agg
+    * collapses within-source copies), then a fingerprint self-join whose
+    * per-key fan-out is bounded by the NUMBER OF SOURCES (each fp
+    * appears at most once per source after the distinct — a boilerplate
+    * text shared by every source costs S² rows for that fp, not
+    * copies²), then an S²-sized groupBy. Null texts are dropped (no
+    * fingerprint). */
+  def sourceOverlapMatrix(docs: DataFrame, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val fps = docs.filter(col(textCol).isNotNull)
+      .select(graft.llm.TextAnalysis.fingerprint(col(textCol)).as("fp"),
+        col(sourceCol).as("src"))
+      .distinct()
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.src") <= col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** PMI collocation extraction — the top-`k` adjacent word pairs by
     * pointwise mutual information, the classic lexical-association pass
     * (Church & Hanks 1990) a corpus audit runs to find multi-word

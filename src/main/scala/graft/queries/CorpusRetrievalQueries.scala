@@ -241,6 +241,19 @@ object CorpusRetrievalQueries extends graft.QueryModule {
           col("cosine"), col("rank").cast("long").as("rank"))
     }),
 
+    // Zipf rank-frequency OLS over the top-200 vocabulary: ranks from the
+    // (count desc, word) order, regression sums as LEFT-TO-RIGHT folds in
+    // rank order (the oracle replays them as ordered aggregates), one
+    // fixed parenthesization of the closed form in both engines.
+    "q151_zipf_fit" -> ((s, d) =>
+      Corpus.zipfFit(Tables.documents(s, d), topN = 200)),
+
+    // inter-source exact-dup overlap matrix: distinct (fingerprint,
+    // source) pairs self-joined on the fingerprint; the diagonal is each
+    // source's distinct-fingerprint count.
+    "q152_source_overlap" -> ((s, d) =>
+      Corpus.sourceOverlapMatrix(Tables.documents(s, d))),
+
     // n-gram novelty: every 3rd document scored against the rest of the
     // corpus as reference. Dup-heavy docs score ≈0, unique docs ≈1 — the
     // corpus' natural similarity spread exercises both ends. Trigram
@@ -516,6 +529,45 @@ object CorpusRetrievalQueries extends graft.QueryModule {
         |SELECT anchor_id, neighbor_id, neighbor_label, cosine,
         |       CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 10""".stripMargin,
+
+    "q151_zipf_fit" ->
+      """WITH uni AS (SELECT a AS word, CAST(count(*) AS BIGINT) AS c
+        |             FROM (SELECT unnest(
+        |                     string_split_regex(lower(trim(text)), '\s+')) AS a
+        |                   FROM documents) t
+        |             WHERE length(a) > 0 GROUP BY 1),
+        |top AS (SELECT word, c FROM uni ORDER BY c DESC, word LIMIT 200),
+        |rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, word) AS rank
+        |       FROM top),
+        |p AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+        |             CAST(count(*) AS DOUBLE) AS n,
+        |             sum(ln(CAST(rank AS DOUBLE)) ORDER BY rank) AS sx,
+        |             sum(ln(CAST(c AS DOUBLE)) ORDER BY rank) AS sy,
+        |             sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(c AS DOUBLE))
+        |                 ORDER BY rank) AS sxy,
+        |             sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))
+        |                 ORDER BY rank) AS sxx,
+        |             sum(ln(CAST(c AS DOUBLE)) * ln(CAST(c AS DOUBLE))
+        |                 ORDER BY rank) AS syy
+        |      FROM rk)
+        |SELECT n_points,
+        |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+        |             / n, 6) AS intercept,
+        |       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+        |             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM p""".stripMargin,
+
+    "q152_source_overlap" ->
+      """WITH fps AS (SELECT DISTINCT
+        |               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |                 AS fp,
+        |               source AS src
+        |             FROM documents WHERE text IS NOT NULL)
+        |SELECT a.src AS src_a, b.src AS src_b,
+        |       CAST(count(*) AS BIGINT) AS n_shared
+        |FROM fps a JOIN fps b ON a.fp = b.fp AND a.src <= b.src
+        |GROUP BY 1, 2""".stripMargin,
 
     "q150_ngram_novelty" ->
       """WITH sc AS (SELECT doc_id,
