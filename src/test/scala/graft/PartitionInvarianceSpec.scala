@@ -76,6 +76,21 @@ class PartitionInvarianceSpec extends SparkFunSuite {
     "q133_image_phash_dedup",   // decode -> dHash -> hamming banding
     "q134_audio_dedup",         // PCM decode -> envelope hash -> banding
     "q135_oov_rate",            // vocabulary-coverage scoring
+    "q136_html_extract",        // HTML -> text regexp chain (pure map)
+    "q137_sq8_topk",            // SQ8 encode + ranked dequant scan
+    "q139_group_holdout",       // group-hash split (pure map)
+    "q140_dsir_resample",       // DSIR weights + Gumbel top-k
+    "q141_unimax",              // waterfilling budget allocation
+    "q142_char_entropy",        // fused char-distribution kernel (pure map)
+    "q143_temperature_mixture", // n^alpha allocation
+    "q144_feature_profile",     // exact percentile profile
+    "q145_centroid_label",      // literal-centroid argmax labeling
+    "q147_setsim_join",         // exact prefix-filtered set-sim join
+    "q148_pmi_collocations",    // PMI model tables + ranked pairs
+    "q149_exact_sample",        // exact-k hash-order sampling
+    "q150_ngram_novelty",       // distinct-gram novelty join
+    "q151_zipf_fit",            // rank-ordered OLS folds
+    "q152_source_overlap",      // fingerprint overlap matrix
     "q123_web_curation_e2e")    // composed clean -> quality -> cap chain
 
   test("gate outputs are invariant to the shuffle partition count") {
