@@ -56,6 +56,41 @@ object Curation {
       .drop("__c4")
   }
 
+  /** C4 §2.2's "bad words" stage as a TAGGER: annotate every document
+    * with its blocklist hits (`n_blocked`, `blocked_terms` — the matched
+    * words sorted and comma-joined) instead of silently dropping — audits
+    * want the why, and thresholded policies (drop at ≥ k hits) compose on
+    * the counts. Matching is word-level against the document's DISTINCT
+    * lowercased whitespace tokens (the C4 convention; phrase-level
+    * matching belongs to `dropDocPhrases` in [[c4Clean]]).
+    *
+    * Scale: the blocklist (hundreds to a few thousand words) rides into
+    * the plan as a LITERAL array — `array_intersect` against it is one
+    * codegen map over the scan; no join, no shuffle, no broadcast
+    * round-trip. */
+  def blocklistTag(docs: DataFrame, words: Seq[String],
+      textCol: String = "text"): DataFrame = {
+    require(words.nonEmpty, "empty blocklist")
+    val lw = words.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.sorted
+    val toks = array_distinct(filter(
+      split(lower(trim(col(textCol))), "\\s+"), w => length(w) > 0))
+    // null text has no words → zero hits (size(null) would read -1)
+    val matched = coalesce(
+      array_sort(array_intersect(toks, typedLit(lw))),
+      typedLit(Seq.empty[String]))
+    docs
+      .withColumn("blocked_terms", array_join(matched, ","))
+      .withColumn("n_blocked", size(matched).cast("long"))
+  }
+
+  /** The consuming filter: documents with NO blocklist hit ([[blocklistTag]]
+    * with the standard drop-on-any policy); tag columns are removed. */
+  def blocklistFilter(docs: DataFrame, words: Seq[String],
+      textCol: String = "text"): DataFrame =
+    blocklistTag(docs, words, textCol)
+      .filter(col("n_blocked") === 0)
+      .drop("blocked_terms", "n_blocked")
+
   /** The declarative (array-lambda) formulation of [[c4Clean]] — kept as
     * the parity reference for the fused kernel (CurationSpec asserts the
     * two produce identical frames over the gate corpus). Lambdas evaluate

@@ -65,6 +65,16 @@ object CurationQueries extends graft.QueryModule {
         maxEpochs = 2.0)
     }),
 
+    // C4 bad-words tagging: word-level blocklist hits over distinct
+    // lowercased tokens, matched terms sorted and comma-joined. The list
+    // mixes a rare corpus word ('dup', ~5% of docs) with two common ones,
+    // so hit counts span 0..3.
+    "q153_blocklist" -> ((s, d) => {
+      Curation.blocklistTag(Tables.documents(s, d),
+          Seq("hash", "batch", "dup"))
+        .select(col("doc_id"), col("n_blocked"), col("blocked_terms"))
+    }),
+
     // EXACT-k deterministic sampling, both shapes in one gate: a global
     // 100-doc sample (TakeOrdered over the hash-uniform order) and a
     // 20-per-lang quota (two-phase per-group top-k), tagged by mode. The
@@ -513,6 +523,18 @@ object CurationQueries extends graft.QueryModule {
         |                   ELSE (40000 - capsum) / (nl2 - k) END)
         |             / n_tokens, 6) AS epochs
         |FROM f CROSS JOIN agg""".stripMargin,
+
+    "q153_blocklist" ->
+      """WITH t AS (SELECT doc_id,
+        |             list_sort(list_intersect(
+        |               list_distinct(list_filter(
+        |                 string_split_regex(lower(trim(text)), '\s+'),
+        |                 w -> length(w) > 0)),
+        |               ['batch', 'dup', 'hash'])) AS m
+        |           FROM documents)
+        |SELECT doc_id, CAST(len(m) AS BIGINT) AS n_blocked,
+        |       coalesce(array_to_string(m, ','), '') AS blocked_terms
+        |FROM t""".stripMargin,
 
     "q149_exact_sample" ->
       s"""WITH h AS (SELECT doc_id, lang,

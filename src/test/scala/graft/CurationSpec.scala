@@ -422,4 +422,29 @@ class CurationSpec extends SparkFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(kept == Map(1L -> "a.com", 2L -> "a.com", 4L -> "b.com"))
   }
+
+  // ---------------------------------------------------------- blocklist
+
+  test("blocklistTag matches case-insensitively on distinct tokens") {
+    val docs = Seq(
+      (1L, "Bad BAD bad day"),   // repeated hit counts once
+      (2L, "all clear here"),
+      (3L, "worse and bad and worse"), // two hits, sorted join
+      (4L, null: String))
+      .toDF("doc_id", "text")
+    val got = graft.llm.Curation.blocklistTag(docs, Seq("WORSE", "bad"))
+      .select("doc_id", "n_blocked", "blocked_terms").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got == Map(
+      1L -> ((1L, "bad")), 2L -> ((0L, "")),
+      3L -> ((2L, "bad,worse")), 4L -> ((0L, ""))))
+  }
+
+  test("blocklistFilter drops hit docs and restores the schema") {
+    val docs = Seq((1L, "bad things"), (2L, "good things"))
+      .toDF("doc_id", "text")
+    val kept = graft.llm.Curation.blocklistFilter(docs, Seq("bad"))
+    assert(kept.columns.toSeq == Seq("doc_id", "text"))
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
 }

@@ -91,6 +91,7 @@ class PartitionInvarianceSpec extends SparkFunSuite {
     "q150_ngram_novelty",       // distinct-gram novelty join
     "q151_zipf_fit",            // rank-ordered OLS folds
     "q152_source_overlap",      // fingerprint overlap matrix
+    "q153_blocklist",           // bad-words tagging (pure map)
     "q123_web_curation_e2e")    // composed clean -> quality -> cap chain
 
   test("gate outputs are invariant to the shuffle partition count") {
