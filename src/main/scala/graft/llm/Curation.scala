@@ -56,6 +56,45 @@ object Curation {
       .drop("__c4")
   }
 
+  /** CCNet-style perplexity BANDING: score every document by unigram
+    * cross-entropy against a reference model ([[Corpus.crossEntropy]] —
+    * the KenLM-proxy quality signal) and keep the MIDDLE quantile band of
+    * the corpus' own score distribution — very low CE is boilerplate /
+    * reference-duplicated text, very high CE is junk or wrong-language;
+    * CCNet's head/middle split is this recipe with corpus-derived
+    * thresholds. Emits the surviving docs as `(idCol, n_tokens, score)`.
+    *
+    * Plan: one scoring pass (per-doc·word pre-agg + model join), ONE
+    * percentile aggregate over the scored frame for both thresholds (a
+    * one-row broadcast — no driver action, no sort of the corpus), one
+    * band filter. The scored frame is persisted for its two consumers
+    * (thresholds + filter); caches are caller-owned.
+    *
+    * Determinism: the band compares the score ROUNDED to 6 (the q113
+    * cross-engine convention) against thresholds interpolated from those
+    * same rounded values (`percentile` ≡ DuckDB `quantile_cont`, the q144
+    * lock), so a replay can never flip a borderline document. Use
+    * exactly-representable quantiles (0.25/0.75, not 1/3). */
+  def perplexityBandFilter(docs: DataFrame, refCounts: DataFrame,
+      loQ: Double = 0.25, hiQ: Double = 0.75, textCol: String = "text",
+      idCol: String = "doc_id",
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(loQ >= 0 && hiQ <= 1 && loQ < hiQ,
+      s"need 0 <= loQ < hiQ <= 1: ($loQ, $hiQ)")
+    val scored = graft.llm.Corpus.crossEntropy(docs, refCounts, textCol, idCol)
+      .withColumn("score", round(col("cross_entropy"), 6))
+      .drop("cross_entropy")
+      .persist(storage)
+    val th = scored
+      .agg(percentile(col("score"), typedLit(Seq(loQ, hiQ))).as("__q"))
+      .select(element_at(col("__q"), 1).as("__lo"),
+        element_at(col("__q"), 2).as("__hi"))
+    scored.crossJoin(broadcast(th))
+      .filter(col("score") >= col("__lo") && col("score") <= col("__hi"))
+      .drop("__lo", "__hi")
+  }
+
   /** C4 §2.2's "bad words" stage as a TAGGER: annotate every document
     * with its blocklist hits (`n_blocked`, `blocked_terms` — the matched
     * words sorted and comma-joined) instead of silently dropping — audits

@@ -65,6 +65,17 @@ object CurationQueries extends graft.QueryModule {
         maxEpochs = 2.0)
     }),
 
+    // CCNet perplexity banding: q113's scoring chain (en-slice unigram
+    // model, all docs scored, round 6), thresholds = the 0.25/0.75
+    // quantile_cont of the rounded scores, keep the middle band.
+    "q154_ccnet_band" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val refc = graft.llm.Corpus.unigramCounts(
+        docs.filter(col("lang") === "en"))
+      Curation.perplexityBandFilter(docs, refc)
+        .select(col("doc_id"), col("n_tokens"), col("score"))
+    }),
+
     // C4 bad-words tagging: word-level blocklist hits over distinct
     // lowercased tokens, matched terms sorted and comma-joined. The list
     // mixes a rare corpus word ('dup', ~5% of docs) with two common ones,
@@ -523,6 +534,30 @@ object CurationQueries extends graft.QueryModule {
         |                   ELSE (40000 - capsum) / (nl2 - k) END)
         |             / n_tokens, 6) AS epochs
         |FROM f CROSS JOIN agg""".stripMargin,
+
+    "q154_ccnet_band" ->
+      """WITH refw AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |  FROM documents WHERE lang = 'en'),
+        |refc AS (SELECT word, count(*) AS c FROM refw
+        |         WHERE length(word) > 0 GROUP BY word),
+        |tot AS (SELECT sum(c) AS t, count(*) AS v FROM refc),
+        |dw AS (
+        |  SELECT doc_id, word, count(*) AS dc FROM (
+        |    SELECT doc_id,
+        |           unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE length(word) > 0 GROUP BY doc_id, word),
+        |ce AS (SELECT doc_id, CAST(sum(dc) AS BIGINT) AS n_tokens,
+        |         round(-sum(dc * ln(CAST(coalesce(c + 1, 1) AS DOUBLE)
+        |                            / (t + v + 1))) / sum(dc), 6) AS score
+        |       FROM dw LEFT JOIN refc USING (word) CROSS JOIN tot
+        |       GROUP BY doc_id),
+        |th AS (SELECT quantile_cont(score, 0.25) AS lo,
+        |              quantile_cont(score, 0.75) AS hi FROM ce)
+        |SELECT doc_id, n_tokens, score
+        |FROM ce CROSS JOIN th
+        |WHERE score >= lo AND score <= hi""".stripMargin,
 
     "q153_blocklist" ->
       """WITH t AS (SELECT doc_id,

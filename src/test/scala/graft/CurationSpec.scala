@@ -440,6 +440,31 @@ class CurationSpec extends SparkFunSuite {
       3L -> ((2L, "bad,worse")), 4L -> ((0L, ""))))
   }
 
+  test("perplexityBandFilter keeps exactly the docs inside the quantile band") {
+    val docs = (0L until 40L)
+      .map(i => (i, (0 to i.toInt % 7).map(j => s"w${i % 11}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ref = docs.filter($"doc_id" % 2 === 0)
+    val refc = graft.llm.Corpus.unigramCounts(ref)
+    // brute force: score everything, interpolate thresholds the p*(n-1) way
+    val scores = graft.llm.Corpus.crossEntropy(docs, refc)
+      .select($"doc_id", round($"cross_entropy", 6).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val sorted = scores.map(_._2).sorted
+    def q(p: Double): Double = {
+      val idx = p * (sorted.length - 1)
+      val (i, f) = (idx.toInt, idx - idx.toInt)
+      if (i + 1 < sorted.length) sorted(i) + f * (sorted(i + 1) - sorted(i))
+      else sorted(i)
+    }
+    val (lo, hi) = (q(0.25), q(0.75))
+    val expected = scores.filter { case (_, s) => s >= lo && s <= hi }
+      .map(_._1).toSet
+    val got = graft.llm.Curation.perplexityBandFilter(docs, refc)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected && got.nonEmpty && got.size < scores.length)
+  }
+
   test("blocklistFilter drops hit docs and restores the schema") {
     val docs = Seq((1L, "bad things"), (2L, "good things"))
       .toDF("doc_id", "text")

@@ -92,6 +92,7 @@ class PartitionInvarianceSpec extends SparkFunSuite {
     "q151_zipf_fit",            // rank-ordered OLS folds
     "q152_source_overlap",      // fingerprint overlap matrix
     "q153_blocklist",           // bad-words tagging (pure map)
+    "q154_ccnet_band",          // CE scoring + quantile band filter
     "q123_web_curation_e2e")    // composed clean -> quality -> cap chain
 
   test("gate outputs are invariant to the shuffle partition count") {
