@@ -584,7 +584,34 @@ object Scale {
               concat(lit("megatok megatok megatok megatok "), col("text")))
               .otherwise(col("text")))
         graft.llm.Corpus.pmiCollocations(docs, minCount = 5, topK = 20)
-      }))
+      }),
+    // exact containment join, the documented production shape: a FIXED
+    // 50-excerpt probe batch against a corpus that grows with the data.
+    // Output is probe-bounded; wall growth should track the index side
+    // (df groupBy + full-corpus token explode — linear), never
+    // probe×corpus. The corpus' shared small vocabulary is itself the
+    // skew plant: every corpus token is a high-df index key, and the
+    // straggler gate asserts no single token bucket serializes the join
+    Probe("containment_join", gateSkew = true, q = (s, d) => {
+      val docs = scanPar(s, Tables.documents(s, d).select("doc_id", "text"))
+      val probe = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 960000000L).as("doc_id"),
+          array_join(slice(split(trim(col("text")), "\\s+"), 1, 12), " ")
+            .as("text"))
+      graft.llm.Dedup.containmentJoin(probe, docs, threshold = 0.9)
+    }),
+    // closed-form NB log-odds over the full corpus: the crossEntropy plan
+    // paid once for two models (one doc·word pre-agg, two model joins,
+    // one-row broadcast consts -> benign BNLJ). Priors fixed at 1:1 — a
+    // constant, irrelevant to the plan under measurement
+    Probe("nb_logodds", gateSkew = true, allowBnlj = true, q = (s, d) => {
+      val docs = scanPar(s,
+        Tables.documents(s, d).select("doc_id", "text", "lang"))
+      graft.llm.Corpus.naiveBayesLogOdds(docs,
+        graft.llm.Corpus.unigramCounts(docs.filter(col("lang") === "en")),
+        graft.llm.Corpus.unigramCounts(docs.filter(col("lang") =!= "en")),
+        nPosDocs = 1L, nNegDocs = 1L)
+    }))
 
   /** Spread a single-row-group parquet scan across the session's
     * parallelism (the documents table ships as ONE row group at every

@@ -260,6 +260,55 @@ object Corpus {
           / sum(col("__dc"))).as("cross_entropy"))
   }
 
+  /** Per-document Naive-Bayes LOG-ODDS between two reference corpora —
+    * the closed-form stand-in for the fastText/logistic quality
+    * classifiers of the GPT-3/CCNet pipelines ("does this page look like
+    * the high-quality corpus or like random crawl?"): no training loop,
+    * fully deterministic, same decision form (a linear score over token
+    * counts). Each side is a Laplace-smoothed unigram model in
+    * [[crossEntropy]]'s exact convention — p_c(w) = (c+1)/(T_c+V_c+1),
+    * OOV = 1/(T_c+V_c+1), each model smoothed over its OWN vocabulary —
+    * plus a doc-count prior. Emits
+    * `(idCol, n_tokens, log_odds, pred_pos)` where
+    * `log_odds = ln(N_pos/N_neg) + Σ_w dc·(ln p_pos(w) − ln p_neg(w))`
+    * and `pred_pos = 1 ⟺ log_odds > 0`; zero-token docs are absent
+    * (no likelihood), as in [[crossEntropy]].
+    *
+    * Plan: ONE per-(doc, word) pre-agg (common-word skew collapses
+    * map-side), one left join per model on the word, the four totals and
+    * the prior carried as a single broadcast one-row frame, one final
+    * per-doc regroup — the [[crossEntropy]] shape paid once, not once per
+    * class. At 100 TB the model joins are plain shuffle joins (vocab can
+    * exceed broadcast range); pass pre-built [[unigramCounts]] frames and
+    * persist them when scoring many batches. */
+  def naiveBayesLogOdds(docs: DataFrame, posCounts: DataFrame,
+      negCounts: DataFrame, nPosDocs: Long, nNegDocs: Long,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(nPosDocs > 0 && nNegDocs > 0,
+      s"both classes need documents: pos=$nPosDocs neg=$nNegDocs")
+    val consts = posCounts.agg(sum(col("c")).as("tp"), count(lit(1)).as("vp"))
+      .crossJoin(negCounts.agg(sum(col("c")).as("tn"), count(lit(1)).as("vn")))
+      .withColumn("prior",
+        log(lit(nPosDocs.toDouble)) - log(lit(nNegDocs.toDouble)))
+    val dw = docs.select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("__dc"))
+    dw.join(posCounts.withColumnRenamed("c", "__cp"), Seq("word"), "left")
+      .join(negCounts.withColumnRenamed("c", "__cn"), Seq("word"), "left")
+      .crossJoin(broadcast(consts))
+      .groupBy(col(idCol))
+      .agg(sum(col("__dc")).as("n_tokens"),
+        (first(col("prior")) +
+          sum(col("__dc") *
+            (log(coalesce(col("__cp") + 1, lit(1L)).cast("double")
+              / (col("tp") + col("vp") + 1))
+              - log(coalesce(col("__cn") + 1, lit(1L)).cast("double")
+                / (col("tn") + col("vn") + 1))))).as("log_odds"))
+      .withColumn("pred_pos",
+        when(col("log_odds") > 0, 1).otherwise(0))
+  }
+
   /** The reference corpus' top-`n` vocabulary by total count (ties → the
     * word itself — deterministic) — the table [[oovRate]] scores
     * against. */

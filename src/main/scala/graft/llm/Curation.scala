@@ -74,10 +74,19 @@ object Curation {
     * cross-engine convention) against thresholds interpolated from those
     * same rounded values (`percentile` ≡ DuckDB `quantile_cont`, the q144
     * lock), so a replay can never flip a borderline document. Use
-    * exactly-representable quantiles (0.25/0.75, not 1/3). */
+    * exactly-representable quantiles (0.25/0.75, not 1/3).
+    *
+    * Scale knob ([[Corpus.featureQuantiles]]' contract): `exact = true`
+    * buffers every score in the final percentile reducer — exact and fine
+    * to ~10⁸ docs, NOT at corpus scale. `exact = false` switches to
+    * `percentile_approx` (a fixed-size QuantileSummaries sketch that
+    * merges tree-wise — the 100-TB path); thresholds then carry sketch
+    * error, which only moves the BAND EDGES (CCNet's thresholds are
+    * themselves heuristic), never mis-scores a document. */
   def perplexityBandFilter(docs: DataFrame, refCounts: DataFrame,
       loQ: Double = 0.25, hiQ: Double = 0.75, textCol: String = "text",
-      idCol: String = "doc_id",
+      idCol: String = "doc_id", exact: Boolean = true,
+      accuracy: Int = 10000,
       storage: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(loQ >= 0 && hiQ <= 1 && loQ < hiQ,
@@ -86,8 +95,11 @@ object Curation {
       .withColumn("score", round(col("cross_entropy"), 6))
       .drop("cross_entropy")
       .persist(storage)
-    val th = scored
-      .agg(percentile(col("score"), typedLit(Seq(loQ, hiQ))).as("__q"))
+    val qAgg =
+      if (exact) percentile(col("score"), typedLit(Seq(loQ, hiQ)))
+      else percentile_approx(col("score"), typedLit(Seq(loQ, hiQ)),
+        lit(accuracy))
+    val th = scored.agg(qAgg.as("__q"))
       .select(element_at(col("__q"), 1).as("__lo"),
         element_at(col("__q"), 2).as("__hi"))
     scored.crossJoin(broadcast(th))

@@ -807,6 +807,107 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // ------------------------------------------------ exact containment join
+
+  /** EXACT asymmetric CONTAINMENT join over per-document token sets:
+    * every pair (a ∈ probe, b ∈ corpus), a ≠ b, with
+    * `|tokens(a) ∩ tokens(b)| / |tokens(a)| ≥ threshold` — "a is (mostly)
+    * inside b". The asymmetric companion to [[setSimilarityJoin]]: Jaccard
+    * misses excerpt/quote/subset relationships (a 50-token excerpt of a
+    * 5000-token page has J ≈ 0.01 but containment 1.0), which is exactly
+    * what license-compliance sweeps, quote detection, and
+    * excerpt-vs-source dedup need. Pass the same frame twice for a full
+    * self-sweep (self-pairs are suppressed). Returns
+    * `(id_a, id_b, containment)` with id_a the CONTAINED probe side. */
+  def containmentJoin(probe: DataFrame, corpus: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      threshold: Double = 0.9,
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    def sets(df: DataFrame) = df.select(col(idCol).cast("long").as("id"),
+        array_distinct(filter(split(lower(trim(col(textCol))), "\\s+"),
+          w => length(w) > 0)).as("t"))
+      .filter(size(col("t")) > 0)
+    containmentJoinOnSets(sets(probe), sets(corpus), threshold, storage)
+  }
+
+  /** [[containmentJoin]] over pre-built `(id, t)` frames of
+    * DISTINCT-element arrays; ids must be unique longs within each frame,
+    * and an id present in both frames is taken to be the SAME document
+    * (self-pairs are suppressed), so self-containment sweeps can pass the
+    * same frame twice.
+    *
+    * Why this is exact and sub-quadratic: elements get the
+    * [[setSimilarityJoinOnSets]] canonical order — CORPUS document
+    * frequency ascending, ties by the element; probe-only elements get
+    * df 0 (they sort first, and since no corpus set holds them they
+    * produce zero candidates — free prefix slots). Containment ≥ t forces
+    * overlap O ≥ ⌈t·n_a⌉, and a's NON-prefix suffix holds only
+    * ⌈t·n_a⌉ − 1 elements — fewer than O — so at least one shared element
+    * sits in a's first `n_a − ⌈t·n_a⌉ + 1` elements (its prefix). The
+    * CONTAINED side therefore probes with its prefix only; the container
+    * side must index every element (containment puts no lower bound on
+    * O/n_b, so no container-side prefix exists — the structural asymmetry
+    * of the predicate, not a shortcut). The ceil is epsilon-biased DOWN
+    * (longer prefix = extra candidates, never a missed pair); candidates
+    * pass the size filter n_b ≥ ⌈t·n_a⌉ (b must hold at least the
+    * required overlap) and exact `|∩|/n_a` verification, the final
+    * authority.
+    *
+    * Plan shape (100-TB): one vocab-sized corpus df groupBy, one regroup
+    * per side to attach the canonical order, an ids-only probe⋈index
+    * join, arrays re-attached only to surviving candidates. Candidate
+    * volume is Σ_w df_prefix(w)·df(w): probe prefixes hold each set's
+    * RAREST elements under the corpus order, so the df(w) fan-out on the
+    * index side is paid only where df_prefix(w) is small — a stop word
+    * floods the index side but almost never appears in a prefix. The
+    * probe frame is the knob that bounds output: quote/excerpt detection
+    * probes the suspect batch against the corpus, not corpus×corpus. A
+    * degenerate self-sweep (every doc a subset of one template) produces
+    * quadratic OUTPUT, so its quadratic work is output-driven, not waste.
+    * Caches (`storage`) are caller-owned. */
+  def containmentJoinOnSets(probeSets: DataFrame, corpusSets: DataFrame,
+      threshold: Double,
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1]: $threshold")
+    val elC = corpusSets.select(col("id"), explode(col("t")).as("w"))
+    val dfreq = elC.groupBy("w").agg(count(lit(1)).as("__df"))
+    def ordered(sets: DataFrame) =
+      sets.select(col("id"), explode(col("t")).as("w"))
+        .join(dfreq, Seq("w"), "left")
+        .groupBy("id")
+        .agg(array_sort(collect_list(
+          struct(coalesce(col("__df"), lit(0L)).as("__df"), col("w"))))
+          .as("__sw"))
+        .select(col("id"),
+          transform(col("__sw"), e => e("w")).as("t"),
+          size(col("__sw")).as("n"))
+        .persist(storage)
+    val probeSorted = ordered(probeSets)
+    val corpusSorted = ordered(corpusSets)
+    val plen = col("n") -
+      ceil(col("n") * lit(threshold) - lit(1e-9)).cast("int") + 1
+    val probe = probeSorted.select(col("id"), col("n"),
+      explode(slice(col("t"), lit(1), plen)).as("w"))
+    val index = corpusSorted.select(col("id"), col("n"),
+      explode(col("t")).as("w"))
+    val cand = probe.as("a").join(index.as("b"),
+        col("a.w") === col("b.w") && col("a.id") =!= col("b.id"))
+      .filter(col("b.n") >=
+        ceil(col("a.n") * lit(threshold) - lit(1e-9)).cast("int"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(probeSorted.select(col("id").as("id_a"), col("t").as("__ta")),
+        Seq("id_a"))
+      .join(corpusSorted.select(col("id").as("id_b"), col("t").as("__tb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("__ta"), col("__tb"))).cast("double")
+          / size(col("__ta"))).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   // ---------------------------------------------- embedding cosine near-dup
 
   /** Embedding near-dup pairs: cosine ≥ threshold, blocked by

@@ -76,6 +76,23 @@ object CurationQueries extends graft.QueryModule {
         .select(col("doc_id"), col("n_tokens"), col("score"))
     }),
 
+    // Naive-Bayes log-odds classifier: pos = the en slice, neg = the
+    // rest, every doc scored (language is the natural strong signal in
+    // the synthetic corpus, standing in for quality-vs-crawl). Closed
+    // form — both engines replay the identical smoothing arithmetic.
+    "q156_nb_classifier" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pos = docs.filter(col("lang") === "en")
+      val neg = docs.filter(col("lang") =!= "en")
+      graft.llm.Corpus.naiveBayesLogOdds(docs,
+          graft.llm.Corpus.unigramCounts(pos),
+          graft.llm.Corpus.unigramCounts(neg),
+          pos.count(), neg.count())
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("log_odds"), 6).as("log_odds"),
+          col("pred_pos").cast("long").as("pred_pos"))
+    }),
+
     // C4 bad-words tagging: word-level blocklist hits over distinct
     // lowercased tokens, matched terms sorted and comma-joined. The list
     // mixes a rare corpus word ('dup', ~5% of docs) with two common ones,
@@ -558,6 +575,44 @@ object CurationQueries extends graft.QueryModule {
         |SELECT doc_id, n_tokens, score
         |FROM ce CROSS JOIN th
         |WHERE score >= lo AND score <= hi""".stripMargin,
+
+    "q156_nb_classifier" ->
+      """WITH posw AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |  FROM documents WHERE lang = 'en'),
+        |posc AS (SELECT word, count(*) AS cp FROM posw
+        |         WHERE length(word) > 0 GROUP BY word),
+        |negw AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |  FROM documents WHERE lang <> 'en'),
+        |negc AS (SELECT word, count(*) AS cn FROM negw
+        |         WHERE length(word) > 0 GROUP BY word),
+        |m AS (SELECT (SELECT sum(cp) FROM posc) AS tp,
+        |             (SELECT count(*) FROM posc) AS vp,
+        |             (SELECT sum(cn) FROM negc) AS tn,
+        |             (SELECT count(*) FROM negc) AS vn,
+        |             ln(CAST((SELECT count(*) FROM documents
+        |                      WHERE lang = 'en') AS DOUBLE))
+        |           - ln(CAST((SELECT count(*) FROM documents
+        |                      WHERE lang <> 'en') AS DOUBLE)) AS pr),
+        |dw AS (
+        |  SELECT doc_id, word, count(*) AS dc FROM (
+        |    SELECT doc_id,
+        |           unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE length(word) > 0 GROUP BY doc_id, word),
+        |sc AS (SELECT doc_id, CAST(sum(dc) AS BIGINT) AS n_tokens,
+        |         any_value(pr)
+        |           + sum(dc * (ln(CAST(coalesce(cp + 1, 1) AS DOUBLE)
+        |                          / (tp + vp + 1))
+        |                     - ln(CAST(coalesce(cn + 1, 1) AS DOUBLE)
+        |                          / (tn + vn + 1)))) AS lo
+        |       FROM dw LEFT JOIN posc USING (word)
+        |                LEFT JOIN negc USING (word) CROSS JOIN m
+        |       GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, round(lo, 6) AS log_odds,
+        |       CAST(CASE WHEN lo > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred_pos
+        |FROM sc""".stripMargin,
 
     "q153_blocklist" ->
       """WITH t AS (SELECT doc_id,

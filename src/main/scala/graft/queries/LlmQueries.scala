@@ -367,6 +367,25 @@ object LlmQueries extends graft.QueryModule {
           round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // EXACT asymmetric containment join (excerpt/quote detection): the
+    // probe batch is 20 planted 12-word excerpts whose token sets are
+    // subsets of their source docs (containment exactly 1.0, invisible to
+    // Jaccard at J ≈ len(excerpt)/len(doc)) plus a 1-in-25 suspect slice;
+    // the corpus is all documents. Oracle = the brute-force definition
+    // over every probe×corpus pair — the prefix+size filters must
+    // reproduce it verbatim or they dropped a pair.
+    "q155_containment_join" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val excerpts = docs.orderBy("doc_id").limit(20)
+        .withColumn("doc_id", col("doc_id") + 3000000L)
+        .withColumn("text",
+          array_join(slice(split(trim(col("text")), "\\s+"), 1, 12), " "))
+      val probe = docs.filter(col("doc_id") % 25 === 0).unionByName(excerpts)
+      Dedup.containmentJoin(probe, docs, threshold = 0.9)
+        .select(col("id_a"), col("id_b"),
+          round(col("containment"), 6).as("containment"))
+    }),
+
     // paragraph-level exact dedup (RefinedWeb "exact line dedup"): docs are
     // given line structure (newline every 10 words — the same regexp runs
     // in the oracle), 20 full copies + a unique sentinel paragraph are
@@ -969,6 +988,35 @@ object LlmQueries extends graft.QueryModule {
         |  FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, round(j, 6) AS jaccard
         |FROM pairs WHERE j >= 0.9""".stripMargin,
+
+    // brute-force containment over every probe×corpus pair; planted
+    // excerpts are the first 12 whitespace tokens of the 20 lowest-id docs
+    "q155_containment_join" ->
+      """WITH probedocs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id,
+        |         array_to_string(list_slice(
+        |           string_split_regex(trim(text), '\s+'), 1, 12), ' ') AS text
+        |  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 20)),
+        |tok AS (SELECT doc_id,
+        |          list_distinct(list_filter(
+        |            string_split_regex(lower(trim(text)), '\s+'),
+        |            w -> length(w) > 0)) AS t
+        |        FROM probedocs),
+        |p2 AS (SELECT doc_id, t FROM tok WHERE len(t) > 0),
+        |ctok AS (SELECT doc_id,
+        |           list_distinct(list_filter(
+        |             string_split_regex(lower(trim(text)), '\s+'),
+        |             w -> length(w) > 0)) AS t
+        |         FROM documents),
+        |c2 AS (SELECT doc_id, t FROM ctok WHERE len(t) > 0),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) / len(a.t) AS c
+        |  FROM p2 a JOIN c2 b ON a.doc_id <> b.doc_id)
+        |SELECT id_a, id_b, round(c, 6) AS containment
+        |FROM pairs WHERE c >= 0.9""".stripMargin,
 
     // identical answers contract: the store roundtrip replays q108's SQL
     "q146_minhash_store" ->

@@ -157,6 +157,37 @@ class CrossEntropySpec extends SparkFunSuite {
     // scores LOWER (more fluent) than OOV garbage
     assert(got(11L)._2 < got(10L)._2 && got(10L)._2 < got(12L)._2)
   }
+
+  test("naiveBayesLogOdds matches the hand-computed closed form") {
+    // pos model: "a a b" → {a:2, b:1}, Tp=3, Vp=2, denom 6
+    //   p_pos(a)=3/6  p_pos(b)=2/6  p_pos(OOV)=1/6
+    // neg model: "c c"  → {c:2},    Tn=2, Vn=1, denom 4
+    //   p_neg(c)=3/4   p_neg(OOV)=1/4
+    // priors: 2 pos docs vs 1 neg doc → ln 2
+    val pos = Seq((1L, "a a"), (2L, "b")).toDF("doc_id", "text")
+    val neg = Seq((3L, "c c")).toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "a b"),   // ln2 + ln(.5/.25) + ln((1/3)/.25)  — pos-looking
+      (11L, "c"),     // ln2 + ln((1/6)/(3/4))             — neg-looking
+      (12L, "zzz"),   // ln2 + ln((1/6)/(1/4))             — OOV both sides
+      (13L, " ")      // zero tokens → absent
+    ).toDF("doc_id", "text")
+    val got = Corpus.naiveBayesLogOdds(docs,
+        Corpus.unigramCounts(pos), Corpus.unigramCounts(neg),
+        nPosDocs = 2, nNegDocs = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("log_odds"),
+          r.getAs[Int]("pred_pos")))).toMap
+    val ln2 = math.log(2.0)
+    def lr(p: Double, q: Double) = math.log(p) - math.log(q)
+    assert(got.keySet == Set(10L, 11L, 12L))
+    assert(got(10L)._1 == 2 &&
+      math.abs(got(10L)._2 - (ln2 + lr(3.0 / 6, 1.0 / 4) + lr(2.0 / 6, 1.0 / 4))) < 1e-12)
+    assert(math.abs(got(11L)._2 - (ln2 + lr(1.0 / 6, 3.0 / 4))) < 1e-12)
+    assert(math.abs(got(12L)._2 - (ln2 + lr(1.0 / 6, 1.0 / 4))) < 1e-12)
+    // decisions: pos text classifies pos, neg text neg
+    assert(got(10L)._3 == 1 && got(11L)._3 == 0)
+  }
 }
 
 class ChunkDocumentsSpec extends SparkFunSuite {

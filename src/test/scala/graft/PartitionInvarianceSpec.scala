@@ -93,6 +93,8 @@ class PartitionInvarianceSpec extends SparkFunSuite {
     "q152_source_overlap",      // fingerprint overlap matrix
     "q153_blocklist",           // bad-words tagging (pure map)
     "q154_ccnet_band",          // CE scoring + quantile band filter
+    "q155_containment_join",    // prefix-filtered containment join
+    "q156_nb_classifier",       // closed-form NB log-odds scoring
     "q123_web_curation_e2e")    // composed clean -> quality -> cap chain
 
   test("gate outputs are invariant to the shuffle partition count") {

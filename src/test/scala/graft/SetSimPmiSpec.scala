@@ -75,6 +75,65 @@ class SetSimPmiSpec extends SparkFunSuite {
     assert(got == Set((10L, 20L, 1.0)))
   }
 
+  /** Brute-force probe×corpus containment — the definition. */
+  private def bruteContainment(probe: DataFrame, corpus: DataFrame,
+      t: Double): Set[(Long, Long, Double)] = {
+    def sets(df: DataFrame) = df.select(col("doc_id"),
+        array_distinct(filter(split(lower(trim(col("text"))), "\\s+"),
+          w => length(w) > 0)).as("ts"))
+      .filter(size(col("ts")) > 0)
+    sets(probe).as("a").join(sets(corpus).as("b"),
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        (size(array_intersect(col("a.ts"), col("b.ts"))).cast("double")
+          / size(col("a.ts"))).as("c"))
+      .filter(col("c") >= t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+  }
+
+  test("containmentJoin equals brute force at several thresholds") {
+    val corpus = randomDocs(120, seed = 11)
+    val probe = corpus.filter(col("doc_id") % 4 === 0)
+    for (t <- Seq(0.5, 0.8, 1.0)) {
+      val expected = bruteContainment(probe, corpus, t)
+      val got = Dedup.containmentJoin(probe, corpus, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expected, s"threshold $t: ${got.size} vs ${expected.size}")
+      assert(expected.nonEmpty,
+        s"threshold $t produced no pairs - test corpus too sparse to be probative")
+    }
+  }
+
+  test("containmentJoin finds an excerpt that Jaccard misses") {
+    val source = (1L, ('a' to 'z').map(c => s"w$c").mkString(" ")) // 26 tokens
+    val excerpt = (2L, "wa wb wc")                                 // 3 of them
+    val docs = Seq(source, excerpt).toDF("doc_id", "text")
+    val got = Dedup.containmentJoin(docs, docs, threshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((2L, 1L, 1.0))) // excerpt ⊆ source, never the reverse
+    // the symmetric join can't see it: J = 3/26 ≈ 0.12
+    assert(Dedup.setSimilarityJoin(docs, threshold = 0.5).count() == 0)
+  }
+
+  test("containmentJoin keeps a pair sitting exactly on the threshold") {
+    // |A| = 5, |A∩B| = 4 -> containment exactly 0.8
+    val docs = Seq((1L, "a b c d x"), (2L, "a b c d y z")).toDF("doc_id", "text")
+    val at = Dedup.containmentJoin(docs, docs, threshold = 0.8)
+      .filter(col("id_a") === 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(at == Set((1L, 2L, 0.8)))
+    assert(Dedup.containmentJoin(docs, docs, threshold = 0.8 + 1e-6)
+      .filter(col("id_a") === 1L).count() == 0)
+  }
+
+  test("containmentJoin probe-only tokens cost nothing and self-pairs drop") {
+    val corpus = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val probe = Seq((1L, "a b c"), (5L, "zz yy xx")).toDF("doc_id", "text")
+    // id 1 in both frames = same doc -> no self pair; zz/yy/xx absent from
+    // the corpus -> no candidates at all for id 5
+    assert(Dedup.containmentJoin(probe, corpus, threshold = 0.5).count() == 0)
+  }
+
   test("pmiCollocations matches the hand-computed closed form") {
     // unigrams: a=3 b=2 c=1, Nu=6; bigrams: (a,b)=2 (b,a)=1 (a,c)=1, Nb=4
     val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
