@@ -1479,6 +1479,59 @@ object Dedup {
     docs.join(bad, Seq(idCol), "left_anti")
   }
 
+  /** The CUT consumer of the span signal — Lee et al. 2022's actual
+    * remedy (they remove the duplicated substring and keep the rest of
+    * the document; dropping whole docs over-deletes, which their §4 calls
+    * out): every token covered by at least one corpus-wide-duplicated
+    * `n`-token window (the [[dupSpanStats]] predicate, same fused
+    * rolling-hash fingerprints) is deleted from the document; surviving
+    * ORIGINAL-case tokens are rejoined with single spaces. Documents that
+    * had no duplicated window keep their text byte-identical (whitespace
+    * included); fully-covered documents empty out and are dropped when
+    * `dropEmptied` (both-ends-of-a-copy-pair deletion is the Lee-et-al
+    * behavior for full duplicates — run [[exactDedupKeepBest]] FIRST if a
+    * representative must survive). Non-text columns pass through.
+    *
+    * Plan: the [[dupSpanStats]] pipeline (map-side rolling fingerprints,
+    * one fingerprint groupBy, duplicated-windows-only position explode)
+    * plus a per-doc `collect_set` of covered positions — doc-bounded, the
+    * [[removeRepeatedParagraphs]] reassembly contract — joined back and
+    * applied as ONE map-side array filter. The rebuild is
+    * O(n_tokens · covered) per doc (membership probes into the covered
+    * set); a pathological mega-doc that is mostly duplicated spans pays
+    * quadratically in ITS OWN length only — bounded per task, never a
+    * shuffle-skew shape. */
+  def cutDuplicatedSpans(docs: DataFrame, n: Int = 10,
+      dropEmptied: Boolean = true, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(n >= 2, s"span length must be >= 2: $n")
+    val toks = docs
+      .withColumn("__cs_w", split(trim(col(textCol)), "\\s+"))
+      .withColumn("__cs_lw", split(lower(trim(col(textCol))), "\\s+"))
+      .withColumn("__cs_len",
+        when(array_join(col("__cs_w"), "") === "", 0)
+          .otherwise(size(col("__cs_w"))))
+    val fps = graft.functions.GraftFunctions.rollingWindowFps(
+      docs.sparkSession, col("__cs_lw"), n)
+    val grams = toks.filter(col("__cs_len") >= n)
+      .select(col(idCol), posexplode(fps).as(Seq("__cs_i", "__cs_fp")))
+    val counts = grams.groupBy("__cs_fp").agg(count(lit(1)).as("__cs_n"))
+    val covered = grams.join(counts, Seq("__cs_fp"))
+      .filter(col("__cs_n") > 1)
+      .select(col(idCol),
+        explode(sequence(col("__cs_i"), col("__cs_i") + (n - 1))).as("__cs_p"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("__cs_p")).as("__cs_cov"))
+    val cut = toks.join(covered, Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col("__cs_cov").isNull, col(textCol))
+          .otherwise(array_join(
+            filter(col("__cs_w"),
+              (_, i) => !array_contains(col("__cs_cov"), i)), " ")))
+      .drop("__cs_w", "__cs_lw", "__cs_len", "__cs_cov")
+    if (dropEmptied) cut.filter(trim(col(textCol)) =!= "") else cut
+  }
+
   // ------------------------------------------------- bloom cross-corpus dedup
 
   /** Serialized bloom filter over the exact-dedup fingerprints

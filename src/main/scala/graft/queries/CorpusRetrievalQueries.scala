@@ -50,6 +50,24 @@ object CorpusRetrievalQueries extends graft.QueryModule {
           round(col("coverage"), 6).as("coverage"))
     }),
 
+    // span CUT (Lee et al.'s actual remedy) over q118's fabricated corpus:
+    // the boilerplate sentence is excised from the every-10th docs (their
+    // prose survives), the 20 full copy pairs empty out and drop, and
+    // every untouched doc must come back byte-identical.
+    "q157_cut_dup_spans" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val fab = docs.withColumn("text",
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"),
+            lit(" legal notice all rights reserved by the site owner today")))
+          .otherwise(col("text")))
+      val planted = fab.orderBy("doc_id").limit(20)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val corpus = fab.unionByName(planted)
+      graft.llm.Dedup.cutDuplicatedSpans(corpus, n = 10)
+        .select(col("doc_id"), col("text"))
+    }),
+
     // bloom-prefiltered EXACT cross-corpus dedup: the batch (every 3rd doc
     // + 20 planted copies of ref docs) minus everything whose normalized
     // fingerprint exists in the ref corpus. The bloom only prunes — the
@@ -416,6 +434,57 @@ object CorpusRetrievalQueries extends graft.QueryModule {
         |                  THEN CAST(coalesce(covered, 0) AS DOUBLE) / n
         |                  ELSE 0 END, 6) AS coverage
         |FROM tl LEFT JOIN cov USING (doc_id)""".stripMargin,
+
+    // q118's window accounting, then the cut: original-case tokens at
+    // uncovered positions rejoined with single spaces; untouched docs keep
+    // their exact original text; emptied docs drop
+    "q157_cut_dup_spans" ->
+      """WITH fab AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0
+        |      THEN text || ' legal notice all rights reserved by the site owner today'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, text FROM fab
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM
+        |    (SELECT * FROM fab ORDER BY doc_id LIMIT 20)),
+        |t AS (SELECT doc_id, text,
+        |        string_split_regex(trim(text), '\s+') AS wo,
+        |        string_split_regex(lower(trim(text)), '\s+') AS ws
+        |      FROM corpus),
+        |tl AS (SELECT doc_id, text, wo, ws,
+        |         CASE WHEN array_to_string(ws, '') = '' THEN 0
+        |              ELSE len(ws) END AS n
+        |       FROM t),
+        |g AS (SELECT doc_id, ws,
+        |        unnest(range(0, greatest(n - 10 + 1, 0))) AS i
+        |      FROM tl),
+        |fpw AS (SELECT doc_id, i,
+        |          md5(array_to_string(ws[(i+1):(i+10)], ' ')) AS h
+        |        FROM g),
+        |c AS (SELECT h, count(*) AS cnt FROM fpw GROUP BY 1),
+        |covp AS (SELECT DISTINCT doc_id, p FROM (
+        |           SELECT f.doc_id, unnest(range(f.i, f.i + 10)) AS p
+        |           FROM fpw f JOIN c USING (h) WHERE cnt > 1)),
+        |covd AS (SELECT DISTINCT doc_id FROM covp),
+        |toku AS (SELECT doc_id, i, wo[i+1] AS tok FROM
+        |           (SELECT doc_id, wo, unnest(range(0, n)) AS i FROM tl
+        |            WHERE doc_id IN (SELECT doc_id FROM covd))),
+        |recon AS (SELECT k.doc_id, string_agg(k.tok, ' ' ORDER BY k.i) AS text
+        |          FROM (SELECT t2.doc_id, t2.i, t2.tok
+        |                FROM toku t2 LEFT JOIN covp cp
+        |                  ON t2.doc_id = cp.doc_id AND t2.i = cp.p
+        |                WHERE cp.p IS NULL) k
+        |          GROUP BY k.doc_id),
+        |outp AS (
+        |  SELECT tl.doc_id,
+        |         CASE WHEN covd.doc_id IS NULL THEN tl.text
+        |              ELSE coalesce(recon.text, '') END AS text
+        |  FROM tl LEFT JOIN covd USING (doc_id)
+        |          LEFT JOIN recon USING (doc_id))
+        |SELECT doc_id, text FROM outp WHERE trim(text) <> ''""".stripMargin,
 
     // the bloom path is exact by construction, so the oracle is the plain
     // fingerprint anti-join

@@ -51,6 +51,55 @@ class DupSpanSpec extends SparkFunSuite {
     assert(keptAll.count() == 0)
   }
 
+  test("cutDuplicatedSpans excises the shared span and keeps the rest") {
+    // docs 0/1 share "a b c d e" (n=3 → tokens 0..4 covered in both);
+    // each keeps only its unique tail, original case preserved
+    val docs = Seq(
+      (0L, "a b c d e X y z"),
+      (1L, "a b c d e P q r"),
+      (2L, "totally unrelated words here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.cutDuplicatedSpans(docs, n = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(out == Map(0L -> "X y z", 1L -> "P q r",
+      2L -> "totally unrelated words here"))
+  }
+
+  test("cutDuplicatedSpans: untouched docs keep text byte-identical") {
+    val weird = "  Solo\t\tdoc   with ODD   spacing "
+    val docs = Seq((0L, weird), (1L, "another unshared document entirely"))
+      .toDF("doc_id", "text")
+    val out = Dedup.cutDuplicatedSpans(docs, n = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(out(0L) == weird) // no duplicated window → no normalization
+  }
+
+  test("cutDuplicatedSpans: full copies empty out; dropEmptied keeps or drops") {
+    val docs = Seq(
+      (0L, "c1 c2 c3 c4"),
+      (1L, "c1 c2 c3 c4"),
+      (2L, "some other standalone words")
+    ).toDF("doc_id", "text")
+    val dropped = Dedup.cutDuplicatedSpans(docs, n = 3)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(dropped == Set(2L))
+    val kept = Dedup.cutDuplicatedSpans(docs, n = 3, dropEmptied = false)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .toMap
+    assert(kept(0L) == "" && kept(1L) == "" && kept.size == 3)
+  }
+
+  test("cutDuplicatedSpans passes non-text columns through") {
+    val docs = Seq(
+      (0L, "k1 k2 k3 tail0", "web"),
+      (1L, "k1 k2 k3 tail1", "wiki")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.cutDuplicatedSpans(docs, n = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[String]("source"))).toSet
+    assert(out == Set((0L, "tail0", "web"), (1L, "tail1", "wiki")))
+  }
+
   test("fused rolling-hash path matches the md5 reference formulation") {
     // varied shapes: shared prefixes, internal repeats, sub-n docs, empty
     // and null text, punctuation — coverage stats must be identical
