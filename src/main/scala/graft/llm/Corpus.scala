@@ -217,6 +217,41 @@ object Corpus {
     row.select(explode(array(entries: _*)).as("e")).select(col("e.*"))
   }
 
+  /** Per-GROUP quantile annotation — normalize a per-document score
+    * WITHIN its stratum (source, language, domain …): every row gets
+    * `q_bucket` = how many of its group's `ps`-quantile thresholds its
+    * value reaches (0 … ps.length). The cross-source curation primitive —
+    * "keep each source's top quartile" compares documents against their
+    * OWN source's distribution, where a global cut would just rank
+    * sources against each other. Null values get a null bucket.
+    *
+    * Plan: one groupBy(group) percentile aggregate (rows = #groups — tiny)
+    * broadcast back, bucket assignment as a map-side array count. No
+    * per-group window, no sort of the corpus — the two shapes this
+    * operator exists to avoid. [[featureQuantiles]]' exact/approx contract
+    * applies: exact `percentile` buffers per-group distinct-value maps
+    * (integer-ish features), `exact = false` is the continuous/100-TB
+    * path. Thresholds are ROUNDED to 6 before comparison (the q154
+    * convention): bucket edges depend on round-6 values both engines
+    * agree on, never on the last ulp of interpolation arithmetic. */
+  def annotateGroupQuantile(df: DataFrame, valueCol: String,
+      groupCol: String, ps: Seq[Double] = Seq(0.25, 0.5, 0.75),
+      exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+      s"percentiles must be in [0, 1]: ${ps.mkString(",")}")
+    val v = col(valueCol).cast("double")
+    val agg =
+      if (exact) percentile(v, typedLit(ps))
+      else percentile_approx(v, typedLit(ps), lit(accuracy))
+    val th = df.groupBy(col(groupCol))
+      .agg(transform(agg, t => round(t, 6)).as("__gq"))
+    df.join(broadcast(th), Seq(groupCol))
+      .withColumn("q_bucket",
+        when(v.isNull, lit(null))
+          .otherwise(size(filter(col("__gq"), t => t <= v)).cast("long")))
+      .drop("__gq")
+  }
+
   /** Unigram counts of a REFERENCE corpus — the model table consumed by
     * [[crossEntropy]] (one row per distinct lowercased whitespace token).
     * One explode + one partial-agg groupBy; persist the result when scoring

@@ -315,6 +315,47 @@ object TextAnalysis {
       org.apache.spark.sql.SparkSession.active, text)
 
   /** Full per-document stats projection. */
+  /** Flesch–Kincaid readability signals (Kincaid et al. 1975 — the
+    * classic prose-complexity lens used to slice curated corpora into
+    * difficulty bands and to flag degenerate text whose "sentences" never
+    * end). Deterministic counting rules shared verbatim by the oracle:
+    * words = maximal `[a-z]+` runs of the lowercased text (letters only —
+    * numbers/punctuation carry no syllables); syllables(word) = max(1,
+    * number of maximal `[aeiouy]+` vowel groups); sentences = max(1,
+    * number of maximal `[.!?]+` runs). Emits
+    * `(idCol, n_words, n_sentences, n_syllables, fk_grade, reading_ease)`;
+    * documents with zero letter-words are absent (no prose to grade).
+    *
+    * `fk_grade = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59`;
+    * `reading_ease = 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words)`. All counting is per-row map-side regexp
+    * work (one pass, no shuffle beyond whatever the caller does with the
+    * result); the syllable fold is a fixed-size interpreted HOF per row —
+    * document-bounded, never a join key. */
+  def readability(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val words = regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0))
+    val nSent = greatest(lit(1L),
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))).cast("long"))
+    docs.select(col(idCol), words.as("__rd_w"), nSent.as("n_sentences"))
+      .filter(size(col("__rd_w")) > 0)
+      .select(col(idCol),
+        size(col("__rd_w")).cast("long").as("n_words"),
+        col("n_sentences"),
+        aggregate(col("__rd_w"), lit(0L), (acc, w) => acc +
+          greatest(lit(1),
+            size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0)))))
+          .as("n_syllables"))
+      .withColumn("fk_grade",
+        lit(0.39) * (col("n_words").cast("double") / col("n_sentences"))
+          + lit(11.8) * (col("n_syllables").cast("double") / col("n_words"))
+          - lit(15.59))
+      .withColumn("reading_ease",
+        lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")))
+  }
+
   def documentStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     docs.select(

@@ -93,6 +93,27 @@ object CurationQueries extends graft.QueryModule {
           col("pred_pos").cast("long").as("pred_pos"))
     }),
 
+    // per-group quantile annotation: each doc's n_chars bucketed against
+    // its OWN language's 0.25/0.5/0.75 thresholds (round-6, the shared
+    // engine lock) — per-source normalization without a per-group window
+    "q159_group_quantile" -> ((s, d) => {
+      graft.llm.Corpus.annotateGroupQuantile(
+          Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+          valueCol = "n_chars", groupCol = "lang")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("q_bucket"))
+    }),
+
+    // Flesch-Kincaid readability: letters-only words, vowel-group
+    // syllables (min 1/word), [.!?]+ sentence runs (min 1/doc) — counting
+    // rules shared verbatim with the oracle; both scores round-6.
+    "q158_readability" -> ((s, d) => {
+      TextAnalysis.readability(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_syllables"),
+          round(col("fk_grade"), 6).as("fk_grade"),
+          round(col("reading_ease"), 6).as("reading_ease"))
+    }),
+
     // C4 bad-words tagging: word-level blocklist hits over distinct
     // lowercased tokens, matched terms sorted and comma-joined. The list
     // mixes a rare corpus word ('dup', ~5% of docs) with two common ones,
@@ -575,6 +596,44 @@ object CurationQueries extends graft.QueryModule {
         |SELECT doc_id, n_tokens, score
         |FROM ce CROSS JOIN th
         |WHERE score >= lo AND score <= hi""".stripMargin,
+
+    "q159_group_quantile" ->
+      """WITH th AS (
+        |  SELECT lang,
+        |    round(quantile_cont(CAST(n_chars AS DOUBLE), 0.25), 6) AS t1,
+        |    round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS t2,
+        |    round(quantile_cont(CAST(n_chars AS DOUBLE), 0.75), 6) AS t3
+        |  FROM documents GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |       CAST(CASE WHEN t1 <= d.n_chars THEN 1 ELSE 0 END
+        |          + CASE WHEN t2 <= d.n_chars THEN 1 ELSE 0 END
+        |          + CASE WHEN t3 <= d.n_chars THEN 1 ELSE 0 END AS BIGINT)
+        |         AS q_bucket
+        |FROM documents d JOIN th USING (lang)""".stripMargin,
+
+    "q158_readability" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         regexp_extract_all(lower(text), '[a-z]+') AS ws,
+        |         greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+        |           AS n_sent
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |        CAST(len(ws) AS BIGINT) AS n_words,
+        |        CAST(n_sent AS BIGINT) AS n_sentences,
+        |        CAST(list_sum(list_transform(ws, x ->
+        |          greatest(1, len(regexp_extract_all(x, '[aeiouy]+')))))
+        |          AS BIGINT) AS n_syllables
+        |      FROM w WHERE len(ws) > 0)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |       round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+        |             + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+        |             - 15.59, 6) AS fk_grade,
+        |       round(206.835
+        |             - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+        |             - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6)
+        |         AS reading_ease
+        |FROM f""".stripMargin,
 
     "q156_nb_classifier" ->
       """WITH posw AS (

@@ -465,6 +465,49 @@ class CurationSpec extends SparkFunSuite {
     assert(got == expected && got.nonEmpty && got.size < scores.length)
   }
 
+  test("annotateGroupQuantile buckets within each group's own thresholds") {
+    // group a: values 1..8 → p·(n−1) thresholds 2.75 / 4.5 / 6.25
+    // group b: single value 10 → all thresholds 10 → bucket 3 (ties up)
+    val df = ((1 to 8).map(i => (i.toLong, "a", i: java.lang.Integer))
+      :+ ((100L, "b", 10: java.lang.Integer))
+      :+ ((101L, "b", null.asInstanceOf[java.lang.Integer])))
+      .toDF("id", "grp", "v")
+    val got = graft.llm.Corpus.annotateGroupQuantile(df, "v", "grp")
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[java.lang.Long]("q_bucket")).map(_.toLong)).toMap
+    val expected = Map(1L -> Some(0L), 2L -> Some(0L), 3L -> Some(1L),
+      4L -> Some(1L), 5L -> Some(2L), 6L -> Some(2L), 7L -> Some(3L),
+      8L -> Some(3L), 100L -> Some(3L), 101L -> None)
+    assert(got == expected)
+    // approx path: same buckets on this tiny input (sketch is exact here)
+    val approx = graft.llm.Corpus.annotateGroupQuantile(df, "v", "grp",
+      exact = false)
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[java.lang.Long]("q_bucket")).map(_.toLong)).toMap
+    assert(approx(100L) == Some(3L) && approx(101L).isEmpty)
+  }
+
+  test("readability matches hand-computed Flesch-Kincaid values") {
+    val docs = Seq(
+      (1L, "The quick brown fox. It jumps!"), // 6 words, 2 sents, 6 syls
+      (2L, "tsk tsk."),                       // vowel-less words → 1 syl each
+      (3L, "no punctuation here"),            // 0 sentence runs → floor 1
+      (4L, "1234 !!")                         // zero letter-words → absent
+    ).toDF("doc_id", "text")
+    val got = graft.llm.TextAnalysis.readability(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_sentences"),
+          r.getAs[Long]("n_syllables"), r.getAs[Double]("fk_grade"),
+          r.getAs[Double]("reading_ease")))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    val (w1, s1, y1, fk1, re1) = got(1L)
+    assert((w1, s1, y1) == ((6L, 2L, 6L)))
+    assert(math.abs(fk1 - (0.39 * 3 + 11.8 * 1 - 15.59)) < 1e-12)
+    assert(math.abs(re1 - (206.835 - 1.015 * 3 - 84.6 * 1)) < 1e-12)
+    assert(got(2L)._1 == 2L && got(2L)._2 == 1L && got(2L)._3 == 2L)
+    assert(got(3L)._2 == 1L) // sentence floor
+  }
+
   test("blocklistFilter drops hit docs and restores the schema") {
     val docs = Seq((1L, "bad things"), (2L, "good things"))
       .toDF("doc_id", "text")

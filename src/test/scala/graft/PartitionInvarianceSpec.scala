@@ -95,6 +95,9 @@ class PartitionInvarianceSpec extends SparkFunSuite {
     "q154_ccnet_band",          // CE scoring + quantile band filter
     "q155_containment_join",    // prefix-filtered containment join
     "q156_nb_classifier",       // closed-form NB log-odds scoring
+    "q157_cut_dup_spans",       // span excision + reassembly
+    "q158_readability",         // pure-map FK counting
+    "q159_group_quantile",      // broadcast per-group thresholds
     "q123_web_curation_e2e")    // composed clean -> quality -> cap chain
 
   test("gate outputs are invariant to the shuffle partition count") {
