@@ -340,16 +340,41 @@ object Dedup {
   def writeMinHashStore(docs: DataFrame, path: String,
       textCol: String = "text", idCol: String = "doc_id",
       k: Int = 32, bands: Int = 8, shingleN: Int = 3, nParts: Int = 64,
-      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): Unit = {
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): Unit =
+    writeMinHashStoreImpl(docs, path, textCol, idCol, k, bands, shingleN,
+      nParts, storage, mode = "overwrite")
+
+  /** Incremental index maintenance: add a new batch's postings/payloads
+    * to an EXISTING [[writeMinHashStore]] directory — the daily-ingest
+    * path (index today's crawl; never rebuild the 100-TB reference).
+    * Appended files land inside the same hash partitions the writer laid
+    * out (both sides derive pb/ib identically), so probe-side pruning is
+    * untouched and the store is indistinguishable from a one-shot write
+    * over the union (spec-asserted). Work is bounded by the BATCH —
+    * signatures, banding, and the two writes touch only `docs`; the
+    * existing store is never read. Ids must stay unique across all
+    * batches ([[crossCorpusNearDupsFromStore]]'s contract); parameters
+    * (k/bands/shingleN/nParts) MUST match the original write — the store
+    * records no metadata, so a mismatch silently mis-prunes. */
+  def appendMinHashStore(docs: DataFrame, path: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 32, bands: Int = 8, shingleN: Int = 3, nParts: Int = 64,
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): Unit =
+    writeMinHashStoreImpl(docs, path, textCol, idCol, k, bands, shingleN,
+      nParts, storage, mode = "append")
+
+  private def writeMinHashStoreImpl(docs: DataFrame, path: String,
+      textCol: String, idCol: String, k: Int, bands: Int, shingleN: Int,
+      nParts: Int, storage: StorageLevel, mode: String): Unit = {
     require(nParts > 0, s"nParts must be positive: $nParts")
     val base = minHashBase(docs, textCol, idCol, k, shingleN).persist(storage)
     try {
       minHashBanded(base, k, bands)
         .withColumn("pb", storePb(nParts))
-        .write.mode("overwrite").partitionBy("pb")
+        .write.mode(mode).partitionBy("pb")
         .parquet(path + "/postings")
       base.withColumn("ib", storeIb(col("id"), nParts))
-        .write.mode("overwrite").partitionBy("ib")
+        .write.mode(mode).partitionBy("ib")
         .parquet(path + "/payload")
     } finally base.unpersist()
   }

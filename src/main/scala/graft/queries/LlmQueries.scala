@@ -351,6 +351,26 @@ object LlmQueries extends graft.QueryModule {
           round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // the q146 store built INCREMENTALLY (write even ref ids, append odd
+    // ones) and probed with the same batch — identical-answers contract
+    // again: the split write must be invisible, so the oracle is q146's
+    // SQL verbatim.
+    "q160_minhash_store_append" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val planted = docs.orderBy("doc_id").limit(20)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val newSide = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .unionByName(planted)
+      val refSide = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val dir = java.nio.file.Files.createTempDirectory("graft_mh_store_a")
+        .toString
+      Dedup.writeMinHashStore(refSide.filter(col("doc_id") % 2 === 0), dir)
+      Dedup.appendMinHashStore(refSide.filter(col("doc_id") % 2 =!= 0), dir)
+      Dedup.crossCorpusNearDupsFromStore(newSide, dir, threshold = 0.7)
+        .select(col("new_id"), col("ref_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+    }),
+
     // EXACT set-similarity self-join (prefix filtering) at a high
     // threshold (0.9 — where the length+prefix filters bite), over the
     // corpus plus 20 planted one-token-appended copies (token-set
@@ -1020,6 +1040,37 @@ object LlmQueries extends graft.QueryModule {
 
     // identical answers contract: the store roundtrip replays q108's SQL
     "q146_minhash_store" ->
+      """WITH newdocs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM
+        |    (SELECT * FROM documents ORDER BY doc_id LIMIT 20)),
+        |refdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        |shn AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(range(1, len(w) - 1),
+        |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |        FROM newdocs)),
+        |shr AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(range(1, len(w) - 1),
+        |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |        FROM refdocs)),
+        |pairs AS (
+        |  SELECT n.doc_id AS new_id, r.doc_id AS ref_id,
+        |         CAST(len(list_intersect(n.s, r.s)) AS DOUBLE)
+        |           / len(list_distinct(list_concat(n.s, r.s))) AS j
+        |  FROM shn n CROSS JOIN shr r)
+        |SELECT new_id, ref_id, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.7""".stripMargin,
+
+    // identical-answers contract once more: the incremental (write +
+    // append) store must answer exactly like the one-shot store, so the
+    // oracle is q146's statement verbatim
+    "q160_minhash_store_append" ->
       """WITH newdocs AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
         |  UNION ALL

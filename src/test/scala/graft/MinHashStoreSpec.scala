@@ -45,6 +45,35 @@ class MinHashStoreSpec extends SparkFunSuite {
     assert(!viaStore.exists(_._1 == 102L))
   }
 
+  test("append ≡ one-shot write over the union; appended files share partitions") {
+    val ref = corpus(40, "ref").toDF("doc_id", "text")
+    val refA = ref.filter($"doc_id" < 20)
+    val refB = ref.filter($"doc_id" >= 20)
+    val newBatch = Seq(
+      (100L, corpus(40, "ref")(3)._2),           // matches a refA doc
+      (101L, corpus(40, "ref")(25)._2 + " x"),   // matches a refB doc
+      (102L, "completely unrelated content about celestial navigation")
+    ).toDF("doc_id", "text")
+    val incr = java.nio.file.Files.createTempDirectory("mh_incr").toString
+    val oneShot = java.nio.file.Files.createTempDirectory("mh_full").toString
+    Dedup.writeMinHashStore(refA, incr, nParts = 16)
+    Dedup.appendMinHashStore(refB, incr, nParts = 16)
+    Dedup.writeMinHashStore(ref, oneShot, nParts = 16)
+    def probe(dir: String) =
+      Dedup.crossCorpusNearDupsFromStore(newBatch, dir,
+          threshold = 0.5, nParts = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val (viaIncr, viaFull) = (probe(incr), probe(oneShot))
+    spark.catalog.clearCache()
+    assert(viaIncr === viaFull)
+    assert(viaIncr.exists(t => t._1 == 100L && t._2 == 3L))
+    assert(viaIncr.exists(t => t._1 == 101L && t._2 == 25L)) // from the APPENDED half
+    // the append created no partition scheme of its own
+    val dirs = new java.io.File(incr + "/postings")
+      .listFiles().map(_.getName).filter(_.startsWith("pb="))
+    assert(dirs.nonEmpty && dirs.forall(_.matches("pb=\\d+")))
+  }
+
   test("mismatched nParts between write and probe is still correct when equal-keyed") {
     // pruning soundness depends on write/probe deriving the SAME pb; the
     // doc requires matching nParts — assert the matched case at another
