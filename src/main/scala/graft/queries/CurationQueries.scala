@@ -93,6 +93,26 @@ object CurationQueries extends graft.QueryModule {
           col("pred_pos").cast("long").as("pred_pos"))
     }),
 
+    // composed model-quality curation pipeline (the q123 composition-bug
+    // pattern for the round-9 scoring family): NB-classify every doc
+    // against the en/non-en models and keep the positives, then
+    // perplexity-band the SURVIVORS (thresholds computed over the
+    // filtered distribution — stage order is the semantics under test).
+    // One oracle statement replays the whole chain.
+    "q161_quality_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pos = docs.filter(col("lang") === "en")
+      val neg = docs.filter(col("lang") =!= "en")
+      val enCounts = graft.llm.Corpus.unigramCounts(pos)
+      val classified = graft.llm.Corpus.naiveBayesLogOdds(docs, enCounts,
+          graft.llm.Corpus.unigramCounts(neg), pos.count(), neg.count())
+        .filter(col("pred_pos") === 1)
+        .select(col("doc_id"))
+      val survivors = docs.join(classified, Seq("doc_id"))
+      Curation.perplexityBandFilter(survivors, enCounts)
+        .select(col("doc_id"), col("n_tokens"), col("score"))
+    }),
+
     // per-group quantile annotation: each doc's n_chars bucketed against
     // its OWN language's 0.25/0.5/0.75 thresholds (round-6, the shared
     // engine lock) — per-source normalization without a per-group window
@@ -590,6 +610,54 @@ object CurationQueries extends graft.QueryModule {
         |         round(-sum(dc * ln(CAST(coalesce(c + 1, 1) AS DOUBLE)
         |                            / (t + v + 1))) / sum(dc), 6) AS score
         |       FROM dw LEFT JOIN refc USING (word) CROSS JOIN tot
+        |       GROUP BY doc_id),
+        |th AS (SELECT quantile_cont(score, 0.25) AS lo,
+        |              quantile_cont(score, 0.75) AS hi FROM ce)
+        |SELECT doc_id, n_tokens, score
+        |FROM ce CROSS JOIN th
+        |WHERE score >= lo AND score <= hi""".stripMargin,
+
+    "q161_quality_pipeline" ->
+      """WITH posw AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |  FROM documents WHERE lang = 'en'),
+        |posc AS (SELECT word, count(*) AS cp FROM posw
+        |         WHERE length(word) > 0 GROUP BY word),
+        |negw AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |  FROM documents WHERE lang <> 'en'),
+        |negc AS (SELECT word, count(*) AS cn FROM negw
+        |         WHERE length(word) > 0 GROUP BY word),
+        |m AS (SELECT (SELECT sum(cp) FROM posc) AS tp,
+        |             (SELECT count(*) FROM posc) AS vp,
+        |             (SELECT sum(cn) FROM negc) AS tn,
+        |             (SELECT count(*) FROM negc) AS vn,
+        |             ln(CAST((SELECT count(*) FROM documents
+        |                      WHERE lang = 'en') AS DOUBLE))
+        |           - ln(CAST((SELECT count(*) FROM documents
+        |                      WHERE lang <> 'en') AS DOUBLE)) AS pr),
+        |dw AS (
+        |  SELECT doc_id, word, count(*) AS dc FROM (
+        |    SELECT doc_id,
+        |           unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE length(word) > 0 GROUP BY doc_id, word),
+        |nb AS (SELECT doc_id,
+        |         any_value(pr)
+        |           + sum(dc * (ln(CAST(coalesce(cp + 1, 1) AS DOUBLE)
+        |                          / (tp + vp + 1))
+        |                     - ln(CAST(coalesce(cn + 1, 1) AS DOUBLE)
+        |                          / (tn + vn + 1)))) AS lo
+        |       FROM dw LEFT JOIN posc USING (word)
+        |                LEFT JOIN negc USING (word) CROSS JOIN m
+        |       GROUP BY doc_id),
+        |kept AS (SELECT doc_id FROM nb WHERE lo > 0),
+        |tot AS (SELECT sum(cp) AS t, count(*) AS v FROM posc),
+        |ce AS (SELECT doc_id, CAST(sum(dc) AS BIGINT) AS n_tokens,
+        |         round(-sum(dc * ln(CAST(coalesce(cp + 1, 1) AS DOUBLE)
+        |                            / (t + v + 1))) / sum(dc), 6) AS score
+        |       FROM dw JOIN kept USING (doc_id)
+        |               LEFT JOIN posc USING (word) CROSS JOIN tot
         |       GROUP BY doc_id),
         |th AS (SELECT quantile_cont(score, 0.25) AS lo,
         |              quantile_cont(score, 0.75) AS hi FROM ce)

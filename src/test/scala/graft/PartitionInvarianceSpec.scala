@@ -98,6 +98,7 @@ class PartitionInvarianceSpec extends SparkFunSuite {
     "q157_cut_dup_spans",       // span excision + reassembly
     "q158_readability",         // pure-map FK counting
     "q159_group_quantile",      // broadcast per-group thresholds
+    "q161_quality_pipeline",    // composed NB filter -> CE band
     "q123_web_curation_e2e")    // composed clean -> quality -> cap chain
 
   test("gate outputs are invariant to the shuffle partition count") {
