@@ -292,6 +292,41 @@ object Curation {
     * therefore never funnels its membership through one sort task, and
     * its raw rows never shuffle at all — the skew probe plants exactly
     * this case and gates the straggler ratio. */
+  /** UT1-style domain blocklist filter (the RefinedWeb URL-filtering
+    * stage: drop documents whose site appears on a curated blocklist —
+    * the UT1 adult/malware lists are the canonical instance): a document
+    * is dropped when its canonical host ([[urlDomain]]) EQUALS a blocked
+    * domain or is a SUBDOMAIN of one (blocking `example.com` blocks
+    * `cdn.example.com` — UT1 semantics). `blocked` is a one-column
+    * `domain` frame of canonical lowercase hosts (no scheme, no www);
+    * real lists run to millions of rows, hence a frame, not a literal.
+    * Documents with null/schemeless URLs are KEPT (fail-safe: no host to
+    * match).
+    *
+    * Plan: each doc expands to its host's ≥2-label suffixes (`a.b.c` →
+    * `[a.b.c, b.c]` — bounded by label count, ~≤6), one semi-join against
+    * the blocklist (broadcast by default; set `broadcastBlocklist =
+    * false` for lists past the broadcast budget — the join stays hot-key
+    *-free because the blocklist side is distinct domains), one anti-join
+    * back on the id. The corpus never sorts; no per-domain window. */
+  def domainBlocklistFilter(docs: DataFrame, blocked: DataFrame,
+      urlCol: String, idCol: String = "doc_id",
+      broadcastBlocklist: Boolean = true): DataFrame = {
+    val host = urlDomain(col(urlCol))
+    val parts = split(host, "\\.")
+    val sufs = transform(sequence(lit(0), size(parts) - 2),
+      i => array_join(slice(parts, i + 1, size(parts) - i), "."))
+    val cand = docs.select(col(idCol).as("__bl_id"),
+        explode(when(size(parts) >= 2, sufs)
+          .otherwise(array(host))).as("domain"))
+      .filter(length(col("domain")) > 0)
+    val bl = blocked.select(col("domain"))
+    val hit = cand
+      .join(if (broadcastBlocklist) broadcast(bl) else bl, Seq("domain"))
+      .select(col("__bl_id")).distinct()
+    docs.join(hit, col(idCol) === col("__bl_id"), "left_anti")
+  }
+
   def perDomainCap(docs: DataFrame, urlCol: String, maxPerDomain: Int,
       priority: Column, idCol: String = "doc_id"): DataFrame = {
     require(maxPerDomain > 0, s"maxPerDomain must be positive: $maxPerDomain")

@@ -93,6 +93,22 @@ object CurationQueries extends graft.QueryModule {
           col("pred_pos").cast("long").as("pred_pos"))
     }),
 
+    // UT1-style domain blocklist: hosts are src{N}.example.com (every 5th
+    // doc behind a cdn. subdomain); blocking src3/src7 must drop BOTH the
+    // plain and cdn. variants (subdomain semantics), keep everything else
+    "q162_domain_blocklist" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).withColumn("url",
+        concat(lit("https://"),
+          when(col("doc_id") % 5 === 0, lit("cdn.")).otherwise(lit("")),
+          col("source"), lit(".example.com/page/"),
+          col("doc_id").cast("string")))
+      val blocked = Seq("src3.example.com", "src7.example.com")
+        .toDF("domain")
+      Curation.domainBlocklistFilter(docs, blocked, "url")
+        .select(col("doc_id"), col("source"))
+    }),
+
     // composed model-quality curation pipeline (the q123 composition-bug
     // pattern for the round-9 scoring family): NB-classify every doc
     // against the en/non-en models and keep the positives, then
@@ -616,6 +632,26 @@ object CurationQueries extends graft.QueryModule {
         |SELECT doc_id, n_tokens, score
         |FROM ce CROSS JOIN th
         |WHERE score >= lo AND score <= hi""".stripMargin,
+
+    "q162_domain_blocklist" ->
+      """WITH u AS (
+        |  SELECT doc_id, source,
+        |         'https://'
+        |         || (CASE WHEN doc_id % 5 = 0 THEN 'cdn.' ELSE '' END)
+        |         || source || '.example.com/page/'
+        |         || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |h AS (SELECT doc_id, source,
+        |        regexp_replace(regexp_replace(
+        |          lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+        |            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)),
+        |          '^www\.', ''), ':443$', '') AS host
+        |      FROM u),
+        |bl(domain) AS (VALUES ('src3.example.com'), ('src7.example.com'))
+        |SELECT doc_id, source FROM h
+        |WHERE NOT EXISTS (SELECT 1 FROM bl
+        |                  WHERE h.host = bl.domain
+        |                     OR h.host LIKE '%.' || bl.domain)""".stripMargin,
 
     "q161_quality_pipeline" ->
       """WITH posw AS (

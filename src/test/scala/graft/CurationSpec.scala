@@ -465,6 +465,26 @@ class CurationSpec extends SparkFunSuite {
     assert(got == expected && got.nonEmpty && got.size < scores.length)
   }
 
+  test("domainBlocklistFilter drops exact and subdomain matches, keeps the rest") {
+    val docs = Seq(
+      (1L, "https://bad.com/x"),
+      (2L, "https://cdn.deep.bad.com/y"), // subdomain, two levels down
+      (3L, "https://notbad.com/z"),       // suffix STRING but not a subdomain
+      (4L, "https://good.org/a"),
+      (5L, null.asInstanceOf[String]),    // no host → fail-safe keep
+      (6L, "https://localhost/b")         // single-label host
+    ).toDF("doc_id", "url")
+    val blocked = Seq("bad.com").toDF("domain")
+    val kept = graft.llm.Curation.domainBlocklistFilter(docs, blocked, "url")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(3L, 4L, 5L, 6L))
+    // exact single-label block works through the size-1 branch
+    val kept2 = graft.llm.Curation.domainBlocklistFilter(docs,
+        Seq("localhost").toDF("domain"), "url")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(!kept2.contains(6L) && kept2.contains(1L))
+  }
+
   test("annotateGroupQuantile buckets within each group's own thresholds") {
     // group a: values 1..8 → p·(n−1) thresholds 2.75 / 4.5 / 6.25
     // group b: single value 10 → all thresholds 10 → bucket 3 (ties up)

@@ -99,6 +99,7 @@ class PartitionInvarianceSpec extends SparkFunSuite {
     "q158_readability",         // pure-map FK counting
     "q159_group_quantile",      // broadcast per-group thresholds
     "q161_quality_pipeline",    // composed NB filter -> CE band
+    "q162_domain_blocklist",    // suffix explode + blocklist semi-join
     "q123_web_curation_e2e")    // composed clean -> quality -> cap chain
 
   test("gate outputs are invariant to the shuffle partition count") {
