@@ -1557,6 +1557,62 @@ object Dedup {
     if (dropEmptied) cut.filter(trim(col(textCol)) =!= "") else cut
   }
 
+  // ---------------------------------------------------- winnowing (MOSS)
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the MOSS
+    * plagiarism-detection sketch): hash every `k`-token word gram, slide a
+    * `w`-hash window, keep each window's MINIMUM hash (ties → the
+    * RIGHTMOST minimum, the paper's rule), emit the distinct selected
+    * `(pos, fp)` pairs per document. The selection guarantee: any shared
+    * token run of ≥ `w + k − 1` tokens yields at least one shared
+    * fingerprint — a position-aware, density-bounded alternative to
+    * MinHash when you need to LOCALIZE the overlap (which span matched),
+    * not just detect it. Joining two docs' fingerprint frames on `fp`
+    * gives the match positions directly.
+    *
+    * Determinism/oracle: gram hashes are md5 STRINGS and the window
+    * minimum is their lexicographic min — both engines order identically,
+    * no numeric-hash convention to replicate. Docs with fewer than `k`
+    * tokens have no grams and are absent; docs with fewer than `w` grams
+    * winnow a single window over what exists (the paper's short-doc
+    * degenerate case).
+    *
+    * Plan: one map-side pass per row — gram hashing, window argmin, and
+    * dedup are all array expressions over doc-bounded arrays; only the
+    * selected fingerprints (≈ 2/(w+1) of grams in expectation) ever leave
+    * the row. The md5-per-gram cost is k× the token stream; the fused
+    * Rabin–Karp kernel ([[dupSpanStats]]) is the documented upgrade path
+    * if winnowing ever dominates a pipeline — kept md5 here because the
+    * VALUES (not just equality) are load-bearing for window minima and
+    * must replay in the oracle. */
+  def winnowingFingerprints(docs: DataFrame, k: Int = 4, w: Int = 5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"gram length must be >= 1: $k")
+    require(w >= 1, s"window must be >= 1: $w")
+    val toks = docs.select(col(idCol),
+        split(lower(trim(col(textCol))), "\\s+").as("__wn_t"))
+      .withColumn("__wn_len",
+        when(array_join(col("__wn_t"), "") === "", 0)
+          .otherwise(size(col("__wn_t"))))
+      .filter(col("__wn_len") >= k)
+    val hs = transform(sequence(lit(0), col("__wn_len") - k),
+      i => md5(array_join(slice(col("__wn_t"), i + 1, lit(k)), " ")))
+    val withHs = toks.select(col(idCol), hs.as("__wn_h"),
+      (col("__wn_len") - k + 1).as("__wn_m"))
+    val sel = array_distinct(
+      transform(sequence(lit(0), greatest(col("__wn_m") - w, lit(0))),
+        i => {
+          val sl = slice(col("__wn_h"), i + 1, lit(w))
+          val m = array_min(sl)
+          struct(
+            (i + size(sl) - array_position(reverse(sl), m)).as("pos"),
+            m.as("fp"))
+        }))
+    withHs.select(col(idCol), explode(sel).as("__wn_s"))
+      .select(col(idCol), col("__wn_s.pos").as("pos"),
+        col("__wn_s.fp").as("fp"))
+  }
+
   // ------------------------------------------------- bloom cross-corpus dedup
 
   /** Serialized bloom filter over the exact-dedup fingerprints

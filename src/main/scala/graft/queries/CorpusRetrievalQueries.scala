@@ -50,6 +50,15 @@ object CorpusRetrievalQueries extends graft.QueryModule {
           round(col("coverage"), 6).as("coverage"))
     }),
 
+    // winnowing (MOSS) fingerprints at k=4, w=5: per-window rightmost
+    // lexicographic-min md5 selection — values, ties, and positions all
+    // replayed by the oracle over the same string hashes
+    "q163_winnowing" -> ((s, d) => {
+      graft.llm.Dedup.winnowingFingerprints(
+          Tables.documents(s, d), k = 4, w = 5)
+        .select(col("doc_id"), col("pos"), col("fp"))
+    }),
+
     // span CUT (Lee et al.'s actual remedy) over q118's fabricated corpus:
     // the boilerplate sentence is excised from the every-10th docs (their
     // prose survives), the 20 full copy pairs empty out and drop, and
@@ -434,6 +443,32 @@ object CorpusRetrievalQueries extends graft.QueryModule {
         |                  THEN CAST(coalesce(covered, 0) AS DOUBLE) / n
         |                  ELSE 0 END, 6) AS coverage
         |FROM tl LEFT JOIN cov USING (doc_id)""".stripMargin,
+
+    "q163_winnowing" ->
+      """WITH t AS (SELECT doc_id,
+        |             string_split_regex(lower(trim(text)), '\s+') AS ws
+        |           FROM documents),
+        |tl AS (SELECT doc_id, ws,
+        |         CASE WHEN array_to_string(ws, '') = '' THEN 0
+        |              ELSE len(ws) END AS n
+        |       FROM t),
+        |g AS (SELECT doc_id,
+        |        list_transform(range(0, n - 4 + 1),
+        |          i -> md5(array_to_string(ws[(i+1):(i+4)], ' '))) AS hs,
+        |        n - 4 + 1 AS m
+        |      FROM tl WHERE n >= 4),
+        |sel AS (SELECT doc_id,
+        |          list_transform(
+        |            range(0, greatest(m - 5, 0) + 1),
+        |            i -> struct_pack(
+        |              pos := i + len(hs[(i+1):(i+5)])
+        |                     - list_position(list_reverse(hs[(i+1):(i+5)]),
+        |                                     list_min(hs[(i+1):(i+5)])),
+        |              fp := list_min(hs[(i+1):(i+5)]))) AS s
+        |        FROM g),
+        |u AS (SELECT doc_id, unnest(s) AS e FROM sel)
+        |SELECT DISTINCT doc_id, CAST(e.pos AS BIGINT) AS pos, e.fp AS fp
+        |FROM u""".stripMargin,
 
     // q118's window accounting, then the cut: original-case tokens at
     // uncovered positions rejoined with single spaces; untouched docs keep

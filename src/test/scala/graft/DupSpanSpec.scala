@@ -100,6 +100,37 @@ class DupSpanSpec extends SparkFunSuite {
     assert(out == Set((0L, "tail0", "web"), (1L, "tail1", "wiki")))
   }
 
+  test("winnowing: rightmost-min tie rule and the short-doc single window") {
+    // 8 identical tokens, k=4 → 5 identical grams; w=5 → ONE window whose
+    // rightmost minimum is gram position 4
+    val docs = Seq((0L, "a a a a a a a a")).toDF("doc_id", "text")
+    val got = Dedup.winnowingFingerprints(docs, k = 4, w = 5).collect()
+      .map(r => (r.getAs[Long]("pos"), r.getAs[String]("fp")))
+    assert(got.length == 1 && got.head._1 == 4L)
+  }
+
+  test("winnowing guarantee: a shared run of >= w+k-1 tokens shares a fingerprint") {
+    val shared = "the very same ten token span appears in both documents"
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta $shared epsilon"),
+      (2L, s"one two three $shared four five six")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowingFingerprints(docs, k = 4, w = 5).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[String]("fp")).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty) // localized-overlap detection works
+    // positions are valid gram indices and selection is sparse
+    val rows = Dedup.winnowingFingerprints(docs, k = 4, w = 5).collect()
+    assert(rows.forall(r => r.getAs[Long]("pos") >= 0))
+  }
+
+  test("winnowing: docs shorter than k are absent; k-token doc has one gram") {
+    val docs = Seq((0L, "a b c"), (1L, "a b c d")).toDF("doc_id", "text")
+    val got = Dedup.winnowingFingerprints(docs, k = 4, w = 5).collect()
+    assert(got.forall(_.getAs[Long]("doc_id") == 1L) && got.length == 1)
+    assert(got.head.getAs[Long]("pos") == 0L)
+  }
+
   test("fused rolling-hash path matches the md5 reference formulation") {
     // varied shapes: shared prefixes, internal repeats, sub-n docs, empty
     // and null text, punctuation — coverage stats must be identical

@@ -100,6 +100,7 @@ class PartitionInvarianceSpec extends SparkFunSuite {
     "q159_group_quantile",      // broadcast per-group thresholds
     "q161_quality_pipeline",    // composed NB filter -> CE band
     "q162_domain_blocklist",    // suffix explode + blocklist semi-join
+    "q163_winnowing",           // pure-map window argmin selection
     "q123_web_curation_e2e")    // composed clean -> quality -> cap chain
 
   test("gate outputs are invariant to the shuffle partition count") {
