@@ -266,6 +266,43 @@ object Curation {
     if (dropEmpty) out.filter(length(col(textCol)) > 0) else out
   }
 
+  /** Markdown → training text (the [[stripHtml]] companion for the other
+    * big crawl format — README/docs/forum corpora): fenced code blocks
+    * drop (code is a different modality; route it to a code pipeline, not
+    * prose filters), images reduce to their alt text, links to their
+    * anchor text, inline-code/heading/blockquote/bullet/emphasis/rule
+    * markers strip, whitespace collapses to the [[stripHtml]] convention
+    * (single spaces, single newlines, trimmed). Pure regexp chain — one
+    * codegen map per row; every pattern is RE2-compatible (no
+    * backreferences — `**`/`__`/`*`/`_` are handled as separate
+    * alternations), so the DuckDB oracle replays the exact rewrite. */
+  def stripMarkdown(md: Column): Column = {
+    val noFence = regexp_replace(md, "(?s)```.*?```", " ")
+    val noImg = regexp_replace(noFence,
+      "!\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val noLink = regexp_replace(noImg,
+      "\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val noCode = regexp_replace(noLink, "`([^`]*)`", "$1")
+    val noHead = regexp_replace(noCode, "(?m)^#{1,6}[ \\t]*", "")
+    val noQuote = regexp_replace(noHead, "(?m)^>[ \\t]?", "")
+    val noRule = regexp_replace(noQuote, "(?m)^[ \\t]*(-{3,}|\\*{3,})[ \\t]*$", "")
+    val noBullet = regexp_replace(noRule, "(?m)^[ \\t]*[-*+][ \\t]+", "")
+    val noBold1 = regexp_replace(noBullet, "\\*\\*([^*]*)\\*\\*", "$1")
+    val noBold2 = regexp_replace(noBold1, "__([^_]*)__", "$1")
+    val noEm1 = regexp_replace(noBold2, "\\*([^*]*)\\*", "$1")
+    val noEm2 = regexp_replace(noEm1, "_([^_]*)_", "$1")
+    val sp = regexp_replace(noEm2, "[ \\t\\x0B\\f\\r]+", " ")
+    val nl = regexp_replace(sp, " ?\\n ?", "\n")
+    trim(regexp_replace(nl, "\\n+", "\n"), " \n")
+  }
+
+  /** [[stripMarkdown]] over a frame — [[extractHtmlText]]'s contract. */
+  def extractMarkdownText(docs: DataFrame, textCol: String = "text",
+      dropEmpty: Boolean = true): DataFrame = {
+    val out = docs.withColumn(textCol, stripMarkdown(col(textCol)))
+    if (dropEmpty) out.filter(length(col(textCol)) > 0) else out
+  }
+
   /** The canonical host of `url` (see [[normalizeUrl]]) — the grouping key
     * for per-domain caps and domain-mix reporting. */
   def urlDomain(url: Column): Column = {

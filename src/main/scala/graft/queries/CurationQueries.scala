@@ -328,6 +328,23 @@ object CurationQueries extends graft.QueryModule {
         .select(col("doc_id"), col("text"))
     }),
 
+    // markdown -> text: every rule exercised in one fabricated wrapper
+    // (heading, blockquote with bold, link + image + inline code, fenced
+    // code block that must DROP, bullets, a *** rule) around each doc
+    "q164_markdown_extract" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val md = concat(
+        lit("# Doc "), col("doc_id").cast("string"),
+        lit("\n\n> quoted **intro** line\n\n" +
+          "See [the docs](https://ex.com/a?b=1) and " +
+          "![alt text](https://img/x.png) plus `inline code` here.\n\n" +
+          "```\ncode block line 1\nline 2 with *stars*\n```\n\n" +
+          "- item one\n- item two\n\n***\n\n"),
+        col("text"))
+      Curation.extractMarkdownText(docs.withColumn("text", md))
+        .select(col("doc_id"), col("text"))
+    }),
+
     // RefinedWeb-style URL canonicalization + per-domain cap: fabricated
     // URLs exercise every normalization rule (case, www, default ports
     // :443/:80, utm_* params amid kept params, fragments, empty paths are
@@ -995,6 +1012,49 @@ object CurationQueries extends graft.QueryModule {
     // fabrication (line structure + plants) replayed with list_transform
     // over range(); then C4's exact line rules in list_filter and the two
     // doc-level phrase checks
+    "q164_markdown_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) ||
+        |    '> quoted **intro** line' || chr(10) || chr(10) ||
+        |    'See [the docs](https://ex.com/a?b=1) and ' ||
+        |    '![alt text](https://img/x.png) plus `inline code` here.' ||
+        |    chr(10) || chr(10) ||
+        |    '```' || chr(10) || 'code block line 1' || chr(10) ||
+        |    'line 2 with *stars*' || chr(10) || '```' || chr(10) || chr(10) ||
+        |    '- item one' || chr(10) || '- item two' || chr(10) || chr(10) ||
+        |    '***' || chr(10) || chr(10) || text AS t
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(t, '(?s)```.*?```', ' ', 'g') AS t FROM h),
+        |s2 AS (SELECT doc_id,
+        |         regexp_replace(t, '!\[([^\]]*)\]\(([^)]*)\)', '\1', 'g') AS t
+        |       FROM s1),
+        |s3 AS (SELECT doc_id,
+        |         regexp_replace(t, '\[([^\]]*)\]\(([^)]*)\)', '\1', 'g') AS t
+        |       FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(t, '`([^`]*)`', '\1', 'g') AS t FROM s3),
+        |s5 AS (SELECT doc_id, regexp_replace(t, '(?m)^#{1,6}[ \t]*', '', 'g') AS t FROM s4),
+        |s6 AS (SELECT doc_id, regexp_replace(t, '(?m)^>[ \t]?', '', 'g') AS t FROM s5),
+        |s7 AS (SELECT doc_id,
+        |         regexp_replace(t, '(?m)^[ \t]*(-{3,}|\*{3,})[ \t]*$', '', 'g') AS t
+        |       FROM s6),
+        |s8 AS (SELECT doc_id,
+        |         regexp_replace(t, '(?m)^[ \t]*[-*+][ \t]+', '', 'g') AS t
+        |       FROM s7),
+        |s9 AS (SELECT doc_id, regexp_replace(t, '\*\*([^*]*)\*\*', '\1', 'g') AS t FROM s8),
+        |s10 AS (SELECT doc_id, regexp_replace(t, '__([^_]*)__', '\1', 'g') AS t FROM s9),
+        |s11 AS (SELECT doc_id, regexp_replace(t, '\*([^*]*)\*', '\1', 'g') AS t FROM s10),
+        |s12 AS (SELECT doc_id, regexp_replace(t, '_([^_]*)_', '\1', 'g') AS t FROM s11),
+        |s13 AS (SELECT doc_id,
+        |          regexp_replace(t, '[ \t\x0B\f\r]+', ' ', 'g') AS t FROM s12),
+        |s14 AS (SELECT doc_id,
+        |          regexp_replace(t, ' ?\n ?', chr(10), 'g') AS t FROM s13),
+        |s15 AS (SELECT doc_id,
+        |          trim(regexp_replace(t, '\n+', chr(10), 'g'),
+        |               ' ' || chr(10)) AS text
+        |        FROM s14)
+        |SELECT doc_id, text FROM s15 WHERE length(text) > 0""".stripMargin,
+
     "q136_html_extract" ->
       """WITH h AS (
         |  SELECT doc_id,

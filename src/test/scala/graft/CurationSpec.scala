@@ -465,6 +465,22 @@ class CurationSpec extends SparkFunSuite {
     assert(got == expected && got.nonEmpty && got.size < scores.length)
   }
 
+  test("stripMarkdown: fences drop, links/images/emphasis unwrap, markers strip") {
+    val md = "# Title\n\n> a **bold** _em_ quote\n\n" +
+      "Read [docs](http://x/y) or ![pic alt](http://i.png) and `code`.\n\n" +
+      "```\nhidden *code*\n```\n\n- one\n- two\n\n---\n\nplain tail"
+    val docs = Seq((1L, md), (2L, "```\nonly code\n```")).toDF("doc_id", "text")
+    val got = graft.llm.Curation.extractMarkdownText(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(got == Map(1L ->
+      ("Title\na bold em quote\nRead docs or pic alt and code.\n" +
+        "one\ntwo\nplain tail")))   // doc 2 extracted empty → dropped
+    val kept = graft.llm.Curation.extractMarkdownText(docs, dropEmpty = false)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .toMap
+    assert(kept(2L) == "")
+  }
+
   test("domainBlocklistFilter drops exact and subdomain matches, keeps the rest") {
     val docs = Seq(
       (1L, "https://bad.com/x"),

@@ -101,6 +101,7 @@ class PartitionInvarianceSpec extends SparkFunSuite {
     "q161_quality_pipeline",    // composed NB filter -> CE band
     "q162_domain_blocklist",    // suffix explode + blocklist semi-join
     "q163_winnowing",           // pure-map window argmin selection
+    "q164_markdown_extract",    // pure-map regexp rewrite chain
     "q123_web_curation_e2e")    // composed clean -> quality -> cap chain
 
   test("gate outputs are invariant to the shuffle partition count") {
