@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.Bbox
-import graft.io.{Caipy, Coco, CrowdHuman, Darknet, DarknetConfig, ImagesFolder, Mot, ParquetIO, WebDataset, Yolov5}
+import graft.io.{Caipy, Coco, CrowdHuman, Darknet, DarknetConfig, ImagesFolder, Jsonl, Mot, ParquetIO, WebDataset, Yolov5}
 import graft.model.GraftDataset
 import graft.operators.Locators
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -307,6 +307,19 @@ object IoQueries extends graft.QueryModule {
     }),
 
     // §2.1/2.2 native parquet persistence: exact roundtrip incl. ids
+    // JSONL roundtrip over the documents corpus (gzip shards - the format
+    // real corpus releases ship in): write, read back FAILFAST with the
+    // explicit schema, every column must survive byte-exact. Oracle is the
+    // source table itself.
+    "q165_jsonl_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = tmp("graft_jsonl_rt")
+      Jsonl.toJsonl(docs, dir, compression = "gzip")
+      Jsonl.fromJsonl(s, dir, docs.schema)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+    }),
+
     "q56_parquet_roundtrip" -> ((s, d) => {
       val ds = subset(s, d)
       val dir = tmp("graft_pq_rt")
@@ -474,6 +487,9 @@ object IoQueries extends graft.QueryModule {
          |FROM annotations a JOIN images i ON a.image_id = i.id
          |WHERE i.split = 'P' AND i.id % 10 = 0
          |GROUP BY a.category_id""".stripMargin),
+
+    "q165_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents""",
 
     "q56_parquet_roundtrip" -> (
       s"""$viewCte

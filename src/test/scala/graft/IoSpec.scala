@@ -477,3 +477,41 @@ class FiftyoneSpec extends SparkFunSuite {
     IoUtil.rmTree(dir)
   }
 }
+
+class JsonlSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("JSONL roundtrip preserves nasty strings, nulls, and types exactly") {
+    val docs = Seq(
+      (1L, "plain text", java.lang.Long.valueOf(10L)),
+      (2L, "line\nbreak \"quotes\" and \\backslash\\ tab\there",
+        java.lang.Long.valueOf(-3L)),
+      (3L, "unicode: café 中文 😀", java.lang.Long.valueOf(0L)),
+      (4L, null.asInstanceOf[String], null.asInstanceOf[java.lang.Long])
+    ).toDF("id", "s", "v")
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_rt").toString
+    Jsonl.toJsonl(docs, dir, compression = "gzip")
+    val back = Jsonl.fromJsonl(spark, dir, docs.schema)
+      .collect().map(r => (r.getLong(0), r.getAs[String]("s"),
+        Option(r.getAs[java.lang.Long]("v")))).toSet
+    val want = docs.collect().map(r => (r.getLong(0), r.getAs[String]("s"),
+      Option(r.getAs[java.lang.Long]("v")))).toSet
+    assert(back == want)
+    // gzip codec actually used: shard files end in .json.gz
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".json.gz")))
+    IoUtil.rmTree(dir)
+  }
+
+  test("fromJsonl fails closed on a corrupt line instead of nulling fields") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_bad").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part-0.json"),
+      "{\"id\": 1, \"s\": \"ok\"}\n{TRUNCATED".getBytes("UTF-8"))
+    val schema = Seq((1L, "x")).toDF("id", "s").schema
+    val ex = intercept[Exception] {
+      Jsonl.fromJsonl(spark, dir, schema).collect()
+    }
+    assert(ex.getMessage != null)
+    IoUtil.rmTree(dir)
+  }
+}
