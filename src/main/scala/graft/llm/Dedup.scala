@@ -1613,6 +1613,49 @@ object Dedup {
         col("__wn_s.fp").as("fp"))
   }
 
+  /** Pairwise overlap detection over [[winnowingFingerprints]] — the MOSS
+    * match step: count the DISTINCT fingerprints each probe document
+    * shares with each corpus document and keep pairs at `minShared` or
+    * more. Same-frame self-sweeps are supported (pass the frame twice;
+    * pairs de-duplicate to id_a < id_b, cross-frame pairs keep their
+    * sides). By the winnowing guarantee a shared token run of
+    * ≥ `w + k − 1` tokens forces at least one shared fingerprint, so
+    * `minShared = 1` detects every such run.
+    *
+    * BOILERPLATE GUARD (the join's skew defense): fingerprints present in
+    * more than `maxFpDf` corpus documents are excluded from matching —
+    * they are boilerplate (navigation lines, license headers) whose
+    * df²-shaped pair fan-out would dominate the join while carrying no
+    * plagiarism signal; MOSS itself culls high-df fingerprints for the
+    * same reason. The cap bounds per-fingerprint join cost at
+    * df_probe·maxFpDf and is the documented recall tradeoff: an overlap
+    * consisting ONLY of corpus-wide boilerplate is not reported.
+    *
+    * Plan: two map-side fingerprint passes, a per-doc distinct, one
+    * fp-df groupBy (vocab-of-fingerprints sized), the capped fp join,
+    * one pair groupBy. No windows; candidate volume is Σ_fp
+    * df_probe(fp)·min(df(fp), cap). */
+  def winnowingOverlap(probe: DataFrame, corpus: DataFrame, k: Int = 4,
+      w: Int = 5, minShared: Int = 1, maxFpDf: Int = 256,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    require(maxFpDf >= 1, s"maxFpDf must be >= 1: $maxFpDf")
+    def fps(df: DataFrame) =
+      winnowingFingerprints(df, k, w, textCol, idCol)
+        .select(col(idCol).as("id"), col("fp")).distinct()
+    val fpP = fps(probe)
+    val fpC = fps(corpus)
+    val dfreq = fpC.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+    val keptC = fpC.join(dfreq.filter(col("__df") <= maxFpDf), Seq("fp"))
+      .select(col("id"), col("fp"))
+    fpP.select(col("id").as("id_a"), col("fp"))
+      .join(keptC.select(col("id").as("id_b"), col("fp")), Seq("fp"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   // ------------------------------------------------- bloom cross-corpus dedup
 
   /** Serialized bloom filter over the exact-dedup fingerprints

@@ -59,6 +59,19 @@ object CorpusRetrievalQueries extends graft.QueryModule {
         .select(col("doc_id"), col("pos"), col("fp"))
     }),
 
+    // MOSS match step: 20 planted 15-token excerpts (>= w+k-1 = 8 shared
+    // tokens -> guaranteed >= 1 shared fingerprint) probed against the
+    // corpus, boilerplate fingerprints df-capped at 256
+    "q166_winnowing_overlap" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val probe = docs.orderBy("doc_id").limit(20)
+        .withColumn("doc_id", col("doc_id") + 4000000L)
+        .withColumn("text",
+          array_join(slice(split(trim(col("text")), "\\s+"), 1, 15), " "))
+      graft.llm.Dedup.winnowingOverlap(probe, docs, k = 4, w = 5)
+        .select(col("id_a"), col("id_b"), col("n_shared"))
+    }),
+
     // span CUT (Lee et al.'s actual remedy) over q118's fabricated corpus:
     // the boilerplate sentence is excised from the every-10th docs (their
     // prose survives), the 20 full copy pairs empty out and drop, and
@@ -443,6 +456,50 @@ object CorpusRetrievalQueries extends graft.QueryModule {
         |                  THEN CAST(coalesce(covered, 0) AS DOUBLE) / n
         |                  ELSE 0 END, 6) AS coverage
         |FROM tl LEFT JOIN cov USING (doc_id)""".stripMargin,
+
+    "q166_winnowing_overlap" ->
+      """WITH probedocs AS (
+        |  SELECT doc_id + 4000000 AS doc_id,
+        |         array_to_string(list_slice(
+        |           string_split_regex(trim(text), '\s+'), 1, 15), ' ') AS text
+        |  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 20)),
+        |pt AS (SELECT doc_id,
+        |         string_split_regex(lower(trim(text)), '\s+') AS ws
+        |       FROM probedocs),
+        |ptl AS (SELECT doc_id, ws,
+        |          CASE WHEN array_to_string(ws, '') = '' THEN 0
+        |               ELSE len(ws) END AS n FROM pt),
+        |pg AS (SELECT doc_id,
+        |         list_transform(range(0, n - 4 + 1),
+        |           i -> md5(array_to_string(ws[(i+1):(i+4)], ' '))) AS hs,
+        |         n - 4 + 1 AS m
+        |       FROM ptl WHERE n >= 4),
+        |psel AS (SELECT doc_id,
+        |           list_transform(range(0, greatest(m - 5, 0) + 1),
+        |             i -> list_min(hs[(i+1):(i+5)])) AS s FROM pg),
+        |pfp AS (SELECT DISTINCT doc_id, unnest(s) AS fp FROM psel),
+        |ct AS (SELECT doc_id,
+        |         string_split_regex(lower(trim(text)), '\s+') AS ws
+        |       FROM documents),
+        |ctl AS (SELECT doc_id, ws,
+        |          CASE WHEN array_to_string(ws, '') = '' THEN 0
+        |               ELSE len(ws) END AS n FROM ct),
+        |cg AS (SELECT doc_id,
+        |         list_transform(range(0, n - 4 + 1),
+        |           i -> md5(array_to_string(ws[(i+1):(i+4)], ' '))) AS hs,
+        |         n - 4 + 1 AS m
+        |       FROM ctl WHERE n >= 4),
+        |csel AS (SELECT doc_id,
+        |           list_transform(range(0, greatest(m - 5, 0) + 1),
+        |             i -> list_min(hs[(i+1):(i+5)])) AS s FROM cg),
+        |cfp AS (SELECT DISTINCT doc_id, unnest(s) AS fp FROM csel),
+        |cdf AS (SELECT fp, count(*) AS dfq FROM cfp GROUP BY fp),
+        |ckept AS (SELECT cfp.doc_id, cfp.fp FROM cfp
+        |          JOIN cdf USING (fp) WHERE dfq <= 256)
+        |SELECT p.doc_id AS id_a, c.doc_id AS id_b, count(*) AS n_shared
+        |FROM pfp p JOIN ckept c USING (fp)
+        |WHERE p.doc_id <> c.doc_id
+        |GROUP BY 1, 2""".stripMargin,
 
     "q163_winnowing" ->
       """WITH t AS (SELECT doc_id,

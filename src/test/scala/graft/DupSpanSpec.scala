@@ -131,6 +131,24 @@ class DupSpanSpec extends SparkFunSuite {
     assert(got.head.getAs[Long]("pos") == 0L)
   }
 
+  test("winnowingOverlap finds the planted excerpt and caps boilerplate fps") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (1L, s"unique one two three $shared tail1"),
+      (2L, s"different prefix words here $shared tail2"),
+      (3L, "nothing in common with anybody else at all right here")
+    ).toDF("doc_id", "text")
+    val probe = Seq((10L, shared)).toDF("doc_id", "text")
+    val got = Dedup.winnowingOverlap(probe, corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("n_shared"))).toSet
+    assert(got.map(t => (t._1, t._2)) == Set((10L, 1L), (10L, 2L)))
+    assert(got.forall(_._3 >= 1))
+    // df cap: with maxFpDf = 1 the shared-by-both fingerprints are
+    // boilerplate and matching goes quiet
+    val capped = Dedup.winnowingOverlap(probe, corpus, maxFpDf = 1)
+    assert(capped.count() == 0)
+  }
+
   test("fused rolling-hash path matches the md5 reference formulation") {
     // varied shapes: shared prefixes, internal repeats, sub-n docs, empty
     // and null text, punctuation — coverage stats must be identical

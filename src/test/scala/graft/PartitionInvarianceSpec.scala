@@ -103,6 +103,7 @@ class PartitionInvarianceSpec extends SparkFunSuite {
     "q163_winnowing",           // pure-map window argmin selection
     "q164_markdown_extract",    // pure-map regexp rewrite chain
     "q165_jsonl_roundtrip",     // shard write -> FAILFAST read
+    "q166_winnowing_overlap",   // df-capped fingerprint join
     "q123_web_curation_e2e")    // composed clean -> quality -> cap chain
 
   test("gate outputs are invariant to the shuffle partition count") {
