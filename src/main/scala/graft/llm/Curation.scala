@@ -303,6 +303,40 @@ object Curation {
     if (dropEmpty) out.filter(length(col(textCol)) > 0) else out
   }
 
+  /** Markup-format detection for mixed crawls (a real corpus drop is
+    * never one format): count HTML tags vs markdown markers (headings,
+    * fences, bullets, links) and label `html` / `markdown` / `plain`.
+    * Two-marker floor so a stray `<` or `-` can't flip a plain document;
+    * HTML wins ties (markdown READMEs embed HTML far more often than the
+    * reverse). Pure counting — both engines replay the regex and the
+    * CASE. */
+  def detectFormat(text: Column): Column = {
+    val tags = size(regexp_extract_all(text,
+      lit("(?i)</?[a-z][a-z0-9]*(\\s[^>]*)?>"), lit(0)))
+    val md = size(regexp_extract_all(text,
+      lit("(?m)(^#{1,6}[ \\t])|(```)|(^[ \\t]*[-*+][ \\t])|(\\[[^\\]]*\\]\\([^)]*\\))"),
+      lit(0)))
+    when(tags >= 2 && tags >= md, "html")
+      .when(md >= 2, "markdown")
+      .otherwise("plain")
+  }
+
+  /** Route each document through the extractor its format calls for —
+    * [[stripHtml]] / [[stripMarkdown]] / untouched — in ONE map pass
+    * (per-row CASE over the three rewrites; no split-union-reunion
+    * shuffle). Adds the `format` label; `dropEmpty` as in
+    * [[extractHtmlText]]. */
+  def extractTextAuto(docs: DataFrame, textCol: String = "text",
+      dropEmpty: Boolean = true): DataFrame = {
+    val fmt = detectFormat(col(textCol))
+    val out = docs.withColumn("format", fmt)
+      .withColumn(textCol,
+        when(col("format") === "html", stripHtml(col(textCol)))
+          .when(col("format") === "markdown", stripMarkdown(col(textCol)))
+          .otherwise(col(textCol)))
+    if (dropEmpty) out.filter(length(col(textCol)) > 0) else out
+  }
+
   /** The canonical host of `url` (see [[normalizeUrl]]) — the grouping key
     * for per-domain caps and domain-mix reporting. */
   def urlDomain(url: Column): Column = {

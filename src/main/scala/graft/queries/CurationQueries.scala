@@ -345,6 +345,41 @@ object CurationQueries extends graft.QueryModule {
         .select(col("doc_id"), col("text"))
     }),
 
+    // leakage-hardened holdout: group-holdout split, then DECONTAMINATE
+    // the train side against the held-out test docs (planted cross-group
+    // exact copies guarantee real contamination to remove). Stage order
+    // is the semantics: the test set must exist before train is swept.
+    "q168_decontam_holdout" -> ((s, d) => {
+      val base = Tables.documents(s, d).withColumn("grp",
+        concat(col("source"), lit("#"), (col("doc_id") % 50).cast("string")))
+      val planted = Tables.documents(s, d).orderBy("doc_id").limit(15)
+        .withColumn("grp", concat(lit("plant#"), col("doc_id").cast("string")))
+        .withColumn("doc_id", col("doc_id") + 5000000L)
+      val docs = base.unionByName(planted)
+      val split = Sampling.groupHoldout(docs, col("grp"),
+        Seq("train" -> 0.9, "test" -> 0.1), salt = "dh")
+      val train = split.filter(col("split") === "train")
+      val test = split.filter(col("split") === "test")
+      graft.llm.Corpus.decontaminate(train, test, minShare = 0.2)
+        .select(col("doc_id"), col("grp"))
+    }),
+
+    // format detection over a mixed corpus: every 3rd doc html-wrapped,
+    // every 3rd+1 markdown-wrapped, the rest plain — the label (counting
+    // rule + two-marker floor + html-wins-ties) replays exactly
+    "q167_format_detect" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val mixed = docs.withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(lit("<html><body><p>"), col("text"),
+            lit("</p><div>footer</div></body></html>")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("# Title\n\n- intro item\n\n"), col("text")))
+          .otherwise(col("text")))
+      mixed.select(col("doc_id"),
+        Curation.detectFormat(col("text")).as("format"))
+    }),
+
     // RefinedWeb-style URL canonicalization + per-domain cap: fabricated
     // URLs exercise every normalization rule (case, www, default ports
     // :443/:80, utm_* params amid kept params, fragments, empty paths are
@@ -1012,6 +1047,70 @@ object CurationQueries extends graft.QueryModule {
     // fabrication (line structure + plants) replayed with list_transform
     // over range(); then C4's exact line rules in list_filter and the two
     // doc-level phrase checks
+    "q168_decontam_holdout" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |         source || '#' || CAST(doc_id % 50 AS VARCHAR) AS grp
+         |  FROM documents),
+         |plant AS (
+         |  SELECT doc_id + 5000000 AS doc_id, text,
+         |         'plant#' || CAST(doc_id AS VARCHAR) AS grp
+         |  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 15)),
+         |docs AS (SELECT * FROM base UNION ALL SELECT * FROM plant),
+         |h AS (SELECT *, md5(concat(grp, ':dh')) AS hx FROM docs),
+         |u AS (SELECT doc_id, text, grp, ${hashUniformSql("hx")} AS u FROM h),
+         |sp AS (SELECT doc_id, text, grp,
+         |         CASE WHEN u < 0.9 THEN 'train' ELSE 'test' END AS split
+         |       FROM u),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         |         ELSE list_transform(range(1, len(t) - 1),
+         |                             i -> array_to_string(t[i:i+2], ' '))
+         |    END)) AS s
+         |  FROM (SELECT doc_id,
+         |          string_split_regex(lower(trim(text)), '\\s+') AS t
+         |        FROM sp)),
+         |test AS (SELECT sh.* FROM sh JOIN sp USING (doc_id)
+         |         WHERE sp.split = 'test'),
+         |train AS (SELECT sh.* FROM sh JOIN sp USING (doc_id)
+         |          WHERE sp.split = 'train'),
+         |tsize AS (SELECT doc_id AS test_id, count(*) AS n_test
+         |          FROM test GROUP BY 1),
+         |bad AS (
+         |  SELECT DISTINCT tr.doc_id
+         |  FROM train tr JOIN test te ON tr.s = te.s
+         |  JOIN tsize ON tsize.test_id = te.doc_id
+         |  GROUP BY tr.doc_id, te.doc_id, n_test
+         |  HAVING CAST(count(*) AS DOUBLE) / n_test >= 0.2)
+         |SELECT doc_id, grp FROM sp
+         |WHERE split = 'train'
+         |  AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+
+    "q167_format_detect" ->
+      """WITH mixed AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |           THEN '<html><body><p>' || text ||
+        |                '</p><div>footer</div></body></html>'
+        |         WHEN doc_id % 3 = 1
+        |           THEN '# Title' || chr(10) || chr(10) || '- intro item'
+        |                || chr(10) || chr(10) || text
+        |         ELSE text END AS text
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |        len(regexp_extract_all(text,
+        |            '(?i)</?[a-z][a-z0-9]*(\s[^>]*)?>')) AS tags,
+        |        len(regexp_extract_all(text,
+        |            '(?m)(^#{1,6}[ \t])|(```)|(^[ \t]*[-*+][ \t])|(\[[^\]]*\]\(([^)]*)\))'))
+        |          AS md
+        |      FROM mixed)
+        |SELECT doc_id,
+        |       CASE WHEN tags >= 2 AND tags >= md THEN 'html'
+        |            WHEN md >= 2 THEN 'markdown'
+        |            ELSE 'plain' END AS format
+        |FROM c""".stripMargin,
+
     "q164_markdown_extract" ->
       """WITH h AS (
         |  SELECT doc_id,

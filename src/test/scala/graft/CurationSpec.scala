@@ -481,6 +481,25 @@ class CurationSpec extends SparkFunSuite {
     assert(kept(2L) == "")
   }
 
+  test("detectFormat labels html/markdown/plain; extractTextAuto routes each") {
+    val html = "<html><body><p>hello world</p><div>x</div></body></html>"
+    val md = "# H\n\n- item\n\nbody text"
+    val plain = "just some plain prose with a - dash and a < sign"
+    val docs = Seq((1L, html), (2L, md), (3L, plain)).toDF("doc_id", "text")
+    val got = graft.llm.Curation.extractTextAuto(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("format"), r.getAs[String]("text")))).toMap
+    assert(got(1L)._1 == "html" && got(2L)._1 == "markdown"
+      && got(3L)._1 == "plain")
+    // routed output equals the dedicated extractor's output
+    val viaHtml = docs.filter($"doc_id" === 1L)
+      .select(graft.llm.Curation.stripHtml($"text")).head.getString(0)
+    val viaMd = docs.filter($"doc_id" === 2L)
+      .select(graft.llm.Curation.stripMarkdown($"text")).head.getString(0)
+    assert(got(1L)._2 == viaHtml && got(2L)._2 == viaMd
+      && got(3L)._2 == plain)
+  }
+
   test("domainBlocklistFilter drops exact and subdomain matches, keeps the rest") {
     val docs = Seq(
       (1L, "https://bad.com/x"),

@@ -104,6 +104,8 @@ class PartitionInvarianceSpec extends SparkFunSuite {
     "q164_markdown_extract",    // pure-map regexp rewrite chain
     "q165_jsonl_roundtrip",     // shard write -> FAILFAST read
     "q166_winnowing_overlap",   // df-capped fingerprint join
+    "q167_format_detect",       // pure-map marker counting
+    "q168_decontam_holdout",    // split -> shingle sweep composition
     "q123_web_curation_e2e")    // composed clean -> quality -> cap chain
 
   test("gate outputs are invariant to the shuffle partition count") {
