@@ -611,7 +611,28 @@ object Scale {
         graft.llm.Corpus.unigramCounts(docs.filter(col("lang") === "en")),
         graft.llm.Corpus.unigramCounts(docs.filter(col("lang") =!= "en")),
         nPosDocs = 1L, nNegDocs = 1L)
-    }))
+    }),
+    // winnowing overlap with a PLANTED corpus-wide boilerplate prefix:
+    // every doc shares an 8-token header whose fingerprints have df = N —
+    // without the maxFpDf cull the fp join would be probe×N quadratic on
+    // those keys; with it, matching rides only the probe-vs-source
+    // boundary grams. The straggler gate asserts no fp bucket serializes
+    Probe("winnowing_overlap", gateSkew = true, q = (s, d) => {
+      val docs = scanPar(s, Tables.documents(s, d).select("doc_id", "text"))
+        .withColumn("text",
+          concat(lit("corpus wide boilerplate header appears on every page "),
+            col("text")))
+      val probe = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 970000000L).as("doc_id"),
+          array_join(slice(split(trim(col("text")), "\\s+"), 1, 15), " ")
+            .as("text"))
+      graft.llm.Dedup.winnowingOverlap(probe, docs)
+    }),
+    // span CUT over the mega-dup corpus: the 300+ sentinel copies are
+    // fully covered (they empty and drop); the covered-position reassembly
+    // must stay doc-bounded under the planted cluster
+    Probe("cut_dup_spans", gateSkew = true, q = (s, d) =>
+      graft.llm.Dedup.cutDuplicatedSpans(megaDupDocuments(s, d))))
 
   /** Spread a single-row-group parquet scan across the session's
     * parallelism (the documents table ships as ONE row group at every
