@@ -252,6 +252,40 @@ object Corpus {
       .drop("__gq")
   }
 
+  /** Corpus DIVERSITY index — mean pairwise token-set Jaccard over a
+    * DETERMINISTIC hash sample (one row: `n_docs_sampled, n_pairs,
+    * mean_jaccard`): a templated/boilerplate-heavy corpus reads high, a
+    * diverse one near zero — the corpus-health dial next to [[zipfFit]]
+    * and the data card, and the before/after lens for a dedup pass.
+    *
+    * Estimator economics: diversity is a PAIRWISE property, so the
+    * estimator's cost is quadratic in the SAMPLE by construction —
+    * `rate` is the knob and must be sized so the sample is
+    * hundreds-to-thousands of docs (K² pairs of cheap set ops), never a
+    * corpus fraction at 100 TB (a 0.1% sample of 10⁹ docs is 10⁶ docs =
+    * 10¹² pairs — wrong knob setting, not an operator limit; the require
+    * below cannot see the corpus size, so sizing is the caller's
+    * contract). [[Sampling.hashSample]] keeps the sample deterministic —
+    * the index is reproducible and comparable across runs and engines;
+    * the sample join is ids-ordered (`id_a < id_b`), each pair counted
+    * once. */
+  def corpusDiversity(docs: DataFrame, rate: Double, salt: String = "div",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(rate > 0 && rate <= 1, s"rate must be in (0, 1]: $rate")
+    val sets = Sampling.hashSample(docs, col(idCol), rate, salt)
+      .select(col(idCol).cast("long").as("id"),
+        array_distinct(filter(split(lower(trim(col(textCol))), "\\s+"),
+          w => length(w) > 0)).as("t"))
+      .filter(size(col("t")) > 0)
+    val nDocs = sets.agg(count(lit(1)).as("n_docs_sampled"))
+    val pairs = sets.as("a").join(sets.as("b"), col("a.id") < col("b.id"))
+      .select(graft.llm.Dedup.jaccard(col("a.t"), col("b.t")).as("__j"))
+    pairs.agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("__j")), 6).as("mean_jaccard"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("n_docs_sampled"), col("n_pairs"), col("mean_jaccard"))
+  }
+
   /** Unigram counts of a REFERENCE corpus — the model table consumed by
     * [[crossEntropy]] (one row per distinct lowercased whitespace token).
     * One explode + one partial-agg groupBy; persist the result when scoring

@@ -364,6 +364,13 @@ object CurationQueries extends graft.QueryModule {
         .select(col("doc_id"), col("grp"))
     }),
 
+    // corpus diversity index: mean pairwise token-set Jaccard over the
+    // deterministic 10% hash sample — sample membership, every pair, and
+    // the mean all replay exactly (round-6 mean)
+    "q169_corpus_diversity" -> ((s, d) => {
+      graft.llm.Corpus.corpusDiversity(Tables.documents(s, d), rate = 0.1)
+    }),
+
     // format detection over a mixed corpus: every 3rd doc html-wrapped,
     // every 3rd+1 markdown-wrapped, the rest plain — the label (counting
     // rule + two-marker floor + html-wins-ties) replays exactly
@@ -1047,6 +1054,26 @@ object CurationQueries extends graft.QueryModule {
     // fabrication (line structure + plants) replayed with list_transform
     // over range(); then C4's exact line rules in list_filter and the two
     // doc-level phrase checks
+    "q169_corpus_diversity" ->
+      s"""WITH hx AS (SELECT doc_id, text,
+         |              md5(concat(CAST(doc_id AS VARCHAR), ':div')) AS hx
+         |            FROM documents),
+         |samp AS (SELECT doc_id, text FROM hx
+         |         WHERE ${hashUniformSql("hx")} < 0.1),
+         |s AS (SELECT doc_id,
+         |        list_distinct(list_filter(
+         |          string_split_regex(lower(trim(text)), '\\s+'),
+         |          w -> length(w) > 0)) AS t
+         |      FROM samp),
+         |s2 AS (SELECT doc_id, t FROM s WHERE len(t) > 0),
+         |p AS (SELECT CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+         |             / len(list_distinct(list_concat(a.t, b.t))) AS j
+         |      FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id)
+         |SELECT (SELECT count(*) FROM s2) AS n_docs_sampled,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       round(avg(j), 6) AS mean_jaccard
+         |FROM p""".stripMargin,
+
     "q168_decontam_holdout" ->
       s"""WITH base AS (
          |  SELECT doc_id, text,

@@ -481,6 +481,22 @@ class CurationSpec extends SparkFunSuite {
     assert(kept(2L) == "")
   }
 
+  test("corpusDiversity: closed-form mean over a full sample; dup-heavy reads high") {
+    // rate 1.0 keeps everything -> closed form over 3 docs
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "c d")).toDF("doc_id", "text")
+    val r = graft.llm.Corpus.corpusDiversity(docs, rate = 1.0).head
+    // pairs: (1,2)=1.0, (1,3)=0, (2,3)=0 -> mean 1/3
+    assert(r.getAs[Long]("n_docs_sampled") == 3L
+      && r.getAs[Long]("n_pairs") == 3L)
+    assert(math.abs(r.getAs[Double]("mean_jaccard") - 0.333333) < 1e-9)
+    // determinism of the sampled variant: two runs agree exactly
+    val big = (0L until 200L).map(i => (i, s"w${i % 9} w${i % 13} w${i % 4}"))
+      .toDF("doc_id", "text")
+    val a = graft.llm.Corpus.corpusDiversity(big, 0.3).head
+    val b = graft.llm.Corpus.corpusDiversity(big, 0.3).head
+    assert(a == b && a.getAs[Long]("n_pairs") > 0)
+  }
+
   test("detectFormat labels html/markdown/plain; extractTextAuto routes each") {
     val html = "<html><body><p>hello world</p><div>x</div></body></html>"
     val md = "# H\n\n- item\n\nbody text"

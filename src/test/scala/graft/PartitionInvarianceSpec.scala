@@ -106,6 +106,7 @@ class PartitionInvarianceSpec extends SparkFunSuite {
     "q166_winnowing_overlap",   // df-capped fingerprint join
     "q167_format_detect",       // pure-map marker counting
     "q168_decontam_holdout",    // split -> shingle sweep composition
+    "q169_corpus_diversity",    // hash sample + pair mean
     "q123_web_curation_e2e")    // composed clean -> quality -> cap chain
 
   test("gate outputs are invariant to the shuffle partition count") {
