@@ -747,4 +747,62 @@ object Corpus {
           .as(Seq("chunk_index", "chunk_text")))
       .withColumn("n_tokens", size(split(col("chunk_text"), "\\s+")))
   }
+
+  /** Snapshot diff between two corpus versions — the dataset-versioning
+    * primitive (what changed between crawl N and crawl N+1): every id is
+    * classified `added` (new only), `removed` (old only), `changed`
+    * (both, content hash differs) or `unchanged`.
+    *
+    * Content identity is a 128-bit md5 over `contentCols` joined with a
+    * U+0001 separator; NULL encodes as U+0000 and a real value gets a
+    * U+0002 prefix, so NULL, '' and cross-column aliasing stay distinct.
+    * Hashes are computed MAP-SIDE on each snapshot before the join — so
+    * the full-outer join on `idCol` moves (id, 32-char hash) pairs, never
+    * the document bodies. At 100 TB both snapshots are big: the join
+    * shuffles each side once on the id; snapshots written bucketed by id
+    * make it exchange-free. Returns (idCol, status). */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      idCol: String = "doc_id",
+      contentCols: Seq[String] = Seq("text")): DataFrame = {
+    require(contentCols.nonEmpty, "contentCols required")
+    def fp(df: DataFrame, hc: String) = df.select(col(idCol),
+      md5(concat_ws("\u0001", contentCols.map(c =>
+        when(col(c).isNull, lit("\u0000")).otherwise(
+          concat(lit("\u0002"), col(c).cast("string")))): _*)).as(hc))
+    fp(oldSnap, "__h_old").join(fp(newSnap, "__h_new"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__h_old").isNull, "added")
+          .when(col("__h_new").isNull, "removed")
+          .when(col("__h_old") =!= col("__h_new"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
+  /** Per-(group, ingest-batch) drift profile — the corpus-monitoring pass
+    * that catches a source going bad mid-crawl: for each `groupCol` ×
+    * `batchCol` cell, the document count and mean of `metric`, plus the
+    * z-score of the batch mean against the group's OVERALL batch-mean
+    * distribution (σ = population stddev across the group's batches;
+    * groups with one batch or zero spread get z = 0 rather than a
+    * division blow-up).
+    *
+    * Two partial aggregations (docs → batch cells → group moments) and one
+    * broadcast-sized join back (|groups| rows) — the corpus shuffles once,
+    * on the (group, batch) key, with map-side combine. Returns
+    * (groupCol, batchCol, n_docs, batch_mean, z). */
+  def batchDrift(docs: DataFrame, groupCol: String, batchCol: String,
+      metric: Column): DataFrame = {
+    val cells = docs
+      .groupBy(col(groupCol), col(batchCol))
+      .agg(count(lit(1)).as("n_docs"),
+        avg(metric.cast("double")).as("batch_mean"))
+    val groups = cells.groupBy(col(groupCol))
+      .agg(avg(col("batch_mean")).as("__mu"),
+        stddev_pop(col("batch_mean")).as("__sigma"))
+    cells.join(broadcast(groups), Seq(groupCol))
+      .select(col(groupCol), col(batchCol), col("n_docs"),
+        col("batch_mean"),
+        when(col("__sigma").isNull || col("__sigma") === 0, lit(0.0))
+          .otherwise((col("batch_mean") - col("__mu")) / col("__sigma"))
+          .as("z"))
+  }
 }

@@ -266,6 +266,23 @@ object Curation {
     if (dropEmpty) out.filter(length(col(textCol)) > 0) else out
   }
 
+  /** Outbound-link extraction from raw HTML — the crawl-frontier /
+    * link-graph primitive (PageRank-style quality priors, per-domain
+    * outlink stats, anchor harvesting all start here): one row per
+    * `href="…"` in an `<a>` tag, with the link target and its host (empty
+    * for relative links). `regexp_extract_all` + one explode — a narrow
+    * map over the scan, no shuffle; the host regexp is RE2-compatible so
+    * an external oracle replays it exactly. Returns the id column plus
+    * (link, link_host). */
+  def extractLinks(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol),
+        explode(regexp_extract_all(col(textCol),
+          lit("(?i)<a\\s[^>]*href=\"([^\"]*)\""), lit(1))).as("link"))
+      .withColumn("link_host",
+        regexp_extract(col("link"), "(?i)^https?://([^/?#]+)", 1))
+
   /** Markdown → training text (the [[stripHtml]] companion for the other
     * big crawl format — README/docs/forum corpora): fenced code blocks
     * drop (code is a different modality; route it to a code pipeline, not

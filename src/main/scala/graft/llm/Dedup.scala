@@ -1728,4 +1728,47 @@ object Dedup {
       cand.join(broadcast(confirmed), Seq("__bc_fp"), "left_anti")
         .drop("__bc_fp"))
   }
+
+  /** LSH parameter planner: for every (bands b, rows r) factorization of
+    * `nPerms` MinHash permutations, integrate the collision S-curve
+    * `P(s) = 1 − (1 − s^r)^b` on a uniform similarity grid and report the
+    * false-positive mass below `threshold` (collisions the verify stage
+    * must pay to reject) and the false-negative mass above it (true
+    * near-dups the bands never propose). `chosen` marks the minimum-total
+    * configuration — the (b, r) to hand [[minHashNearDups]] before an
+    * expensive run, turning the band-count knob from folklore into an
+    * engine-computed decision.
+    *
+    * Pure closed-form arithmetic over a generated grid (no corpus input):
+    * divisor configs × `gridPoints` similarity points, evaluated as
+    * column expressions so the same plan runs anywhere. Masses round to 6
+    * decimals (the cross-engine convention — `pow` may differ in the last
+    * ulp between runtimes). Returns (b, r, fp_mass, fn_mass, total,
+    * chosen). */
+  def lshParameterPlan(spark: org.apache.spark.sql.SparkSession,
+      nPerms: Int = 128, threshold: Double = 0.8,
+      gridPoints: Int = 19): DataFrame = {
+    require(nPerms > 0 && gridPoints > 0, "nPerms and gridPoints must be positive")
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1): $threshold")
+    val denom = (gridPoints + 1).toDouble
+    val cfg = spark.range(1, nPerms + 1L).select(col("id").as("r"))
+      .filter(lit(nPerms) % col("r") === 0)
+      .withColumn("b", (lit(nPerms) / col("r")).cast("long"))
+    val s = col("i") / denom
+    val ps = lit(1.0) - pow(lit(1.0) - pow(s, col("r")), col("b"))
+    val masses = cfg
+      .select(col("b"), col("r"),
+        explode(sequence(lit(1), lit(gridPoints))).as("i"))
+      .select(col("b"), col("r"),
+        when(s < threshold, ps).otherwise(lit(0.0)).as("__fp"),
+        when(s >= threshold, lit(1.0) - ps).otherwise(lit(0.0)).as("__fn"))
+      .groupBy(col("b"), col("r"))
+      .agg(round(sum(col("__fp")) / denom, 6).as("fp_mass"),
+        round(sum(col("__fn")) / denom, 6).as("fn_mass"))
+      .withColumn("total", round(col("fp_mass") + col("fn_mass"), 6))
+    val best = masses.agg(min(col("total")).as("__best"))
+    masses.crossJoin(broadcast(best))
+      .select(col("b"), col("r"), col("fp_mass"), col("fn_mass"),
+        col("total"), (col("total") === col("__best")).as("chosen"))
+  }
 }

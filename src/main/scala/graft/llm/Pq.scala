@@ -96,6 +96,46 @@ object Pq {
       Seq(col("adist").asc, col(idCol).asc), k)
   }
 
+  /** Two-stage retrieval: ADC shortlist → EXACT re-rank — the production
+    * ANN serving shape (PQ answers "which ~`shortlist` candidates", the
+    * raw vectors answer "in what exact order"). Stage 1 is [[adcTopK]]
+    * over the compressed codes (corpus never shuffles, m-byte rows);
+    * stage 2 re-reads raw vectors for ONLY the shortlist — an id-equality
+    * join that moves `shortlist`·|queries| rows, not the corpus — and
+    * ranks by exact cosine against the (broadcast) query vectors.
+    *
+    * At 100 TB the raw-vector side is the big table, so the shortlist is
+    * broadcast INTO it: the exact-rerank join is map-side, the corpus scan
+    * prunes to the shortlist ids (predicate pushdown on the id column when
+    * the store is sorted/bucketed by id), and the only exchange is the
+    * two-phase top-k over ≤ k·P survivors.
+    *
+    * Rank convention: cosine rounded to 4 decimals, id tiebreak (the q32
+    * cross-engine discipline). Returns (queryIdCol, idCol, cosine, rank).
+    */
+  def adcRerankTopK(encoded: DataFrame, queries: DataFrame,
+      corpus: DataFrame, codebooks: Seq[Seq[Array[Double]]],
+      shortlist: Int, k: Int,
+      idCol: String = "vec_id", queryIdCol: String = "query_id",
+      queryVecCol: String = "embedding", corpusVecCol: String = "embedding")
+      : DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be ≥ k ($k)")
+    val cand = adcTopK(encoded, queries, codebooks, shortlist,
+      idCol, queryIdCol, queryVecCol)
+      .select(col(queryIdCol), col(idCol))
+    val raw = corpus.select(col(idCol), col(corpusVecCol).as("__rr_cv"))
+    val qv = broadcast(queries.filter(col(queryVecCol).isNotNull)
+      .select(col(queryIdCol), col(queryVecCol).cast("array<double>").as("__rr_qv")))
+    val exact = raw.join(broadcast(cand), Seq(idCol))
+      .join(qv, Seq(queryIdCol))
+      .select(col(queryIdCol), col(idCol),
+        round(graft.functions.GraftFunctions.cosine(corpus.sparkSession,
+          col("__rr_qv"), col("__rr_cv").cast("array<double>")), 4)
+          .as("cosine"))
+    graft.operators.TopK.topKPerQuery(exact, queryIdCol,
+      Seq(desc("cosine"), col(idCol).asc), k)
+  }
+
   /** Coarse-cell assignment for IVFADC: adds `cell_id` = the argmin-L2
     * full-dimension centroid (ties → lowest cell index) — same struct-min
     * mechanics as [[encode]], so the tiebreak is engine-stable. Cells are

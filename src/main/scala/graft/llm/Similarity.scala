@@ -145,6 +145,35 @@ object Similarity {
       Seq(desc("cosine"), col("neighbor_id")), k)
   }
 
+  /** Semantic decontamination flags — the embedding-space counterpart of
+    * the n-gram [[graft.llm.Corpus.decontaminate]]: an eval item a train
+    * document PARAPHRASES shares no 13-gram, but its embedding sits next
+    * door. For every train vector, the max cosine against ANY holdout
+    * vector (rounded to `roundTo` — the cross-engine convention) and a
+    * `contaminated` flag at `threshold`.
+    *
+    * Holdout/eval sets are small by construction, so the holdout side is
+    * BROADCAST and the train corpus streams through one fused-cosine map +
+    * a partial-agg max per train id — the corpus never shuffles (the max
+    * groupBy re-uses the scan partitioning on the already-unique train id,
+    * combining map-side to one row per id). At |holdout| in the millions,
+    * pre-restrict candidates with [[lshTopK]] buckets or [[Ivf]] cells and
+    * max over the survivors instead. Returns (idCol, max_holdout_cosine,
+    * contaminated). */
+  def semanticContamination(train: DataFrame, holdout: DataFrame,
+      threshold: Double, vecCol: String = "embedding",
+      idCol: String = "vec_id", roundTo: Int = 6): DataFrame = {
+    val h = broadcast(holdout.select(col(vecCol).as("__hv")))
+    val cos = graft.functions.GraftFunctions.cosine(
+      train.sparkSession, col("__tv"), col("__hv"))
+    train.select(col(idCol), col(vecCol).as("__tv"))
+      .crossJoin(h)
+      .select(col(idCol), round(cos, roundTo).as("__cos"))
+      .groupBy(col(idCol))
+      .agg(max(col("__cos")).as("max_holdout_cosine"))
+      .withColumn("contaminated", col("max_holdout_cosine") >= threshold)
+  }
+
   /** Nearest-class-centroid labeling (Rocchio classification — the
     * simplest embedding classifier, the shape FineWeb-Edu-style corpus
     * labeling uses for classifier inference at scale): fit per-label mean

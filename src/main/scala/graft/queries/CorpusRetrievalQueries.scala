@@ -129,6 +129,35 @@ object CorpusRetrievalQueries extends graft.QueryModule {
           col("rank").cast("long").as("rank"))
     }),
 
+    // two-stage retrieval: ADC top-50 shortlist over the compressed codes,
+    // EXACT cosine re-rank of the shortlist to top-10 (the production ANN
+    // serving shape). Shortlist membership ranks on round-6 adist +
+    // vec_id; the re-rank on round-4 cosine + vec_id (the q32 convention)
+    // — both total orders the oracle replays.
+    "q172_adc_rerank" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val codebooks = pqCodebooks(s, d)
+      val enc = graft.llm.Pq.encode(embs, codebooks)
+      val queries = embs.filter(col("vec_id") % 100 === 7)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.llm.Pq.adcRerankTopK(enc, queries, embs, codebooks,
+        shortlist = 50, k = 10)
+        .select(col("query_id"), col("vec_id"), col("cosine"),
+          col("rank").cast("long").as("rank"))
+    }),
+
+    // semantic decontamination: holdout = vec_ids < 20 (the "eval set"),
+    // train = the rest; per train vector the max round-6 cosine against
+    // any holdout vector + the contamination flag. Max over ROUNDED
+    // values, so cross-engine ulp drift can't flip the max.
+    "q175_semantic_decontam" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val holdout = embs.filter(col("vec_id") < 20)
+      val train = embs.filter(col("vec_id") >= 20)
+      graft.llm.Similarity.semanticContamination(train, holdout,
+        threshold = 0.35)
+    }),
+
     "q121_pq_adc_topk" -> ((s, d) => {
       val embs = Tables.embeddings(s, d).select("vec_id", "embedding")
       val codebooks = pqCodebooks(s, d)
@@ -631,6 +660,20 @@ object CorpusRetrievalQueries extends graft.QueryModule {
 
     "q121_pq_adc_topk" -> pqAdcSql,
 
+    "q172_adc_rerank" -> pqRerankSql,
+
+    "q175_semantic_decontam" ->
+      """WITH h AS (SELECT CAST(embedding AS DOUBLE[]) AS hv
+        |           FROM embeddings WHERE vec_id < 20),
+        |t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS tv
+        |      FROM embeddings WHERE vec_id >= 20),
+        |c AS (SELECT t.vec_id,
+        |        round(list_cosine_similarity(t.tv, h.hv), 6) AS cos
+        |      FROM t CROSS JOIN h)
+        |SELECT vec_id, max(cos) AS max_holdout_cosine,
+        |       max(cos) >= 0.35 AS contaminated
+        |FROM c GROUP BY vec_id""".stripMargin,
+
     // stored-index face ≡ plain ADC at nprobe = all (same trick as q124)
     "q138_ivfadc_store" -> pqAdcSql,
 
@@ -920,6 +963,53 @@ object CorpusRetrievalQueries extends graft.QueryModule {
         |FROM alldocs CROSS JOIN tot
         |GROUP BY source, lang""".stripMargin
   )
+
+  /** q172's oracle: the [[pqAdcSql]] pipeline widened to a top-50
+    * shortlist, then exact-cosine re-ranked to top-10 (round-4 + vec_id,
+    * the q32 convention). */
+  private lazy val pqRerankSql: String =
+    """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |              FROM embeddings),
+      |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
+      |          FROM (SELECT * FROM base ORDER BY vec_id LIMIT 4)),
+      |subs AS (SELECT unnest(range(0, 4)) AS j),
+      |enc0 AS (
+      |  SELECT b.vec_id, s.j, c.c,
+      |    list_sum(list_transform(range(1, 17),
+      |      i -> (b.v[s.j*16 + i] - c.cv[s.j*16 + i])
+      |           * (b.v[s.j*16 + i] - c.cv[s.j*16 + i]))) AS dist
+      |  FROM base b CROSS JOIN subs s CROSS JOIN cents c),
+      |enc AS (
+      |  SELECT vec_id, j, c AS code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+      |                                 ORDER BY dist, c) AS rn
+      |    FROM enc0) WHERE rn = 1),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM base
+      |      WHERE vec_id % 100 = 7),
+      |dq AS (
+      |  SELECT q.query_id, e.vec_id, e.j,
+      |    list_sum(list_transform(range(1, 17),
+      |      i -> (q.qv[e.j*16 + i] - c.cv[e.j*16 + i])
+      |           * (q.qv[e.j*16 + i] - c.cv[e.j*16 + i]))) AS dj
+      |  FROM q CROSS JOIN enc e JOIN cents c ON c.c = e.code),
+      |d AS (SELECT query_id, vec_id,
+      |        list_sum(list(dj ORDER BY j)) AS adist
+      |      FROM dq GROUP BY 1, 2),
+      |sl AS (SELECT query_id, vec_id FROM (
+      |         SELECT query_id, vec_id,
+      |           row_number() OVER (PARTITION BY query_id
+      |                              ORDER BY round(adist, 6), vec_id) AS rn
+      |         FROM d) WHERE rn <= 50),
+      |ex AS (SELECT sl.query_id, sl.vec_id,
+      |         round(list_cosine_similarity(q.qv, b.v), 4) AS cosine
+      |       FROM sl JOIN base b ON b.vec_id = sl.vec_id
+      |       JOIN q ON q.query_id = sl.query_id),
+      |r AS (SELECT query_id, vec_id, cosine,
+      |        row_number() OVER (PARTITION BY query_id
+      |                           ORDER BY cosine DESC, vec_id) AS rank
+      |      FROM ex)
+      |SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+      |FROM r WHERE rank <= 10""".stripMargin
 
   private lazy val pqAdcSql: String =
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -15,6 +15,26 @@ object CurationQueries extends graft.QueryModule {
   type Q = (SparkSession, String) => DataFrame
 
   val defs: Map[String, Q] = Map(
+    // outbound-link extraction: each doc wrapped in fabricated HTML with
+    // an absolute link (rotating host), a RELATIVE link (host must come
+    // back ''), mixed-case <A HREF>, and an extra mirror link on every
+    // third doc. Same RE2-compatible regexes on both sides.
+    "q174_link_extract" -> ((s, d) => {
+      val html = concat(
+        lit("<div><a href=\"https://site"),
+        (col("doc_id") % 7).cast("string"),
+        lit(".example.com/p/"), col("doc_id").cast("string"),
+        lit("\">first</a> text <A class=\"x\" HREF=\"/relative/"),
+        col("doc_id").cast("string"), lit("\">rel</A>"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" <a href=\"http://mirror.example.org/d?id="),
+            col("doc_id").cast("string"), lit("\">m</a>")))
+          .otherwise(lit("")),
+        lit("</div>"))
+      Curation.extractLinks(
+        Tables.documents(s, d).select(col("doc_id"), html.as("text")))
+    }),
+
     // deterministic Bernoulli sample at 10% — emits the kept ids WITH the
     // md5-derived uniform (an exact binary fraction k/16^7), so the oracle
     // checks both membership and the uniform itself byte-for-byte
@@ -583,6 +603,25 @@ object CurationQueries extends graft.QueryModule {
       |     WHEN 'src4' THEN 500 ELSE 0 END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q174_link_extract" ->
+      """WITH fab AS (SELECT doc_id,
+        |  '<div><a href="https://site' || CAST(doc_id % 7 AS VARCHAR)
+        |  || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+        |  || '">first</a> text <A class="x" HREF="/relative/'
+        |  || CAST(doc_id AS VARCHAR) || '">rel</A>'
+        |  || CASE WHEN doc_id % 3 = 0
+        |       THEN ' <a href="http://mirror.example.org/d?id='
+        |            || CAST(doc_id AS VARCHAR) || '">m</a>'
+        |       ELSE '' END
+        |  || '</div>' AS html FROM documents),
+        |l AS (SELECT doc_id,
+        |        unnest(regexp_extract_all(html,
+        |          '(?i)<a\s[^>]*href="([^"]*)"', 1)) AS link
+        |      FROM fab)
+        |SELECT doc_id, link,
+        |       regexp_extract(link, '(?i)^https?://([^/?#]+)', 1) AS link_host
+        |FROM l""".stripMargin,
+
     "q92_hash_sample" ->
       s"""WITH h AS (SELECT doc_id,
          |             md5(concat(CAST(doc_id AS VARCHAR), ':mix')) AS hx

@@ -320,6 +320,40 @@ object IoQueries extends graft.QueryModule {
           col("n_chars"))
     }),
 
+    // ORC roundtrip over the documents corpus (the Hive-era lake format):
+    // write zstd ORC, read back, every column must survive byte-exact.
+    // Oracle is the source table itself.
+    "q170_orc_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = tmp("graft_orc_rt")
+      graft.io.OrcIO.toOrc(docs, dir)
+      graft.io.OrcIO.fromOrc(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+    }),
+
+    // CSV roundtrip with DELIBERATELY hostile content — embedded commas,
+    // newlines, double quotes, backslashes, the \N null sentinel as TEXT,
+    // plus a note column where NULL and '' must stay distinct. RFC 4180
+    // quoting both directions (escape = quote char), multiLine read,
+    // FAILFAST. Oracle fabricates the same frame straight from documents.
+    "q171_csv_roundtrip" -> ((s, d) => {
+      val hostile = Tables.documents(s, d).select(
+        col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0, lit(", comma,\nnew line"))
+            .when(col("doc_id") % 4 === 1, lit(" say \"quoted\" end"))
+            .when(col("doc_id") % 4 === 2, lit(" back\\slash and \\N sentinel"))
+            .otherwise(lit(""))).as("text"),
+        col("lang"), col("source"), col("n_chars"),
+        when(col("doc_id") % 5 === 0, lit(null).cast("string"))
+          .when(col("doc_id") % 5 === 1, lit(""))
+          .otherwise(lit("n")).as("note"))
+      val dir = tmp("graft_csv_rt")
+      graft.io.CsvIO.toCsv(hostile, dir)
+      graft.io.CsvIO.fromCsv(s, dir, hostile.schema)
+    }),
+
     "q56_parquet_roundtrip" -> ((s, d) => {
       val ds = subset(s, d)
       val dir = tmp("graft_pq_rt")
@@ -490,6 +524,21 @@ object IoQueries extends graft.QueryModule {
 
     "q165_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents""",
+
+    "q170_orc_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents""",
+
+    "q171_csv_roundtrip" ->
+      """SELECT doc_id,
+        |  text || CASE WHEN doc_id % 4 = 0 THEN ', comma,' || chr(10) || 'new line'
+        |               WHEN doc_id % 4 = 1 THEN ' say "quoted" end'
+        |               WHEN doc_id % 4 = 2 THEN ' back\slash and \N sentinel'
+        |               ELSE '' END AS text,
+        |  lang, source, n_chars,
+        |  CASE WHEN doc_id % 5 = 0 THEN NULL
+        |       WHEN doc_id % 5 = 1 THEN ''
+        |       ELSE 'n' END AS note
+        |FROM documents""".stripMargin,
 
     "q56_parquet_roundtrip" -> (
       s"""$viewCte

@@ -59,6 +59,40 @@ object LlmQueries extends graft.QueryModule {
       .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
 
   val defs: Map[String, Q] = Map(
+    // corpus snapshot diff: old = drop doc_id%11=3, new = drop doc_id%13=5
+    // with every doc_id%7=2 text revised — so all four statuses occur.
+    // Text is non-null here, so the oracle compares texts directly (the
+    // operator's md5 must classify identically or the hash differs).
+    "q173_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val oldSnap = docs.filter(col("doc_id") % 11 =!= 3)
+      val newSnap = docs.filter(col("doc_id") % 13 =!= 5)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 2, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      graft.llm.Corpus.snapshotDiff(oldSnap, newSnap)
+    }),
+
+    // MinHash LSH (b,r) planner over 128 perms at threshold 0.8 — pure
+    // closed-form S-curve masses on a 19-point grid; both engines compute
+    // the identical grid, round to 6, and agree on the argmin flag.
+    "q176_lsh_plan" -> ((s, d) =>
+      graft.llm.Dedup.lshParameterPlan(s, nPerms = 128, threshold = 0.8,
+        gridPoints = 19)),
+
+    // per-(source, ingest-batch) drift: batches of 50 consecutive doc_ids,
+    // metric = whitespace token count (integer → batch means are exact
+    // rationals), z-score vs the source's own batch-mean distribution.
+    "q177_source_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("batch", floor(col("doc_id") / 50).cast("long"))
+      graft.llm.Corpus.batchDrift(docs, "source", "batch",
+          size(split(lower(trim(col("text"))), "\\s+")))
+        .select(col("source"), col("batch"), col("n_docs"),
+          round(col("batch_mean"), 6).as("batch_mean"),
+          round(col("z"), 6).as("z"))
+    }),
+
     // exact dedup by 128-bit content fingerprint (md5 → full oracle)
     "q28_dedup_exact" -> ((s, d) => {
       Dedup.exactGroups(docsWithDups(s, d))
@@ -922,6 +956,51 @@ object LlmQueries extends graft.QueryModule {
        |               JOIN allv y ON p.id_b = y.vec_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q173_snapshot_diff" ->
+      """WITH oldsnap AS (SELECT doc_id, text FROM documents
+        |                 WHERE doc_id % 11 <> 3),
+        |newsnap AS (SELECT doc_id,
+        |              CASE WHEN doc_id % 7 = 2 THEN text || ' v2'
+        |                   ELSE text END AS text
+        |            FROM documents WHERE doc_id % 13 <> 5)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |       CASE WHEN o.doc_id IS NULL THEN 'added'
+        |            WHEN n.doc_id IS NULL THEN 'removed'
+        |            WHEN o.text <> n.text THEN 'changed'
+        |            ELSE 'unchanged' END AS status
+        |FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id""".stripMargin,
+
+    "q176_lsh_plan" ->
+      """WITH rr AS (SELECT unnest(range(1, 129)) AS r),
+        |cfg AS (SELECT CAST(128 // r AS BIGINT) AS b, CAST(r AS BIGINT) AS r
+        |        FROM rr WHERE 128 % r = 0),
+        |g AS (SELECT unnest(range(1, 20)) AS i),
+        |p AS (SELECT cfg.b, cfg.r, i/20.0 AS s,
+        |        1 - power(1 - power(i/20.0, cfg.r), cfg.b) AS ps
+        |      FROM cfg CROSS JOIN g),
+        |m AS (SELECT b, r,
+        |        round(sum(CASE WHEN s < 0.8 THEN ps ELSE 0 END)/20.0, 6) AS fp_mass,
+        |        round(sum(CASE WHEN s >= 0.8 THEN 1 - ps ELSE 0 END)/20.0, 6) AS fn_mass
+        |      FROM p GROUP BY 1, 2),
+        |t AS (SELECT *, round(fp_mass + fn_mass, 6) AS total FROM m)
+        |SELECT b, r, fp_mass, fn_mass, total,
+        |       total = (SELECT min(total) FROM t) AS chosen
+        |FROM t""".stripMargin,
+
+    "q177_source_drift" ->
+      """WITH t AS (SELECT source, doc_id // 50 AS batch,
+        |             len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+        |           FROM documents),
+        |cells AS (SELECT source, batch, count(*) AS n_docs, avg(n_tokens) AS bm
+        |          FROM t GROUP BY 1, 2),
+        |grp AS (SELECT source, avg(bm) AS mu, stddev_pop(bm) AS sigma
+        |        FROM cells GROUP BY 1)
+        |SELECT c.source, CAST(c.batch AS BIGINT) AS batch, c.n_docs,
+        |       round(c.bm, 6) AS batch_mean,
+        |       round(CASE WHEN g.sigma IS NULL OR g.sigma = 0 THEN 0.0
+        |                  ELSE (c.bm - g.mu) / g.sigma END, 6) AS z
+        |FROM cells c JOIN grp g USING (source)""".stripMargin,
+
     "q96_keep_best" ->
       """WITH alldocs AS (
         |  SELECT doc_id, text FROM documents

@@ -1,0 +1,187 @@
+package graft
+
+import graft.llm.{Corpus, Curation, Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-9 additions: snapshot diff, batch drift, link
+  * extraction, semantic decontamination, the LSH parameter planner, the
+  * ADC+exact-rerank retrieval face, and the ORC/CSV corpus IO. */
+class Round9Spec extends SparkFunSuite {
+  import spark.implicits._
+
+  // ---- snapshotDiff -------------------------------------------------
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val cur = Seq((2L, "b"), (3L, "C2"), (4L, "d")).toDF("doc_id", "text")
+    val got = Corpus.snapshotDiff(old, cur).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
+  test("snapshotDiff distinguishes NULL from empty string content") {
+    val old = Seq((1L, null.asInstanceOf[String]), (2L, "")).toDF("doc_id", "text")
+    val curSame = Seq((1L, null.asInstanceOf[String]), (2L, "")).toDF("doc_id", "text")
+    val curSwap = Seq((1L, ""), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val same = Corpus.snapshotDiff(old, curSame).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(same == Map(1L -> "unchanged", 2L -> "unchanged"))
+    val swap = Corpus.snapshotDiff(old, curSwap).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(swap == Map(1L -> "changed", 2L -> "changed"))
+  }
+
+  test("snapshotDiff multi-column content can't alias across boundaries") {
+    // ("ab","c") vs ("a","bc") must hash differently
+    val old = Seq((1L, "ab", "c")).toDF("doc_id", "t1", "t2")
+    val cur = Seq((1L, "a", "bc")).toDF("doc_id", "t1", "t2")
+    val got = Corpus.snapshotDiff(old, cur, contentCols = Seq("t1", "t2"))
+      .collect().map(r => r.getString(1))
+    assert(got.toSeq == Seq("changed"))
+  }
+
+  // ---- batchDrift ---------------------------------------------------
+
+  test("batchDrift computes per-batch means and group z-scores") {
+    val docs = Seq(
+      ("s", 0L, 10), ("s", 0L, 20), // batch 0 mean 15
+      ("s", 1L, 30), ("s", 1L, 40), // batch 1 mean 35
+      ("t", 0L, 7)                  // single batch → sigma null → z 0
+    ).toDF("source", "batch", "m")
+    val got = Corpus.batchDrift(docs, "source", "batch", col("m")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(("s", 0L))._1 == 2L)
+    assert(math.abs(got(("s", 0L))._2 - 15.0) < 1e-12)
+    // mu=25, sigma_pop=10 → z = ±1
+    assert(math.abs(got(("s", 0L))._3 - (-1.0)) < 1e-12)
+    assert(math.abs(got(("s", 1L))._3 - 1.0) < 1e-12)
+    assert(got(("t", 0L))._3 == 0.0)
+  }
+
+  // ---- extractLinks -------------------------------------------------
+
+  test("extractLinks finds absolute + relative hrefs, case-insensitive") {
+    val docs = Seq(
+      (1L, """<p><a href="https://ex.com/a">x</a> and""" +
+        """ <A CLASS="y" HREF="/rel">y</A></p>"""),
+      (2L, "no links here")
+    ).toDF("doc_id", "text")
+    val got = Curation.extractLinks(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.toSet == Set(
+      (1L, "https://ex.com/a", "ex.com"),
+      (1L, "/rel", "")))
+  }
+
+  test("extractLinks host stops at path, query, and port stays") {
+    val docs = Seq((1L,
+      """<a href="http://h.io:8080/p?q=1">a</a><a href="https://x.y?z">b</a>"""
+    )).toDF("doc_id", "text")
+    val hosts = Curation.extractLinks(docs).collect().map(_.getString(2)).toSet
+    assert(hosts == Set("h.io:8080", "x.y"))
+  }
+
+  // ---- semanticContamination -----------------------------------------
+
+  test("semanticContamination flags max-cosine over threshold") {
+    val hold = Seq((100L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, Array(1.0f, 0.0f)),   // cosine 1.0 → contaminated
+      (2L, Array(0.0f, 1.0f)),   // cosine 0.0 → clean
+      (3L, Array(1.0f, 1.0f))    // cosine ~0.7071 → contaminated at 0.5
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticContamination(train, hold, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(got(1L) == ((1.0, true)))
+    assert(got(2L) == ((0.0, false)))
+    assert(math.abs(got(3L)._1 - 0.707107) < 1e-9 && got(3L)._2)
+  }
+
+  // ---- lshParameterPlan -----------------------------------------------
+
+  test("lshParameterPlan enumerates divisor configs with valid masses") {
+    val rows = Dedup.lshParameterPlan(spark, nPerms = 128, threshold = 0.8)
+      .collect()
+    assert(rows.length == 8) // divisors of 128: 1,2,4,8,16,32,64,128
+    rows.foreach { r =>
+      assert(r.getLong(0) * r.getLong(1) == 128L) // b·r = nPerms
+      val (fp, fn, tot) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(fp >= 0 && fn >= 0 && tot >= 0 && fp <= 1 && fn <= 1)
+      assert(math.abs(fp + fn - tot) < 2e-6) // each rounded to 6
+    }
+    val chosen = rows.filter(_.getBoolean(5))
+    assert(chosen.nonEmpty)
+    val minTotal = rows.map(_.getDouble(4)).min
+    assert(chosen.forall(_.getDouble(4) == minTotal))
+    // extremes are never optimal at t=0.8: b=128,r=1 collides everything
+    // (all fp), b=1,r=128 collides nothing (all fn)
+    assert(chosen.forall(r => r.getLong(1) > 1 && r.getLong(1) < 128))
+  }
+
+  // ---- adcRerankTopK ---------------------------------------------------
+
+  test("adcRerankTopK = exact-cosine rerank of the ADC shortlist") {
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat))
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    // codebooks: m=2 subspaces of 4 dims, centroids from the first 3 vecs
+    val cents = vecs.take(3).map(_._2.map(_.toDouble))
+    val codebooks = (0 until 2).map(j => cents.map(_.slice(j * 4, j * 4 + 4)).toSeq)
+    val enc = graft.llm.Pq.encode(corpus, codebooks)
+    val queries = corpus.filter(col("vec_id") === 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val got = graft.llm.Pq.adcRerankTopK(enc, queries, corpus, codebooks,
+      shortlist = 15, k = 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.length == 5)
+    // reference: ADC shortlist ids, then exact cosine rerank
+    val shortIds = graft.llm.Pq.adcTopK(enc, queries, codebooks, k = 15)
+      .collect().map(_.getLong(1)).toSet
+    val q = vecs(5)._2.map(_.toDouble)
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expect = vecs.filter(v => shortIds.contains(v._1))
+      .map(v => (v._1, BigDecimal(cos(q, v._2.map(_.toDouble)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .sortBy { case (id, c) => (-c, id) }.take(5)
+    assert(got.sortBy(_._3).map(t => (t._1, t._2)).toSeq == expect.toSeq)
+  }
+
+  // ---- ORC / CSV roundtrips -------------------------------------------
+
+  test("OrcIO roundtrips schema and values") {
+    val df = Seq((1L, "a", 2.5), (2L, null.asInstanceOf[String], -1.0))
+      .toDF("id", "s", "x")
+    val dir = java.nio.file.Files.createTempDirectory("orc_rt").toString
+    graft.io.OrcIO.toOrc(df, dir)
+    val back = graft.io.OrcIO.fromOrc(spark, dir)
+    // file reads widen nullability; names and types must survive exactly
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("CsvIO roundtrips hostile strings and keeps NULL ≠ ''") {
+    val df = Seq(
+      (1L, "plain", "n"),
+      (2L, "comma, and \"quotes\"", ""),
+      (3L, "line\nbreak", null.asInstanceOf[String]),
+      (4L, "back\\slash \\N literal", "x")
+    ).toDF("id", "text", "note")
+    val dir = java.nio.file.Files.createTempDirectory("csv_rt").toString
+    graft.io.CsvIO.toCsv(df, dir)
+    val back = graft.io.CsvIO.fromCsv(spark, dir, df.schema)
+    val got = back.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == Seq(
+      (1L, "plain", "n"),
+      (2L, "comma, and \"quotes\"", ""),
+      (3L, "line\nbreak", null),
+      (4L, "back\\slash \\N literal", "x")))
+  }
+}
