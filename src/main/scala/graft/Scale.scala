@@ -632,7 +632,30 @@ object Scale {
     // fully covered (they empty and drop); the covered-position reassembly
     // must stay doc-bounded under the planted cluster
     Probe("cut_dup_spans", gateSkew = true, q = (s, d) =>
-      graft.llm.Dedup.cutDuplicatedSpans(megaDupDocuments(s, d))))
+      graft.llm.Dedup.cutDuplicatedSpans(megaDupDocuments(s, d))),
+    // snapshot diff of two full-corpus versions: both sides hash map-side
+    // (the exchange carries (id, md5) pairs only), one full-outer shuffle
+    // join on the id — wall must track the corpus ~linearly, and the id
+    // key is unique so the straggler gate has nothing to seize on
+    Probe("snapshot_diff", gateSkew = true, q = (s, d) => {
+      val docs = scanPar(s, Tables.documents(s, d).select("doc_id", "text"))
+      val oldSnap = docs.filter(pmod(col("doc_id"), lit(11)) =!= 3)
+      val newSnap = docs.filter(pmod(col("doc_id"), lit(13)) =!= 5)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(7)) === 2,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.llm.Corpus.snapshotDiff(oldSnap, newSnap)
+    }),
+    // semantic decontamination: broadcast holdout (50 vectors), fused
+    // cosine map + partial-agg max per train id — the corpus side never
+    // shuffles, so growth is the scan and the straggler gate must pass
+    Probe("semantic_decontam", gateSkew = true, q = (s, d) => {
+      val embs = scanPar(s,
+        Tables.embeddings(s, d).select("vec_id", "embedding"))
+      graft.llm.Similarity.semanticContamination(
+        embs.filter(col("vec_id") >= 50), embs.filter(col("vec_id") < 50),
+        threshold = 0.35)
+    }))
 
   /** Spread a single-row-group parquet scan across the session's
     * parallelism (the documents table ships as ONE row group at every

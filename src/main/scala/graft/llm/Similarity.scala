@@ -145,6 +145,34 @@ object Similarity {
       Seq(desc("cosine"), col("neighbor_id")), k)
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of per-query rankings —
+    * THE standard hybrid-search combiner (lexical BM25 ⊕ dense cosine):
+    * each input frame carries (queryCol, idCol, rankCol); a candidate's
+    * fused score is `Σ_sources 1/(rrfK + rank)` over the sources that
+    * ranked it, and the fused list is the top-`k` by that score (rounded
+    * to 6 — the cross-engine convention; IEEE `+` is commutative so a
+    * two-source sum is order-free), id tiebreak.
+    *
+    * Plan: union the (already tiny — k·|queries| rows each) ranking
+    * frames, one partial-agg groupBy on (query, id), then the two-phase
+    * [[graft.operators.TopK.topKPerQuery]]. Nothing here touches the
+    * corpus — fusion cost is bounded by the candidate lists, which is
+    * what makes RRF the right combiner at 100 TB (each source prunes
+    * corpus-scale work its own way first). */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, rrfK: Int = 60,
+      queryCol: String = "query_id", idCol: String = "doc_id",
+      rankCol: String = "rank"): DataFrame = {
+    require(rankings.nonEmpty, "at least one ranking frame required")
+    require(k > 0 && rrfK >= 0, s"k ($k) must be positive, rrfK ($rrfK) ≥ 0")
+    val normed = rankings.map(_.select(col(queryCol), col(idCol),
+      (lit(1.0) / (lit(rrfK) + col(rankCol).cast("double"))).as("__rrf")))
+    val fused = normed.reduce(_ unionByName _)
+      .groupBy(col(queryCol), col(idCol))
+      .agg(round(sum(col("__rrf")), 6).as("rrf_score"))
+    graft.operators.TopK.topKPerQuery(fused, queryCol,
+      Seq(desc("rrf_score"), col(idCol).asc), k)
+  }
+
   /** Semantic decontamination flags — the embedding-space counterpart of
     * the n-gram [[graft.llm.Corpus.decontaminate]]: an eval item a train
     * document PARAPHRASES shares no 13-gram, but its embedding sits next

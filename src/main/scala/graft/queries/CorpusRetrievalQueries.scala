@@ -158,6 +158,33 @@ object CorpusRetrievalQueries extends graft.QueryModule {
         threshold = 0.35)
     }),
 
+    // hybrid retrieval: BM25 top-20 (lexical) ⊕ exact-cosine top-20
+    // (dense, embeddings keyed by the same ids) fused with RRF(60),
+    // top-10 per query. Both source rankings use their gates' own
+    // engine-stable rank conventions (round-6 BM25 + doc id; round-4
+    // cosine + id), so the fused ranks are cross-engine exact.
+    "q178_hybrid_rrf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val queries = docs.filter(col("doc_id") % 100 === 7)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(lower(trim(col("text"))), "\\s+"), 1, 6), " ")
+            .as("query"))
+      val bm = Corpus.bm25TopK(docs, queries, k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val embs = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val qv = embs.filter(col("vec_id") % 100 === 7)
+      val vecScored = graft.llm.Similarity
+        .bruteForceTopK(embs, qv, k = Int.MaxValue)
+        .withColumn("cosine", round(col("cosine"), 4))
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("cosine"))
+      val vec = graft.operators.TopK.topKPerQuery(vecScored, "query_id",
+        Seq(desc("cosine"), col("doc_id").asc), 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      graft.llm.Similarity.rrfFuse(Seq(bm, vec), k = 10)
+        .select(col("query_id"), col("doc_id"), col("rrf_score"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     "q121_pq_adc_topk" -> ((s, d) => {
       val embs = Tables.embeddings(s, d).select("vec_id", "embedding")
       val codebooks = pqCodebooks(s, d)
@@ -661,6 +688,60 @@ object CorpusRetrievalQueries extends graft.QueryModule {
     "q121_pq_adc_topk" -> pqAdcSql,
 
     "q172_adc_rerank" -> pqRerankSql,
+
+    // q117's BM25 chain at k=20 ⊕ q32's cosine chain at k=20 → RRF(60)
+    "q178_hybrid_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |t AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_len FROM dl),
+        |q AS (SELECT doc_id AS query_id,
+        |        unnest(list_distinct(
+        |          (string_split_regex(lower(trim(text)), '\s+'))[1:6])) AS term
+        |      FROM documents WHERE doc_id % 100 = 7),
+        |qq AS (SELECT query_id, term FROM q WHERE length(term) > 0),
+        |c AS (SELECT qq.query_id, tf.doc_id,
+        |        ln(1 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+        |          * tf.tf * 2.2
+        |          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+        |               / (CAST(s.tot_len AS DOUBLE) / s.n_docs))) AS contrib
+        |      FROM tf JOIN qq USING (term) JOIN dft USING (term)
+        |      JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s),
+        |sc AS (SELECT query_id, doc_id, round(sum(contrib), 6) AS score
+        |       FROM c GROUP BY 1, 2),
+        |bm AS (SELECT query_id, doc_id, rnk FROM (
+        |         SELECT query_id, doc_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |                              ORDER BY score DESC, doc_id) AS rnk
+        |         FROM sc) WHERE rnk <= 20),
+        |eq AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |       FROM embeddings WHERE vec_id % 100 = 7),
+        |es AS (SELECT eq.query_id, e.vec_id AS doc_id,
+        |         round(list_cosine_similarity(eq.qv,
+        |           CAST(e.embedding AS DOUBLE[])), 4) AS cosine
+        |       FROM embeddings e CROSS JOIN eq
+        |       WHERE e.vec_id <> eq.query_id),
+        |vec AS (SELECT query_id, doc_id, rnk FROM (
+        |          SELECT query_id, doc_id,
+        |            row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY cosine DESC, doc_id) AS rnk
+        |          FROM es) WHERE rnk <= 20),
+        |u AS (SELECT query_id, doc_id, 1.0/(60 + rnk) AS c FROM bm
+        |      UNION ALL
+        |      SELECT query_id, doc_id, 1.0/(60 + rnk) AS c FROM vec),
+        |f AS (SELECT query_id, doc_id, round(sum(c), 6) AS rrf_score
+        |      FROM u GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, rrf_score,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY rrf_score DESC, doc_id) AS rank
+        |      FROM f)
+        |SELECT query_id, doc_id, rrf_score, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 10""".stripMargin,
 
     "q175_semantic_decontam" ->
       """WITH h AS (SELECT CAST(embedding AS DOUBLE[]) AS hv

@@ -152,6 +152,36 @@ class Round9Spec extends SparkFunSuite {
     assert(got.sortBy(_._3).map(t => (t._1, t._2)).toSeq == expect.toSeq)
   }
 
+  // ---- rrfFuse ----------------------------------------------------------
+
+  test("rrfFuse sums reciprocal ranks across sources and ranks the union") {
+    val bm = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val vec = Seq((1L, 11L, 1), (1L, 13L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Similarity.rrfFuse(Seq(bm, vec), k = 4).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(_._3)
+    def rrf(rs: Int*) = BigDecimal(rs.map(r => 1.0 / (60 + r)).sum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 11 appears in both lists (ranks 2 and 1) and must win
+    assert(got.map(_._1).toSeq == Seq(11L, 10L, 13L, 12L))
+    assert(got.head._2 == rrf(2, 1))
+    assert(got(1)._2 == rrf(1))   // 1/(60+1) beats 1/(60+2)
+    assert(got(2)._2 == rrf(2))
+    assert(got(3)._2 == rrf(3))
+  }
+
+  test("rrfFuse breaks score ties by ascending doc id") {
+    val a = Seq((1L, 7L, 1), (1L, 3L, 1)).toDF("query_id", "doc_id", "rank")
+    // both docs scored 1/(60+1) by a single source each
+    val one = a.filter(col("doc_id") === 7)
+    val two = a.filter(col("doc_id") === 3)
+    val got = Similarity.rrfFuse(Seq(one, two), k = 2).collect()
+      .map(r => (r.getLong(1), r.getInt(3))).sortBy(_._2)
+    assert(got.toSeq == Seq((3L, 1), (7L, 2)))
+  }
+
   // ---- ORC / CSV roundtrips -------------------------------------------
 
   test("OrcIO roundtrips schema and values") {
