@@ -424,4 +424,89 @@ object Curation {
         rankCol = "__dc_rn")
       .drop("__dc_rn")
   }
+
+  /** The mojibake repair table: UTF-8 byte pairs/triples mis-decoded as
+    * Latin-1/cp1252 (the single most common crawl encoding damage — what
+    * ftfy exists for), longest sequences first so `â€¦` never half-repairs
+    * through its `Ã¢` prefix. A fixed, auditable subset: the curly
+    * quotes/dashes/ellipsis family and the Latin-1 accented letters. */
+  private[graft] val mojibakeTable: Seq[(String, String)] = Seq(
+    "â€™" -> "’", "â€˜" -> "‘", "â€œ" -> "“", "â€¦" -> "…",
+    "â€“" -> "–", "â€”" -> "—",
+    "Ã©" -> "é", "Ã¨" -> "è", "Ãª" -> "ê", "Ã¡" -> "á", "Ã " -> "à",
+    "Ã¢" -> "â", "Ã³" -> "ó", "Ã´" -> "ô", "Ãº" -> "ú", "Ã¹" -> "ù",
+    "Ã±" -> "ñ", "Ã§" -> "ç", "Ã¤" -> "ä", "Ã¶" -> "ö", "Ã¼" -> "ü",
+    "ÃŸ" -> "ß", "Ã­" -> "í", "Ã®" -> "î",
+    "Â«" -> "«", "Â»" -> "»", "Â°" -> "°", "Â£" -> "£", "Â·" -> "·",
+    "Â " -> " ")
+
+  /** Repair double-encoded (UTF-8 → Latin-1 → UTF-8) mojibake with the
+    * fixed [[mojibakeTable]] — one literal `replace` per entry, applied
+    * longest-first, fused by codegen into a single map over the scan (no
+    * regex engine involved; each step is a plain substring replace an
+    * external oracle replays verbatim). Not a general ftfy: it repairs
+    * the high-frequency sequences that dominate real crawls and never
+    * touches clean text (every source sequence starts Ã/Â/â, all rare in
+    * intact prose). */
+  def fixMojibake(text: Column): Column =
+    mojibakeTable.foldLeft(text) { case (c, (bad, good)) =>
+      org.apache.spark.sql.functions.replace(c, lit(bad), lit(good))
+    }
+
+  /** PageRank over a host link graph — the web-curation quality prior
+    * (CommonCrawl publishes exactly this as host-level ranks; pipelines
+    * use it to up-weight reputable domains before any content filter).
+    * `edges` is (src, dst) host pairs (multi-edges are collapsed, self
+    * loops dropped); returns every node with its rank after `iters`
+    * power-iteration steps at damping `d`:
+    *
+    *   r' = (1−d)/N + d·(Σ_in r/outdeg + dangling_mass/N)
+    *
+    * with dangling (outdeg-0) mass redistributed uniformly — ranks sum to
+    * 1 at every step.
+    *
+    * Plan: each iteration is ONE shuffle join (ranks ⋈ edges on src) +
+    * one partial-agg groupBy on dst, plus a one-row dangling-mass
+    * aggregate that rides as a broadcast — the classic distributed
+    * PageRank shape; nothing driver-side grows with the graph. Ranks are
+    * localCheckpointed each step so the lineage (and codegen size) stays
+    * constant over `iters`; at a 10⁹-node graph you would pre-partition
+    * `edges` by src so every iteration's join reuses one layout. Rank
+    * values are doubles; gates round to 6 (the cross-engine convention).
+    */
+  def hostPageRank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85,
+      srcCol: String = "src", dstCol: String = "dst",
+      checkpoint: Boolean = true): DataFrame = {
+    require(iters >= 1, s"iters must be ≥ 1: $iters")
+    require(damping > 0 && damping < 1, s"damping in (0,1): $damping")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    val outDeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+    val base = nodes.join(outDeg, Seq("node"), "left")
+      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+    val n = base.select(count(lit(1)).cast("double").as("__n"))
+    def fence(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint(true) else df
+    var ranks = fence(base.crossJoin(broadcast(n))
+      .select(col("node"), col("outdeg"), (lit(1.0) / col("__n")).as("rank")))
+    for (_ <- 1 to iters) {
+      val dangling = ranks.agg(
+        sum(when(col("outdeg") === 0, col("rank")).otherwise(0.0)).as("__dm"))
+      val contrib = e.join(ranks.select(col("node").as("src"),
+          (col("rank") / col("outdeg")).as("__c")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("__c")).as("__in"))
+      ranks = fence(base
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(n)).crossJoin(broadcast(dangling))
+        .select(col("node"), col("outdeg"),
+          (lit(1.0 - damping) / col("__n") + lit(damping) *
+            (coalesce(col("__in"), lit(0.0)) + col("__dm") / col("__n")))
+            .as("rank")))
+    }
+    ranks.select(col("node"), col("rank"))
+  }
 }

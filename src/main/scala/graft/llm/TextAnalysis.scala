@@ -356,6 +356,30 @@ object TextAnalysis {
           - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")))
   }
 
+  /** Sentence segmentation — the unit every sentence-level pipeline stage
+    * (sentence dedup, parallel-corpus alignment, per-sentence quality)
+    * starts from: split on terminal punctuation runs, keeping the
+    * punctuation with its sentence. The splitter is `regexp_extract_all`
+    * with `[^.!?]+[.!?]*` — maximal punctuation-free runs plus their
+    * trailing terminators — deliberately chosen over a lookbehind split
+    * (RE2, and therefore any external oracle, has no lookbehind).
+    * Segments are trimmed; empty ones drop; `sent_idx` is the 0-based
+    * position within the document. A pure map + posexplode — no shuffle,
+    * embarrassingly parallel at any corpus size.
+    *
+    * Returns (idCol, sent_idx, sentence). Abbreviation periods split
+    * ("Dr. Smith" → two segments) — the standard regex-segmenter
+    * trade-off; a model-based segmenter is out of engine scope. */
+  def segmentSentences(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol),
+        filter(transform(regexp_extract_all(col(textCol),
+            lit("[^.!?]+[.!?]*"), lit(0)), s => trim(s)),
+          s => length(s) > 0).as("__sents"))
+      .select(col(idCol),
+        posexplode(col("__sents")).as(Seq("sent_idx", "sentence")))
+
   def documentStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     docs.select(

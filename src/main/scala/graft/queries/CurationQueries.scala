@@ -15,6 +15,36 @@ object CurationQueries extends graft.QueryModule {
   type Q = (SparkSession, String) => DataFrame
 
   val defs: Map[String, Q] = Map(
+    // host-graph PageRank (3 power iterations, d=0.85): edges fabricated
+    // from doc ids — 6 site→site edges (the site3 self-loop drops) plus 7
+    // site→mirror edges; 'mirror' has no outlinks, so the dangling-mass
+    // redistribution is exercised. Oracle unrolls the identical three
+    // iterations; ranks compare rounded to 6.
+    "q179_host_pagerank" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val site = (e: org.apache.spark.sql.Column) =>
+        concat(lit("site"), e.cast("string"))
+      val e1 = docs.select(site(col("doc_id") % 7).as("src"),
+        site((col("doc_id") * 3 + 1) % 7).as("dst"))
+      val e2 = docs.filter(col("doc_id") % 3 === 0)
+        .select(site(col("doc_id") % 7).as("src"), lit("mirror").as("dst"))
+      Curation.hostPageRank(e1.unionByName(e2), iters = 3)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+    }),
+
+    // mojibake repair: a fabricated prefix exercises 12 table entries
+    // (curly quote/ellipsis/dash family, accented letters, Â-prefixed
+    // symbols, the stray 'Ã ' ≡ à); the repair chain is plain literal
+    // replaces, so the oracle replays it verbatim over the same input.
+    "q180_fix_mojibake" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val fab = concat(
+        lit("CafÃ© donâ€™t â€œquoteâ€¦ â€” naÃ±a straÃŸe 10Â° Â«okÂ» " +
+          "Ã¼ber Ã  la "),
+        col("text"))
+      docs.select(col("doc_id"), Curation.fixMojibake(fab).as("text"))
+    }),
+
     // outbound-link extraction: each doc wrapped in fabricated HTML with
     // an absolute link (rotating host), a RELATIVE link (host must come
     // back ''), mixed-case <A HREF>, and an extra mirror link on every
@@ -603,6 +633,52 @@ object CurationQueries extends graft.QueryModule {
       |     WHEN 'src4' THEN 500 ELSE 0 END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q180_fix_mojibake" -> {
+      val fabbed = "'CafÃ© donâ€™t â€œquoteâ€¦ â€” naÃ±a straÃŸe 10Â° " +
+        "Â«okÂ» Ã¼ber Ã  la ' || text"
+      val chain = Curation.mojibakeTable.foldLeft(s"($fabbed)") {
+        case (acc, (bad, good)) => s"replace($acc, '$bad', '$good')"
+      }
+      s"SELECT doc_id, $chain AS text FROM documents"
+    },
+
+    "q179_host_pagerank" ->
+      """WITH e0 AS (
+        |  SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) AS src,
+        |         'site' || CAST((doc_id*3+1) % 7 AS VARCHAR) AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) AS src,
+        |         'mirror' AS dst
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        |nodes AS (SELECT DISTINCT node FROM
+        |            (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+        |od AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY 1),
+        |base AS (SELECT n.node, coalesce(od.outdeg, 0) AS outdeg
+        |         FROM nodes n LEFT JOIN od USING (node)),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM base),
+        |r0 AS (SELECT node, outdeg, 1.0/nn.n AS rank FROM base CROSS JOIN nn),
+        |d1 AS (SELECT sum(CASE WHEN outdeg = 0 THEN rank ELSE 0 END) AS dm FROM r0),
+        |c1 AS (SELECT e.dst AS node, sum(r.rank / r.outdeg) AS inr
+        |       FROM e JOIN r0 r ON r.node = e.src GROUP BY 1),
+        |r1 AS (SELECT b.node, b.outdeg,
+        |         (1 - 0.85)/nn.n + 0.85*(coalesce(c1.inr, 0) + d1.dm/nn.n) AS rank
+        |       FROM base b LEFT JOIN c1 USING (node) CROSS JOIN nn CROSS JOIN d1),
+        |d2 AS (SELECT sum(CASE WHEN outdeg = 0 THEN rank ELSE 0 END) AS dm FROM r1),
+        |c2 AS (SELECT e.dst AS node, sum(r.rank / r.outdeg) AS inr
+        |       FROM e JOIN r1 r ON r.node = e.src GROUP BY 1),
+        |r2 AS (SELECT b.node, b.outdeg,
+        |         (1 - 0.85)/nn.n + 0.85*(coalesce(c2.inr, 0) + d2.dm/nn.n) AS rank
+        |       FROM base b LEFT JOIN c2 USING (node) CROSS JOIN nn CROSS JOIN d2),
+        |d3 AS (SELECT sum(CASE WHEN outdeg = 0 THEN rank ELSE 0 END) AS dm FROM r2),
+        |c3 AS (SELECT e.dst AS node, sum(r.rank / r.outdeg) AS inr
+        |       FROM e JOIN r2 r ON r.node = e.src GROUP BY 1),
+        |r3 AS (SELECT b.node, b.outdeg,
+        |         (1 - 0.85)/nn.n + 0.85*(coalesce(c3.inr, 0) + d3.dm/nn.n) AS rank
+        |       FROM base b LEFT JOIN c3 USING (node) CROSS JOIN nn CROSS JOIN d3)
+        |SELECT node, round(rank, 6) AS rank FROM r3""".stripMargin,
+
     "q174_link_extract" ->
       """WITH fab AS (SELECT doc_id,
         |  '<div><a href="https://site' || CAST(doc_id % 7 AS VARCHAR)

@@ -73,6 +73,18 @@ object LlmQueries extends graft.QueryModule {
       graft.llm.Corpus.snapshotDiff(oldSnap, newSnap)
     }),
 
+    // sentence segmentation over punctuation-fabricated docs: a 3-sentence
+    // prefix (incl. a doubled terminator) plus the doc text closed with a
+    // period — 4 segments per doc, indices 0-based, punctuation kept.
+    "q181_sentence_segment" -> ((s, d) => {
+      val docs = Tables.documents(s, d).withColumn("text",
+        concat(lit("First sentence. Second one! Is this third?? "),
+          col("text"), lit(".")))
+      graft.llm.TextAnalysis.segmentSentences(docs)
+        .select(col("doc_id"), col("sent_idx").cast("long").as("sent_idx"),
+          col("sentence"))
+    }),
+
     // MinHash LSH (b,r) planner over 128 perms at threshold 0.8 — pure
     // closed-form S-curve masses on a 19-point grid; both engines compute
     // the identical grid, round to 6, and agree on the argmin flag.
@@ -969,6 +981,19 @@ object LlmQueries extends graft.QueryModule {
         |            WHEN o.text <> n.text THEN 'changed'
         |            ELSE 'unchanged' END AS status
         |FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id""".stripMargin,
+
+    "q181_sentence_segment" ->
+      """WITH fab AS (SELECT doc_id,
+        |    'First sentence. Second one! Is this third?? ' || text || '.' AS text
+        |  FROM documents),
+        |seg AS (SELECT doc_id,
+        |          list_filter(list_transform(
+        |            regexp_extract_all(text, '[^.!?]+[.!?]*'),
+        |            s -> trim(s)), s -> length(s) > 0) AS sents
+        |        FROM fab),
+        |g AS (SELECT doc_id, sents, unnest(range(0, len(sents))) AS i FROM seg)
+        |SELECT doc_id, CAST(i AS BIGINT) AS sent_idx, sents[i+1] AS sentence
+        |FROM g""".stripMargin,
 
     "q176_lsh_plan" ->
       """WITH rr AS (SELECT unnest(range(1, 129)) AS r),

@@ -152,6 +152,63 @@ class Round9Spec extends SparkFunSuite {
     assert(got.sortBy(_._3).map(t => (t._1, t._2)).toSeq == expect.toSeq)
   }
 
+  // ---- hostPageRank -------------------------------------------------
+
+  test("hostPageRank matches the closed form on a 2-node dangling graph") {
+    // A→B, B dangling. After one iteration from (.5,.5):
+    // dm=.5; rA = .15/2 + .85*(0 + .25) = .2875; rB = .15/2 + .85*(.5+.25)
+    val e = Seq(("A", "B")).toDF("src", "dst")
+    val got = Curation.hostPageRank(e, iters = 1).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got("A") - 0.2875) < 1e-12)
+    assert(math.abs(got("B") - 0.7125) < 1e-12)
+  }
+
+  test("hostPageRank ranks sum to 1 and drop self-loops/multi-edges") {
+    val e = Seq(("a", "b"), ("a", "b"), ("b", "c"), ("c", "a"), ("c", "c"))
+      .toDF("src", "dst")
+    val rows = Curation.hostPageRank(e, iters = 5).collect()
+    assert(rows.length == 3)
+    assert(math.abs(rows.map(_.getDouble(1)).sum - 1.0) < 1e-9)
+    // a→b→c→a is a symmetric cycle once dups/self-loops drop: equal ranks
+    rows.foreach(r => assert(math.abs(r.getDouble(1) - 1.0 / 3) < 1e-9))
+  }
+
+  // ---- fixMojibake ----------------------------------------------------
+
+  test("fixMojibake repairs the double-encoded table and spares clean text") {
+    val docs = Seq(
+      (1L, "CafÃ© donâ€™t â€œquoteâ€¦ straÃŸe Ã  la"),
+      (2L, "plain ascii stays"),
+      (3L, "naÃ±a 10Â° Â«okÂ» Ã¼ber â€” dash")
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        Curation.fixMojibake(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "Café don’t “quote… straße à la")
+    assert(got(2L) == "plain ascii stays")
+    assert(got(3L) == "naña 10° «ok» über — dash")
+  }
+
+  // ---- segmentSentences -------------------------------------------------
+
+  test("segmentSentences keeps terminators, trims, drops empties") {
+    val docs = Seq(
+      (1L, "One. Two two!  Three?? "),
+      (2L, "no terminator at all"),
+      (3L, "...")
+    ).toDF("doc_id", "text")
+    val got = graft.llm.TextAnalysis.segmentSentences(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(got.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq ==
+      Seq("One.", "Two two!", "Three??"))
+    assert(got.filter(_._1 == 2L).map(_._3).toSeq ==
+      Seq("no terminator at all"))
+    // doc 3 is ONLY terminators: the punctuation run still forms the tail
+    // of no [^.!?]+ run, so nothing is emitted
+    assert(!got.exists(_._1 == 3L))
+  }
+
   // ---- rrfFuse ----------------------------------------------------------
 
   test("rrfFuse sums reciprocal ranks across sources and ranks the union") {
