@@ -97,6 +97,45 @@ object StreamQueries extends graft.QueryModule {
         .select(col("doc_id"))
     }),
 
+    // REAL streaming index ingest: the reference corpus arrives as two
+    // file "drops" consumed by readStream (maxFilesPerTrigger=1 → one
+    // foreachBatch per drop), each micro-batch appended to the MinHash
+    // store; the post-stream probe must answer exactly like the one-shot
+    // store over the union (q146's identical-answers contract — the
+    // oracle is that SQL verbatim).
+    "q182_stream_store_ingest" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val planted = docs.orderBy("doc_id").limit(20)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val newSide = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .unionByName(planted)
+      val refSide = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val srcDir = java.nio.file.Files
+        .createTempDirectory("graft_ingest_src").toString
+      refSide.filter(col("doc_id") % 2 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(srcDir)
+      refSide.filter(col("doc_id") % 2 =!= 0).coalesce(1)
+        .write.mode("append").parquet(srcDir)
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft_ingest_store").toString
+      val ck = java.nio.file.Files
+        .createTempDirectory("graft_ingest_ck").toString
+      val q = s.readStream.schema(refSide.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.llm.Dedup.appendMinHashStore(batch, storeDir)
+        }
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.llm.Dedup.crossCorpusNearDupsFromStore(newSide, storeDir,
+          threshold = 0.7)
+        .select(col("new_id"), col("ref_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+    }),
+
     "q109_stream_corpus_match" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val planted = docs.orderBy("doc_id").limit(20)
@@ -223,6 +262,36 @@ object StreamQueries extends graft.QueryModule {
         |LEFT JOIN rf
         |  ON rf.h = md5(regexp_replace(lower(trim(b.text)), '\s+', ' ', 'g'))
         |WHERE rf.h IS NULL""".stripMargin,
+
+    // q146's identical-answers SQL: the streamed (two-drop) store must be
+    // indistinguishable from the one-shot store over the union
+    "q182_stream_store_ingest" ->
+      """WITH newdocs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM
+        |    (SELECT * FROM documents ORDER BY doc_id LIMIT 20)),
+        |refdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        |shn AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(range(1, len(w) - 1),
+        |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |        FROM newdocs)),
+        |shr AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(range(1, len(w) - 1),
+        |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |        FROM refdocs)),
+        |pairs AS (
+        |  SELECT n.doc_id AS new_id, r.doc_id AS ref_id,
+        |         CAST(len(list_intersect(n.s, r.s)) AS DOUBLE)
+        |           / len(list_distinct(list_concat(n.s, r.s))) AS j
+        |  FROM shn n CROSS JOIN shr r)
+        |SELECT new_id, ref_id, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.7""".stripMargin,
 
     "q109_stream_corpus_match" ->
       """WITH newdocs AS (
