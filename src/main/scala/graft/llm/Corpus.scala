@@ -748,6 +748,73 @@ object Corpus {
       .withColumn("n_tokens", size(split(col("chunk_text"), "\\s+")))
   }
 
+  /** Frequency-ordered vocabulary with cumulative token coverage — the
+    * vocab/tokenizer-construction primitive ("the smallest word list
+    * covering X% of the token stream"): every term with its count, global
+    * frequency rank (count desc, term asc — a total order), cumulative
+    * share of all tokens, and `selected` = the prefix of that order whose
+    * PRECEDING cumulative mass is still below `coverage` (so the first
+    * term crossing the line is included and the vocabulary actually
+    * reaches the target).
+    *
+    * The running total is a DISTRIBUTED prefix sum, not one global
+    * window: terms are range-partitioned and sorted on the rank order,
+    * each partition's (row count, token sum) is aggregated — P values to
+    * the driver, the splitter's documented driver-sized pattern — and
+    * rejoined as broadcast offsets; the within-partition window is
+    * bounded by vocab/P. A bare `Window.orderBy` would funnel the whole
+    * vocabulary (10⁸ terms at web scale) through ONE sort task — the
+    * exact single-task shape the retrieval family's two-phase top-k
+    * exists to avoid. Exactness is boundary-invariant: offsets are
+    * computed from the partitions' actual contents, so the (seeded,
+    * sampled) range boundaries only affect load balance, never values.
+    *
+    * Returns (term, cnt, rank, cum_share [round 6], selected). */
+  def vocabCoverage(docs: DataFrame, coverage: Double = 0.9,
+      textCol: String = "text"): DataFrame = {
+    require(coverage > 0 && coverage <= 1, s"coverage in (0,1]: $coverage")
+    val spark = docs.sparkSession
+    val counts = docs
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).cast("double").as("__tot"))
+    val parts = counts
+      .repartitionByRange(col("cnt").desc, col("term").asc)
+      .sortWithinPartitions(col("cnt").desc, col("term").asc)
+      .withColumn("__pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val psums = parts.groupBy("__pid")
+        .agg(count(lit(1)).as("rows"), sum(col("cnt")).as("toks"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      // exclusive running offsets per partition (rows for rank, tokens
+      // for cumulative share)
+      var (rAcc, tAcc) = (0L, 0L)
+      val offs = psums.map { case (pid, rows, toks) =>
+        val row = (pid, rAcc, tAcc); rAcc += rows; tAcc += toks; row
+      }
+      import spark.implicits._
+      val offsets = broadcast(offs.toSeq
+        .toDF("__pid", "__roff", "__toff"))
+      val w = Window.partitionBy(col("__pid"))
+        .orderBy(col("cnt").desc, col("term").asc)
+      parts.join(offsets, Seq("__pid"))
+        .withColumn("__lrank", row_number().over(w))
+        .withColumn("__lcum", sum(col("cnt")).over(w))
+        .crossJoin(broadcast(total))
+        .select(col("term"), col("cnt"),
+          (col("__roff") + col("__lrank")).as("rank"),
+          round((col("__toff") + col("__lcum")) / col("__tot"), 6)
+            .as("cum_share"),
+          (((col("__toff") + col("__lcum") - col("cnt")).cast("double"))
+            < col("__tot") * coverage).as("selected"))
+        // materialize before the finally-unpersist drops the input
+        .localCheckpoint(true)
+    } finally parts.unpersist()
+  }
+
   /** Snapshot diff between two corpus versions — the dataset-versioning
     * primitive (what changed between crawl N and crawl N+1): every id is
     * classified `added` (new only), `removed` (old only), `changed`

@@ -73,6 +73,15 @@ object LlmQueries extends graft.QueryModule {
       graft.llm.Corpus.snapshotDiff(oldSnap, newSnap)
     }),
 
+    // vocabulary coverage via the DISTRIBUTED prefix sum (range-partition
+    // offsets + partition-local windows — no global single-task window):
+    // values are boundary-invariant, so the oracle is the plain SQL
+    // running total over the same (cnt desc, term) total order.
+    "q183_vocab_coverage" -> ((s, d) =>
+      graft.llm.Corpus.vocabCoverage(Tables.documents(s, d), coverage = 0.9)
+        .select(col("term"), col("cnt"), col("rank"),
+          col("cum_share"), col("selected"))),
+
     // sentence segmentation over punctuation-fabricated docs: a 3-sentence
     // prefix (incl. a doubled terminator) plus the doc text closed with a
     // period — 4 segments per doc, indices 0-based, punctuation kept.
@@ -981,6 +990,21 @@ object LlmQueries extends graft.QueryModule {
         |            WHEN o.text <> n.text THEN 'changed'
         |            ELSE 'unchanged' END AS status
         |FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id""".stripMargin,
+
+    "q183_vocab_coverage" ->
+      """WITH t AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |           FROM documents),
+        |c AS (SELECT term, count(*) AS cnt FROM t
+        |      WHERE length(term) > 0 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM c),
+        |w AS (SELECT term, cnt,
+        |        row_number() OVER (ORDER BY cnt DESC, term) AS rank,
+        |        sum(cnt) OVER (ORDER BY cnt DESC, term) AS cum
+        |      FROM c)
+        |SELECT term, cnt, CAST(rank AS BIGINT) AS rank,
+        |       round(cum / tot.tot, 6) AS cum_share,
+        |       CAST(cum - cnt AS DOUBLE) < tot.tot * 0.9 AS selected
+        |FROM w CROSS JOIN tot""".stripMargin,
 
     "q181_sentence_segment" ->
       """WITH fab AS (SELECT doc_id,

@@ -239,6 +239,39 @@ class Round9Spec extends SparkFunSuite {
     assert(got.toSeq == Seq((3L, 1), (7L, 2)))
   }
 
+  // ---- vocabCoverage ------------------------------------------------
+
+  test("vocabCoverage matches the single-window running total exactly") {
+    // corpus: a×6, b×3, c×2, d×1 → total 12; coverage .75 → cum_before:
+    // a:0, b:6, c:9(=12*.75 NOT < 9? 9 < 9 false) → a,b selected; c,d not
+    val docs = Seq((1L, "a a a b b c"), (2L, "a a a b c d"))
+      .toDF("doc_id", "text")
+    val got = Corpus.vocabCoverage(docs, coverage = 0.75)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).sortBy(_._3)
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq(("a", 6L, 1L), ("b", 3L, 2L), ("c", 2L, 3L), ("d", 1L, 4L)))
+    assert(got.map(_._4).toSeq == Seq(0.5, 0.75, 11.0 / 12, 1.0)
+      .map(x => BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble))
+    assert(got.map(_._5).toSeq == Seq(true, true, false, false))
+  }
+
+  test("vocabCoverage is partitioning-invariant (distributed prefix sum)") {
+    val words = (0 until 40).flatMap(i => Seq.fill(40 - i)(s"w$i"))
+    val docs = words.grouped(7).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Corpus.vocabCoverage(df, coverage = 0.5).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getBoolean(4))).sortBy(_._3).toSeq
+    assert(run(docs.repartition(1)) == run(docs.repartition(13)))
+    val sel = run(docs).filter(_._5)
+    // selected prefix must actually reach the target
+    assert(sel.last._4 >= 0.5)
+  }
+
   // ---- ORC / CSV roundtrips -------------------------------------------
 
   test("OrcIO roundtrips schema and values") {
