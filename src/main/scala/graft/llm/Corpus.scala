@@ -779,40 +779,39 @@ object Corpus {
       .filter(length(col("term")) > 0)
       .groupBy("term").agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).cast("double").as("__tot"))
+    // persisted because the frame is consumed twice (offset aggregation,
+    // then the result plan); caller-owned, like the dedup pipelines'
+    // guard caches — clear the catalog after materializing, as gates do
     val parts = counts
       .repartitionByRange(col("cnt").desc, col("term").asc)
       .sortWithinPartitions(col("cnt").desc, col("term").asc)
       .withColumn("__pid", spark_partition_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val psums = parts.groupBy("__pid")
-        .agg(count(lit(1)).as("rows"), sum(col("cnt")).as("toks"))
-        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-        .sortBy(_._1)
-      // exclusive running offsets per partition (rows for rank, tokens
-      // for cumulative share)
-      var (rAcc, tAcc) = (0L, 0L)
-      val offs = psums.map { case (pid, rows, toks) =>
-        val row = (pid, rAcc, tAcc); rAcc += rows; tAcc += toks; row
-      }
-      import spark.implicits._
-      val offsets = broadcast(offs.toSeq
-        .toDF("__pid", "__roff", "__toff"))
-      val w = Window.partitionBy(col("__pid"))
-        .orderBy(col("cnt").desc, col("term").asc)
-      parts.join(offsets, Seq("__pid"))
-        .withColumn("__lrank", row_number().over(w))
-        .withColumn("__lcum", sum(col("cnt")).over(w))
-        .crossJoin(broadcast(total))
-        .select(col("term"), col("cnt"),
-          (col("__roff") + col("__lrank")).as("rank"),
-          round((col("__toff") + col("__lcum")) / col("__tot"), 6)
-            .as("cum_share"),
-          (((col("__toff") + col("__lcum") - col("cnt")).cast("double"))
-            < col("__tot") * coverage).as("selected"))
-        // materialize before the finally-unpersist drops the input
-        .localCheckpoint(true)
-    } finally parts.unpersist()
+    val psums = parts.groupBy("__pid")
+      .agg(count(lit(1)).as("rows"), sum(col("cnt")).as("toks"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // exclusive running offsets per partition (rows for rank, tokens
+    // for cumulative share)
+    var (rAcc, tAcc) = (0L, 0L)
+    val offs = psums.map { case (pid, rows, toks) =>
+      val row = (pid, rAcc, tAcc); rAcc += rows; tAcc += toks; row
+    }
+    import spark.implicits._
+    val offsets = broadcast(offs.toSeq
+      .toDF("__pid", "__roff", "__toff"))
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(col("cnt").desc, col("term").asc)
+    parts.join(offsets, Seq("__pid"))
+      .withColumn("__lrank", row_number().over(w))
+      .withColumn("__lcum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(total))
+      .select(col("term"), col("cnt"),
+        (col("__roff") + col("__lrank")).as("rank"),
+        round((col("__toff") + col("__lcum")) / col("__tot"), 6)
+          .as("cum_share"),
+        (((col("__toff") + col("__lcum") - col("cnt")).cast("double"))
+          < col("__tot") * coverage).as("selected"))
   }
 
   /** Snapshot diff between two corpus versions — the dataset-versioning

@@ -190,6 +190,35 @@ class PlanSpec extends SparkFunSuite {
       s"count back-join degenerated:\n$plan")
     assert(plan.contains("HashAggregate"), s"no partial-agg count stage:\n$plan")
   }
+
+  test("q175: semantic decontam broadcasts the holdout; train never sort-merges") {
+    val plan = planOf("q175_semantic_decontam")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"holdout side not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"train corpus shuffled into a sort-merge join:\n$plan")
+    assert(plan.contains("partial_max") || plan.contains("HashAggregate"),
+      s"per-id max lacks map-side partial aggregation:\n$plan")
+  }
+
+  test("q183: vocab coverage has no global single-task window") {
+    val plan = planOf("q183_vocab_coverage")
+    // every Window must carry a non-empty partition spec (__pid)
+    val globalWindow = "Window \\[[^\\]]*\\], \\[[^\\]]*\\]$".r
+    assert(!plan.linesIterator.exists(l =>
+        l.trim.startsWith("Window ") && !l.contains("windowspecdefinition") ||
+        globalWindow.findFirstIn(l.trim).isDefined && !l.contains("__pid")),
+      s"window without __pid partition spec:\n$plan")
+    assert(plan.contains("__pid"), s"partition-offset column missing:\n$plan")
+  }
+
+  test("q172: ADC rerank broadcasts the shortlist into the raw-vector scan") {
+    val plan = planOf("q172_adc_rerank")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"shortlist join is not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus shuffled for the rerank join:\n$plan")
+  }
 }
 
 class BucketedJoinSpec extends SparkFunSuite {
