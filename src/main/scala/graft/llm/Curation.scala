@@ -283,6 +283,31 @@ object Curation {
       .withColumn("link_host",
         regexp_extract(col("link"), "(?i)^https?://([^/?#]+)", 1))
 
+  /** Anchor-text harvest — [[extractLinks]] plus the visible text of each
+    * `<a>…</a>` pair: (target, anchor text) tuples are a training corpus
+    * in their own right (query↔document pairs for retrieval training, and
+    * the classic target-page description signal). One pattern run twice
+    * for groups 1 and 2 (`regexp_extract_all` yields one group per call),
+    * zipped positionally — still a pure map, no shuffle. Anchors with
+    * nested markup inside the tag body are skipped by construction
+    * (`[^<]*` — a regex can't balance tags; route those through
+    * [[stripHtml]] instead). Returns the id column plus (link, anchor,
+    * link_host). */
+  def extractAnchorTexts(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val pat = "(?i)<a\\s[^>]*href=\"([^\"]*)\"[^>]*>([^<]*)</a>"
+    docs
+      .select(col(idCol),
+        explode(arrays_zip(
+          regexp_extract_all(col(textCol), lit(pat), lit(1)),
+          regexp_extract_all(col(textCol), lit(pat), lit(2)))).as("__la"))
+      .select(col(idCol),
+        col("__la").getField("0").as("link"),
+        trim(col("__la").getField("1")).as("anchor"))
+      .withColumn("link_host",
+        regexp_extract(col("link"), "(?i)^https?://([^/?#]+)", 1))
+  }
+
   /** Markdown → training text (the [[stripHtml]] companion for the other
     * big crawl format — README/docs/forum corpora): fenced code blocks
     * drop (code is a different modality; route it to a code pipeline, not

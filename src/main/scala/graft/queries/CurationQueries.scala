@@ -32,6 +32,26 @@ object CurationQueries extends graft.QueryModule {
         .select(col("node"), round(col("rank"), 6).as("rank"))
     }),
 
+    // anchor-text harvest over the q174 fabrication (the anchors carry
+    // doc-derived text: "first", "rel", "m"): link + visible text pairs,
+    // zipped from two group extractions of the same pattern.
+    "q184_anchor_texts" -> ((s, d) => {
+      val html = concat(
+        lit("<div><a href=\"https://site"),
+        (col("doc_id") % 7).cast("string"),
+        lit(".example.com/p/"), col("doc_id").cast("string"),
+        lit("\">doc "), col("doc_id").cast("string"),
+        lit(" page</a> text <A class=\"x\" HREF=\"/relative/"),
+        col("doc_id").cast("string"), lit("\"> rel link </A>"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" <a href=\"http://mirror.example.org/d?id="),
+            col("doc_id").cast("string"), lit("\">mirror</a>")))
+          .otherwise(lit("")),
+        lit("</div>"))
+      Curation.extractAnchorTexts(
+        Tables.documents(s, d).select(col("doc_id"), html.as("text")))
+    }),
+
     // mojibake repair: a fabricated prefix exercises 12 table entries
     // (curly quote/ellipsis/dash family, accented letters, Â-prefixed
     // symbols, the stray 'Ã ' ≡ à); the repair chain is plain literal
@@ -633,6 +653,31 @@ object CurationQueries extends graft.QueryModule {
       |     WHEN 'src4' THEN 500 ELSE 0 END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q184_anchor_texts" ->
+      """WITH fab AS (SELECT doc_id,
+        |  '<div><a href="https://site' || CAST(doc_id % 7 AS VARCHAR)
+        |  || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+        |  || '">doc ' || CAST(doc_id AS VARCHAR)
+        |  || ' page</a> text <A class="x" HREF="/relative/'
+        |  || CAST(doc_id AS VARCHAR) || '"> rel link </A>'
+        |  || CASE WHEN doc_id % 3 = 0
+        |       THEN ' <a href="http://mirror.example.org/d?id='
+        |            || CAST(doc_id AS VARCHAR) || '">mirror</a>'
+        |       ELSE '' END
+        |  || '</div>' AS html FROM documents),
+        |l AS (SELECT doc_id,
+        |        regexp_extract_all(html,
+        |          '(?i)<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 1) AS links,
+        |        regexp_extract_all(html,
+        |          '(?i)<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 2) AS anchors
+        |      FROM fab),
+        |g AS (SELECT doc_id, links, anchors,
+        |        unnest(range(0, len(links))) AS i FROM l)
+        |SELECT doc_id, links[i+1] AS link, trim(anchors[i+1]) AS anchor,
+        |       regexp_extract(links[i+1],
+        |         '(?i)^https?://([^/?#]+)', 1) AS link_host
+        |FROM g""".stripMargin,
+
     "q180_fix_mojibake" -> {
       val fabbed = "'CafÃ© donâ€™t â€œquoteâ€¦ â€” naÃ±a straÃŸe 10Â° " +
         "Â«okÂ» Ã¼ber Ã  la ' || text"

@@ -83,6 +83,19 @@ class Round9Spec extends SparkFunSuite {
     assert(hosts == Set("h.io:8080", "x.y"))
   }
 
+  test("extractAnchorTexts pairs hrefs with their visible text") {
+    val docs = Seq(
+      (1L, """<a href="https://e.com/x">Click here</a> mid""" +
+        """ <A HREF="/r" rel="nofollow"> padded </A>"""),
+      (2L, """<a href="https://e.com/y"><b>nested</b></a>""") // skipped
+    ).toDF("doc_id", "text")
+    val got = Curation.extractAnchorTexts(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(got.toSet == Set(
+      (1L, "https://e.com/x", "Click here", "e.com"),
+      (1L, "/r", "padded", "")))
+  }
+
   // ---- semanticContamination -----------------------------------------
 
   test("semanticContamination flags max-cosine over threshold") {
