@@ -814,6 +814,41 @@ object Corpus {
           < col("__tot") * coverage).as("selected"))
   }
 
+  /** Rare-token masking ("UNK-ification") — the classic LM vocabulary
+    * truncation: every whitespace token whose CORPUS-WIDE count is below
+    * `minCount` is replaced by `unk`, document text reassembled in
+    * original token order. (The tail of a web-scale vocabulary is most of
+    * it, so the rare set can never broadcast — the plan must carry counts
+    * TO the tokens.)
+    *
+    * Plan: posexplode to (id, pos, term) — one shuffle to count terms
+    * (partial agg), one shuffle join back on term (AQE broadcasts it only
+    * if the vocab turns out small), then re-assembly per doc via
+    * array_sort(collect_list(struct(pos, term))) — the [[graft.llm.Dedup]]
+    * paragraph-dedup reassembly shape, window-free. Docs with no tokens
+    * pass through unchanged. Returns the input columns with `textCol`
+    * rewritten. */
+  def unkifyRareTokens(docs: DataFrame, minCount: Long, unk: String = "<unk>",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(minCount >= 1, s"minCount must be ≥ 1: $minCount")
+    val toks = docs.select(col(idCol),
+        posexplode(split(lower(trim(col(textCol))), "\\s+"))
+          .as(Seq("__pos", "__term")))
+      .filter(length(col("__term")) > 0)
+    val counts = toks.groupBy("__term").agg(count(lit(1)).as("__cnt"))
+    val rebuilt = toks.join(counts, Seq("__term"))
+      .select(col(idCol), col("__pos"),
+        when(col("__cnt") < minCount, lit(unk)).otherwise(col("__term"))
+          .as("__out"))
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__out")))),
+        e => e.getField("__out")), " ").as("__new_text"))
+    docs.join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("__new_text"), col(textCol)))
+      .drop("__new_text")
+  }
+
   /** Snapshot diff between two corpus versions — the dataset-versioning
     * primitive (what changed between crawl N and crawl N+1): every id is
     * classified `added` (new only), `removed` (old only), `changed`

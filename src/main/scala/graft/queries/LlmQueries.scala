@@ -73,6 +73,20 @@ object LlmQueries extends graft.QueryModule {
       graft.llm.Corpus.snapshotDiff(oldSnap, newSnap)
     }),
 
+    // rare-token masking at minCount=2 over docs with planted singleton
+    // tokens (every 5th doc gets a unique 'uniqtokN') — exactly those
+    // become <unk>; text reassembles in token order, lowercased/
+    // space-normalized (the LM-prep convention).
+    "q185_unkify" -> ((s, d) => {
+      val fab = Tables.documents(s, d).withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" uniqtok"), col("doc_id").cast("string")))
+            .otherwise(lit(""))))
+      graft.llm.Corpus.unkifyRareTokens(fab, minCount = 2)
+        .select(col("doc_id"), col("text"))
+    }),
+
     // vocabulary coverage via the DISTRIBUTED prefix sum (range-partition
     // offsets + partition-local windows — no global single-task window):
     // values are boundary-invariant, so the oracle is the plain SQL
@@ -990,6 +1004,27 @@ object LlmQueries extends graft.QueryModule {
         |            WHEN o.text <> n.text THEN 'changed'
         |            ELSE 'unchanged' END AS status
         |FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id""".stripMargin,
+
+    "q185_unkify" ->
+      """WITH fab AS (SELECT doc_id,
+        |    text || CASE WHEN doc_id % 5 = 0
+        |                 THEN ' uniqtok' || CAST(doc_id AS VARCHAR)
+        |                 ELSE '' END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |      FROM fab),
+        |g AS (SELECT doc_id, w, unnest(range(0, len(w))) AS pos FROM t),
+        |tok AS (SELECT doc_id, pos, w[pos+1] AS term FROM g
+        |        WHERE length(w[pos+1]) > 0),
+        |c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+        |o AS (SELECT doc_id, pos,
+        |        CASE WHEN cnt < 2 THEN '<unk>' ELSE term END AS tout
+        |      FROM tok JOIN c USING (term)),
+        |r AS (SELECT doc_id,
+        |        array_to_string(list(tout ORDER BY pos), ' ') AS t2
+        |      FROM o GROUP BY 1)
+        |SELECT f.doc_id, coalesce(r.t2, f.text) AS text
+        |FROM fab f LEFT JOIN r USING (doc_id)""".stripMargin,
 
     "q183_vocab_coverage" ->
       """WITH t AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term

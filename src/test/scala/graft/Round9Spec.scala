@@ -252,6 +252,22 @@ class Round9Spec extends SparkFunSuite {
     assert(got.toSeq == Seq((3L, 1), (7L, 2)))
   }
 
+  // ---- unkifyRareTokens ------------------------------------------------
+
+  test("unkifyRareTokens masks below-threshold tokens in order") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat"),
+      (3L, "  ")  // whitespace-only: passes through unchanged
+    ).toDF("doc_id", "text")
+    // counts: the=3, sat=2, cat/on/mat/dog=1
+    val got = Corpus.unkifyRareTokens(docs, minCount = 2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "the <unk> sat <unk> the <unk>")
+    assert(got(2L) == "the <unk> sat")
+    assert(got(3L) == "  ")
+  }
+
   // ---- vocabCoverage ------------------------------------------------
 
   test("vocabCoverage matches the single-window running total exactly") {
