@@ -648,8 +648,10 @@ object Scale {
     }),
     // semantic decontamination: broadcast holdout (50 vectors), fused
     // cosine map + partial-agg max per train id — the corpus side never
-    // shuffles, so growth is the scan and the straggler gate must pass
-    Probe("semantic_decontam", gateSkew = true, q = (s, d) => {
+    // shuffles, so growth is the scan and the straggler gate must pass.
+    // The BNLJ IS the operator: a broadcast cross join against the tiny
+    // holdout (every corpus row scores every holdout vector by design)
+    Probe("semantic_decontam", gateSkew = true, allowBnlj = true, q = (s, d) => {
       val embs = scanPar(s,
         Tables.embeddings(s, d).select("vec_id", "embedding"))
       graft.llm.Similarity.semanticContamination(

@@ -455,4 +455,70 @@ object Multimodal {
       struct(lit(width).as("width"), lit(height).as("height"),
         col("meta.duration_ms").as("duration_ms"),
         concat(col("meta.format"), lit("+resized")).as("format")))
+
+  /** A REAL resize result: target raster dims, exact per-channel means of
+    * the RESIZED pixels, and the re-encoded (lossless PNG) payload. */
+  case class ResizedImage(
+      media_id: Long, width: Int, height: Int, resize_ok: Boolean,
+      mean_r: Double, mean_g: Double, mean_b: Double, png: Array[Byte])
+
+  /** REAL resize kernel — nearest-neighbor resampling hand-rolled over the
+    * decoded raster (`srcX = x·srcW / dstW`, integer floor: deterministic
+    * on every JVM, unlike Graphics2D interpolation whose rendering hints
+    * are implementation-defined), re-encoded as PNG (lossless — the means
+    * reproduce bit-for-bit from the resized pixels). Fail-closed like
+    * [[decodeImageKernel]]: undecodable payloads yield resize_ok=false,
+    * zeroed stats, empty payload — never an exception. */
+  def resizeImageKernel(id: Long, payload: Array[Byte], w: Int, h: Int)
+      : ResizedImage = {
+    require(w > 0 && h > 0, s"target dims must be positive: ${w}x$h")
+    val img =
+      if (payload == null || payload.length == 0) null
+      else
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: Exception => null }
+    if (img == null || img.getWidth == 0 || img.getHeight == 0)
+      ResizedImage(id, 0, 0, resize_ok = false, 0.0, 0.0, 0.0, Array.empty)
+    else {
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < h) {
+        val sy = (y.toLong * img.getHeight / h).toInt
+        var x = 0
+        while (x < w) {
+          val sx = (x.toLong * img.getWidth / w).toInt
+          val rgb = img.getRGB(sx, sy)
+          out.setRGB(x, y, rgb)
+          sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      ResizedImage(id, w, h, resize_ok = true,
+        sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, bos.toByteArray)
+    }
+  }
+
+  /** Distributed REAL image resize — [[decodeImages]]'s contract (optional
+    * repartition, per-partition codec init, ImageIO disk cache off) over
+    * [[resizeImageKernel]]. The payload column in/out is the whole row
+    * weight, so at 100 TB this is the canonical "byte-heavy map" stage:
+    * scan-bound, no shuffle unless `partitions` forces a re-balance. */
+  def resizeImages(media: DataFrame, width: Int, height: Int,
+      partitions: Int = 0): Dataset[ResizedImage] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val src = if (partitions > 0) media.repartition(partitions, col("media_id")) else media
+    src.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, payload) => resizeImageKernel(id, payload, width, height) }
+      }
+  }
 }

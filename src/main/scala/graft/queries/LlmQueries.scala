@@ -801,6 +801,45 @@ object LlmQueries extends graft.QueryModule {
             element_at(col("mean_channel"), 3)).as("m2"))
     }),
 
+    // REAL image resize (nearest-neighbor kernel, PNG re-encode): solid
+    // RGB sources — any correct resampling preserves per-channel means
+    // EXACTLY, so the oracle is pure id arithmetic; one corrupt payload
+    // exercises the fail-closed row. The resampling arithmetic itself and
+    // the PNG roundtrip are locked on gradient rasters in Round9Spec.
+    "q186_image_resize" -> ((s, d) => {
+      import java.awt.image.BufferedImage
+      val ids = graft.operators.Locators.filterImages(
+        graft.operators.Locators.getSplit(Tables.datasetView(s, d), Some("P")),
+        col("id") % 100 === 0).images
+        .select(col("id")).collect().map(_.getLong(0)).sorted
+      def enc(img: BufferedImage): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+      val rows: Seq[(Long, Array[Byte])] = ids.toSeq.map { id =>
+        if (id % 500 == 300) (id, s"not_an_image_$id".getBytes("US-ASCII"))
+        else {
+          val w = (4 + id % 13).toInt; val h = (4 + (id / 13) % 11).toInt
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          val rgb = (((id * 11) % 256).toInt << 16) |
+            (((id * 29) % 256).toInt << 8) | ((id * 53) % 256).toInt
+          var y = 0
+          while (y < h) {
+            var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1
+          }
+          (id, enc(img))
+        }
+      }
+      import s.implicits._
+      val media = rows.toDF("media_id", "payload")
+      graft.llm.Multimodal.resizeImages(media, width = 16, height = 16).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("resize_ok"), round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
+    }),
+
     // REAL audio decode (javax.sound.sampled header parse, distributed).
     // Same fixture pattern as q97: per subset image id, (id/100)%4 plants
     // a PCM WAV (varying rate/channels/frames), a corrupt payload, or
@@ -1952,6 +1991,21 @@ object LlmQueries extends graft.QueryModule {
     // the planted-fixture arithmetic: k=(id/100)%5 selects the payload
     // branch, PNG rows reproduce exact solid-color means, JPEG rows
     // dims/channels only, corrupt/null rows ok=false with zeroed dims
+    "q186_image_resize" ->
+      s"""${Tables.viewCte},
+         |sub AS (SELECT id FROM images WHERE split = 'P' AND id % 100 = 0)
+         |SELECT id AS media_id,
+         |  CAST(CASE WHEN id % 500 = 300 THEN 0 ELSE 16 END AS INT) AS width,
+         |  CAST(CASE WHEN id % 500 = 300 THEN 0 ELSE 16 END AS INT) AS height,
+         |  id % 500 <> 300 AS resize_ok,
+         |  CAST(CASE WHEN id % 500 = 300 THEN 0
+         |            ELSE (id * 11) % 256 END AS DOUBLE) AS mean_r,
+         |  CAST(CASE WHEN id % 500 = 300 THEN 0
+         |            ELSE (id * 29) % 256 END AS DOUBLE) AS mean_g,
+         |  CAST(CASE WHEN id % 500 = 300 THEN 0
+         |            ELSE (id * 53) % 256 END AS DOUBLE) AS mean_b
+         |FROM sub""".stripMargin,
+
     "q97_image_decode" ->
       s"""${Tables.viewCte},
          |sub AS (SELECT id, (id // 100) % 5 AS k,

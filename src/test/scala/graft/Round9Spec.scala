@@ -252,6 +252,34 @@ class Round9Spec extends SparkFunSuite {
     assert(got.toSeq == Seq((3L, 1), (7L, 2)))
   }
 
+  // ---- resizeImages -------------------------------------------------
+
+  test("resizeImageKernel: nearest-neighbor on a gradient, PNG roundtrip") {
+    import java.awt.image.BufferedImage
+    // 4x2 source, pixel (x,y) has r = 10x, g = 20y, b = x+y
+    val img = new BufferedImage(4, 2, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, (10 * x << 16) | (20 * y << 8) | (x + y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val r = graft.llm.Multimodal.resizeImageKernel(1L, bos.toByteArray, 2, 2)
+    assert(r.resize_ok && r.width == 2 && r.height == 2)
+    // dst x=0→src 0, x=1→src 2; y maps 0→0, 1→1
+    // pixels: (0,0)(2,0)(0,1)(2,1) → r ∈ {0,20,0,20}, g ∈ {0,0,20,20},
+    // b ∈ {0,2,1,3}
+    assert(r.mean_r == 10.0 && r.mean_g == 10.0 && r.mean_b == 1.5)
+    // PNG is lossless: decoding the output reproduces the same means
+    val back = graft.llm.Multimodal.decodeImageKernel(1L, r.png)
+    assert(back.decode_ok && back.width == 2 && back.height == 2)
+    assert(back.mean_channel.toSeq == Seq(10.0, 10.0, 1.5))
+  }
+
+  test("resizeImageKernel fails closed on garbage") {
+    val r = graft.llm.Multimodal.resizeImageKernel(7L,
+      "junk".getBytes("US-ASCII"), 16, 16)
+    assert(!r.resize_ok && r.width == 0 && r.png.isEmpty)
+  }
+
   // ---- unkifyRareTokens ------------------------------------------------
 
   test("unkifyRareTokens masks below-threshold tokens in order") {
