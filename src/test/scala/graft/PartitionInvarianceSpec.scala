@@ -107,6 +107,19 @@ class PartitionInvarianceSpec extends SparkFunSuite {
     "q167_format_detect",       // pure-map marker counting
     "q168_decontam_holdout",    // split -> shingle sweep composition
     "q169_corpus_diversity",    // hash sample + pair mean
+    "q172_adc_rerank",          // ADC shortlist -> exact-cosine rerank
+    "q173_snapshot_diff",       // map-side hashes + full-outer id join
+    "q174_link_extract",        // regexp harvest (pure map)
+    "q175_semantic_decontam",   // broadcast cosine + per-id max
+    "q176_lsh_plan",            // closed-form S-curve grid
+    "q177_source_drift",        // two-level partial aggs + z-scores
+    "q178_hybrid_rrf",          // BM25 ⊕ cosine reciprocal-rank fusion
+    "q179_host_pagerank",       // iterative rank joins + dangling mass
+    "q180_fix_mojibake",        // literal replace chain (pure map)
+    "q181_sentence_segment",    // regexp segmentation (pure map)
+    "q183_vocab_coverage",      // distributed prefix sum (offset invariance)
+    "q184_anchor_texts",        // zipped two-group regexp harvest
+    "q185_unkify",              // count join + ordered reassembly
     "q123_web_curation_e2e")    // composed clean -> quality -> cap chain
 
   test("gate outputs are invariant to the shuffle partition count") {
