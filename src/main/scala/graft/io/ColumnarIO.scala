@@ -42,7 +42,11 @@ object OrcIO {
   * ([[Jsonl]]). The reader takes an EXPLICIT schema and fails closed
   * (FAILFAST) — CSV has no footer, and schema inference is a full extra
   * pass over the data. A distinct `nullValue` sentinel keeps NULL and the
-  * empty string distinguishable (bare CSV conflates them). */
+  * empty string distinguishable (bare CSV conflates them) — the format's
+  * one residual ambiguity: a field whose entire VALUE is the sentinel
+  * `\N` reads back as NULL (a larger sentinel only moves the collision;
+  * CSV has no out-of-band null). Corpora needing exact arbitrary-string
+  * fidelity ship parquet/ORC/JSONL; CSV is the interop path. */
 object CsvIO {
 
   private val NullSentinel = "\\N"
