@@ -25,6 +25,19 @@ object ExtraQueries extends graft.QueryModule {
   }
 
   val defs: Map[String, Q] = Map(
+    // Morton (z-order) clustering key over two 10-bit bucketed dims —
+    // pure shift/mask integer arithmetic, identical in any engine with
+    // bit ops. The layout face (range-partitioned clustered write, both
+    // dims' per-file ranges compact) is spec-locked in Round9Spec.
+    "q187_zorder_key" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_orderkey") % 50 === 0)
+      li.select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_partkey"),
+        graft.operators.ZOrder.zOrderKey(
+          pmod(col("l_orderkey"), lit(1024)), pmod(col("l_partkey"), lit(1024)),
+          bits = 10).as("z"))
+    }),
+
     // §2.4 match_index: realign ids to another dataset via relative_path
     "q42_match_index" -> ((s, d) => {
       val ds = Tables.datasetView(s, d)
@@ -366,6 +379,19 @@ object ExtraQueries extends graft.QueryModule {
   import Tables.viewCte
 
   val oracles: Map[String, String] = Map(
+    "q187_zorder_key" -> {
+      val z = (0 until 10).map(i =>
+        s"((((a >> $i) & 1) << ${2 * i}) | (((b >> $i) & 1) << ${2 * i + 1}))")
+        .mkString(" | ")
+      s"""WITH t AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         |             l_partkey,
+         |             l_orderkey % 1024 AS a, l_partkey % 1024 AS b
+         |           FROM lineitem WHERE l_orderkey % 50 = 0)
+         |SELECT l_orderkey, l_linenumber, l_partkey,
+         |       CAST($z AS BIGINT) AS z
+         |FROM t""".stripMargin
+    },
+
     "q42_match_index" ->
       s"""$viewCte
          |SELECT (a.image_id + 7) % 10 AS bucket, count(*) AS count

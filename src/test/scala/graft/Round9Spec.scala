@@ -252,6 +252,46 @@ class Round9Spec extends SparkFunSuite {
     assert(got.toSeq == Seq((3L, 1), (7L, 2)))
   }
 
+  // ---- ZOrder ---------------------------------------------------------
+
+  test("zOrderKey interleaves bits (known values)") {
+    // a=10 (1010), b=6 (0110), bits=4: even bits from a → 4+64, odd from
+    // b → 8+32 ⇒ z=108
+    val got = Seq((10L, 6L)).toDF("a", "b")
+      .select(graft.operators.ZOrder.zOrderKey(col("a"), col("b"), 4).as("z"))
+      .head().getLong(0)
+    assert(got == 108L)
+    // masking: values ≥ 2^bits wrap to their low bits
+    val wrapped = Seq((10L + 16L, 6L + 32L)).toDF("a", "b")
+      .select(graft.operators.ZOrder.zOrderKey(col("a"), col("b"), 4).as("z"))
+      .head().getLong(0)
+    assert(wrapped == 108L)
+  }
+
+  test("zOrderWrite clusters BOTH dimensions into compact per-file ranges") {
+    // 64x64 grid; z-order into 16 files → each file covers ~a 16x16 tile,
+    // so per-file ranges on both dims are far below the global 0..63
+    val grid = spark.range(64L * 64)
+      .select((col("id") / 64).cast("long").as("x"),
+        (col("id") % 64).cast("long").as("y"))
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    graft.operators.ZOrder.zOrderWrite(grid, dir, "x", "y",
+      bits = 6, partitions = 16)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length == 16)
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(max(col("x")) - min(col("x")), max(col("y")) - min(col("y")))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // every file's span on each dim is at most half the global range
+    // (perfect tiles would be 15; allow boundary slack)
+    spans.foreach { case (sx, sy) => assert(sx <= 32 && sy <= 32,
+      s"file covers ($sx, $sy) of a 63-range dim — not clustered") }
+  }
+
   // ---- resizeImages -------------------------------------------------
 
   test("resizeImageKernel: nearest-neighbor on a gradient, PNG roundtrip") {
