@@ -294,6 +294,45 @@ object Sampling {
     rows.toSeq.toDF(langCol, tokensCol, "share", "alloc_tokens", "epochs")
   }
 
+  /** Length-bucketed batching profile — the padding-waste accounting
+    * behind bucketed batch assembly (group similar-length sequences so a
+    * batch pads to its own max, not the corpus max): assign each document
+    * to the first bucket whose upper `boundary` its token count fits
+    * (counts past the last boundary land in an overflow bucket), then per
+    * bucket report size, observed max, token sum, and the padding waste a
+    * per-bucket batcher would pay — `n·max − Σlen`, which needs only
+    * aggregates (no window, no second pass). `waste_share` is waste over
+    * padded volume (`n·max`).
+    *
+    * One when-chain map + one partial-agg groupBy over ≤ |boundaries|+1
+    * keys — scan-bound at any corpus size. Returns (bucket, bound,
+    * n_docs, max_tokens, sum_tokens, waste, waste_share[round 6]). */
+  def lengthBucketProfile(docs: DataFrame, boundaries: Seq[Int],
+      tokens: Column): DataFrame = {
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted &&
+      boundaries.distinct == boundaries, "boundaries must be sorted, distinct")
+    val t = tokens.cast("long")
+    val bucket = boundaries.zipWithIndex.foldRight(
+        lit(boundaries.length).as("bucket")) { case ((b, i), acc) =>
+      when(t <= b, lit(i)).otherwise(acc).as("bucket")
+    }
+    // overflow bucket's bound is -1 ("unbounded")
+    val bound = boundaries.zipWithIndex.foldRight(
+        lit(-1L)) { case ((b, _), acc) =>
+      when(t <= b, lit(b.toLong)).otherwise(acc)
+    }
+    docs.select(bucket.cast("long").as("bucket"), bound.as("bound"), t.as("__t"))
+      .groupBy(col("bucket"), col("bound"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("__t")).as("max_tokens"),
+        sum(col("__t")).as("sum_tokens"))
+      .withColumn("waste", col("n_docs") * col("max_tokens") - col("sum_tokens"))
+      .withColumn("waste_share",
+        when(col("n_docs") * col("max_tokens") === 0, 0.0)
+          .otherwise(round(col("waste").cast("double") /
+            (col("n_docs") * col("max_tokens")).cast("double"), 6)))
+  }
+
   def epochShuffle(docs: DataFrame, numShards: Int, epoch: Long = 0,
       idCol: String = "doc_id"): DataFrame = {
     require(numShards > 0, s"numShards must be positive: $numShards")

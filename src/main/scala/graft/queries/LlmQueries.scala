@@ -73,6 +73,13 @@ object LlmQueries extends graft.QueryModule {
       graft.llm.Corpus.snapshotDiff(oldSnap, newSnap)
     }),
 
+    // length-bucketed batching profile at boundaries 16/24/32 tokens —
+    // pure integer aggregates (waste = n·max − Σlen needs no window)
+    "q188_length_buckets" -> ((s, d) =>
+      graft.llm.Sampling.lengthBucketProfile(Tables.documents(s, d),
+        boundaries = Seq(16, 24, 32),
+        tokens = size(split(lower(trim(col("text"))), "\\s+")))),
+
     // rare-token masking at minCount=2 over docs with planted singleton
     // tokens (every 5th doc gets a unique 'uniqtokN') — exactly those
     // become <unk>; text reassembles in token order, lowercased/
@@ -1043,6 +1050,26 @@ object LlmQueries extends graft.QueryModule {
         |            WHEN o.text <> n.text THEN 'changed'
         |            ELSE 'unchanged' END AS status
         |FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id""".stripMargin,
+
+    "q188_length_buckets" ->
+      """WITH t AS (SELECT CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n
+        |           FROM documents),
+        |b AS (SELECT n,
+        |        CAST(CASE WHEN n <= 16 THEN 0 WHEN n <= 24 THEN 1
+        |                  WHEN n <= 32 THEN 2 ELSE 3 END AS BIGINT) AS bucket,
+        |        CAST(CASE WHEN n <= 16 THEN 16 WHEN n <= 24 THEN 24
+        |                  WHEN n <= 32 THEN 32 ELSE -1 END AS BIGINT) AS bound
+        |      FROM t),
+        |g AS (SELECT bucket, bound, count(*) AS n_docs, max(n) AS max_tokens,
+        |             sum(n) AS sum_tokens
+        |      FROM b GROUP BY 1, 2)
+        |SELECT bucket, bound, n_docs, max_tokens,
+        |       CAST(sum_tokens AS BIGINT) AS sum_tokens,
+        |       CAST(n_docs * max_tokens - sum_tokens AS BIGINT) AS waste,
+        |       CASE WHEN n_docs * max_tokens = 0 THEN 0.0
+        |            ELSE round(CAST(n_docs * max_tokens - sum_tokens AS DOUBLE)
+        |                       / (n_docs * max_tokens), 6) END AS waste_share
+        |FROM g""".stripMargin,
 
     "q185_unkify" ->
       """WITH fab AS (SELECT doc_id,

@@ -252,6 +252,22 @@ class Round9Spec extends SparkFunSuite {
     assert(got.toSeq == Seq((3L, 1), (7L, 2)))
   }
 
+  // ---- lengthBucketProfile ---------------------------------------------
+
+  test("lengthBucketProfile buckets, bounds, and waste arithmetic") {
+    val docs = Seq(3L, 4L, 10L, 12L, 100L).map(Tuple1(_)).toDF("n")
+    val got = graft.llm.Sampling
+      .lengthBucketProfile(docs, Seq(4, 16), col("n")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    // bucket 0 (≤4): {3,4} max 4 sum 7 waste 1; bucket 1 (≤16): {10,12}
+    // max 12 sum 22 waste 2; overflow: {100} waste 0
+    assert(got(0L) == ((4L, 2L, 4L, 7L, 1L, 0.125)))
+    assert(got(1L) == ((16L, 2L, 12L, 22L, 2L,
+      BigDecimal(2.0 / 24).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got(2L) == ((-1L, 1L, 100L, 100L, 0L, 0.0)))
+  }
+
   // ---- ZOrder ---------------------------------------------------------
 
   test("zOrderKey interleaves bits (known values)") {
