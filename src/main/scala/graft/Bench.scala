@@ -39,13 +39,25 @@ object Bench {
       val all = SparkEntry.queries.keys.toSeq.sorted
       if (args.nonEmpty) all.filter(args.contains) else all
     }
+    // full storage reset between queries — the Scale harness's discipline:
+    // clearCache drops catalog-cached frames but NOT localCheckpoint RDD
+    // blocks (the pagerank/stage-fence gates create them), which otherwise
+    // accumulate across 185 queries × 8+ passes into storage-memory
+    // pressure that inflates later reps (measured: rep totals drifting
+    // 196 → 256 s across one run)
+    def resetStorage(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
     // warmup: identical plan shapes at the smallest SF, untimed
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       names.foreach { n =>
         try SparkEntry.queries(n)(spark, warmDir).count()
         catch { case _: Throwable => () }
-        spark.catalog.clearCache()
+        resetStorage()
       }
     }
     // second warmup at the TARGET SF (skippable via SPARK_GRAFT_WARM_TARGET=0):
@@ -68,7 +80,7 @@ object Bench {
         names.foreach { n =>
           try SparkEntry.queries(n)(spark, sfDir).count()
           catch { case _: Throwable => () }
-          spark.catalog.clearCache()
+          resetStorage()
         }
         val wall = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] warm pass ${pass + 1} at target SF: $wall%.1f s")
@@ -79,7 +91,7 @@ object Bench {
     }
 
     def timedPass(): Seq[(String, Double)] = names.map { name =>
-      spark.catalog.clearCache()
+      resetStorage()
       val t0 = System.nanoTime()
       val ok =
         try { SparkEntry.queries(name)(spark, sfDir).count(); true }
@@ -92,7 +104,13 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
 
-    val passes = (1 to reps).map(_ => timedPass().toMap)
+    // one GC between passes: accumulated short-lived shuffle/codegen
+    // garbage otherwise surfaces as mid-pass pauses attributed to whatever
+    // query happens to be running
+    val passes = (1 to reps).map { _ =>
+      System.gc()
+      timedPass().toMap
+    }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       s(s.length / 2)
