@@ -120,18 +120,22 @@ object StreamQueries extends graft.QueryModule {
         .createTempDirectory("graft_ingest_store").toString
       val ck = java.nio.file.Files
         .createTempDirectory("graft_ingest_ck").toString
+      // nParts sized to the gate corpus (must match between append and
+      // probe — the store records no metadata); 64 dirs × 2 appends of a
+      // 300-doc batch is all file-system overhead, no pruning benefit
+      val np = 8
       val q = s.readStream.schema(refSide.schema)
         .option("maxFilesPerTrigger", 1).parquet(srcDir)
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          graft.llm.Dedup.appendMinHashStore(batch, storeDir)
+          graft.llm.Dedup.appendMinHashStore(batch, storeDir, nParts = np)
         }
         .option("checkpointLocation", ck)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
       graft.llm.Dedup.crossCorpusNearDupsFromStore(newSide, storeDir,
-          threshold = 0.7)
+          threshold = 0.7, nParts = np)
         .select(col("new_id"), col("ref_id"),
           round(col("jaccard"), 6).as("jaccard"))
     }),
