@@ -283,6 +283,24 @@ object Curation {
       .withColumn("link_host",
         regexp_extract(col("link"), "(?i)^https?://([^/?#]+)", 1))
 
+  /** Structural template fingerprint — near-dup detection for PAGE
+    * LAYOUT rather than content: the md5 of a page's lowercased opening
+    * tag SEQUENCE (attributes and text stripped). Pages generated by the
+    * same CMS template share the fingerprint even when every visible word
+    * differs, which is how boilerplate-heavy template farms are found and
+    * capped before any content-level dedup sees them. One regexp harvest
+    * + hash per row — a pure map; the downstream `groupBy(template_fp)`
+    * is a partial-agg count. Returns the id column plus
+    * (template_fp, n_tags). */
+  def htmlTemplateFingerprint(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol),
+      regexp_extract_all(lower(col(textCol)),
+        lit("<\\s*([a-z][a-z0-9]*)"), lit(1)).as("__tags"))
+      .select(col(idCol),
+        md5(array_join(col("__tags"), " ")).as("template_fp"),
+        size(col("__tags")).as("n_tags"))
+
   /** Anchor-text harvest — [[extractLinks]] plus the visible text of each
     * `<a>…</a>` pair: (target, anchor text) tuples are a training corpus
     * in their own right (query↔document pairs for retrieval training, and

@@ -31,6 +31,33 @@ object Sampling {
       salt: String = ""): DataFrame =
     df.filter(hashUniform(keyCol, salt) < fraction)
 
+  /** Weighted EXACT-k sample without replacement (Efraimidis–Spirakis
+    * 2006, exponential-race formulation): each row draws a deterministic
+    * uniform from its key and competes with arrival time `e = −ln(u)/w`;
+    * the k smallest win — inclusion odds scale with `weight` (the
+    * quality-weighted / length-weighted corpus subsample), yet the draw
+    * is pure content hashing: no RNG state, retry-stable, co-sampling
+    * aligned across tables. Rows with null or non-positive weight are
+    * excluded. `e` is rounded to 9 decimals with a key tiebreak so the
+    * selection is a total order any engine reproduces.
+    *
+    * Plan: `TakeOrderedAndProject` (per-partition k-heaps, driver merges
+    * P heads) — the corpus never sorts or shuffles, same as
+    * [[sampleExactK]]. */
+  def sampleWeightedK(df: DataFrame, keyCol: Column, weight: Column, k: Int,
+      salt: String = ""): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    // +0.5 keeps u strictly inside (0,1): u=0 would make −ln(u) infinite
+    val u = (conv(substring(md5(concat(keyCol.cast("string"),
+      lit(":" + salt))), 1, 7), 16, 10).cast("double") + 0.5) / 268435456.0
+    val e = round(-log(u) / weight.cast("double"), 9)
+    df.filter(weight.isNotNull && weight.cast("double") > 0)
+      .withColumn("__e", e)
+      .orderBy(col("__e"), keyCol)
+      .limit(k)
+      .drop("__e")
+  }
+
   /** Leakage-safe split by GROUP (sklearn's GroupShuffleSplit shape, at
     * corpus scale): every row of a group lands in the SAME split, so
     * near-identical documents from one domain/site/session can never

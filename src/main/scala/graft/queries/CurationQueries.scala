@@ -32,6 +32,34 @@ object CurationQueries extends graft.QueryModule {
         .select(col("node"), round(col("rank"), 6).as("rank"))
     }),
 
+    // weighted exact-k (Efraimidis–Spirakis) at k=50, weight = token
+    // count: longer docs win more slots; selection is the round-9 e
+    // total order both engines replay from md5 nibbles
+    "q189_weighted_sample" -> ((s, d) => {
+      graft.llm.Sampling.sampleWeightedK(Tables.documents(s, d),
+        col("doc_id"), size(split(lower(trim(col("text"))), "\\s+")),
+        k = 50, salt = "wk")
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
+    // structural template fingerprint: two CMS-style wrappers chosen by
+    // the source name's last digit parity — text contributes no tags, so
+    // fingerprints cluster exactly by template
+    "q190_template_fp" -> ((s, d) => {
+      val odd = substring(col("source"), -1, 1).isin("1", "3", "5", "7", "9")
+      val html = concat(
+        lit("<html><head><title>t</title></head><body><div class=\"a\"><p>"),
+        col("text"), lit("</p>"),
+        when(odd, lit("<aside><ul><li>x</li></ul></aside>"))
+          .otherwise(lit("")),
+        lit("</div></body></html>"))
+      Curation.htmlTemplateFingerprint(
+        Tables.documents(s, d).select(col("doc_id"), col("source"),
+          html.as("text")))
+        .select(col("doc_id"), col("template_fp"),
+          col("n_tags").cast("long").as("n_tags"))
+    }),
+
     // anchor-text harvest over the q174 fabrication (the anchors carry
     // doc-derived text: "first", "rel", "m"): link + visible text pairs,
     // zipped from two group extractions of the same pattern.
@@ -742,6 +770,36 @@ object CurationQueries extends graft.QueryModule {
         |SELECT doc_id, link,
         |       regexp_extract(link, '(?i)^https?://([^/?#]+)', 1) AS link_host
         |FROM l""".stripMargin,
+
+    "q189_weighted_sample" -> {
+      val nibsum = (0 until 7).map { i =>
+        s"(strpos('0123456789abcdef', substring(hx, ${i + 1}, 1)) - 1)" +
+          s" * ${1L << (4 * (6 - i))}"
+      }.mkString(" + ")
+      s"""WITH h AS (SELECT doc_id, lang, source,
+         |             len(string_split_regex(lower(trim(text)), '\\s+')) AS wt,
+         |             md5(concat(CAST(doc_id AS VARCHAR), ':wk')) AS hx
+         |           FROM documents),
+         |e AS (SELECT doc_id, lang, source,
+         |        round(-ln((($nibsum) + 0.5) / 268435456.0) / wt, 9) AS e
+         |      FROM h WHERE wt > 0)
+         |SELECT doc_id, lang, source FROM e ORDER BY e, doc_id LIMIT 50""".stripMargin
+    },
+
+    "q190_template_fp" ->
+      """WITH fab AS (SELECT doc_id,
+        |  '<html><head><title>t</title></head><body><div class="a"><p>'
+        |  || text || '</p>'
+        |  || CASE WHEN right(source, 1) IN ('1','3','5','7','9')
+        |       THEN '<aside><ul><li>x</li></ul></aside>' ELSE '' END
+        |  || '</div></body></html>' AS html
+        |  FROM documents),
+        |t AS (SELECT doc_id,
+        |        regexp_extract_all(lower(html), '<\s*([a-z][a-z0-9]*)', 1) AS tags
+        |      FROM fab)
+        |SELECT doc_id, md5(array_to_string(tags, ' ')) AS template_fp,
+        |       CAST(len(tags) AS BIGINT) AS n_tags
+        |FROM t""".stripMargin,
 
     "q92_hash_sample" ->
       s"""WITH h AS (SELECT doc_id,

@@ -120,6 +120,10 @@ class PartitionInvarianceSpec extends SparkFunSuite {
     "q183_vocab_coverage",      // distributed prefix sum (offset invariance)
     "q184_anchor_texts",        // zipped two-group regexp harvest
     "q185_unkify",              // count join + ordered reassembly
+    "q187_zorder_key",          // pure bit arithmetic (map)
+    "q188_length_buckets",      // when-chain buckets + partial aggs
+    "q189_weighted_sample",     // exponential-race weighted top-k
+    "q190_template_fp",         // tag-sequence hash (pure map)
     "q123_web_curation_e2e")    // composed clean -> quality -> cap chain
 
   test("gate outputs are invariant to the shuffle partition count") {

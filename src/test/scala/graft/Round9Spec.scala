@@ -252,6 +252,51 @@ class Round9Spec extends SparkFunSuite {
     assert(got.toSeq == Seq((3L, 1), (7L, 2)))
   }
 
+  // ---- sampleWeightedK ---------------------------------------------------
+
+  test("sampleWeightedK favors heavy weights and excludes non-positive ones") {
+    // one giant weight among many tiny ones: the giant must always win a
+    // k=1 draw (its e = -ln(u)/1e9 is < 1e-8·ln-range, tiny weights' e
+    // are ~1e2 larger); zero/null-weight rows are never eligible
+    val docs = (1L to 100L).map(i => (i, if (i == 42) 1e9 else 0.01))
+      .toDF("id", "w")
+      .unionByName(Seq((200L, 0.0), (201L, -1.0)).toDF("id", "w"))
+    val got = graft.llm.Sampling
+      .sampleWeightedK(docs, col("id"), col("w"), k = 1)
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(42L))
+    // k larger than eligible rows returns all eligible, none excluded
+    val all = graft.llm.Sampling
+      .sampleWeightedK(docs, col("id"), col("w"), k = 500)
+      .collect().map(_.getLong(0)).toSet
+    assert(all == (1L to 100L).toSet)
+  }
+
+  test("sampleWeightedK is deterministic and salt-sensitive") {
+    val docs = (1L to 50L).map(i => (i, 1.0)).toDF("id", "w")
+    def run(salt: String) = graft.llm.Sampling
+      .sampleWeightedK(docs, col("id"), col("w"), 10, salt)
+      .collect().map(_.getLong(0)).toSet
+    assert(run("a") == run("a"))
+    assert(run("a") != run("b"))
+  }
+
+  // ---- htmlTemplateFingerprint -------------------------------------------
+
+  test("htmlTemplateFingerprint clusters by tag sequence, not content") {
+    val docs = Seq(
+      (1L, "<html><body><p>alpha beta</p></body></html>"),
+      (2L, "<HTML ><BODY class=\"x\"><P id=\"3\">totally different</P></BODY></HTML>"),
+      (3L, "<html><body><div>extra layer</div></body></html>")
+    ).toDF("doc_id", "text")
+    val got = Curation.htmlTemplateFingerprint(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val byId = got.map(t => t._1 -> t._2).toMap
+    assert(byId(1L) == byId(2L)) // same template despite case/attrs/content
+    assert(byId(1L) != byId(3L))
+    assert(got.forall(_._3 == 3))
+  }
+
   // ---- lengthBucketProfile ---------------------------------------------
 
   test("lengthBucketProfile buckets, bounds, and waste arithmetic") {
