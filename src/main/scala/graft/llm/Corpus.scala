@@ -73,6 +73,56 @@ object Corpus {
     train.join(broadcast(bad), Seq(idCol), "left_anti")
   }
 
+  /** TF-IDF sparse-cosine retrieval — the vector-space-model face of the
+    * lexical trio ([[bm25TopK]] = probabilistic, this = VSM, dense cosine
+    * = [[Similarity.bruteForceTopK]]): score(q, d) = Σ_t w_qt·w_dt /
+    * (‖q‖·‖d‖) with the [[tfIdf]] smoothed weights on BOTH sides (query
+    * idf comes from the CORPUS df table; query terms absent from the
+    * corpus get df = 0 — they match nothing but still count toward ‖q‖,
+    * the textbook convention). Query term FREQUENCY matters here (unlike
+    * BM25's de-duplicated terms). Ranks on the round-6 score, doc-id
+    * tiebreak.
+    *
+    * Same 100-TB plan as [[bm25TopK]]: one postings shuffle, broadcast
+    * query side, broadcast one-row stats, document norms as one extra
+    * partial agg over the weights frame, two-phase final top-k. */
+  def tfIdfCosineTopK(docs: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      queryIdCol: String = "query_id", queryTextCol: String = "query")
+      : DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val toks = docs.select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = toks.select(col(idCol)).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val idf = (log((col("n_docs") + 1).cast("double") /
+      (coalesce(col("df"), lit(0L)) + 1)) + 1.0)
+    val wd = tf.join(dft, Seq("term")).crossJoin(broadcast(stats))
+      .select(col(idCol), col("term"), (col("tf") * idf).as("wd"))
+    val nd = wd.groupBy(col(idCol))
+      .agg(sqrt(sum(col("wd") * col("wd"))).as("nd"))
+    val qtf = queries.select(col(queryIdCol),
+        explode(split(lower(trim(col(queryTextCol))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col(queryIdCol), col("term")).agg(count(lit(1)).as("tf"))
+    val wq = qtf.join(dft, Seq("term"), "left").crossJoin(broadcast(stats))
+      .select(col(queryIdCol), col("term"), (col("tf") * idf).as("wq"))
+    val nq = wq.groupBy(col(queryIdCol))
+      .agg(sqrt(sum(col("wq") * col("wq"))).as("nq"))
+    val scored = wd.join(broadcast(wq), Seq("term"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(col("wq") * col("wd")).as("__dot"))
+      .join(nd, Seq(idCol))
+      .join(broadcast(nq), Seq(queryIdCol))
+      .select(col(queryIdCol), col(idCol),
+        round(col("__dot") / (col("nq") * col("nd")), 6).as("score"))
+    graft.operators.TopK.topKPerQuery(scored, queryIdCol,
+      Seq(desc("score"), col(idCol)), k)
+  }
+
   /** Per-(doc, term) TF-IDF over whitespace tokens:
     * `score = tf · (ln((N + 1) / (df + 1)) + 1)` (smoothed idf, sklearn
     * convention). N is carried as a broadcast one-row frame — no driver

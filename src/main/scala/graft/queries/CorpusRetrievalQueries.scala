@@ -158,6 +158,20 @@ object CorpusRetrievalQueries extends graft.QueryModule {
         threshold = 0.35)
     }),
 
+    // TF-IDF sparse-cosine retrieval (the VSM face next to q117's BM25):
+    // same first-6-words queries, term FREQUENCY kept (unlike BM25's
+    // distinct terms), norms on both sides, round-6 + doc-id rank.
+    "q191_tfidf_cosine_topk" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val queries = docs.filter(col("doc_id") % 100 === 7)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(lower(trim(col("text"))), "\\s+"), 1, 6), " ")
+            .as("query"))
+      Corpus.tfIdfCosineTopK(docs, queries, k = 10)
+        .select(col("query_id"), col("doc_id"), col("score"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     // hybrid retrieval: BM25 top-20 (lexical) ⊕ exact-cosine top-20
     // (dense, embeddings keyed by the same ids) fused with RRF(60),
     // top-10 per query. Both source rankings use their gates' own
@@ -688,6 +702,40 @@ object CorpusRetrievalQueries extends graft.QueryModule {
     "q121_pq_adc_topk" -> pqAdcSql,
 
     "q172_adc_rerank" -> pqRerankSql,
+
+    "q191_tfidf_cosine_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |t AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT count(DISTINCT doc_id) AS n_docs FROM t),
+        |wd AS (SELECT doc_id, term,
+        |         tf * (ln((s.n_docs + 1.0) / (df + 1)) + 1) AS wd
+        |       FROM tf JOIN dft USING (term) CROSS JOIN stats s),
+        |nd AS (SELECT doc_id, sqrt(sum(wd*wd)) AS nd FROM wd GROUP BY 1),
+        |qraw AS (SELECT doc_id AS query_id,
+        |           unnest((string_split_regex(lower(trim(text)), '\s+'))[1:6]) AS term
+        |         FROM documents WHERE doc_id % 100 = 7),
+        |qtf AS (SELECT query_id, term, count(*) AS tf FROM qraw
+        |        WHERE length(term) > 0 GROUP BY 1, 2),
+        |wq AS (SELECT query_id, term,
+        |         tf * (ln((s.n_docs + 1.0) / (coalesce(df, 0) + 1)) + 1) AS wq
+        |       FROM qtf LEFT JOIN dft USING (term) CROSS JOIN stats s),
+        |nq AS (SELECT query_id, sqrt(sum(wq*wq)) AS nq FROM wq GROUP BY 1),
+        |c AS (SELECT wq.query_id, wd.doc_id, sum(wq.wq * wd.wd) AS dot
+        |      FROM wq JOIN wd USING (term) GROUP BY 1, 2),
+        |sc AS (SELECT c.query_id, c.doc_id,
+        |         round(c.dot / (nq.nq * nd.nd), 6) AS score
+        |       FROM c JOIN nd USING (doc_id) JOIN nq USING (query_id)),
+        |r AS (SELECT query_id, doc_id, score,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY score DESC, doc_id) AS rank
+        |      FROM sc)
+        |SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 10""".stripMargin,
 
     // q117's BM25 chain at k=20 ⊕ q32's cosine chain at k=20 → RRF(60)
     "q178_hybrid_rrf" ->

@@ -124,6 +124,7 @@ class PartitionInvarianceSpec extends SparkFunSuite {
     "q188_length_buckets",      // when-chain buckets + partial aggs
     "q189_weighted_sample",     // exponential-race weighted top-k
     "q190_template_fp",         // tag-sequence hash (pure map)
+    "q191_tfidf_cosine_topk",   // VSM postings + norm joins + ranked top-k
     "q123_web_curation_e2e")    // composed clean -> quality -> cap chain
 
   test("gate outputs are invariant to the shuffle partition count") {
