@@ -252,6 +252,37 @@ class Round9Spec extends SparkFunSuite {
     assert(got.toSeq == Seq((3L, 1), (7L, 2)))
   }
 
+  // ---- tfIdfCosineTopK -----------------------------------------------
+
+  test("tfIdfCosineTopK: self-query scores 1.0 and ranks first") {
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple banana banana"),
+      (3L, "dog elephant fox")
+    ).toDF("doc_id", "text")
+    val queries = docs.filter(col("doc_id") === 1)
+      .select(col("doc_id").as("query_id"), col("text").as("query"))
+    val got = Corpus.tfIdfCosineTopK(docs, queries, k = 3).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).sortBy(_._3)
+    // identical weight vector → cosine exactly 1.0 at rank 1
+    assert(got.head == ((1L, 1.0, 1)))
+    // doc 2 shares terms; doc 3 shares none → absent (sparse inner join:
+    // zero-overlap candidates never materialize, by design)
+    assert(got.length == 2)
+    assert(got(1)._1 == 2L && got(1)._2 > 0 && got(1)._2 < 1)
+  }
+
+  test("tfIdfCosineTopK: out-of-corpus query terms dilute the norm") {
+    val docs = Seq((1L, "apple"), (2L, "banana")).toDF("doc_id", "text")
+    val q1 = Seq((10L, "apple")).toDF("query_id", "query")
+    val q2 = Seq((10L, "apple zzz_unknown")).toDF("query_id", "query")
+    def top(q: org.apache.spark.sql.DataFrame) =
+      Corpus.tfIdfCosineTopK(docs, q, k = 1).head()
+    // the unknown term can't match but inflates ‖q‖ → lower cosine
+    assert(top(q1).getDouble(2) == 1.0)
+    assert(top(q2).getDouble(2) < 1.0)
+  }
+
   // ---- sampleWeightedK ---------------------------------------------------
 
   test("sampleWeightedK favors heavy weights and excludes non-positive ones") {
