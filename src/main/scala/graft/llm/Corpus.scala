@@ -18,8 +18,10 @@ import org.apache.spark.storage.StorageLevel
   *    partial (map-side combine). The document-frequency table joins back on
   *    `term` — a shuffle join keyed by term, which AQE converts to a
   *    broadcast when the vocabulary is small.
-  *  - packing is one window per group (single shuffle on the group key);
-  *    groups are bounded (a source/shard), never the whole corpus.
+  *  - packing runs the same distributed prefix sum as [[Corpus.vocabCoverage]]
+  *    (range partition on (group, order), P-bounded boundary offsets through
+  *    the driver, partition-local windows) — no group, however dominant, ever
+  *    funnels its stream through one sort task.
   */
 object Corpus {
 
@@ -736,15 +738,78 @@ object Corpus {
     * `blockTokens`-sized context windows. Each document is assigned to the
     * pack where it STARTS (`pack_id`), with its token offset inside the
     * stream — the standard "pack then split" LLM pretraining layout. All
-    * arithmetic is integer, so results are engine-exact. */
+    * arithmetic is integer, so results are engine-exact.
+    *
+    * The per-group running token sum is a DISTRIBUTED prefix sum, not a
+    * `Window.partitionBy(group)` cumsum: one crawl source can own 80% of a
+    * real corpus, and a per-group window would funnel that source's entire
+    * doc stream through ONE sort task. Instead ([[vocabCoverage]]'s
+    * machinery, applied per group): rows are range-partitioned and sorted
+    * on (group, order); under range partitioning only each partition's
+    * FIRST and LAST group can continue across a boundary, so the
+    * per-partition token sums of those ≤ 2P edge groups (P = shuffle
+    * partitions — never data-sized) come to the driver, exclusive offsets
+    * are chained per group in partition order, and the ≤ P−1 non-zero
+    * offsets broadcast back onto a partition-local window. Exactness is
+    * boundary-invariant: offsets are computed from the partitions' actual
+    * contents, so the sampled range boundaries only affect load balance,
+    * never values.
+    *
+    * Contracts: `groupCol` must be non-null and `orderCol` unique within a
+    * group (both hold for (source, doc_id); same total-order requirement as
+    * before). The range-partitioned frame is persisted (`storage`) because
+    * the offset pass and the result plan both consume it AND the two reads
+    * must see one consistent partition assignment; the cache is
+    * caller-owned — clear the catalog after materializing, as gates do. */
   def packSequences(docs: DataFrame, blockTokens: Long,
       groupCol: String = "source", orderCol: String = "doc_id",
-      tokensCol: String = "n_tokens"): DataFrame = {
-    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
-    docs.withColumn("stream_end", sum(col(tokensCol)).over(w))
+      tokensCol: String = "n_tokens",
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val spark = docs.sparkSession
+    val parts = docs
+      .repartitionByRange(col(groupCol), col(orderCol))
+      .sortWithinPartitions(col(groupCol), col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist(storage)
+    // per-(partition, group) token sums, restricted to each partition's
+    // edge groups (min/max group per pid) — the only groups range
+    // partitioning can split across partitions
+    val gsums = parts.groupBy(col("__pid"), col(groupCol))
+      .agg(sum(col(tokensCol)).as("__toks"))
+    val edges = gsums.groupBy(col("__pid"))
+      .agg(min(col(groupCol)).as("__g1"), max(col(groupCol)).as("__g2"))
+    val boundary = gsums.join(broadcast(edges), Seq("__pid"))
+      .filter(col(groupCol) === col("__g1") || col(groupCol) === col("__g2"))
+      .select(col("__pid"), col(groupCol), col("__toks"))
+      .collect() // ≤ 2P rows — the splitter's documented driver-sized pattern
+      .sortBy(_.getInt(0))
+    // chain exclusive per-group offsets across partitions in pid order;
+    // only non-zero offsets ship back (≤ one continued group per boundary)
+    val acc = scala.collection.mutable.HashMap.empty[Any, Long]
+    val offRows = boundary.flatMap { r =>
+      val g = r.get(1)
+      val t = if (r.isNullAt(2)) 0L else r.getLong(2)
+      val off = acc.getOrElse(g, 0L)
+      acc(g) = off + t
+      if (off > 0L) Some(org.apache.spark.sql.Row(r.getInt(0), g, off)) else None
+    }
+    val offSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__pid",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      gsums.schema(groupCol),
+      org.apache.spark.sql.types.StructField("__goff",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val offsets = spark.createDataFrame(
+      java.util.Arrays.asList(offRows: _*), offSchema)
+    val w = Window.partitionBy(col("__pid"), col(groupCol))
+      .orderBy(col(orderCol))
+    parts.join(broadcast(offsets), Seq("__pid", groupCol), "left")
+      .withColumn("stream_end",
+        coalesce(col("__goff"), lit(0L)) + sum(col(tokensCol)).over(w))
       .withColumn("stream_start", col("stream_end") - col(tokensCol))
       .withColumn("pack_id", floor(col("stream_start") / blockTokens))
-      .drop("stream_end")
+      .select(docs.columns.map(col).toSeq
+        :+ col("stream_start") :+ col("pack_id"): _*)
   }
 
   /** Per-pack summary of [[packSequences]]: document count, token count and
@@ -819,9 +884,17 @@ object Corpus {
     * computed from the partitions' actual contents, so the (seeded,
     * sampled) range boundaries only affect load balance, never values.
     *
-    * Returns (term, cnt, rank, cum_share [round 6], selected). */
+    * Returns (term, cnt, rank, cum_share [round 6], selected).
+    *
+    * CACHE CONTRACT (surfaced in the signature via `storage`): the
+    * range-partitioned term frame is persisted because the offset pass
+    * and the result plan must read ONE consistent partition assignment;
+    * the cache is caller-owned — materialize the result, then clear the
+    * catalog (as every gate does), or repeated calls accumulate cached
+    * blocks. */
   def vocabCoverage(docs: DataFrame, coverage: Double = 0.9,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(coverage > 0 && coverage <= 1, s"coverage in (0,1]: $coverage")
     val spark = docs.sparkSession
     val counts = docs
@@ -830,13 +903,14 @@ object Corpus {
       .groupBy("term").agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).cast("double").as("__tot"))
     // persisted because the frame is consumed twice (offset aggregation,
-    // then the result plan); caller-owned, like the dedup pipelines'
-    // guard caches — clear the catalog after materializing, as gates do
+    // then the result plan) AND both reads must see one pid assignment;
+    // caller-owned, like the dedup pipelines' guard caches — clear the
+    // cache catalog after materializing, as gates do
     val parts = counts
       .repartitionByRange(col("cnt").desc, col("term").asc)
       .sortWithinPartitions(col("cnt").desc, col("term").asc)
       .withColumn("__pid", spark_partition_id())
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(storage)
     val psums = parts.groupBy("__pid")
       .agg(count(lit(1)).as("rows"), sum(col("cnt")).as("toks"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))

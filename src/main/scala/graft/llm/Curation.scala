@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Web-corpus curation heuristics from the public C4 (Raffel et al. 2020,
   * "Exploring the Limits of Transfer Learning", §2.2) and RefinedWeb
@@ -490,7 +491,12 @@ object Curation {
     * external oracle replays verbatim). Not a general ftfy: it repairs
     * the high-frequency sequences that dominate real crawls and never
     * touches clean text (every source sequence starts Ã/Â/â, all rare in
-    * intact prose). */
+    * intact prose). Known limit, by design: the chain runs ONCE in fixed
+    * longest-first order, so TRIPLE-encoded input (mojibake of mojibake)
+    * can surface a recognizable sequence after that family's replace
+    * already ran and stay partially repaired — fixing that would need a
+    * fixpoint loop whose cost and oracle-replayability don't pay for a
+    * corruption mode real crawls rarely exhibit. */
   def fixMojibake(text: Column): Column =
     mojibakeTable.foldLeft(text) { case (c, (bad, good)) =>
       org.apache.spark.sql.functions.replace(c, lit(bad), lit(good))
@@ -500,8 +506,11 @@ object Curation {
     * (CommonCrawl publishes exactly this as host-level ranks; pipelines
     * use it to up-weight reputable domains before any content filter).
     * `edges` is (src, dst) host pairs (multi-edges are collapsed, self
-    * loops dropped); returns every node with its rank after `iters`
-    * power-iteration steps at damping `d`:
+    * loops dropped from the LINK structure — but every host named by any
+    * raw edge, including one whose only edges are self-loops, stays in
+    * the node set as a dangling node with baseline mass); returns every
+    * node with its rank after `iters` power-iteration steps at damping
+    * `d`:
     *
     *   r' = (1−d)/N + d·(Σ_in r/outdeg + dangling_mass/N)
     *
@@ -513,19 +522,31 @@ object Curation {
     * aggregate that rides as a broadcast — the classic distributed
     * PageRank shape; nothing driver-side grows with the graph. Ranks are
     * localCheckpointed each step so the lineage (and codegen size) stays
-    * constant over `iters`; at a 10⁹-node graph you would pre-partition
-    * `edges` by src so every iteration's join reuses one layout. Rank
-    * values are doubles; gates round to 6 (the cross-engine convention).
-    */
+    * constant over `iters`. The deduped edge table is hash-partitioned on
+    * `src` and persisted (`storage`) before the loop — every iteration's
+    * join then reuses ONE edge layout (iteration ≥ 2 reads cached edge
+    * partitions instead of re-shuffling the raw edge list each step: at a
+    * 10⁹-edge host graph that is `iters−1` corpus-sized exchanges saved);
+    * the cache is released before returning. Rank values are doubles;
+    * gates round to 6 (the cross-engine convention). */
   def hostPageRank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85,
       srcCol: String = "src", dstCol: String = "dst",
-      checkpoint: Boolean = true): DataFrame = {
+      checkpoint: Boolean = true,
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(iters >= 1, s"iters must be ≥ 1: $iters")
     require(damping > 0 && damping < 1, s"damping in (0,1): $damping")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct()
+    val spark = edges.sparkSession
+    val shufflePartitions =
+      spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val raw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // one src-keyed layout reused by every iteration's contribution join
+    val e = raw.filter(col("src") =!= col("dst")).distinct()
+      .repartition(shufflePartitions, col("src"))
+      .persist(storage)
+    // node set from the RAW edges: a host linking only to itself still
+    // exists (outdeg 0 after the self-loop drop → dangling baseline mass)
+    val nodes = raw.select(col("src").as("node"))
+      .unionByName(raw.select(col("dst").as("node"))).distinct()
     val outDeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
     val base = nodes.join(outDeg, Seq("node"), "left")
@@ -550,6 +571,11 @@ object Curation {
             (coalesce(col("__in"), lit(0.0)) + col("__dm") / col("__n")))
             .as("rank")))
     }
+    // with checkpointing on, every iteration has materialized through the
+    // fence, so the edge cache has served all its reads and can release
+    // eagerly; lazy callers (checkpoint = false) own the cache like every
+    // other pipeline here
+    if (checkpoint) e.unpersist(false)
     ranks.select(col("node"), col("rank"))
   }
 }

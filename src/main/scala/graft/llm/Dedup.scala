@@ -270,14 +270,16 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id",
       k: Int = 32, bands: Int = 8, threshold: Double = 0.7,
       shingleN: Int = 3, maxBucketSize: Int = 256,
-      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      restrictRefBuckets: Option[Boolean] = None): DataFrame =
     // the freshly-computed ref base is persisted here (caller-owned, see
     // below) so its three consumers don't re-shingle the ref corpus; a
     // STORED index passed to [[crossCorpusNearDupsAgainstIndex]] directly
     // is deliberately NOT persisted — re-reads are column-pruned scans
     crossCorpusNearDupsAgainstIndex(newDocs,
       buildMinHashIndex(refDocs, textCol, idCol, k, shingleN).persist(storage),
-      textCol, idCol, k, bands, threshold, shingleN, maxBucketSize, storage)
+      textCol, idCol, k, bands, threshold, shingleN, maxBucketSize, storage,
+      restrictRefBuckets)
 
   /** Reusable MinHash index of a REFERENCE corpus: the `(id, sh, sig)`
     * base frame [[crossCorpusNearDupsAgainstIndex]] consumes. Build it
@@ -293,17 +295,37 @@ object Dedup {
 
   /** [[crossCorpusNearDups]] against a PREBUILT reference index
     * ([[buildMinHashIndex]], typically read back from storage). `k` and
-    * `shingleN` must match the index's build parameters. */
+    * `shingleN` must match the index's build parameters.
+    *
+    * `restrictRefBuckets` controls the shared-bucket `left_semi` that
+    * prunes ref-side band rows to buckets the new batch occupies — the
+    * restriction that makes the production tiny-batch shape flat, but
+    * which is pure overhead when the batch is a sizable fraction of the
+    * reference (every bucket is shared anyway). `Some(b)` pins it;
+    * `None` (default) decides by RATIO: one count per side (work both
+    * sides pay anyway — the bases are persisted) and the semi-join is
+    * kept only when |new| / |ref| ≤ 1% — the incremental-ingest regime
+    * it exists for. Results are identical either way (the restriction is
+    * a semi-join on the join key; it can only drop rows the band join
+    * would drop itself). */
   def crossCorpusNearDupsAgainstIndex(newDocs: DataFrame, refIndex: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       k: Int = 32, bands: Int = 8, threshold: Double = 0.7,
       shingleN: Int = 3, maxBucketSize: Int = 256,
-      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      restrictRefBuckets: Option[Boolean] = None): DataFrame = {
     val baseN = minHashBase(newDocs, textCol, idCol, k, shingleN).persist(storage)
     val baseR = refIndex
+    val restrict = restrictRefBuckets.getOrElse {
+      // one row per doc on each side; counting materializes the persisted
+      // bases the pipeline consumes threefold anyway
+      val nNew = baseN.count()
+      val nRef = baseR.count()
+      nRef > 0L && nNew.toDouble / nRef.toDouble <= 0.01
+    }
     val pairs = guardedCrossBandPairs(
       minHashBanded(baseN, k, bands), minHashBanded(baseR, k, bands),
-      maxBucketSize, refineBits = 16, storage)
+      maxBucketSize, refineBits = 16, storage, restrict)
       .dropDuplicates("new_id", "ref_id")
     // estimated-overlap prefilter at the same margin as the self-join path
     val estFiltered = pairs
@@ -465,18 +487,23 @@ object Dedup {
     * star repair pairs new members against the min-id ref member. */
   private def guardedCrossBandPairs(bandedNew: DataFrame, bandedRef: DataFrame,
       maxBucketSize: Int, refineBits: Int,
-      storage: StorageLevel): DataFrame = {
+      storage: StorageLevel, restrictRefBuckets: Boolean = true): DataFrame = {
     val capSq = lit(maxBucketSize.toLong * maxBucketSize)
     // restrict the REF side to buckets the new batch actually occupies
     // BEFORE any ref-side aggregation: for the production shape (tiny
     // daily batch vs 100-TB reference) the new bucket set is a broadcast
     // semi-join, so ref rows in unshared buckets — almost all of them —
     // drop map-side and never reach the occupancy shuffle; ref-side JOIN
-    // work is bounded by the new batch, not the reference size. (AQE
-    // falls back to a shuffle semi-join when the batch is large, where
-    // the restriction is moot anyway.)
-    val refShared = bandedRef
-      .join(bandedNew.select(col("bk")).distinct(), Seq("bk"), "left_semi")
+    // work is bounded by the new batch, not the reference size. When the
+    // batch is a sizable fraction of the reference (the caller decides —
+    // see crossCorpusNearDupsAgainstIndex's ratio rule) nearly every
+    // bucket is shared and the semi-join is pure overhead, so it is
+    // skipped: the occupancy inner join downstream drops one-sided
+    // buckets anyway, making the two plans row-identical.
+    val refShared =
+      if (restrictRefBuckets)
+        bandedRef.join(bandedNew.select(col("bk")).distinct(), Seq("bk"), "left_semi")
+      else bandedRef
     val occ = bandedNew.groupBy(col("bk")).agg(count(lit(1)).as("__nn"))
       .join(refShared.groupBy(col("bk")).agg(count(lit(1)).as("__nr")), Seq("bk"))
     val tagN = bandedNew.join(occ, Seq("bk")).persist(storage)

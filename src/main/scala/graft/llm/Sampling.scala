@@ -38,8 +38,13 @@ object Sampling {
     * quality-weighted / length-weighted corpus subsample), yet the draw
     * is pure content hashing: no RNG state, retry-stable, co-sampling
     * aligned across tables. Rows with null or non-positive weight are
-    * excluded. `e` is rounded to 9 decimals with a key tiebreak so the
-    * selection is a total order any engine reproduces.
+    * excluded. `e` is rounded to 12 decimals with a key tiebreak so the
+    * selection is a total order any engine reproduces: the rounding
+    * absorbs cross-engine `ln` ulp drift (relative ~1e-16, so absolute
+    * ≲ 1e-15 even at the e ≈ 19 extreme) while keeping weights
+    * meaningful up to ~1e10 — beyond that, race keys quantize toward 0
+    * and selection degrades to the key tiebreak, so rescale weights
+    * (only their RATIOS matter to the race) before calling.
     *
     * Plan: `TakeOrderedAndProject` (per-partition k-heaps, driver merges
     * P heads) — the corpus never sorts or shuffles, same as
@@ -50,7 +55,7 @@ object Sampling {
     // +0.5 keeps u strictly inside (0,1): u=0 would make −ln(u) infinite
     val u = (conv(substring(md5(concat(keyCol.cast("string"),
       lit(":" + salt))), 1, 7), 16, 10).cast("double") + 0.5) / 268435456.0
-    val e = round(-log(u) / weight.cast("double"), 9)
+    val e = round(-log(u) / weight.cast("double"), 12)
     df.filter(weight.isNotNull && weight.cast("double") > 0)
       .withColumn("__e", e)
       .orderBy(col("__e"), keyCol)
@@ -191,24 +196,35 @@ object Sampling {
     * under-represented labels oversample (copy_idx marks the replicas)
     * and over-represented ones keep their md5-top `target` rows. Exact by
     * construction (Σ copies = target for every label), deterministic on
-    * any partitioning. Plan: a broadcast per-label count join + a window
-    * partitioned BY LABEL (never global) + a sequence explode bounded by
-    * the replication factor. */
+    * any partitioning.
+    *
+    * Plan: a broadcast per-label count join + the two-phase per-key rank
+    * ([[graft.operators.TopK.topKPerQuery]]) + a sequence explode bounded
+    * by the replication factor. Every SURVIVING row has rank ≤ target —
+    * under-represented labels (n ≤ target) keep all n ≤ target rows,
+    * over-represented ones exactly their md5-top `target` — so the rank is
+    * a per-label top-`target` question: each scan partition prunes to
+    * ≤ target rows per label map-side and a label owning 80% of the input
+    * never funnels its membership through one sort task (the r9 verdict's
+    * remaining-window note, closed the same way as `perDomainCap`). */
   def balanceLabels(df: DataFrame, labelCol: String, targetPerLabel: Long,
       idCol: String = "vec_id", salt: String = ""): DataFrame = {
     require(targetPerLabel > 0, s"targetPerLabel must be positive: $targetPerLabel")
-    val w = Window.partitionBy(col(labelCol))
-      .orderBy(md5(concat(col(idCol).cast("string"), lit(":" + salt))),
-        col(idCol))
+    require(targetPerLabel <= Int.MaxValue,
+      s"targetPerLabel exceeds the rank budget: $targetPerLabel")
     val counts = df.groupBy(col(labelCol)).agg(count(lit(1)).as("__n"))
-    df.join(broadcast(counts), Seq(labelCol))
-      .withColumn("__rk", row_number().over(w).cast("long") - 1)
+    graft.operators.TopK.topKPerQuery(
+        df.join(broadcast(counts), Seq(labelCol)), labelCol,
+        Seq(md5(concat(col(idCol).cast("string"), lit(":" + salt))).asc,
+          col(idCol).asc),
+        targetPerLabel.toInt, rankCol = "__rk1")
+      .withColumn("__rk", col("__rk1").cast("long") - 1)
       .withColumn("__copies",
         expr(s"$targetPerLabel div __n") +
           when(col("__rk") < lit(targetPerLabel) % col("__n"), 1L).otherwise(0L))
       .filter(col("__copies") > 0)
       .withColumn("copy_idx", explode(sequence(lit(0L), col("__copies") - 1)))
-      .drop("__n", "__rk", "__copies")
+      .drop("__n", "__rk1", "__rk", "__copies")
   }
 
   /** Deterministic epoch shuffle + round-robin sharding — training-order

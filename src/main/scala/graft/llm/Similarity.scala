@@ -105,14 +105,23 @@ object Similarity {
 
   /** Exact top-k nearest neighbors by cosine for each query vector.
     * `queries` must be small enough to broadcast (the usual case: a probe
-    * set). Returns (query_id, neighbor_id, cosine, rank). */
+    * set). Returns (query_id, neighbor_id, cosine, rank).
+    *
+    * `roundTo ≥ 0` rounds the cosine to that many decimals BEFORE the
+    * internal two-phase rank (and in the returned column) — the knob for
+    * callers that consume a rounded-score rank convention (e.g. RRF
+    * fusion at round-4): they get their k directly instead of ranking the
+    * full cross product themselves just to re-round. Default −1 ranks the
+    * raw fused-kernel cosine (itself engine-exact). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      roundTo: Int = -1): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     // fused native expression (bit-identical to `cosine`, one codegen loop)
-    val cosExpr = graft.functions.GraftFunctions.cosine(
+    val cosExpr0 = graft.functions.GraftFunctions.cosine(
       corpus.sparkSession, col("qv"), col("cv"))
+    val cosExpr = if (roundTo >= 0) round(cosExpr0, roundTo) else cosExpr0
     val scored = c.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), cosExpr.as("cosine"))
@@ -239,8 +248,11 @@ object Similarity {
       .groupBy(_._2).toSeq.sortBy(_._1)
       .map { case (label, rows) =>
         val acc = new Array[Double](dim)
-        // rows arrive seed-id-ascending (global sort above is stable
-        // through groupBy on Array grouping? -- enforce explicitly)
+        // INVARIANT: the accumulation order is seed-id ascending BY THIS
+        // SORT, independent of the seed frame's row order or of groupBy's
+        // grouping order — the per-label sort here is what makes the
+        // float64 centroid sum (and thus every score) input-order
+        // invariant; CurationSpec asserts it with a shuffled seed frame
         rows.sortBy(_._1).foreach { case (_, _, v) =>
           var i = 0
           while (i < dim) { acc(i) += v(i); i += 1 }

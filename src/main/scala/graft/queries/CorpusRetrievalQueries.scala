@@ -187,13 +187,12 @@ object CorpusRetrievalQueries extends graft.QueryModule {
         .select(col("query_id"), col("doc_id"), col("rank"))
       val embs = Tables.embeddings(s, d).select("vec_id", "embedding")
       val qv = embs.filter(col("vec_id") % 100 === 7)
-      val vecScored = graft.llm.Similarity
-        .bruteForceTopK(embs, qv, k = Int.MaxValue)
-        .withColumn("cosine", round(col("cosine"), 4))
-        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("cosine"))
-      val vec = graft.operators.TopK.topKPerQuery(vecScored, "query_id",
-        Seq(desc("cosine"), col("doc_id").asc), 20)
-        .select(col("query_id"), col("doc_id"), col("rank"))
+      // round-4 BEFORE the rank (the RRF cosine convention) — the roundTo
+      // knob makes the two-phase prune work at k=20 instead of ranking
+      // the full cross product only to re-round and re-rank it
+      val vec = graft.llm.Similarity
+        .bruteForceTopK(embs, qv, k = 20, roundTo = 4)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
       graft.llm.Similarity.rrfFuse(Seq(bm, vec), k = 10)
         .select(col("query_id"), col("doc_id"), col("rrf_score"),
           col("rank").cast("long").as("rank"))

@@ -33,7 +33,7 @@ object CurationQueries extends graft.QueryModule {
     }),
 
     // weighted exact-k (Efraimidis–Spirakis) at k=50, weight = token
-    // count: longer docs win more slots; selection is the round-9 e
+    // count: longer docs win more slots; selection is the round-12 e
     // total order both engines replay from md5 nibbles
     "q189_weighted_sample" -> ((s, d) => {
       graft.llm.Sampling.sampleWeightedK(Tables.documents(s, d),
@@ -726,7 +726,7 @@ object CurationQueries extends graft.QueryModule {
         |  FROM documents WHERE doc_id % 3 = 0),
         |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
         |nodes AS (SELECT DISTINCT node FROM
-        |            (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+        |            (SELECT src AS node FROM e0 UNION SELECT dst FROM e0)),
         |od AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY 1),
         |base AS (SELECT n.node, coalesce(od.outdeg, 0) AS outdeg
         |         FROM nodes n LEFT JOIN od USING (node)),
@@ -781,7 +781,7 @@ object CurationQueries extends graft.QueryModule {
          |             md5(concat(CAST(doc_id AS VARCHAR), ':wk')) AS hx
          |           FROM documents),
          |e AS (SELECT doc_id, lang, source,
-         |        round(-ln((($nibsum) + 0.5) / 268435456.0) / wt, 9) AS e
+         |        round(-ln((($nibsum) + 0.5) / 268435456.0) / wt, 12) AS e
          |      FROM h WHERE wt > 0)
          |SELECT doc_id, lang, source FROM e ORDER BY e, doc_id LIMIT 50""".stripMargin
     },

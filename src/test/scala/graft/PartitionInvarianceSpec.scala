@@ -45,6 +45,7 @@ class PartitionInvarianceSpec extends SparkFunSuite {
     "q59_embedding_neardup",    // LSH banding + adaptive guard
     "q62_neardup_clusters",     // contraction CC clustering
     "q70_tfidf_topterms",       // tf-idf + ranked terms
+    "q71_pack_stats",           // distributed prefix-sum packing (offset invariance)
     "q81_top_ngrams",           // exact n-gram counts
     "q92_hash_sample",          // md5-uniform sampling
     "q93_token_mixture",        // token-budget mixture
