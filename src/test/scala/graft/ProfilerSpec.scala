@@ -116,4 +116,39 @@ class ProfilerSpec extends SparkFunSuite {
     assert(!plan.contains("Exchange"),
       s"nearestCentroid must be shuffle-free, got:\n$plan")
   }
+
+  test("nearestCentroid: scores are invariant to the seed frame's row order") {
+    // ROW ORDER of the seed frame must not matter: the centroid sum is
+    // accumulated seed-id-ascending by an internal per-label sort, so a
+    // shuffled/reversed/repartitioned seed frame yields bit-identical
+    // float64 centroids — exact cosine equality, not just same labels.
+    // (Float summation is order-sensitive; without the internal sort this
+    // test fails on the last-ulp cosines.)
+    val rows = (0 until 60).map { i =>
+      val label = i % 3
+      val base = label match {
+        case 0 => Array(1f, 0.2f, 0f)
+        case 1 => Array(0f, 1f, 0.3f)
+        case _ => Array(0.3f, 0f, 1f)
+      }
+      val v = base.zipWithIndex.map { case (x, j) =>
+        x + 0.013f * ((i * 11 + j * 3) % 7) }
+      (i.toLong, label, v.toSeq)
+    }.toDF("vec_id", "label", "embedding")
+    val seeds = rows.filter(col("vec_id") < 21)
+    def run(seedFrame: org.apache.spark.sql.DataFrame) =
+      Similarity.nearestCentroid(rows, seedFrame, roundTo = 15)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    val baseline = run(seeds)
+    val reversed = run(seeds.orderBy(col("vec_id").desc))
+    val shuffled = run(seeds
+      .orderBy(md5(concat(col("vec_id").cast("string"), lit("perm"))))
+      .repartition(7))
+    assert(reversed === baseline,
+      "reversed seed order changed nearestCentroid output")
+    assert(shuffled === baseline,
+      "shuffled+repartitioned seed frame changed nearestCentroid output")
+  }
 }
