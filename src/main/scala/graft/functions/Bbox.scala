@@ -27,30 +27,66 @@ object Bbox {
   case object TwoCorner extends Geometry  // x_min, y_min, x_max, y_max
   case object Point extends Geometry      // x, y (w = h = 0)
 
-  /** Parsed box format (parse_format_string, bbox_converter.py:19-76). */
-  case class BoxFormat(geometry: Geometry, relative: Boolean) {
-    def columnNames: Seq[String] = geometry match {
-      case CornerSize => Seq("x_min", "y_min", "width", "height")
-      case CenterSize => Seq("cx", "cy", "width", "height")
-      case TwoCorner => Seq("x_min", "y_min", "x_max", "y_max")
-      case Point => Seq("x", "y")
+  /** Parsed box format (parse_format_string, bbox_converter.py:19-77).
+    * `blockOrder = true` is the reference's `[0,1,2,3]` column order
+    * ({x1}{x2}{y1}{y2}: XWYH, XXYY, CXWCYH — darknet's `cxwcyh` lives
+    * here); `false` is the interleaved `[0,2,1,3]` order
+    * ({x1}{y1}{x2}{y2}: XYWH, XYXY, CXCYWH). Only column ORDER differs —
+    * the geometry math is order-blind. */
+  case class BoxFormat(geometry: Geometry, relative: Boolean,
+      blockOrder: Boolean = false) {
+    def columnNames: Seq[String] = (geometry, blockOrder) match {
+      case (CornerSize, false) => Seq("x_min", "y_min", "width", "height")
+      case (CornerSize, true) => Seq("x_min", "width", "y_min", "height")
+      case (CenterSize, false) => Seq("cx", "cy", "width", "height")
+      case (CenterSize, true) => Seq("cx", "width", "cy", "height")
+      case (TwoCorner, false) => Seq("x_min", "y_min", "x_max", "y_max")
+      case (TwoCorner, true) => Seq("x_min", "x_max", "y_min", "y_max")
+      case (Point, _) => Seq("x", "y")
+    }
+    /** The reference's column names for this format
+      * (column_names_from_options, bbox_converter.py:80-118): `box_`-
+      * prefixed, `_relative`-suffixed when relative, point named
+      * box_x_min/box_y_min (reference quirk: point EXPORT values are the
+      * box center yet keep the _min names). */
+    def referenceColumnNames: Seq[String] = {
+      val base = (geometry, blockOrder) match {
+        case (Point, _) => Seq("box_x_min", "box_y_min")
+        case (CenterSize, true) =>
+          Seq("box_x_center", "box_width", "box_y_center", "box_height")
+        case (CenterSize, false) =>
+          Seq("box_x_center", "box_y_center", "box_width", "box_height")
+        case (CornerSize, true) =>
+          Seq("box_x_min", "box_width", "box_y_min", "box_height")
+        case (CornerSize, false) =>
+          Seq("box_x_min", "box_y_min", "box_width", "box_height")
+        case (TwoCorner, true) =>
+          Seq("box_x_min", "box_x_max", "box_y_min", "box_y_max")
+        case (TwoCorner, false) =>
+          Seq("box_x_min", "box_y_min", "box_x_max", "box_y_max")
+      }
+      if (relative) base.map(_ + "_relative") else base
     }
   }
 
-  /** Accepts the 8 canonical names: XYWH, CXCYWH, XYXY, XY and their
-    * lowercase (relative-unit) forms. */
+  /** Accepts ALL the reference's format strings (FORMAT_TO_OPTIONS,
+    * bbox_converter.py:19-33): the interleaved orders XYWH / CXCYWH /
+    * XYXY / XY, the block orders XWYH / CXWCYH / XXYY, and their
+    * lowercase (relative-unit) forms — 14 strings total. */
   def parseFormat(s: String): BoxFormat = {
     val relative = s.exists(_.isLower)
     require(s.toUpperCase == s || s.toLowerCase == s,
       s"box format '$s' mixes cases (upper = pixels, lower = relative)")
-    val geo = s.toUpperCase match {
-      case "XYWH" => CornerSize
-      case "CXCYWH" => CenterSize
-      case "XYXY" => TwoCorner
-      case "XY" => Point
+    s.toUpperCase match {
+      case "XYWH" => BoxFormat(CornerSize, relative)
+      case "XWYH" => BoxFormat(CornerSize, relative, blockOrder = true)
+      case "CXCYWH" => BoxFormat(CenterSize, relative)
+      case "CXWCYH" => BoxFormat(CenterSize, relative, blockOrder = true)
+      case "XYXY" => BoxFormat(TwoCorner, relative)
+      case "XXYY" => BoxFormat(TwoCorner, relative, blockOrder = true)
+      case "XY" => BoxFormat(Point, relative)
       case other => throw new IllegalArgumentException(s"unknown box format '$other'")
     }
-    BoxFormat(geo, relative)
   }
 
   /** Canonical output column names (reference utils/__init__.py:8). */
@@ -66,13 +102,22 @@ object Bbox {
       width: Column = lit(1), height: Column = lit(1)): Seq[Column] = {
     val (sx, sy) = if (fmt.relative) (width.cast("double"), height.cast("double"))
                    else (lit(1.0), lit(1.0))
-    val (a, b, c, d) = (in1.cast("double") * sx, in2.cast("double") * sy,
-      in3.cast("double") * sx, in4.cast("double") * sy)
+    // reorder the format's columns into the reference's (x1, x2, y1, y2)
+    // block layout, then the geometry math is order-blind
+    val (x1, x2, y1, y2) = fmt.geometry match {
+      case Point => (in1.cast("double") * sx, lit(0.0),
+        in2.cast("double") * sy, lit(0.0))
+      case _ if fmt.blockOrder => (in1.cast("double") * sx,
+        in2.cast("double") * sx, in3.cast("double") * sy,
+        in4.cast("double") * sy)
+      case _ => (in1.cast("double") * sx, in3.cast("double") * sx,
+        in2.cast("double") * sy, in4.cast("double") * sy)
+    }
     val cols = fmt.geometry match {
-      case CornerSize => Seq(a, b, c, d)
-      case CenterSize => Seq(a - c / 2, b - d / 2, c, d)
-      case TwoCorner => Seq(a, b, c - a, d - b)
-      case Point => Seq(a, b, lit(0.0), lit(0.0))
+      case CornerSize => Seq(x1, y1, x2, y2)
+      case CenterSize => Seq(x1 - x2 / 2, y1 - y2 / 2, x2, y2)
+      case TwoCorner => Seq(x1, y1, x2 - x1, y2 - y1)
+      case Point => Seq(x1, y1, lit(0.0), lit(0.0))
     }
     cols.zip(canonical).map { case (e, n) => e.as(n) }
   }
@@ -85,11 +130,25 @@ object Bbox {
       width: Column = lit(1), height: Column = lit(1)): Seq[Column] = {
     val (sx, sy) = if (fmt.relative) (width.cast("double"), height.cast("double"))
                    else (lit(1.0), lit(1.0))
+    // (x1, x2, y1, y2) in the reference's block layout; the division order
+    // matches export_bbox (scale first, then derive) so doubles agree
+    // bit-for-bit: xmin/=sx before x_center = xmin + width/2
+    val (x1, x2, y1, y2) = fmt.geometry match {
+      case CornerSize => (xMin / sx, w / sx, yMin / sy, h / sy)
+      case CenterSize =>
+        (xMin / sx + (w / sx) / 2, w / sx, yMin / sy + (h / sy) / 2, h / sy)
+      case TwoCorner =>
+        (xMin / sx, xMin / sx + w / sx, yMin / sy, yMin / sy + h / sy)
+      // reference quirk (export_bbox, bbox_converter.py:424-428): a POINT
+      // export emits the box CENTER (point formats are center=True), under
+      // the box_{x,y}_min column names
+      case Point =>
+        (xMin / sx + (w / sx) / 2, lit(0.0), yMin / sy + (h / sy) / 2, lit(0.0))
+    }
     val cols = fmt.geometry match {
-      case CornerSize => Seq(xMin / sx, yMin / sy, w / sx, h / sy)
-      case CenterSize => Seq((xMin + w / 2) / sx, (yMin + h / 2) / sy, w / sx, h / sy)
-      case TwoCorner => Seq(xMin / sx, yMin / sy, (xMin + w) / sx, (yMin + h) / sy)
-      case Point => Seq(xMin / sx, yMin / sy)
+      case Point => Seq(x1, y1)
+      case _ if fmt.blockOrder => Seq(x1, x2, y1, y2)
+      case _ => Seq(x1, y1, x2, y2)
     }
     cols.zip(fmt.columnNames).map { case (e, n) => e.as(n) }
   }

@@ -163,8 +163,10 @@ object ReshapeQueries extends graft.QueryModule {
     "q17_bbox_relative" ->
       s"""$viewCte
          |SELECT a.id,
-         |  (a.box_x_min + a.box_width / 2) / i.width AS cx,
-         |  (a.box_y_min + a.box_height / 2) / i.height AS cy,
+         |  -- the reference's float order (export_bbox: scale by the image
+         |  -- dim FIRST, then derive the center) — bit-for-bit replay
+         |  a.box_x_min / i.width + (a.box_width / i.width) / 2 AS cx,
+         |  a.box_y_min / i.height + (a.box_height / i.height) / 2 AS cy,
          |  a.box_width / i.width AS width,
          |  a.box_height / i.height AS height
          |FROM annotations a JOIN images i ON a.image_id = i.id""".stripMargin,
