@@ -699,6 +699,16 @@ object Scale {
         s"sq8_topk: two-phase rank missing from plan:\n$plan")
       out
     }),
+    // the FULL corpus-build chain (q192): wrap → extract → clean → quality
+    // → minhash clusters → paragraph dedup → span excision → SemDeDup →
+    // decontaminate → holdout → mixture → pack → shard — fourteen stages,
+    // ten materialization barriers, every dedup guard live. Composition is
+    // where lineage growth, cache pressure, and stage-fencing regressions
+    // show; the straggler gate covers the whole chain.
+    Probe("corpus_build_e2e", gateSkew = true, q = (s, d) =>
+      graft.queries.PipelineQueries.corpusBuildChain(s, d)
+        .groupBy(col("source"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))),
     // host-graph PageRank at probe scale (~2 edges per document over ~1k
     // hosts): the timed run is the library loop; the decomposition
     // measures TOTAL SHUFFLE-READ RECORDS for the library loop (deduped

@@ -39,7 +39,8 @@ object SparkEntry {
     _root_.graft.queries.ExtraQueries,
     _root_.graft.queries.SketchQueries,
     _root_.graft.queries.CurationQueries,
-    _root_.graft.queries.CorpusRetrievalQueries
+    _root_.graft.queries.CorpusRetrievalQueries,
+    _root_.graft.queries.PipelineQueries
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

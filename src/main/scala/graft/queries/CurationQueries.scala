@@ -667,7 +667,7 @@ object CurationQueries extends graft.QueryModule {
   /** DuckDB replication of [[Sampling.hashUniform]] over a precomputed
     * md5-hex column: Σ nibble_i · 16^(6-i) / 16^7 (strpos is 1-based;
     * nibble value = index in the hex alphabet − 1). */
-  private def hashUniformSql(hexCol: String): String = {
+  private[queries] def hashUniformSql(hexCol: String): String = {
     val nib = (0 until 7).map { i =>
       s"(strpos('0123456789abcdef', substring($hexCol, ${i + 1}, 1)) - 1)" +
         s" * ${1L << (4 * (6 - i))}"

@@ -126,7 +126,8 @@ class PartitionInvarianceSpec extends SparkFunSuite {
     "q189_weighted_sample",     // exponential-race weighted top-k
     "q190_template_fp",         // tag-sequence hash (pure map)
     "q191_tfidf_cosine_topk",   // VSM postings + norm joins + ranked top-k
-    "q123_web_curation_e2e")    // composed clean -> quality -> cap chain
+    "q123_web_curation_e2e",    // composed clean -> quality -> cap chain
+    "q192_corpus_build_e2e")    // the FULL 14-stage corpus-build chain
 
   test("gate outputs are invariant to the shuffle partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
