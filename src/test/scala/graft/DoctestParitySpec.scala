@@ -133,6 +133,47 @@ class DoctestParitySpec extends SparkFunSuite {
     assert(partial.booleanized("annotations") == Set("where"))
   }
 
+  test("booleanizer module golden: null/empty lists, absent enum values (reference replay)") {
+    // goldens from running the reference's column_booleanizer.booleanize/
+    // debooleanize on the literal frame {tags: [a,b] / None / [] / [b,c]}:
+    //   flags  -> row0 (T,T,F), rows 1+2 all-False (null AND empty both),
+    //             row3 (F,T,T); null rows are also EXCLUDED from domain
+    //             deduction (the dropna rule), so the inferred domain is
+    //             exactly {a,b,c}
+    //   deboole-> rows 1+2 come back as EMPTY lists, not nulls
+    //   explicit enum {b, zz} -> only those two flags; the absent value
+    //             'zz' yields an all-False column
+    val df = Seq(
+      (0L, Option(Seq("a", "b"))),
+      (1L, Option.empty[Seq[String]]),
+      (2L, Option(Seq.empty[String])),
+      (3L, Option(Seq("b", "c")))
+    ).toDF("id", "tags")
+    val (out, domain) = Booleanize.booleanizeColumn(df, "tags")
+    assert(domain == Set("a", "b", "c"), "null rows must not add to the domain")
+    val rows = out.orderBy("id").collect()
+    def flags(i: Int) = Seq("tags.a", "tags.b", "tags.c")
+      .map(c => rows(i).getAs[Boolean](c))
+    assert(flags(0) == Seq(true, true, false))
+    assert(flags(1) == Seq(false, false, false), "null list must flag all-False")
+    assert(flags(2) == Seq(false, false, false), "empty list must flag all-False")
+    assert(flags(3) == Seq(false, true, true))
+    // round trip: null and empty both return as EMPTY lists (the printed
+    // reference output), never null
+    val back = Booleanize.debooleanizeColumn(out, "tags").orderBy("id").collect()
+    assert(back.map(_.getAs[scala.collection.Seq[String]]("tags").toSeq).toSeq
+      == Seq(Seq("a", "b"), Seq(), Seq(), Seq("b", "c")))
+    // explicit enum including a value absent from the data
+    val (explicit, dom2) = Booleanize.booleanizeColumn(df, "tags",
+      Some(Seq("b", "zz")))
+    assert(dom2 == Set("b", "zz"))
+    val er = explicit.orderBy("id").collect()
+    assert(er.map(_.getAs[Boolean]("tags.b")).toSeq
+      == Seq(true, false, false, true))
+    assert(er.forall(!_.getAs[Boolean]("tags.zz")),
+      "an enum value absent from the data must be an all-False column")
+  }
+
   /** The merge doctest pair (dataset.py:2405-2560). */
   private def mergeDoctestPair(): (GraftDataset, GraftDataset) = {
     val e1 = GraftDataset.create(
