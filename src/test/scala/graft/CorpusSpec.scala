@@ -48,6 +48,55 @@ class CorpusSpec extends SparkFunSuite {
     assert(math.abs(stats.head.getAs[Double]("fill") - 300.0 / 256) < 1e-12)
   }
 
+  test("packSequences: distributed prefix sum ≡ the single-window formulation") {
+    // EQUIVALENCE LOCK for the round-10 rewrite: the range-partition +
+    // boundary-offset machinery must produce bit-identical (stream_start,
+    // pack_id) to the per-group Window cumsum it replaced — asserted on a
+    // mega-group corpus (one source owns 85% of 3000 docs, so it SPANS
+    // partitions and the driver-chained offsets are load-bearing, not
+    // zero) arriving in scrambled partition order.
+    val docs = spark.range(0, 3000).select(
+        col("id").as("doc_id"),
+        when(pmod(col("id"), lit(20)) < 17, lit("mega"))
+          .otherwise(concat(lit("s"), pmod(col("id"), lit(3)).cast("string")))
+          .as("source"),
+        (pmod(col("id") * 37 + 11, lit(97)) + 1).as("n_tokens"))
+      .repartition(13, pmod(col("doc_id"), lit(7))) // scrambled placement
+    val got = Corpus.packSequences(docs, blockTokens = 256)
+      .select("doc_id", "source", "n_tokens", "stream_start", "pack_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    val want = docs.withColumn("stream_end", sum(col("n_tokens")).over(w))
+      .withColumn("stream_start", col("stream_end") - col("n_tokens"))
+      .withColumn("pack_id", floor(col("stream_start") / 256))
+      .select("doc_id", "source", "n_tokens", "stream_start", "pack_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(got == want)
+    // sanity: the mega group actually spanned several packs (offsets used)
+    assert(got.filter(_._2 == "mega").map(_._5).distinct.size > 5)
+    spark.catalog.clearCache()
+  }
+
+  test("packSequences: empty input and a single giant group") {
+    val empty = Seq.empty[(String, Long, Long)]
+      .toDF("source", "doc_id", "n_tokens")
+    assert(Corpus.packSequences(empty, blockTokens = 64).count() == 0)
+    // ONE group only: every partition's min=max group, the offset chain
+    // walks the full partition sequence
+    val one = spark.range(0, 500).select(col("id").as("doc_id"),
+      lit("only").as("source"), lit(10L).as("n_tokens"))
+    val packed = Corpus.packSequences(one, blockTokens = 100)
+      .select("doc_id", "pack_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 500L).foreach { i =>
+      assert(packed(i) == i * 10 / 100, s"doc $i pack ${packed(i)}")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("contaminationPairs counts shared distinct shingles and test share") {
     val train = Seq((10L, "a b c d e")).toDF("doc_id", "text") // shingles: abc bcd cde
     val test = Seq((1L, "a b c d x")).toDF("doc_id", "text")   // abc bcd cdx

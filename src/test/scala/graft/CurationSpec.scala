@@ -233,6 +233,33 @@ class CurationSpec extends SparkFunSuite {
     assert(collectSorted(again) == collectSorted(out))
   }
 
+  test("balanceLabels: two-phase rank ≡ the full-window formulation") {
+    // EQUIVALENCE LOCK for the round-10 rewrite: routing the per-label md5
+    // rank through topKPerQuery must reproduce the old full-window output
+    // exactly — asserted on a skewed frame (one label owns 90% of rows, so
+    // the map-side prune actually discards most of it) with both over- and
+    // under-represented labels.
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(0, 2000).select(col("id").as("vec_id"),
+      when(pmod(col("id"), lit(10)) < 9, lit("dominant"))
+        .otherwise(concat(lit("L"), pmod(col("id"), lit(4)).cast("string")))
+        .as("label"))
+    val target = 120L
+    val got = collectSorted(
+      graft.llm.Sampling.balanceLabels(df, "label", target, idCol = "vec_id"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(md5(concat(col("vec_id").cast("string"), lit(":"))), col("vec_id"))
+    val counts = df.groupBy(col("label")).agg(count(lit(1)).as("__n"))
+    val want = collectSorted(df.join(broadcast(counts), Seq("label"))
+      .withColumn("__rk", row_number().over(w).cast("long") - 1)
+      .withColumn("__copies", expr(s"$target div __n") +
+        when(col("__rk") < lit(target) % col("__n"), 1L).otherwise(0L))
+      .filter(col("__copies") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__n", "__rk", "__copies"))
+    assert(got == want)
+  }
+
   // ------------------------------------------- epoch shuffle & bigram CE
 
   test("epochShuffle: dense ranks, balanced shards, epoch changes the order") {
