@@ -682,6 +682,22 @@ object Scale {
         .agg(countDistinct(col("pack_id")).as("n_packs"),
           count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
     }),
+    // ONE source owns ~90% of all documents under the EXACT token-budget
+    // mixture — the per-source-window shape the round-10 distributed
+    // prefix sum retired (the rate variant was previously the only skew
+    // answer; now the exact path holds the straggler gate too)
+    Probe("skew_exact_mixture", gateSkew = true, q = (s, d) => {
+      val docs = scanPar(s, Tables.documents(s, d)
+          .select("doc_id", "source", "n_chars"))
+        .withColumn("source",
+          when(pmod(col("doc_id"), lit(10)) =!= 0, lit("megasrc"))
+            .otherwise(col("source")))
+      val budgets = (0 until 20).map(i => s"src$i" -> 30000L).toMap +
+        ("megasrc" -> 300000L)
+      graft.llm.Sampling.tokenBudgetMixture(docs, col("n_chars"), budgets)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("toks"))
+    }),
     // SQ8 asymmetric scan under the skew gate (the one ANN face the r9
     // harness didn't probe): the per-dimension stats ride as the benign
     // one-row broadcast; the final rank must be the TWO-PHASE shape — the

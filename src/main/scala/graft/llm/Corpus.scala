@@ -740,77 +740,27 @@ object Corpus {
     * stream — the standard "pack then split" LLM pretraining layout. All
     * arithmetic is integer, so results are engine-exact.
     *
-    * The per-group running token sum is a DISTRIBUTED prefix sum, not a
+    * The per-group running token sum is the DISTRIBUTED prefix sum of
+    * [[graft.operators.PrefixSum.groupedRunningSum]], not a
     * `Window.partitionBy(group)` cumsum: one crawl source can own 80% of a
     * real corpus, and a per-group window would funnel that source's entire
-    * doc stream through ONE sort task. Instead ([[vocabCoverage]]'s
-    * machinery, applied per group): rows are range-partitioned and sorted
-    * on (group, order); under range partitioning only each partition's
-    * FIRST and LAST group can continue across a boundary, so the
-    * per-partition token sums of those ≤ 2P edge groups (P = shuffle
-    * partitions — never data-sized) come to the driver, exclusive offsets
-    * are chained per group in partition order, and the ≤ P−1 non-zero
-    * offsets broadcast back onto a partition-local window. Exactness is
-    * boundary-invariant: offsets are computed from the partitions' actual
-    * contents, so the sampled range boundaries only affect load balance,
-    * never values.
+    * doc stream through ONE sort task (range partition + P-bounded
+    * boundary offsets instead — see the helper's doc; exact, boundary-
+    * invariant, spec-locked equal to the window formulation).
     *
-    * Contracts: `groupCol` must be non-null and `orderCol` unique within a
-    * group (both hold for (source, doc_id); same total-order requirement as
-    * before). The range-partitioned frame is persisted (`storage`) because
-    * the offset pass and the result plan both consume it AND the two reads
-    * must see one consistent partition assignment; the cache is
+    * Contracts (the helper's): `groupCol` non-null, `orderCol` unique
+    * within a group; the range-partitioned frame is persisted (`storage`),
     * caller-owned — clear the catalog after materializing, as gates do. */
   def packSequences(docs: DataFrame, blockTokens: Long,
       groupCol: String = "source", orderCol: String = "doc_id",
       tokensCol: String = "n_tokens",
-      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
-    val spark = docs.sparkSession
-    val parts = docs
-      .repartitionByRange(col(groupCol), col(orderCol))
-      .sortWithinPartitions(col(groupCol), col(orderCol))
-      .withColumn("__pid", spark_partition_id())
-      .persist(storage)
-    // per-(partition, group) token sums, restricted to each partition's
-    // edge groups (min/max group per pid) — the only groups range
-    // partitioning can split across partitions
-    val gsums = parts.groupBy(col("__pid"), col(groupCol))
-      .agg(sum(col(tokensCol)).as("__toks"))
-    val edges = gsums.groupBy(col("__pid"))
-      .agg(min(col(groupCol)).as("__g1"), max(col(groupCol)).as("__g2"))
-    val boundary = gsums.join(broadcast(edges), Seq("__pid"))
-      .filter(col(groupCol) === col("__g1") || col(groupCol) === col("__g2"))
-      .select(col("__pid"), col(groupCol), col("__toks"))
-      .collect() // ≤ 2P rows — the splitter's documented driver-sized pattern
-      .sortBy(_.getInt(0))
-    // chain exclusive per-group offsets across partitions in pid order;
-    // only non-zero offsets ship back (≤ one continued group per boundary)
-    val acc = scala.collection.mutable.HashMap.empty[Any, Long]
-    val offRows = boundary.flatMap { r =>
-      val g = r.get(1)
-      val t = if (r.isNullAt(2)) 0L else r.getLong(2)
-      val off = acc.getOrElse(g, 0L)
-      acc(g) = off + t
-      if (off > 0L) Some(org.apache.spark.sql.Row(r.getInt(0), g, off)) else None
-    }
-    val offSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("__pid",
-        org.apache.spark.sql.types.IntegerType, nullable = false),
-      gsums.schema(groupCol),
-      org.apache.spark.sql.types.StructField("__goff",
-        org.apache.spark.sql.types.LongType, nullable = false)))
-    val offsets = spark.createDataFrame(
-      java.util.Arrays.asList(offRows: _*), offSchema)
-    val w = Window.partitionBy(col("__pid"), col(groupCol))
-      .orderBy(col(orderCol))
-    parts.join(broadcast(offsets), Seq("__pid", groupCol), "left")
-      .withColumn("stream_end",
-        coalesce(col("__goff"), lit(0L)) + sum(col(tokensCol)).over(w))
-      .withColumn("stream_start", col("stream_end") - col(tokensCol))
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
+    graft.operators.PrefixSum.groupedRunningSum(docs, groupCol,
+        Seq(orderCol), col(s"`$tokensCol`"), "stream_end", storage)
+      .withColumn("stream_start", col("stream_end") - col(s"`$tokensCol`"))
       .withColumn("pack_id", floor(col("stream_start") / blockTokens))
       .select(docs.columns.map(col).toSeq
         :+ col("stream_start") :+ col("pack_id"): _*)
-  }
 
   /** Per-pack summary of [[packSequences]]: document count, token count and
     * fill ratio per (group, pack). */

@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deterministic sampling and mixture operators for training-data
   * curation — the "take 2% of CommonCrawl, 30% of code, cap books at 10B
@@ -155,15 +156,20 @@ object Sampling {
     * expectation with no window at all. */
   def tokenBudgetMixture(docs: DataFrame, tokenCol: Column,
       budgets: Map[String, Long], sourceCol: String = "source",
-      idCol: String = "doc_id", salt: String = ""): DataFrame = {
+      idCol: String = "doc_id", salt: String = "",
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val budget = budgets.foldLeft(lit(0L)) { case (acc, (k, v)) =>
       when(col(sourceCol) === k, lit(v)).otherwise(acc)
     }
-    val w = Window.partitionBy(col(sourceCol))
-      .orderBy(col("__u"), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.withColumn("__u", hashUniform(col(idCol), salt))
-      .withColumn("__cum", sum(tokenCol).over(w))
+    // EXACT per-source cumsum in the deterministic (hash, id) order via
+    // the distributed prefix sum (round 10) — previously a per-source
+    // Window, which serialized a dominant source's whole stream into one
+    // sort task; [[mixtureByRate]] remains the windowless expected-value
+    // variant for when even one pass of exact bookkeeping is too much.
+    // Same integer arithmetic, same kept set (spec/oracle-locked).
+    graft.operators.PrefixSum.groupedRunningSum(
+        docs.withColumn("__u", hashUniform(col(idCol), salt)),
+        sourceCol, Seq("__u", idCol), tokenCol, "__cum", storage)
       .filter(col("__cum") - tokenCol < budget)
       .drop("__u", "__cum")
   }

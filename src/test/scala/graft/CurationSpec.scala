@@ -260,6 +260,34 @@ class CurationSpec extends SparkFunSuite {
     assert(got == want)
   }
 
+  test("tokenBudgetMixture: distributed prefix sum ≡ the window formulation") {
+    // same lock as packSequences/balanceLabels, for the round-10 rewrite of
+    // the EXACT mixture: one source owns 90% of rows, budgets cut mid-
+    // stream, and the kept set must equal the old per-source-window rule
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(0, 3000).select(col("id").as("doc_id"),
+      when(pmod(col("id"), lit(10)) < 9, lit("mega"))
+        .otherwise(concat(lit("m"), pmod(col("id"), lit(3)).cast("string")))
+        .as("source"),
+      (pmod(col("id") * 13 + 5, lit(50)) + 1).as("n_tokens"))
+    val budgets = Map("mega" -> 9000L, "m0" -> 700L, "m1" -> 400L, "m2" -> 100L)
+    val got = collectSorted(graft.llm.Sampling.tokenBudgetMixture(
+      df, col("n_tokens"), budgets, salt = "mx"))
+    val budget = budgets.foldLeft(lit(0L)) { case (acc, (k, v)) =>
+      when(col("source") === k, lit(v)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("__u"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = collectSorted(df
+      .withColumn("__u", graft.llm.Sampling.hashUniform(col("doc_id"), "mx"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .filter(col("__cum") - col("n_tokens") < budget)
+      .drop("__u", "__cum"))
+    assert(got == want)
+    spark.catalog.clearCache()
+  }
+
   // ------------------------------------------- epoch shuffle & bigram CE
 
   test("epochShuffle: dense ranks, balanced shards, epoch changes the order") {
