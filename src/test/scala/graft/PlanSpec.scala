@@ -219,6 +219,34 @@ class PlanSpec extends SparkFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       s"corpus shuffled for the rerank join:\n$plan")
   }
+
+  /** Shared check for the PrefixSum-routed operators (round 10): every
+    * window in the plan must be partitioned by the __ps_pid partition-id
+    * column — a regression back to `Window.partitionBy(group)` alone
+    * would reintroduce the one-sort-task-per-group funnel, and a window
+    * with an EMPTY partition spec would be the global funnel. The offset
+    * join must ride as a broadcast. */
+  private def assertPrefixSumShape(plan: String, what: String): Unit = {
+    assert(plan.contains("__ps_pid"),
+      s"$what: partition-offset column missing — prefix sum bypassed?\n$plan")
+    plan.linesIterator.filter(_.trim.startsWith("Window ")).foreach { l =>
+      assert(l.contains("__ps_pid"),
+        s"$what: window not partitioned by __ps_pid:\n$l\n$plan")
+    }
+    // the offset join must never shuffle the data side; at gate scale the
+    // offset set is usually EMPTY and Catalyst eliminates the left join
+    // outright (PropagateEmptyRelation) — also a pass
+    assert(!plan.contains("SortMergeJoin"),
+      s"$what: boundary-offset join shuffled the data side:\n$plan")
+  }
+
+  test("q71: sequence packing runs the distributed prefix sum (no per-source window)") {
+    assertPrefixSumShape(planOf("q71_pack_stats"), "packSequences")
+  }
+
+  test("q93: exact token mixture runs the distributed prefix sum (no per-source window)") {
+    assertPrefixSumShape(planOf("q93_token_mixture"), "tokenBudgetMixture")
+  }
 }
 
 class BucketedJoinSpec extends SparkFunSuite {
