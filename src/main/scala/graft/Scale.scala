@@ -386,12 +386,11 @@ object Scale {
       }),
       q = (s, d) => {
         val idx = s.read.parquet(tinyBatchIdxDir(d))
-        // restriction PINNED on: this probe measures the production
-        // incremental shape; the auto ratio rule would skip the semi-join
-        // on the small dir (400 docs ≈ 8% of the sf0.1 reference) and the
-        // two sides of the run would measure different plans
-        graft.llm.Dedup.crossCorpusNearDupsAgainstIndex(tinyBatch(s, d), idx,
-            restrictRefBuckets = Some(true))
+        // DEFAULT restriction path on purpose (round 11): an unpersisted
+        // stored index now defaults to restrict=true without counting it,
+        // so the probe measures exactly what a production caller gets —
+        // no per-batch O(|reference|) count scan, same plan on both dirs
+        graft.llm.Dedup.crossCorpusNearDupsAgainstIndex(tinyBatch(s, d), idx)
           .agg(count(lit(1)).as("n_matches"))
       }),
 
@@ -622,7 +621,38 @@ object Scale {
     // without the maxFpDf cull the fp join would be probe×N quadratic on
     // those keys; with it, matching rides only the probe-vs-source
     // boundary grams. The straggler gate asserts no fp bucket serializes
-    Probe("winnowing_overlap", gateSkew = true, q = (s, d) => {
+    Probe("winnowing_overlap", gateSkew = true,
+      // growth attribution (round 11): the probe's wall is (a) the LINEAR
+      // corpus fingerprinting term (selected_fps — md5 per gram, now the
+      // fused kernel) plus (b) the join fan-out Σ_fp df_probe·min(df, cap)
+      // (cand_volume — BOUNDED per fingerprint by the boilerplate cap).
+      // culled_fps counts the df>cap fingerprints the guard dropped (the
+      // planted boilerplate header must land here at every scale)
+      decompose = Some((s, d) => {
+        def fps(df: org.apache.spark.sql.DataFrame) =
+          graft.llm.Dedup.winnowingFingerprints(df)
+            .select(col("doc_id").as("id"), col("fp")).distinct()
+        val docs = scanPar(s, Tables.documents(s, d).select("doc_id", "text"))
+          .withColumn("text",
+            concat(lit("corpus wide boilerplate header appears on every page "),
+              col("text")))
+        val probe = docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 970000000L).as("doc_id"),
+            array_join(slice(split(trim(col("text")), "\\s+"), 1, 15), " ")
+              .as("text"))
+        val dfreqC = fps(docs).groupBy(col("fp")).agg(count(lit(1)).as("dc"))
+        val dfreqP = fps(probe).groupBy(col("fp")).agg(count(lit(1)).as("dp"))
+        val r = dfreqP.join(dfreqC, Seq("fp"), "left")
+          .agg(coalesce(sum(col("dp") *
+              when(col("dc") <= 256, col("dc")).otherwise(lit(0L))), lit(0L))
+            .cast("long").as("cand"))
+          .head()
+        val culled = dfreqC.filter(col("dc") > 256).count()
+        val selected = fps(docs).count()
+        Map("cand_volume" -> r.getLong(0), "culled_fps" -> culled,
+          "selected_fps" -> selected)
+      }),
+      q = (s, d) => {
       val docs = scanPar(s, Tables.documents(s, d).select("doc_id", "text"))
         .withColumn("text",
           concat(lit("corpus wide boilerplate header appears on every page "),
@@ -725,6 +755,16 @@ object Scale {
       graft.queries.PipelineQueries.corpusBuildChain(s, d)
         .groupBy(col("source"), col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))),
+    // the FULL detection pipeline (q193, round 11): parquet ingest →
+    // validate → remap → cap → invalid filter → balanced split → match →
+    // PR/AP → confusion — the reference's core dataset workflow end to
+    // end, timed under the straggler gate. The splitter's greedy assigner
+    // is the known driver-bounded stage (atom-guarded by contract); the
+    // matcher, evaluator, and all dataset stages must stay distributed.
+    Probe("detection_eval_e2e", gateSkew = true, q = (s, d) =>
+      graft.queries.DetectionPipelineQueries.detectionEvalChain(s, d)
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n"), round(sum(col("v")), 6).as("v_sum"))),
     // host-graph PageRank at probe scale (~2 edges per document over ~1k
     // hosts): the timed run is the library loop; the decomposition
     // measures TOTAL SHUFFLE-READ RECORDS for the library loop (deduped

@@ -111,6 +111,7 @@ object GraftFunctions {
   val GopherName = "graft_gopher_signals"
   val RollingWindowFpsName = "graft_rolling_window_fps"
   val CharEntropyName = "graft_char_entropy"
+  val WinnowingFpsName = "graft_winnowing_fps"
 
   /** Idempotent per-session registration into the function registry (also
     * makes the functions available to `spark.sql`). */
@@ -177,6 +178,12 @@ object GraftFunctions {
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(CharEntropyName)))
       reg.createOrReplaceTempFunction(
         CharEntropyName, exprs => CharEntropyExpr(exprs(0)), "built-in")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(WinnowingFpsName)))
+      reg.createOrReplaceTempFunction(
+        WinnowingFpsName,
+        exprs => WinnowingFps(exprs(0), intLit(WinnowingFpsName, exprs(1)),
+          intLit(WinnowingFpsName, exprs(2))),
+        "built-in")
   }
 
   private def intLit(fn: String, e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
@@ -236,6 +243,16 @@ object GraftFunctions {
     ensureRegistered(spark)
     org.apache.spark.sql.functions.call_function(
       MinHashName, sh, org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** Fused winnowing selection — bit-identical to the interpreted-HOF
+    * formulation (md5-per-gram, per-window rightmost lexicographic min,
+    * array_distinct), one kernel call per row; see
+    * [[WinnowingKernel.select]]. */
+  def winnowingFps(spark: SparkSession, tokens: Column, k: Int, w: Int): Column = {
+    ensureRegistered(spark)
+    org.apache.spark.sql.functions.call_function(WinnowingFpsName, tokens,
+      org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(w))
   }
 
   /** Rabin–Karp rolling fingerprints of every `n`-word window — one pass

@@ -749,8 +749,11 @@ object Corpus {
     * invariant, spec-locked equal to the window formulation).
     *
     * Contracts (the helper's): `groupCol` non-null, `orderCol` unique
-    * within a group; the range-partitioned frame is persisted (`storage`),
-    * caller-owned — clear the catalog after materializing, as gates do. */
+    * within a group. Cache lifecycle (round 11): the helper materializes
+    * its result and releases its intermediate cache before returning —
+    * repeated calls leave no catalog-pinned blocks (CacheLifecycleSpec);
+    * `storage` sizes the transient intermediate and the result
+    * checkpoint. */
   def packSequences(docs: DataFrame, blockTokens: Long,
       groupCol: String = "source", orderCol: String = "doc_id",
       tokensCol: String = "n_tokens",
@@ -822,69 +825,33 @@ object Corpus {
     * term crossing the line is included and the vocabulary actually
     * reaches the target).
     *
-    * The running total is a DISTRIBUTED prefix sum, not one global
-    * window: terms are range-partitioned and sorted on the rank order,
-    * each partition's (row count, token sum) is aggregated — P values to
-    * the driver, the splitter's documented driver-sized pattern — and
-    * rejoined as broadcast offsets; the within-partition window is
-    * bounded by vocab/P. A bare `Window.orderBy` would funnel the whole
-    * vocabulary (10⁸ terms at web scale) through ONE sort task — the
-    * exact single-task shape the retrieval family's two-phase top-k
-    * exists to avoid. Exactness is boundary-invariant: offsets are
-    * computed from the partitions' actual contents, so the (seeded,
-    * sampled) range boundaries only affect load balance, never values.
+    * The running totals are the shared DISTRIBUTED prefix sum
+    * ([[graft.operators.PrefixSum.runningSums]] — global group, two
+    * summed quantities: 1 for the rank, cnt for the cumulative share),
+    * not one global window: a bare `Window.orderBy` would funnel the
+    * whole vocabulary (10⁸ terms at web scale) through ONE sort task.
+    * Exactness is boundary-invariant (see the helper's doc), and the
+    * helper's round-11 cache lifecycle applies: no catalog-pinned blocks
+    * survive the call — repeated invocations in a long session no longer
+    * accumulate cache (CacheLifecycleSpec).
     *
-    * Returns (term, cnt, rank, cum_share [round 6], selected).
-    *
-    * CACHE CONTRACT (surfaced in the signature via `storage`): the
-    * range-partitioned term frame is persisted because the offset pass
-    * and the result plan must read ONE consistent partition assignment;
-    * the cache is caller-owned — materialize the result, then clear the
-    * catalog (as every gate does), or repeated calls accumulate cached
-    * blocks. */
+    * Returns (term, cnt, rank, cum_share [round 6], selected). */
   def vocabCoverage(docs: DataFrame, coverage: Double = 0.9,
       textCol: String = "text",
       storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(coverage > 0 && coverage <= 1, s"coverage in (0,1]: $coverage")
-    val spark = docs.sparkSession
     val counts = docs
       .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy("term").agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).cast("double").as("__tot"))
-    // persisted because the frame is consumed twice (offset aggregation,
-    // then the result plan) AND both reads must see one pid assignment;
-    // caller-owned, like the dedup pipelines' guard caches — clear the
-    // cache catalog after materializing, as gates do
-    val parts = counts
-      .repartitionByRange(col("cnt").desc, col("term").asc)
-      .sortWithinPartitions(col("cnt").desc, col("term").asc)
-      .withColumn("__pid", spark_partition_id())
-      .persist(storage)
-    val psums = parts.groupBy("__pid")
-      .agg(count(lit(1)).as("rows"), sum(col("cnt")).as("toks"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
-    // exclusive running offsets per partition (rows for rank, tokens
-    // for cumulative share)
-    var (rAcc, tAcc) = (0L, 0L)
-    val offs = psums.map { case (pid, rows, toks) =>
-      val row = (pid, rAcc, tAcc); rAcc += rows; tAcc += toks; row
-    }
-    import spark.implicits._
-    val offsets = broadcast(offs.toSeq
-      .toDF("__pid", "__roff", "__toff"))
-    val w = Window.partitionBy(col("__pid"))
-      .orderBy(col("cnt").desc, col("term").asc)
-    parts.join(offsets, Seq("__pid"))
-      .withColumn("__lrank", row_number().over(w))
-      .withColumn("__lcum", sum(col("cnt")).over(w))
+    graft.operators.PrefixSum.runningSums(counts, lit(0),
+        Seq(col("cnt").desc, col("term").asc),
+        Seq(lit(1L) -> "rank", col("cnt") -> "__cum"), storage)
       .crossJoin(broadcast(total))
-      .select(col("term"), col("cnt"),
-        (col("__roff") + col("__lrank")).as("rank"),
-        round((col("__toff") + col("__lcum")) / col("__tot"), 6)
-          .as("cum_share"),
-        (((col("__toff") + col("__lcum") - col("cnt")).cast("double"))
+      .select(col("term"), col("cnt"), col("rank"),
+        round(col("__cum") / col("__tot"), 6).as("cum_share"),
+        (((col("__cum") - col("cnt")).cast("double"))
           < col("__tot") * coverage).as("selected"))
   }
 

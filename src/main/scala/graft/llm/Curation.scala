@@ -476,7 +476,7 @@ object Curation {
     * quotes/dashes/ellipsis family and the Latin-1 accented letters. */
   private[graft] val mojibakeTable: Seq[(String, String)] = Seq(
     "â€™" -> "’", "â€˜" -> "‘", "â€œ" -> "“", "â€¦" -> "…",
-    "â€“" -> "–", "â€”" -> "—",
+    "â€“" -> "–", "â€”" -> "—", "â‚¬" -> "€", "â„¢" -> "™",
     "Ã©" -> "é", "Ã¨" -> "è", "Ãª" -> "ê", "Ã¡" -> "á", "Ã " -> "à",
     "Ã¢" -> "â", "Ã³" -> "ó", "Ã´" -> "ô", "Ãº" -> "ú", "Ã¹" -> "ù",
     "Ã±" -> "ñ", "Ã§" -> "ç", "Ã¤" -> "ä", "Ã¶" -> "ö", "Ã¼" -> "ü",
@@ -491,16 +491,25 @@ object Curation {
     * external oracle replays verbatim). Not a general ftfy: it repairs
     * the high-frequency sequences that dominate real crawls and never
     * touches clean text (every source sequence starts Ã/Â/â, all rare in
-    * intact prose). Known limit, by design: the chain runs ONCE in fixed
-    * longest-first order, so TRIPLE-encoded input (mojibake of mojibake)
-    * can surface a recognizable sequence after that family's replace
-    * already ran and stay partially repaired — fixing that would need a
-    * fixpoint loop whose cost and oracle-replayability don't pay for a
-    * corruption mode real crawls rarely exhibit. */
-  def fixMojibake(text: Column): Column =
-    mojibakeTable.foldLeft(text) { case (c, (bad, good)) =>
-      org.apache.spark.sql.functions.replace(c, lit(bad), lit(good))
+    * intact prose).
+    *
+    * `passes` (round 11): each pass of the chain strips ONE layer of
+    * Latin-1 mis-decoding, so TRIPLE-encoded input (mojibake of mojibake
+    * — e.g. `Ã¢â‚¬â„¢` for `’`) repairs fully at `passes = 2`, because
+    * pass one reduces it to the double-encoded form pass two recognizes.
+    * The default stays 1 (the dominant real-crawl damage, and the
+    * oracle-locked q180 convention): extra passes are pure cost on text
+    * that is already clean after one, and unbounded fixpoint iteration is
+    * not oracle-replayable. Each pass is still a fixed literal-`replace`
+    * chain fused into the same map over the scan. */
+  def fixMojibake(text: Column, passes: Int = 1): Column = {
+    require(passes >= 1, s"passes must be >= 1: $passes")
+    (1 to passes).foldLeft(text) { case (t, _) =>
+      mojibakeTable.foldLeft(t) { case (c, (bad, good)) =>
+        org.apache.spark.sql.functions.replace(c, lit(bad), lit(good))
+      }
     }
+  }
 
   /** PageRank over a host link graph — the web-curation quality prior
     * (CommonCrawl publishes exactly this as host-level ranks; pipelines

@@ -302,12 +302,22 @@ object Dedup {
     * restriction that makes the production tiny-batch shape flat, but
     * which is pure overhead when the batch is a sizable fraction of the
     * reference (every bucket is shared anyway). `Some(b)` pins it;
-    * `None` (default) decides by RATIO: one count per side (work both
-    * sides pay anyway — the bases are persisted) and the semi-join is
-    * kept only when |new| / |ref| ≤ 1% — the incremental-ingest regime
-    * it exists for. Results are identical either way (the restriction is
-    * a semi-join on the join key; it can only drop rows the band join
-    * would drop itself). */
+    * `None` (default) decides by the index's PERSISTENCE (round 11):
+    *
+    *  - `refIndex` persisted (the [[crossCorpusNearDups]] fresh-ref path)
+    *    → decide by RATIO: one count per side (work the persisted bases
+    *    pay anyway), keep the semi-join only when |new| / |ref| ≤ 1% —
+    *    the incremental-ingest regime it exists for;
+    *  - `refIndex` NOT persisted (a stored index read back from parquet)
+    *    → restriction ON, unconditionally. Counting an unpersisted store
+    *    would add a full O(|reference|) scan to EVERY incremental batch —
+    *    the exact per-batch-cost-scales-with-the-reference shape this
+    *    operator exists to avoid — and the stored-index caller IS the
+    *    incremental regime, so the ratio question answers itself.
+    *
+    * Results are identical either way (the restriction is a semi-join on
+    * the join key; it can only drop rows the band join would drop
+    * itself). */
   def crossCorpusNearDupsAgainstIndex(newDocs: DataFrame, refIndex: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       k: Int = 32, bands: Int = 8, threshold: Double = 0.7,
@@ -317,11 +327,15 @@ object Dedup {
     val baseN = minHashBase(newDocs, textCol, idCol, k, shingleN).persist(storage)
     val baseR = refIndex
     val restrict = restrictRefBuckets.getOrElse {
-      // one row per doc on each side; counting materializes the persisted
-      // bases the pipeline consumes threefold anyway
-      val nNew = baseN.count()
-      val nRef = baseR.count()
-      nRef > 0L && nNew.toDouble / nRef.toDouble <= 0.01
+      if (baseR.storageLevel == StorageLevel.NONE) true // stored index: never count-scan it
+      else {
+        // fresh-ref path: one row per doc on each side; counting
+        // materializes the persisted bases the pipeline consumes
+        // threefold anyway
+        val nNew = baseN.count()
+        val nRef = baseR.count()
+        nRef > 0L && nNew.toDouble / nRef.toDouble <= 0.01
+      }
     }
     val pairs = guardedCrossBandPairs(
       minHashBanded(baseN, k, bands), minHashBanded(baseR, k, bands),
@@ -1613,14 +1627,17 @@ object Dedup {
     * winnow a single window over what exists (the paper's short-doc
     * degenerate case).
     *
-    * Plan: one map-side pass per row — gram hashing, window argmin, and
-    * dedup are all array expressions over doc-bounded arrays; only the
-    * selected fingerprints (≈ 2/(w+1) of grams in expectation) ever leave
-    * the row. The md5-per-gram cost is k× the token stream; the fused
-    * Rabin–Karp kernel ([[dupSpanStats]]) is the documented upgrade path
-    * if winnowing ever dominates a pipeline — kept md5 here because the
-    * VALUES (not just equality) are load-bearing for window minima and
-    * must replay in the oracle. */
+    * Plan: one map-side pass per row through the FUSED native kernel
+    * ([[graft.functions.WinnowingKernel]], round 11): md5 once per gram
+    * via digest updates, window minima by monotonic deque, dedup by the
+    * monotone-position rule — bit-identical to the interpreted-HOF
+    * expression tree it replaced (spec-locked: WinnowingParitySpec), but
+    * without the per-gram slice/join allocations and per-window rescans
+    * that made fingerprinting the dominant term of the winnowing scale
+    * probe. Only the selected fingerprints (≈ 2/(w+1) of grams in
+    * expectation) ever leave the row. Kept md5 (not the cheaper
+    * [[dupSpanStats]] Rabin–Karp) because the VALUES are load-bearing
+    * for window minima and must replay in the oracle. */
   def winnowingFingerprints(docs: DataFrame, k: Int = 4, w: Int = 5,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(k >= 1, s"gram length must be >= 1: $k")
@@ -1631,20 +1648,9 @@ object Dedup {
         when(array_join(col("__wn_t"), "") === "", 0)
           .otherwise(size(col("__wn_t"))))
       .filter(col("__wn_len") >= k)
-    val hs = transform(sequence(lit(0), col("__wn_len") - k),
-      i => md5(array_join(slice(col("__wn_t"), i + 1, lit(k)), " ")))
-    val withHs = toks.select(col(idCol), hs.as("__wn_h"),
-      (col("__wn_len") - k + 1).as("__wn_m"))
-    val sel = array_distinct(
-      transform(sequence(lit(0), greatest(col("__wn_m") - w, lit(0))),
-        i => {
-          val sl = slice(col("__wn_h"), i + 1, lit(w))
-          val m = array_min(sl)
-          struct(
-            (i + size(sl) - array_position(reverse(sl), m)).as("pos"),
-            m.as("fp"))
-        }))
-    withHs.select(col(idCol), explode(sel).as("__wn_s"))
+    toks.select(col(idCol),
+        explode(graft.functions.GraftFunctions.winnowingFps(
+          docs.sparkSession, col("__wn_t"), k, w)).as("__wn_s"))
       .select(col(idCol), col("__wn_s.pos").as("pos"),
         col("__wn_s.fp").as("fp"))
   }

@@ -47,6 +47,25 @@ object Sampling {
     * and selection degrades to the key tiebreak, so rescale weights
     * (only their RATIOS matter to the race) before calling.
     *
+    * WEIGHT-MAGNITUDE CONTRACT, quantified (round 11). Cross-engine
+    * disagreement: a row can round into a different 1e-12 bucket on
+    * another engine only when its key sits within ln-drift of a bucket
+    * edge — probability ≈ e·1e-16 / 1e-12 = e·1e-4. Since e is
+    * exponential with mean 1/w, the EXPECTED disagreeing fraction is
+    * ≈ 1e-4/w per unit weight (~1e-4 of rows at w = 1, ~1e-10 at
+    * w = 1e6; the single worst-case row, e ≈ 19, disagrees with
+    * p ≈ 2e-3) — billion-row cross-engine replays should therefore
+    * keep weights ≥ ~1e2, where the expected disagreements stay ≪ 1.
+    * Magnitude ceiling: keys are ≤ 19.9/w, so past w ≈ 1e10 the race
+    * has only ~19.9/(w·1e-12) representable key values left (ties
+    * multiply), and at w ≳ 2e13 EVERY key rounds to 0.0 — selection is
+    * still deterministic per engine but degrades to the pure key
+    * tiebreak, ignoring weight ratios entirely (boundary-spec-locked in
+    * SamplingSpec). Only RATIOS matter to the
+    * race, so normalize extreme weights into ~[1e2, 1e10] before
+    * calling; u (a pure key hash) and therefore the kept set at equal
+    * ratios is unchanged by rescaling.
+    *
     * Plan: `TakeOrderedAndProject` (per-partition k-heaps, driver merges
     * P heads) — the corpus never sorts or shuffles, same as
     * [[sampleExactK]]. */
@@ -149,11 +168,17 @@ object Sampling {
     * included and every non-empty source with a positive budget emits at
     * least one document. Sources without a budget entry are dropped.
     *
-    * Plan: one shuffle on source + a per-source window cumsum. The cumsum
-    * is sequential PER SOURCE — fine when sources are numerous/balanced,
-    * but a single 100-TB source serializes into one task's scan. For that
-    * shape use [[mixtureByRate]], which fills the same budgets in
-    * expectation with no window at all. */
+    * Plan: the DISTRIBUTED prefix sum
+    * ([[graft.operators.PrefixSum.groupedRunningSum]]) — range-partition
+    * on (source, u, id), per-partition sums chained into ≤ P−1 broadcast
+    * boundary offsets, partition-local window. A single source owning the
+    * whole corpus spreads across all partitions (the `skew_exact_mixture`
+    * and `pack_mega_source` probes); no per-source window exists anywhere
+    * in this path since round 10. Prefer [[mixtureByRate]] only when even
+    * one exact-bookkeeping pass is too much: it is a pure map over the
+    * scan (one map-side-combined totals agg + a broadcast join — no
+    * repartition pass at all) and fills the same budgets in expectation
+    * rather than exactly. */
   def tokenBudgetMixture(docs: DataFrame, tokenCol: Column,
       budgets: Map[String, Long], sourceCol: String = "source",
       idCol: String = "doc_id", salt: String = "",

@@ -135,17 +135,23 @@ object Similarity {
     * actually teach the margin, versus random negatives that are trivially
     * separable. Brute-force face over a BROADCAST anchor set (the
     * [[bruteForceTopK]] contract); at corpus scale pre-restrict candidates
-    * with [[lshTopK]] buckets or [[Ivf]] cells and re-rank here. */
+    * with [[lshTopK]] buckets or [[Ivf]] cells and re-rank here.
+    *
+    * `roundTo ≥ 0` rounds the cosine BEFORE the internal two-phase rank
+    * (same knob as [[bruteForceTopK]]): callers on a rounded-score rank
+    * convention get their k directly instead of ranking the full
+    * anchors × corpus product only to re-round and re-rank it. */
   def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int,
       labelCol: String = "label", vecCol: String = "embedding",
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id", roundTo: Int = -1): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     val a = broadcast(anchors.select(col(idCol).as("anchor_id"),
       col(labelCol).as("anchor_label"), col(vecCol).as("av")))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(labelCol).as("neighbor_label"), col(vecCol).as("cv"))
-    val cos = graft.functions.GraftFunctions.cosine(
+    val cos0 = graft.functions.GraftFunctions.cosine(
       corpus.sparkSession, col("av"), col("cv"))
+    val cos = if (roundTo >= 0) round(cos0, roundTo) else cos0
     val scored = c.crossJoin(a)
       .filter(col("neighbor_label") =!= col("anchor_label"))
       .select(col("anchor_id"), col("neighbor_id"), col("neighbor_label"),

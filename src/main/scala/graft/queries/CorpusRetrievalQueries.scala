@@ -335,16 +335,16 @@ object CorpusRetrievalQueries extends graft.QueryModule {
     }),
 
     // hard-negative mining: 5 anchors, top-10 most-similar DIFFERENT-label
-    // vectors each; q32's rank-on-rounded-cosine convention
+    // vectors each; q32's rank-on-rounded-cosine convention. The roundTo
+    // knob ranks rounded scores INSIDE the two-phase top-k, so the gate
+    // asks for its 10 directly instead of ranking the full anchors ×
+    // corpus product only to re-round and re-rank it (round-11 cleanup,
+    // same as q178's)
     "q131_hard_negatives" -> ((s, d) => {
       val embs = Tables.embeddings(s, d)
       val anchors = embs.filter(col("vec_id") < 5)
-      val scored = graft.llm.Similarity
-        .hardNegatives(embs, anchors, k = Int.MaxValue)
-        .withColumn("cosine", round(col("cosine"), 4))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("anchor_id").orderBy(desc("cosine"), col("neighbor_id"))
-      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+      graft.llm.Similarity
+        .hardNegatives(embs, anchors, k = 10, roundTo = 4)
         .select(col("anchor_id"), col("neighbor_id"),
           col("neighbor_label").cast("long").as("neighbor_label"),
           col("cosine"), col("rank").cast("long").as("rank"))
