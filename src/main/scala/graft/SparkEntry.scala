@@ -40,7 +40,8 @@ object SparkEntry {
     _root_.graft.queries.SketchQueries,
     _root_.graft.queries.CurationQueries,
     _root_.graft.queries.CorpusRetrievalQueries,
-    _root_.graft.queries.PipelineQueries
+    _root_.graft.queries.PipelineQueries,
+    _root_.graft.queries.DetectionPipelineQueries
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
