@@ -341,16 +341,36 @@ object Dedup {
       minHashBanded(baseN, k, bands), minHashBanded(baseR, k, bands),
       maxBucketSize, refineBits = 16, storage, restrict)
       .dropDuplicates("new_id", "ref_id")
+    // CANDIDATE-ID SCAN PRUNING (round 11): the two verification joins
+    // below need sig/sh of CANDIDATE ref ids only, but a join cannot
+    // prune a parquet scan — without this, every incremental batch
+    // re-reads the stored index's wide shingle column end to end (the
+    // one O(|reference|) term left in this path; the banding pass above
+    // reads only the narrow sig column). `pairs` is already
+    // materialized (the band stage checkpoints), so when the candidate
+    // ref-id set is driver-small — the tiny-batch production shape, and
+    // bounded by the occupancy guards — collect it and push an In filter
+    // into the index scan, where parquet row-group stats skip the
+    // non-candidate row groups. Past the cap (a big backfill batch), the
+    // join already touches most of the index and the plain scan is the
+    // right plan. Driver memory is bounded by the limit(cap+1) probe.
+    val maxPushdownIds = 100000
+    val candIds = pairs.select(col("ref_id"))
+      .distinct().limit(maxPushdownIds + 1).collect()
+    val baseRv =
+      if (candIds.length <= maxPushdownIds)
+        baseR.filter(col("id").isInCollection(candIds.map(_.get(0)).toSeq))
+      else baseR
     // estimated-overlap prefilter at the same margin as the self-join path
     val estFiltered = pairs
       .join(baseN.select(col("id").as("new_id"), col("sig").as("sig_a")), Seq("new_id"))
-      .join(baseR.select(col("id").as("ref_id"), col("sig").as("sig_b")), Seq("ref_id"))
+      .join(baseRv.select(col("id").as("ref_id"), col("sig").as("sig_b")), Seq("ref_id"))
       .filter(graft.functions.GraftFunctions.sigOverlap(newDocs.sparkSession,
         col("sig_a"), col("sig_b")) >= threshold - 0.35)
       .select("new_id", "ref_id")
     estFiltered
       .join(baseN.select(col("id").as("new_id"), col("sh").as("sh_a")), Seq("new_id"))
-      .join(baseR.select(col("id").as("ref_id"), col("sh").as("sh_b")), Seq("ref_id"))
+      .join(baseRv.select(col("id").as("ref_id"), col("sh").as("sh_b")), Seq("ref_id"))
       .select(col("new_id"), col("ref_id"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)

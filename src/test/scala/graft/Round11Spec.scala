@@ -131,6 +131,14 @@ class Round11Spec extends SparkFunSuite {
     assert(jAuto <= jPinned,
       s"default stored-index path ran $jAuto jobs vs $jPinned pinned — " +
         "the ratio rule is count-scanning the reference again")
+    // candidate-id scan pruning: the verification joins' index scans must
+    // carry a pushed In(id, ...) filter so the wide shingle column is
+    // never re-read end to end per batch
+    val plan = graft.llm.Dedup.crossCorpusNearDupsAgainstIndex(batch, stored)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(id") ||
+        plan.contains("PushedFilters: [IsNotNull(id), In(id"),
+      s"candidate In-filter not pushed into the index scan:\n$plan")
     spark.catalog.clearCache()
   }
 
