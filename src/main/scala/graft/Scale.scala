@@ -745,6 +745,58 @@ object Scale {
         s"sq8_topk: two-phase rank missing from plan:\n$plan")
       out
     }),
+    // IVF-pruned SQ8 (q194's operator) at production geometry — the ANSWER
+    // to the sq8_topk trend above, whose brute-force scan scores
+    // |corpus|·|queries| pairs (both sides grow with the data → the
+    // steepest non-planted probe in r10). Cells sized ~√n (the FAISS IVF
+    // rule), nprobe fixed: per-query scored pairs are nprobe·n/ncells ≈
+    // nprobe·√n instead of n. The decomposition reports both pair volumes
+    // — the bounded quantity is pairs_pruned / pairs_brute, which SHRINKS
+    // as the corpus grows.
+    Probe("sq8_ivf_topk", gateSkew = true, allowBnlj = true, q = (s, d) => {
+      val embs = scanPar(s,
+        Tables.embeddings(s, d).select("vec_id", "embedding"))
+      val cells = ivfProbeCells(s, d)
+      val stats = graft.llm.Pq.sqStats(embs)
+      val enc = graft.llm.Pq.assignCells(
+        graft.llm.Pq.sqEncode(embs, stats), cells)
+      val queries = embs.filter(pmod(col("vec_id"), lit(211)) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val out = graft.llm.Pq.ivfSqTopK(enc, queries, stats, cells,
+        nprobe = 4, k = 10)
+      val plan = out.queryExecution.executedPlan.toString
+      require(plan.contains("MapPartitions"),
+        s"sq8_ivf_topk: two-phase rank missing from plan:\n$plan")
+      out
+    }, decompose = Some((s, d) => {
+      val embs = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val n = embs.count()
+      val cells = ivfProbeCells(s, d)
+      val stats = graft.llm.Pq.sqStats(embs)
+      val enc = graft.llm.Pq.assignCells(
+        graft.llm.Pq.sqEncode(embs, stats), cells)
+      val queries = embs.filter(pmod(col("vec_id"), lit(211)) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val nq = queries.count()
+      // per-query probe list (the ivfSqTopK ranking, re-derived) joined
+      // against the cell histogram = EXACTLY the scored-pair volume
+      val qv = col("embedding").cast("array<double>")
+      val cellRank = array(cells.zipWithIndex.map { case (cent, ci) =>
+        struct(aggregate(
+            zip_with(qv, typedLit(cent.toSeq), (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x).as("d"),
+          lit(ci).as("c"))
+      }: _*)
+      val probed = slice(
+        transform(array_sort(cellRank), x => x.getField("c")), 1, 4)
+      val qc = queries.select(col("query_id"), explode(probed).as("cell_id"))
+      val hist = enc.filter(col("cell_id").isNotNull)
+        .groupBy("cell_id").agg(count(lit(1)).as("csz"))
+      val pruned = qc.join(hist, Seq("cell_id"))
+        .agg(coalesce(sum(col("csz")), lit(0L))).head().getLong(0)
+      Map("pairs_brute" -> n * nq, "pairs_pruned" -> pruned,
+        "ncells" -> cells.size.toLong)
+    })),
     // the FULL corpus-build chain (q192): wrap → extract → clean → quality
     // → minhash clusters → paragraph dedup → span excision → SemDeDup →
     // decontaminate → holdout → mixture → pack → shard — fourteen stages,
@@ -805,6 +857,20 @@ object Scale {
     * thousands of splits). Same rationale as [[megaDupDocuments]]. */
   private def scanPar(s: SparkSession, df: DataFrame): DataFrame =
     df.repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
+  /** Coarse cells for the IVF scale probe: the ~√n lowest-id embeddings
+    * (the FAISS ncells sizing rule — cells GROW with the corpus, which is
+    * what makes the per-query scan fraction shrink; capped at 128 so the
+    * literal centroid table and its codegen stay bounded). Deterministic
+    * at every scale factor. */
+  private def ivfProbeCells(s: SparkSession, d: String): Seq[Array[Double]] = {
+    val embs = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val ncells = math.min(128,
+      math.max(8, math.ceil(math.sqrt(embs.count().toDouble)).toInt))
+    embs.orderBy("vec_id").limit(ncells)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
+  }
 
   /** Stored-index location for the tiny-batch incremental-dedup probe,
     * keyed by scale dir so the two sides of a run can't collide. */

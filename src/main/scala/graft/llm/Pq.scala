@@ -338,6 +338,58 @@ object Pq {
       Seq(col("sq_dist").asc, col(idCol).asc), k)
   }
 
+  /** IVF-pruned SQ8 top-k — the scale path for [[sqTopK]], whose
+    * brute-force scan scores |corpus| × |queries| pairs (quadratic when
+    * both sides grow with the data; the `sq8_topk` scale probe measures
+    * exactly that trend). Composition mirrors [[ivfAdcTopK]]: `encoded`
+    * carries `sq_codes` ([[sqEncode]]) and `cell_id` ([[assignCells]]);
+    * each query ranks the coarse cells by full-dimension L2, probes its
+    * `nprobe` nearest, and the midpoint-dequant distance runs ONLY over
+    * rows of those cells — scored pairs shrink from |corpus|·|queries| to
+    * ~(nprobe/ncells)·|corpus|·|queries|, and against a
+    * [[writeCellPartitioned]]-style cell-bucketed store the probe list
+    * prunes the scan itself. With `nprobe = cells.size` results are
+    * EXACTLY [[sqTopK]]'s (every cell probed — the correctness-gate
+    * face); smaller `nprobe` trades recall for scan fraction.
+    *
+    * Plan: query side explodes to (query, probed cell) — still tiny,
+    * still broadcast; the corpus streams through an equality join on
+    * `cell_id` with NO shuffle of the corpus side; the per-query rank is
+    * the two-phase [[graft.operators.TopK.topKPerQuery]] on the
+    * 6-decimal-rounded distance with the id tiebreak. */
+  def ivfSqTopK(encoded: DataFrame, queries: DataFrame, stats: DataFrame,
+      cells: Seq[Array[Double]], nprobe: Int, k: Int,
+      idCol: String = "vec_id", queryIdCol: String = "query_id",
+      queryVecCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(nprobe > 0 && nprobe <= cells.size,
+      s"nprobe $nprobe out of range 1..${cells.size}")
+    val qv = col(queryVecCol).cast("array<double>")
+    val cellRank = array(cells.zipWithIndex.map { case (cent, ci) =>
+      struct(l2sq(qv, cent).as("d"), lit(ci).as("c"))
+    }: _*)
+    val probed = slice(transform(array_sort(cellRank), s => s.getField("c")),
+      1, nprobe)
+    val q = broadcast(queries.filter(col(queryVecCol).isNotNull)
+      .select(col(queryIdCol), qv.as("__qv"), explode(probed).as("cell_id")))
+    val dequant = transform(col("sq_codes"), (c, i) => {
+      val mn = element_at(col("__mins"), i + 1)
+      val mx = element_at(col("__maxs"), i + 1)
+      mn + (c.cast("double") + 0.5) / 256.0 * (mx - mn)
+    })
+    val dist = aggregate(
+      zip_with(col("__qv"), dequant, (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    // null sq_codes (null vectors) carry a null cell_id too, so the
+    // equality join drops them — the filter keeps the intent visible
+    val scored = encoded.filter(col("sq_codes").isNotNull)
+      .crossJoin(broadcast(stats))
+      .join(q, Seq("cell_id"))
+      .select(col(queryIdCol), col(idCol), round(dist, 6).as("sq_dist"))
+    graft.operators.TopK.topKPerQuery(scored, queryIdCol,
+      Seq(col("sq_dist").asc, col(idCol).asc), k)
+  }
+
   /** Seeded per-subspace KMeans codebooks (the classic PQ training):
     * subspace `j` is fit on the corpus' j-th subvector slice. Centroid
     * count per subspace is `ncentroids` (256 in the paper = 1 byte/code;

@@ -250,6 +250,27 @@ object CorpusRetrievalQueries extends graft.QueryModule {
           col("rank").cast("long").as("rank"))
     }),
 
+    // IVF-pruned SQ8 (the scale path for q137's brute-force scan) with
+    // nprobe = ALL cells ≡ the plain SQ8 scan (the q124 nprobe=K trick):
+    // the cell-assign → probe-rank → in-cell dequant-distance pipeline
+    // must reproduce q137's oracle EXACTLY — any bug in the cell join,
+    // the probe ranking, or the stats plumbing breaks the hash. The
+    // pruning itself (scored pairs bounded by nprobe/ncells) is
+    // spec-locked in PqSpec and measured by the sq8_ivf_topk scale probe.
+    "q194_ivfsq_topk" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val stats = graft.llm.Pq.sqStats(embs)
+      val cells = pqCells(s, d)
+      val enc = graft.llm.Pq.assignCells(
+        graft.llm.Pq.sqEncode(embs, stats), cells)
+      val queries = embs.filter(col("vec_id") % 100 === 7)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.llm.Pq.ivfSqTopK(enc, queries, stats, cells,
+        nprobe = cells.size, k = 10)
+        .select(col("query_id"), col("vec_id"), col("sq_dist"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     // script-mix signals: Cyrillic/CJK/Arabic/Greek snippets appended per
     // residue class, every 97th doc REPLACED by a Cyrillic page (so
     // dominance flips somewhere); counts are regexp-range arithmetic over
@@ -669,34 +690,10 @@ object CorpusRetrievalQueries extends graft.QueryModule {
     // tiebreak) + ADC (per-subspace lookup distances list-summed in fixed
     // j order to mirror the engine's left-assoc sum), ranked on the
     // rounded distance
-    "q137_sq8_topk" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        |           FROM embeddings),
-        |d AS (SELECT vec_id, unnest(v) AS x,
-        |             generate_subscripts(v, 1) - 1 AS dim FROM e),
-        |st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM d GROUP BY 1),
-        |c AS (SELECT d.vec_id, d.dim,
-        |        CASE WHEN st.mx - st.mn <= 0 THEN 0
-        |             ELSE greatest(0, least(255,
-        |               CAST(floor((d.x - st.mn) / (st.mx - st.mn) * 256)
-        |                    AS INT))) END AS code,
-        |        st.mn, st.mx
-        |      FROM d JOIN st USING (dim)),
-        |q AS (SELECT vec_id AS query_id, dim, x AS qx
-        |      FROM d WHERE vec_id % 100 = 7),
-        |dist AS (SELECT q.query_id, c.vec_id,
-        |           sum((q.qx - (c.mn + (c.code + 0.5) / 256.0 *
-        |                (c.mx - c.mn))) *
-        |               (q.qx - (c.mn + (c.code + 0.5) / 256.0 *
-        |                (c.mx - c.mn)))) AS dd
-        |         FROM c JOIN q USING (dim)
-        |         GROUP BY 1, 2),
-        |ranked AS (SELECT query_id, vec_id, round(dd, 6) AS sq_dist,
-        |             row_number() OVER (PARTITION BY query_id
-        |               ORDER BY round(dd, 6), vec_id) AS rank
-        |           FROM dist)
-        |SELECT query_id, vec_id, sq_dist, CAST(rank AS BIGINT) AS rank
-        |FROM ranked WHERE rank <= 10""".stripMargin,
+    "q137_sq8_topk" -> sq8TopKSql,
+
+    // nprobe = all cells ≡ the plain SQ8 scan, so q194 shares q137's oracle
+    "q194_ivfsq_topk" -> sq8TopKSql,
 
     "q121_pq_adc_topk" -> pqAdcSql,
 
@@ -1138,6 +1135,38 @@ object CorpusRetrievalQueries extends graft.QueryModule {
       |      FROM ex)
       |SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
       |FROM r WHERE rank <= 10""".stripMargin
+
+  /** q137's oracle (SQ8 encode + midpoint-dequant asymmetric L2 top-10);
+    * q194 shares it verbatim — IVF at nprobe = all cells IS the plain
+    * scan, so the oracle needs no cell arithmetic at all. */
+  private lazy val sq8TopKSql: String =
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |d AS (SELECT vec_id, unnest(v) AS x,
+        |             generate_subscripts(v, 1) - 1 AS dim FROM e),
+        |st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM d GROUP BY 1),
+        |c AS (SELECT d.vec_id, d.dim,
+        |        CASE WHEN st.mx - st.mn <= 0 THEN 0
+        |             ELSE greatest(0, least(255,
+        |               CAST(floor((d.x - st.mn) / (st.mx - st.mn) * 256)
+        |                    AS INT))) END AS code,
+        |        st.mn, st.mx
+        |      FROM d JOIN st USING (dim)),
+        |q AS (SELECT vec_id AS query_id, dim, x AS qx
+        |      FROM d WHERE vec_id % 100 = 7),
+        |dist AS (SELECT q.query_id, c.vec_id,
+        |           sum((q.qx - (c.mn + (c.code + 0.5) / 256.0 *
+        |                (c.mx - c.mn))) *
+        |               (q.qx - (c.mn + (c.code + 0.5) / 256.0 *
+        |                (c.mx - c.mn)))) AS dd
+        |         FROM c JOIN q USING (dim)
+        |         GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, vec_id, round(dd, 6) AS sq_dist,
+        |             row_number() OVER (PARTITION BY query_id
+        |               ORDER BY round(dd, 6), vec_id) AS rank
+        |           FROM dist)
+        |SELECT query_id, vec_id, sq_dist, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 10""".stripMargin
 
   private lazy val pqAdcSql: String =
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -252,6 +252,16 @@ class PlanSpec extends SparkFunSuite {
     assertPrefixSumShape(graft.operators.PrefixSum.lastInternalPlan,
       "tokenBudgetMixture")
   }
+
+  test("q194: IVF-SQ8 corpus never shuffles — probe side broadcast into the cell join, two-phase rank") {
+    val plan = planOf("q194_ivfsq_topk")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cell join is not broadcast:\n$plan")
+    assert(plan.contains("MapPartitions"),
+      s"two-phase rank missing:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus side shuffled for the cell join:\n$plan")
+  }
 }
 
 class BucketedJoinSpec extends SparkFunSuite {

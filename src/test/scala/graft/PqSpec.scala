@@ -216,4 +216,30 @@ class PqSpec extends SparkFunSuite {
       .map(id => (dist(vecs(1L), vecs(id)), id)).sorted.take(5).map(_._2)
     assert(got == want)
   }
+
+  test("ivfSqTopK: nprobe=all equals the plain SQ8 scan; nprobe=1 prunes to the query's cell") {
+    val d = "/root/testdata/sf0.001"
+    val embs = Tables.embeddings(spark, d).select("vec_id", "embedding")
+    val stats = Pq.sqStats(embs)
+    val cells = graft.queries.CorpusRetrievalQueries.pqCells(spark, d)
+    val enc = Pq.assignCells(Pq.sqEncode(embs, stats), cells)
+    val q = embs.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val full = Pq.sqTopK(enc, q, stats, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val all = Pq.ivfSqTopK(enc, q, stats, cells, nprobe = cells.size, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(all == full)
+    // nprobe=1: every hit lives in its query's own best cell — the scored
+    // pair volume is bounded by the probed fraction, not the corpus
+    val one = Pq.ivfSqTopK(enc, q, stats, cells, nprobe = 1, k = 5)
+    val cellOf = enc.select("vec_id", "cell_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val qCell = Pq.assignCells(q, cells, vecCol = "embedding")
+      .select("query_id", "cell_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    one.collect().foreach { r =>
+      assert(cellOf(r.getAs[Long]("vec_id")) == qCell(r.getAs[Long]("query_id")))
+    }
+  }
 }
