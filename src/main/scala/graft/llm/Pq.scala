@@ -390,6 +390,69 @@ object Pq {
       Seq(col("sq_dist").asc, col(idCol).asc), k)
   }
 
+  /** [[writeCellPartitioned]] for SQ8: materialize an [[sqEncode]] +
+    * [[assignCells]] corpus as parquet PARTITIONED BY `cell_id` — the
+    * serving layout where the quantization cost is paid ONCE and every
+    * probe is a partition-pruned scan of (id, sq_codes) rows. Vectors are
+    * dropped by default ([[sqTopK]]'s asymmetric scan needs only the
+    * codes); keep them only if an exact re-rank reads the store too. */
+  def writeSqCellPartitioned(encoded: DataFrame, path: String,
+      keepVectors: Boolean = false, vecCol: String = "embedding"): Unit = {
+    require(encoded.columns.contains("cell_id"), "run assignCells first")
+    require(encoded.columns.contains("sq_codes"), "run sqEncode first")
+    val slim = if (keepVectors) encoded else encoded.drop(vecCol)
+    slim.filter(col("cell_id").isNotNull)
+      .write.mode("overwrite").partitionBy("cell_id").parquet(path)
+  }
+
+  /** [[ivfSqTopK]] against a [[writeSqCellPartitioned]] store: the
+    * per-query probe lists are computed driver-side from the literal
+    * `cells` (the same tiny centroid table every variant broadcasts), and
+    * their UNION arrives as a pushed-down `cell_id IN (…)` partition
+    * filter — the scan opens ONLY the probed directories. Results are
+    * EXACTLY [[ivfSqTopK]]'s for the same (stats, cells, nprobe, k); with
+    * `nprobe = cells.size` that is the plain [[sqTopK]] scan through the
+    * write→read roundtrip. The recurring cost is the QUERY side — the
+    * quantize/assign/write build is the amortized once-per-corpus cost
+    * this layout exists to hoist out of the serving loop. */
+  def ivfSqTopKFromStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, stats: DataFrame,
+      cells: Seq[Array[Double]], nprobe: Int, k: Int,
+      idCol: String = "vec_id", queryIdCol: String = "query_id",
+      queryVecCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(nprobe > 0 && nprobe <= cells.size,
+      s"nprobe $nprobe out of range 1..${cells.size}")
+    val qv = col(queryVecCol).cast("array<double>")
+    val cellRank = array(cells.zipWithIndex.map { case (cent, ci) =>
+      struct(l2sq(qv, cent).as("d"), lit(ci).as("c"))
+    }: _*)
+    val probed = slice(transform(array_sort(cellRank), s => s.getField("c")),
+      1, nprobe)
+    val q = broadcast(queries.filter(col(queryVecCol).isNotNull)
+      .select(col(queryIdCol), qv.as("__qv"), explode(probed).as("cell_id")))
+    // the UNION of all queries' probe lists prunes the scan statically
+    val allProbed = queries.filter(col(queryVecCol).isNotNull)
+      .select(explode(probed).as("c")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val store = spark.read.parquet(path)
+      .filter(col("cell_id").isin(allProbed.map(Int.box): _*))
+    val dequant = transform(col("sq_codes"), (c, i) => {
+      val mn = element_at(col("__mins"), i + 1)
+      val mx = element_at(col("__maxs"), i + 1)
+      mn + (c.cast("double") + 0.5) / 256.0 * (mx - mn)
+    })
+    val dist = aggregate(
+      zip_with(col("__qv"), dequant, (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val scored = store.filter(col("sq_codes").isNotNull)
+      .crossJoin(broadcast(stats))
+      .join(q, Seq("cell_id"))
+      .select(col(queryIdCol), col(idCol), round(dist, 6).as("sq_dist"))
+    graft.operators.TopK.topKPerQuery(scored, queryIdCol,
+      Seq(col("sq_dist").asc, col(idCol).asc), k)
+  }
+
   /** Seeded per-subspace KMeans codebooks (the classic PQ training):
     * subspace `j` is fit on the corpus' j-th subvector slice. Centroid
     * count per subspace is `ncentroids` (256 in the paper = 1 byte/code;

@@ -271,6 +271,29 @@ object CorpusRetrievalQueries extends graft.QueryModule {
           col("rank").cast("long").as("rank"))
     }),
 
+    // the SQ8 stored-index face (q138's pattern for the SQ family):
+    // encode + assign → parquet PARTITIONED BY cell_id → partition-pruned
+    // probe read. nprobe = all cells ≡ the plain SQ8 scan, so the
+    // write→read→probe pipeline must reproduce q137's oracle EXACTLY;
+    // the pruning itself (only probed directories scanned) is plan-locked
+    // in PqSpec.
+    "q196_ivfsq_store" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val stats = graft.llm.Pq.sqStats(embs)
+      val cells = pqCells(s, d)
+      val enc = graft.llm.Pq.assignCells(
+        graft.llm.Pq.sqEncode(embs, stats), cells)
+      val dir = java.nio.file.Files.createTempDirectory("graft_sqivf_store")
+        .toString
+      graft.llm.Pq.writeSqCellPartitioned(enc, dir)
+      val queries = embs.filter(col("vec_id") % 100 === 7)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.llm.Pq.ivfSqTopKFromStore(s, dir, queries, stats, cells,
+        nprobe = cells.size, k = 10)
+        .select(col("query_id"), col("vec_id"), col("sq_dist"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     // script-mix signals: Cyrillic/CJK/Arabic/Greek snippets appended per
     // residue class, every 97th doc REPLACED by a Cyrillic page (so
     // dominance flips somewhere); counts are regexp-range arithmetic over
@@ -692,8 +715,10 @@ object CorpusRetrievalQueries extends graft.QueryModule {
     // rounded distance
     "q137_sq8_topk" -> sq8TopKSql,
 
-    // nprobe = all cells ≡ the plain SQ8 scan, so q194 shares q137's oracle
+    // nprobe = all cells ≡ the plain SQ8 scan, so q194/q196 share q137's
+    // oracle (q196 additionally roundtrips through the cell store)
     "q194_ivfsq_topk" -> sq8TopKSql,
+    "q196_ivfsq_store" -> sq8TopKSql,
 
     "q121_pq_adc_topk" -> pqAdcSql,
 

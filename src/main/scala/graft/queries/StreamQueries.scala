@@ -244,10 +244,165 @@ object StreamQueries extends graft.QueryModule {
         .groupBy(col("user_id"), col("k"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
         .select(col("user_id"), col("k").cast("int").as("k"), col("n"), col("v"))
-    })
+    }),
+
+    // the FULL streaming intake pipeline (q195, round 11): the production
+    // daily-drop loop composed end to end. A static reference corpus is
+    // indexed ONCE (fingerprint bloom + MinHash store); document batches
+    // then arrive as file drops consumed by readStream
+    // (maxFilesPerTrigger=1 → one foreachBatch per drop, drop order pinned
+    // via explicit file mtimes — it is load-bearing), and each batch runs
+    // within-batch exact dedup → bloom-verified exact dedup against the
+    // static reference → near-dup rejection against the STORE (reference ∪
+    // EARLIER SURVIVORS) → survivor append into the store. Cross-batch
+    // structure is the point: batch B carries exact copies of batch A
+    // documents, rejected ONLY if A's survivors really landed in the
+    // store. Output = final store membership (ref ∪ S1 ∪ S2); ONE DuckDB
+    // statement re-derives the whole sequential pipeline.
+    "q195_stream_intake_e2e" -> ((s, d) => streamIntakeChain(s, d))
   )
 
+  /** The q195 chain as a callable (the q192/q193 pattern — the scale
+    * harness runs it as the `stream_intake_e2e` probe). Returns the final
+    * store membership (ref ∪ S1 ∪ S2) as one `doc_id` column. */
+  def streamIntakeChain(s: SparkSession, d: String): DataFrame = {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val ref = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val aNat = docs.filter(pmod(col("doc_id"), lit(6)) === 0)
+      val refLow = ref.orderBy("doc_id").limit(10)
+      // drop 1: naturals + exact ref dups (die at the bloom stage) +
+      // within-batch exact dups (die at the fp stage, min-id keeper)
+      val batchA = aNat
+        .unionByName(refLow.withColumn("doc_id", col("doc_id") + 2000000L))
+        .unionByName(aNat.orderBy("doc_id").limit(5)
+          .withColumn("doc_id", col("doc_id") + 3000000L))
+      // drop 2: naturals + exact copies of batch-A docs (die against S1
+      // in the store — the cross-batch face) + one-word-appended ref
+      // copies (new fingerprint, so they pass both exact stages and die
+      // only at the store's true-jaccard verify)
+      val batchB = docs.filter(pmod(col("doc_id"), lit(6)) === 3)
+        .unionByName(aNat.orderBy("doc_id").limit(10)
+          .withColumn("doc_id", col("doc_id") + 4000000L))
+        .unionByName(refLow.withColumn("doc_id", col("doc_id") + 5000000L)
+          .withColumn("text", concat(col("text"), lit(" qqintakepad"))))
+      val srcDir = java.nio.file.Files
+        .createTempDirectory("graft_intake_src").toString
+      def parts(): Set[java.io.File] = new java.io.File(srcDir).listFiles()
+        .filter(_.getName.startsWith("part-")).toSet
+      val t0 = System.currentTimeMillis()
+      batchA.coalesce(1).write.mode("overwrite").parquet(srcDir)
+      val aFiles = parts()
+      aFiles.foreach(_.setLastModified(t0 - 120000))
+      batchB.coalesce(1).write.mode("append").parquet(srcDir)
+      (parts() -- aFiles).foreach(_.setLastModified(t0 - 60000))
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft_intake_store").toString
+      val ck = java.nio.file.Files
+        .createTempDirectory("graft_intake_ck").toString
+      val np = 8
+      graft.llm.Dedup.writeMinHashStore(ref, storeDir, nParts = np)
+      val bloom = graft.llm.Dedup.buildFingerprintBloom(ref,
+        expectedItems = 100000, fpp = 0.01)
+      val q = s.readStream.schema(batchA.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val s1 = graft.llm.Dedup.exactDedup(batch)
+          val s2 = graft.llm.Dedup.bloomCrossDedup(s1, ref, bloom)
+          val matched = graft.llm.Dedup.crossCorpusNearDupsFromStore(
+            s2, storeDir, threshold = 0.7, nParts = np)
+            .select(col("new_id").as("doc_id")).distinct()
+          // fence: materialize the survivors BEFORE the append so the
+          // store read (matched) can never race the store write — the
+          // q192 stage-fencing discipline
+          val s3 = s2.join(matched, Seq("doc_id"), "left_anti")
+            .localCheckpoint()
+          graft.llm.Dedup.appendMinHashStore(s3, storeDir, nParts = np)
+          s.catalog.clearCache()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(storeDir + "/payload")
+        .select(col("id").cast("long").as("doc_id"))
+  }
+
   val oracles: Map[String, String] = Map(
+    // the whole sequential intake pipeline re-derived in ONE statement:
+    // drop construction, min-id exact dedup within each batch, exact
+    // anti-join vs the static reference fingerprints (bloom is a
+    // prefilter only — semantics are the plain anti-join), true-jaccard
+    // near-dup rejection vs the store state AT THAT BATCH (ref for A;
+    // ref ∪ S1 for B), membership = ref ∪ S1 ∪ S2
+    "q195_stream_intake_e2e" ->
+      """WITH ref AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        |reflow AS (SELECT doc_id, text FROM ref ORDER BY doc_id LIMIT 10),
+        |anat AS (SELECT doc_id, text FROM documents WHERE doc_id % 6 = 0),
+        |batcha AS (
+        |  SELECT doc_id, text FROM anat
+        |  UNION ALL SELECT doc_id + 2000000, text FROM reflow
+        |  UNION ALL SELECT doc_id + 3000000, text FROM
+        |    (SELECT doc_id, text FROM anat ORDER BY doc_id LIMIT 5)),
+        |batchb AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 6 = 3
+        |  UNION ALL SELECT doc_id + 4000000, text FROM
+        |    (SELECT doc_id, text FROM anat ORDER BY doc_id LIMIT 10)
+        |  UNION ALL SELECT doc_id + 5000000, text || ' qqintakepad'
+        |    FROM reflow),
+        |reffp AS (SELECT DISTINCT
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM ref),
+        |sh_ref AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(range(1, len(w) - 1),
+        |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |        FROM ref)),
+        |sh_a AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(range(1, len(w) - 1),
+        |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |        FROM batcha)),
+        |sh_b AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(range(1, len(w) - 1),
+        |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |        FROM batchb)),
+        |a1 AS (SELECT min(doc_id) AS doc_id FROM batcha
+        |       GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+        |a2 AS (SELECT a.doc_id FROM batcha a JOIN a1 USING (doc_id)
+        |       LEFT JOIN reffp f
+        |         ON f.fp = md5(regexp_replace(lower(trim(a.text)), '\s+', ' ', 'g'))
+        |       WHERE f.fp IS NULL),
+        |s1 AS (SELECT n.doc_id FROM sh_a n JOIN a2 USING (doc_id)
+        |       WHERE NOT EXISTS (
+        |         SELECT 1 FROM sh_ref r
+        |         WHERE CAST(len(list_intersect(n.s, r.s)) AS DOUBLE)
+        |               / len(list_distinct(list_concat(n.s, r.s))) >= 0.7)),
+        |store1 AS (SELECT doc_id, s FROM sh_ref
+        |           UNION ALL
+        |           SELECT n.doc_id, n.s FROM sh_a n JOIN s1 USING (doc_id)),
+        |b1 AS (SELECT min(doc_id) AS doc_id FROM batchb
+        |       GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+        |b2 AS (SELECT b.doc_id FROM batchb b JOIN b1 USING (doc_id)
+        |       LEFT JOIN reffp f
+        |         ON f.fp = md5(regexp_replace(lower(trim(b.text)), '\s+', ' ', 'g'))
+        |       WHERE f.fp IS NULL),
+        |s2 AS (SELECT n.doc_id FROM sh_b n JOIN b2 USING (doc_id)
+        |       WHERE NOT EXISTS (
+        |         SELECT 1 FROM store1 r
+        |         WHERE CAST(len(list_intersect(n.s, r.s)) AS DOUBLE)
+        |               / len(list_distinct(list_concat(n.s, r.s))) >= 0.7))
+        |SELECT doc_id FROM ref
+        |UNION ALL SELECT doc_id FROM s1
+        |UNION ALL SELECT doc_id FROM s2""".stripMargin,
+
     // identical ground truth to q108 (LlmQueries) on purpose: the batch
     // crossCorpusNearDups and the stream-static index matcher are two
     // implementations of the same contract

@@ -242,4 +242,33 @@ class PqSpec extends SparkFunSuite {
       assert(cellOf(r.getAs[Long]("vec_id")) == qCell(r.getAs[Long]("query_id")))
     }
   }
+
+  test("SQ8 cell store: probes are partition-PRUNED and results exact") {
+    import spark.implicits._
+    val embs = (0L until 120L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 5 + d * 11) % 23).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cells = (0 until 4).map(c =>
+      Array.tabulate(8)(d => (c * 6 + d).toDouble)).toSeq
+    val stats = Pq.sqStats(embs)
+    val enc = Pq.assignCells(Pq.sqEncode(embs, stats), cells)
+    val dir = java.nio.file.Files.createTempDirectory("sqstore").toString
+    Pq.writeSqCellPartitioned(enc, dir)
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("cell_id=")).sorted
+    assert(dirs.nonEmpty && dirs.forall(_.matches("cell_id=\\d+")))
+    assert(!spark.read.parquet(dir).columns.contains("embedding"))
+    val queries = embs.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val fromStore = Pq.ivfSqTopKFromStore(spark, dir, queries, stats, cells,
+      nprobe = 2, k = 5)
+    val direct = Pq.ivfSqTopK(enc, queries, stats, cells, nprobe = 2, k = 5)
+      .select("query_id", "vec_id", "sq_dist", "rank")
+    assert(fromStore.select("query_id", "vec_id", "sq_dist", "rank")
+      .orderBy("query_id", "rank").collect().toSeq
+      == direct.orderBy("query_id", "rank").collect().toSeq)
+    val plan = fromStore.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell_id"),
+      s"no partition filter on the store scan:\n$plan")
+  }
 }
