@@ -830,7 +830,27 @@ object Scale {
     Probe("detection_eval_e2e", gateSkew = true, q = (s, d) =>
       graft.queries.DetectionPipelineQueries.detectionEvalChain(s, d)
         .groupBy(col("metric"))
-        .agg(count(lit(1)).as("n"), round(sum(col("v")), 6).as("v_sum"))),
+        .agg(count(lit(1)).as("n"), round(sum(col("v")), 6).as("v_sum")),
+      decompose = Some((s, d) => {
+        // the chain's two structurally-risky quantities: the matcher's
+        // per-image group volume (its kernel is group-local — cost is
+        // bounded by Σ n_i² over images, a data property, never a global
+        // sort) and the splitter's greedy-assigner input (driver-bounded
+        // by the ATOM count, which this construction pins at 100
+        // customer_groups at EVERY scale factor — the contract that keeps
+        // the one driver stage O(groups), not O(rows))
+        val perImg = Tables.annotationsView(s, d)
+          .groupBy(col("image_id")).agg(count(lit(1)).as("n"))
+        val r = perImg.agg(
+          coalesce(sum(col("n") * col("n")), lit(0L)).cast("long")
+            .as("pairs"),
+          coalesce(max(col("n")), lit(0L)).cast("long").as("mx"),
+          count(lit(1)).cast("long").as("imgs")).head()
+        Map("match_pairs_bound" -> r.getLong(0),
+          "max_image_anns" -> r.getLong(1),
+          "n_images" -> r.getLong(2),
+          "split_atoms" -> 100L)
+      })),
     // the FULL streaming intake loop (q195, round 11): reference indexed
     // once (bloom + MinHash store), then two file drops consumed by
     // readStream, each foreachBatch running exact dedup → bloom-verified
