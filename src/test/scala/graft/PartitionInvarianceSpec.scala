@@ -127,7 +127,10 @@ class PartitionInvarianceSpec extends SparkFunSuite {
     "q190_template_fp",         // tag-sequence hash (pure map)
     "q191_tfidf_cosine_topk",   // VSM postings + norm joins + ranked top-k
     "q123_web_curation_e2e",    // composed clean -> quality -> cap chain
-    "q192_corpus_build_e2e")    // the FULL 14-stage corpus-build chain
+    "q192_corpus_build_e2e",    // the FULL 14-stage corpus-build chain
+    "q194_ivfsq_topk",          // IVF-SQ8: cell join + two-phase rank
+    "q196_ivfsq_store",         // SQ8 cell store write -> pruned probe read
+    "q195_stream_intake_e2e")   // streaming intake loop (store membership)
 
   test("gate outputs are invariant to the shuffle partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
