@@ -253,7 +253,8 @@ object StreamQueries extends graft.QueryModule {
     // (maxFilesPerTrigger=1 → one foreachBatch per drop, drop order pinned
     // via explicit file mtimes — it is load-bearing), and each batch runs
     // within-batch exact dedup → bloom-verified exact dedup against the
-    // static reference → near-dup rejection against the STORE (reference ∪
+    // static reference → within-batch NEAR-dup CC keeping the min-id
+    // representative → near-dup rejection against the STORE (reference ∪
     // EARLIER SURVIVORS) → survivor append into the store. Cross-batch
     // structure is the point: batch B carries exact copies of batch A
     // documents, rejected ONLY if A's survivors really landed in the
@@ -270,21 +271,31 @@ object StreamQueries extends graft.QueryModule {
       val ref = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
       val aNat = docs.filter(pmod(col("doc_id"), lit(6)) === 0)
       val refLow = ref.orderBy("doc_id").limit(10)
+      val bNat = docs.filter(pmod(col("doc_id"), lit(6)) === 3)
       // drop 1: naturals + exact ref dups (die at the bloom stage) +
-      // within-batch exact dups (die at the fp stage, min-id keeper)
+      // within-batch exact dups (die at the fp stage, min-id keeper) +
+      // one-word-appended copies of batch-A docs (new fingerprint, so
+      // they pass both exact stages and die at the WITHIN-BATCH near-dup
+      // CC, collapsing to their original as the min-id representative)
       val batchA = aNat
         .unionByName(refLow.withColumn("doc_id", col("doc_id") + 2000000L))
         .unionByName(aNat.orderBy("doc_id").limit(5)
           .withColumn("doc_id", col("doc_id") + 3000000L))
+        .unionByName(aNat.orderBy("doc_id").limit(8)
+          .withColumn("doc_id", col("doc_id") + 6000000L)
+          .withColumn("text", concat(col("text"), lit(" qqwithinpad"))))
       // drop 2: naturals + exact copies of batch-A docs (die against S1
       // in the store — the cross-batch face) + one-word-appended ref
-      // copies (new fingerprint, so they pass both exact stages and die
-      // only at the store's true-jaccard verify)
-      val batchB = docs.filter(pmod(col("doc_id"), lit(6)) === 3)
+      // copies (die only at the store's true-jaccard verify) + its own
+      // within-batch near-dup plants
+      val batchB = bNat
         .unionByName(aNat.orderBy("doc_id").limit(10)
           .withColumn("doc_id", col("doc_id") + 4000000L))
         .unionByName(refLow.withColumn("doc_id", col("doc_id") + 5000000L)
           .withColumn("text", concat(col("text"), lit(" qqintakepad"))))
+        .unionByName(bNat.orderBy("doc_id").limit(8)
+          .withColumn("doc_id", col("doc_id") + 7000000L)
+          .withColumn("text", concat(col("text"), lit(" qqwithinpadb"))))
       val srcDir = java.nio.file.Files
         .createTempDirectory("graft_intake_src").toString
       def parts(): Set[java.io.File] = new java.io.File(srcDir).listFiles()
@@ -309,13 +320,19 @@ object StreamQueries extends graft.QueryModule {
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
           val s1 = graft.llm.Dedup.exactDedup(batch)
           val s2 = graft.llm.Dedup.bloomCrossDedup(s1, ref, bloom)
+          // within-batch NEAR-dup pass (exact fp can't see reworded
+          // copies): transitive CC over verified pairs, keep the min-id
+          // representative — the drop is deduped before it ever touches
+          // the store
+          val s2b = graft.llm.Dedup.keepClusterRepresentatives(s2,
+            graft.llm.Dedup.nearDupClusters(s2, threshold = 0.7))
           val matched = graft.llm.Dedup.crossCorpusNearDupsFromStore(
-            s2, storeDir, threshold = 0.7, nParts = np)
+            s2b, storeDir, threshold = 0.7, nParts = np)
             .select(col("new_id").as("doc_id")).distinct()
           // fence: materialize the survivors BEFORE the append so the
           // store read (matched) can never race the store write — the
           // q192 stage-fencing discipline
-          val s3 = s2.join(matched, Seq("doc_id"), "left_anti")
+          val s3 = s2b.join(matched, Seq("doc_id"), "left_anti")
             .localCheckpoint()
           graft.llm.Dedup.appendMinHashStore(s3, storeDir, nParts = np)
           s.catalog.clearCache()
@@ -332,24 +349,32 @@ object StreamQueries extends graft.QueryModule {
     // the whole sequential intake pipeline re-derived in ONE statement:
     // drop construction, min-id exact dedup within each batch, exact
     // anti-join vs the static reference fingerprints (bloom is a
-    // prefilter only — semantics are the plain anti-join), true-jaccard
-    // near-dup rejection vs the store state AT THAT BATCH (ref for A;
-    // ref ∪ S1 for B), membership = ref ∪ S1 ∪ S2
+    // prefilter only — semantics are the plain anti-join), WITHIN-BATCH
+    // near-dup connected components keeping the min-id representative
+    // (recursive CTE, the q192 CC pattern), true-jaccard near-dup
+    // rejection vs the store state AT THAT BATCH (ref for A; ref ∪ S1
+    // for B), membership = ref ∪ S1 ∪ S2
     "q195_stream_intake_e2e" ->
-      """WITH ref AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+      """WITH RECURSIVE
+        |ref AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
         |reflow AS (SELECT doc_id, text FROM ref ORDER BY doc_id LIMIT 10),
         |anat AS (SELECT doc_id, text FROM documents WHERE doc_id % 6 = 0),
+        |bnat AS (SELECT doc_id, text FROM documents WHERE doc_id % 6 = 3),
         |batcha AS (
         |  SELECT doc_id, text FROM anat
         |  UNION ALL SELECT doc_id + 2000000, text FROM reflow
         |  UNION ALL SELECT doc_id + 3000000, text FROM
-        |    (SELECT doc_id, text FROM anat ORDER BY doc_id LIMIT 5)),
+        |    (SELECT doc_id, text FROM anat ORDER BY doc_id LIMIT 5)
+        |  UNION ALL SELECT doc_id + 6000000, text || ' qqwithinpad' FROM
+        |    (SELECT doc_id, text FROM anat ORDER BY doc_id LIMIT 8)),
         |batchb AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 6 = 3
+        |  SELECT doc_id, text FROM bnat
         |  UNION ALL SELECT doc_id + 4000000, text FROM
         |    (SELECT doc_id, text FROM anat ORDER BY doc_id LIMIT 10)
         |  UNION ALL SELECT doc_id + 5000000, text || ' qqintakepad'
-        |    FROM reflow),
+        |    FROM reflow
+        |  UNION ALL SELECT doc_id + 7000000, text || ' qqwithinpadb' FROM
+        |    (SELECT doc_id, text FROM bnat ORDER BY doc_id LIMIT 8)),
         |reffp AS (SELECT DISTINCT
         |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |  FROM ref),
@@ -380,21 +405,49 @@ object StreamQueries extends graft.QueryModule {
         |       LEFT JOIN reffp f
         |         ON f.fp = md5(regexp_replace(lower(trim(a.text)), '\s+', ' ', 'g'))
         |       WHERE f.fp IS NULL),
-        |s1 AS (SELECT n.doc_id FROM sh_a n JOIN a2 USING (doc_id)
+        |sa2 AS (SELECT n.doc_id, n.s FROM sh_a n JOIN a2 USING (doc_id)),
+        |apair AS (
+        |  SELECT x.doc_id AS ida, y.doc_id AS idb
+        |  FROM sa2 x JOIN sa2 y ON x.doc_id < y.doc_id
+        |  WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(x.s, y.s))) >= 0.7),
+        |abi AS (SELECT ida AS a, idb AS b FROM apair
+        |        UNION ALL SELECT idb, ida FROM apair),
+        |areach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM a2
+        |  UNION
+        |  SELECT r.a, e.b FROM areach r JOIN abi e ON r.b = e.a),
+        |aclu AS (SELECT a AS doc_id, min(b) AS cid FROM areach GROUP BY a),
+        |a2b AS (SELECT doc_id FROM aclu WHERE doc_id = cid),
+        |s1 AS (SELECT n.doc_id FROM sa2 n JOIN a2b USING (doc_id)
         |       WHERE NOT EXISTS (
         |         SELECT 1 FROM sh_ref r
         |         WHERE CAST(len(list_intersect(n.s, r.s)) AS DOUBLE)
         |               / len(list_distinct(list_concat(n.s, r.s))) >= 0.7)),
         |store1 AS (SELECT doc_id, s FROM sh_ref
         |           UNION ALL
-        |           SELECT n.doc_id, n.s FROM sh_a n JOIN s1 USING (doc_id)),
+        |           SELECT n.doc_id, n.s FROM sa2 n JOIN s1 USING (doc_id)),
         |b1 AS (SELECT min(doc_id) AS doc_id FROM batchb
         |       GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
         |b2 AS (SELECT b.doc_id FROM batchb b JOIN b1 USING (doc_id)
         |       LEFT JOIN reffp f
         |         ON f.fp = md5(regexp_replace(lower(trim(b.text)), '\s+', ' ', 'g'))
         |       WHERE f.fp IS NULL),
-        |s2 AS (SELECT n.doc_id FROM sh_b n JOIN b2 USING (doc_id)
+        |sb2 AS (SELECT n.doc_id, n.s FROM sh_b n JOIN b2 USING (doc_id)),
+        |bpair AS (
+        |  SELECT x.doc_id AS ida, y.doc_id AS idb
+        |  FROM sb2 x JOIN sb2 y ON x.doc_id < y.doc_id
+        |  WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(x.s, y.s))) >= 0.7),
+        |bbi AS (SELECT ida AS a, idb AS b FROM bpair
+        |        UNION ALL SELECT idb, ida FROM bpair),
+        |breach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM b2
+        |  UNION
+        |  SELECT r.a, e.b FROM breach r JOIN bbi e ON r.b = e.a),
+        |bclu AS (SELECT a AS doc_id, min(b) AS cid FROM breach GROUP BY a),
+        |b2b AS (SELECT doc_id FROM bclu WHERE doc_id = cid),
+        |s2 AS (SELECT n.doc_id FROM sb2 n JOIN b2b USING (doc_id)
         |       WHERE NOT EXISTS (
         |         SELECT 1 FROM store1 r
         |         WHERE CAST(len(list_intersect(n.s, r.s)) AS DOUBLE)
