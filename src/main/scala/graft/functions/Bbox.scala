@@ -160,7 +160,7 @@ object Bbox {
   def importBoxes(ds: GraftDataset, fmt: BoxFormat, inCols: Seq[String]): GraftDataset = {
     val ann0 = ds.annotations
     val ann = if (fmt.relative) {
-      val dims = broadcast(ds.images.select(col("id").as("__iid"),
+      val dims = GraftDataset.broadcastIfSmall(ds.images.select(col("id").as("__iid"),
         col("width").as("__w"), col("height").as("__h")))
       val j = ann0.join(dims, ann0("image_id") === col("__iid"), "left")
       val boxes = toCanonical(fmt,
@@ -188,7 +188,7 @@ object Bbox {
       dropCanonical: Boolean = false): DataFrame = {
     val ann0 = ds.annotations
     val base = if (fmt.relative) {
-      val dims = broadcast(ds.images.select(col("id").as("__iid"),
+      val dims = GraftDataset.broadcastIfSmall(ds.images.select(col("id").as("__iid"),
         col("width").as("__w"), col("height").as("__h")))
       ann0.join(dims, ann0("image_id") === col("__iid"), "left")
     } else ann0.withColumn("__w", lit(1)).withColumn("__h", lit(1))
@@ -204,7 +204,7 @@ object Bbox {
   /** Clip boxes to their image bounds (cap_bounding_box_coordinates,
     * dataset.py:2919-3008): broadcast dims join + greatest/least arithmetic. */
   def capBoxes(ds: GraftDataset): GraftDataset = {
-    val dims = broadcast(ds.images.select(col("id").as("__iid"),
+    val dims = GraftDataset.broadcastIfSmall(ds.images.select(col("id").as("__iid"),
       col("width").as("__w"), col("height").as("__h")))
     val j = ds.annotations.join(dims, col("image_id") === col("__iid"), "left")
     val x0 = greatest(col("box_x_min"), lit(0.0))

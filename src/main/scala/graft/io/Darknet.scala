@@ -42,7 +42,7 @@ object Darknet {
       .withColumn("parts",
         org.apache.spark.sql.functions.split(trim(col("line")), "\\s+"))
     val imgs = images.withColumn("stem", stemOf(col("relative_path")))
-    val dims = broadcast(imgs.select(col("stem"), col("id").as("__img_id"),
+    val dims = GraftDataset.broadcastIfSmall(imgs.select(col("stem"), col("id").as("__img_id"),
       col("width").as("__w"), col("height").as("__h")))
     val joined = raw.join(dims, Seq("stem"))
     val rel = joined.select(
@@ -96,7 +96,7 @@ object Darknet {
       col("filename").substr(lit(prefix.length + 1), length(col("filename"))))
       .otherwise(col("filename"))
     val frames = raw.select(relPath.as("relative_path"), explode(col("objects")).as("o"))
-    val dims = broadcast(images.select(col("relative_path"),
+    val dims = GraftDataset.broadcastIfSmall(images.select(col("relative_path"),
       col("id").as("__img_id"), col("width").as("__w"), col("height").as("__h")))
     // a filename that resolves to no images row would silently vanish in
     // the inner join below (the reference's image_info merge surfaces the

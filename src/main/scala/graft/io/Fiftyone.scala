@@ -47,7 +47,7 @@ object Fiftyone {
   def sampleFrame(ds: GraftDataset, annotationsName: String = "groundtruth",
       allowKeypoints: Boolean = false): DataFrame = {
     val d0 = ds.withCategoryStr
-    val dims = broadcast(d0.images.select(col("id").as("__iid"),
+    val dims = GraftDataset.broadcastIfSmall(d0.images.select(col("id").as("__iid"),
       col("width").cast("double").as("__iw"),
       col("height").cast("double").as("__ih")))
     val ann = d0.annotations.join(dims, col("image_id") === col("__iid"))

@@ -30,7 +30,7 @@ object DummyData {
       concat(lit("img_"), col("id"), lit(".jpg")).as("relative_path"),
       element_at(array(splits.map(lit): _*),
         (u(3, seed, col("id")) * splits.length).cast("int") + 1).as("split"))
-    val dims = broadcast(images.select(col("id").as("__iid"),
+    val dims = GraftDataset.broadcastIfSmall(images.select(col("id").as("__iid"),
       col("width").as("__w"), col("height").as("__h")))
     val ann0 = spark.range(nAnnotations).select(
       col("id"),

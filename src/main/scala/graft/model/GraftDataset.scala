@@ -65,10 +65,11 @@ case class GraftDataset(
     copy(annotations = annotations.withColumn("category_str", expr))
   }
 
-  /** Re-propagate `split` from images to annotations via broadcast FK join
-    * (reference dataset.py:1015-1018). */
+  /** Re-propagate `split` from images to annotations via a size-guarded
+    * broadcast FK join (reference dataset.py:1015-1018). */
   def withSplitPropagated: GraftDataset = {
-    val im = broadcastIfSmall(images.select(col("id").as("__img_id"), col("split").as("__img_split")))
+    val im = GraftDataset.broadcastIfSmall(
+      images.select(col("id").as("__img_id"), col("split").as("__img_split")))
     val ann = annotations
       .drop("split")
       .join(im, col("image_id") === col("__img_id"), "left")
@@ -76,11 +77,6 @@ case class GraftDataset(
       .drop("__img_id", "__img_split")
     copy(annotations = ann).reordered
   }
-
-  /** images is usually ≪ annotations; hint broadcast so split/category
-    * propagation never shuffles the fact table. AQE will demote the hint
-    * if the build side is genuinely too large. */
-  private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
 
   /** Canonical column order: core first, attributes after
     * (utils/dataframe_formatter.py:7-34). */
@@ -177,6 +173,44 @@ case class GraftDataset(
 
 object GraftDataset {
   import Schemas._
+
+  /** Default ceiling (bytes, plan-stats estimate) below which a dimension
+    * side gets an explicit `broadcast` hint. Override per-session via the
+    * Spark conf `graft.broadcast.maxBytes`. Kept well under Spark's 8 GB /
+    * 512M-row BroadcastExchange hard limits: the estimate is of on-disk /
+    * columnar bytes and the in-memory hash relation inflates several-fold. */
+  val BroadcastDimMaxBytes: Long = 256L << 20
+
+  /** Hint `broadcast(df)` ONLY when a plan-statistics size estimate says the
+    * frame is genuinely small; otherwise return `df` un-hinted so the
+    * planner picks the join strategy (auto-broadcast when its own stats are
+    * under `spark.sql.autoBroadcastJoinThreshold`, sort-merge / shuffled-hash
+    * past it). An explicit `broadcast()` hint is honored UNCONDITIONALLY by
+    * Spark — AQE's DynamicJoinSelection only injects hints where the user
+    * gave none, it never demotes one — and BroadcastExchange hard-fails past
+    * 8 GB / 512M rows after first materializing the build side on the
+    * driver. So an unguarded hint on a table that grows with the dataset
+    * (images, per-image id maps) turns every FK-dimension join into a
+    * throw at web scale; this guard makes those operators degrade to a
+    * shuffle join instead.
+    *
+    * The estimate is `optimizedPlan.stats.sizeInBytes` of `estimator`
+    * (default: `df` itself) — driver-side catalog/plan statistics, no job.
+    * Pass a separate `estimator` when `df`'s lineage goes through an RDD
+    * (e.g. [[zipDenseIds]]): `LogicalRDD` reports the unknown-size sentinel
+    * (`spark.sql.defaultSizeInBytes` = Long.MaxValue), which would always
+    * suppress the hint even for a 1000-row map. The estimator must have the
+    * same row count and row width as `df` (e.g. an equivalently-shaped
+    * projection of the frame the RDD was derived from); over-estimates only
+    * cost the hint, never correctness. */
+  def broadcastIfSmall(df: DataFrame, estimator: DataFrame = null): DataFrame = {
+    val maxBytes = df.sparkSession.conf.getOption("graft.broadcast.maxBytes")
+      .map(_.toLong).getOrElse(BroadcastDimMaxBytes)
+    val est = Option(estimator).getOrElse(df)
+    if (est.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(maxBytes))
+      broadcast(df)
+    else df
+  }
 
   /** Split a root into ("scheme://authority", "/path") for URI roots, or
     * ("", root) for plain local paths — the guard that keeps the

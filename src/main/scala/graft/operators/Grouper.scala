@@ -107,7 +107,7 @@ object Grouper {
     val base =
       if (rootCols.isEmpty) ds.annotations
       else {
-        val im = broadcast(ds.images.select(
+        val im = GraftDataset.broadcastIfSmall(ds.images.select(
           (Seq(col("id").as("__gimg_id")) ++ rootCols.map(c => col(s"`$c`").as(s"__root_$c"))): _*))
         ds.annotations.join(im, col("image_id") === col("__gimg_id"), "left")
           .drop("__gimg_id")

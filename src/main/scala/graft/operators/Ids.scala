@@ -36,8 +36,15 @@ object Ids {
     val newImages = denseIds(ds.images,
       (sortImagesBy :+ "id").distinct, startImageId, "__new_id")
     val idMap = newImages.select(col("id").as("__old_id"), col("__new_id"))
+    // the id map is one row per image, two longs — but its zipWithIndex
+    // lineage is a LogicalRDD whose plan stats are the unknown sentinel, so
+    // size-estimate it from an identically-shaped projection of the images
+    // lineage. Past the guard threshold the FK rewrite degrades to a
+    // shuffle join instead of a >8 GB broadcast throw.
+    val idMapSized = ds.images.select(col("id").as("__old_id"), col("id").as("__new_id"))
     val newAnn0 = ds.annotations
-      .join(broadcast(idMap), ds.annotations("image_id") === col("__old_id"), "left")
+      .join(GraftDataset.broadcastIfSmall(idMap, idMapSized),
+        ds.annotations("image_id") === col("__old_id"), "left")
       .withColumn("image_id", col("__new_id"))
       .drop("__old_id", "__new_id")
     val newAnn = denseIds(newAnn0.withColumnRenamed("id", "__old_ann_id"),
@@ -56,7 +63,7 @@ object Ids {
       removeUnmapped: Boolean = false): GraftDataset = {
     // normalize the mapping to long columns up front: a caller-supplied
     // Int mapping (or an empty frame) must not crash the max/getLong path
-    val m = broadcast(mapping.select(
+    val m = GraftDataset.broadcastIfSmall(mapping.select(
       col(mapping.columns(0)).cast("long").as("__old_id"),
       col(mapping.columns(1)).cast("long").as("__new_id")))
     val joined = ds.images.join(m, ds.images("id") === col("__old_id"), "left")
@@ -79,7 +86,12 @@ object Ids {
         val im = mapped.unionByName(unmapped)
         // rebuild the effective full mapping from the images themselves
         val fullMap = im.select(col("id").as("__old_id2"), col("__new_id").as("__new_id2"))
-        val ann = ds.annotations.join(broadcast(fullMap),
+        // same zipWithIndex-lineage caveat as resetIndex: size-estimate the
+        // per-image map from an equivalently-shaped images projection
+        val fullMapSized = ds.images.select(
+          col("id").as("__old_id2"), col("id").as("__new_id2"))
+        val ann = ds.annotations.join(
+          GraftDataset.broadcastIfSmall(fullMap, fullMapSized),
           ds.annotations("image_id") === col("__old_id2"), "left")
           .withColumnRenamed("__new_id2", "__new_id")
           .drop("__old_id2")

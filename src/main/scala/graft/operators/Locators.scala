@@ -101,7 +101,7 @@ object Locators {
   def removeInvalidAnnotations(ds: GraftDataset, allowKeypoints: Boolean = false,
       removeEmptiedImages: Boolean = false,
       removeRelatedImages: Boolean = false): GraftDataset = {
-    val dims = broadcast(ds.images.select(col("id").as("__iid"),
+    val dims = GraftDataset.broadcastIfSmall(ds.images.select(col("id").as("__iid"),
       col("width").as("__w"), col("height").as("__h")))
     val joined = ds.annotations.join(dims, col("image_id") === col("__iid"), "left")
     val sizeOk =
@@ -137,7 +137,7 @@ object Locators {
   /** Error-report table for malformed boxes (get_malformed_bounding_boxes,
     * utils/testing.py:477-577): one boolean column per failure mode. */
   def malformedBoxReport(ds: GraftDataset, keypointsOk: Boolean = false): DataFrame = {
-    val dims = broadcast(ds.images.select(col("id").as("__iid"),
+    val dims = GraftDataset.broadcastIfSmall(ds.images.select(col("id").as("__iid"),
       col("width").as("__w"), col("height").as("__h")))
     val joined = ds.annotations.join(dims, col("image_id") === col("__iid"), "left")
     val zeroOk = if (keypointsOk) lit(true) else (col("box_width") > 0 && col("box_height") > 0)

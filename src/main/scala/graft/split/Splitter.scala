@@ -237,7 +237,8 @@ object Splitter {
         val groupCols = keepBalanced.map(g => s"__group_${g.name}")
         // bind atom to each annotation through the image FK
         val withAtom = resolved.join(
-          broadcast(atomized.select(col("id").as("__img_id"), col("__atom"))),
+          GraftDataset.broadcastIfSmall(
+            atomized.select(col("id").as("__img_id"), col("__atom"))),
           col("image_id") === col("__img_id"))
         val binDf = withAtom.groupBy((col("__atom") +: groupCols.map(c => col(s"`$c`"))): _*)
           .count()

@@ -262,6 +262,57 @@ class PlanSpec extends SparkFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       s"corpus side shuffled for the cell join:\n$plan")
   }
+
+  test("broadcastIfSmall: an over-threshold images side degrades to a shuffle join instead of throwing") {
+    // An explicit broadcast() hint is honored UNCONDITIONALLY by Spark (AQE
+    // never demotes a user hint) and BroadcastExchange hard-fails past
+    // 8 GB / 512M rows — so the FK-dimension joins must drop the hint when
+    // the size estimate is over threshold. Simulate "over threshold" by
+    // forcing the guard's ceiling to 0 and disabling auto-broadcast: every
+    // guarded operator must plan a shuffle join, not BroadcastHashJoin and
+    // not an error.
+    spark.conf.set("graft.broadcast.maxBytes", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // built INSIDE the conf window: the hint decision is taken when the
+      // operator constructs the frame, and create() itself propagates split
+      val ds = tinyDataset()
+      val plans = Map(
+        "withSplitPropagated" ->
+          ds.withSplitPropagated.annotations.queryExecution.executedPlan.toString,
+        "capBoxes" ->
+          graft.functions.Bbox.capBoxes(ds).annotations.queryExecution.executedPlan.toString,
+        "removeInvalidAnnotations" ->
+          graft.operators.Locators.removeInvalidAnnotations(ds)
+            .annotations.queryExecution.executedPlan.toString,
+        "resetIndexFromMapping" -> {
+          import spark.implicits._
+          val mapping = Seq((0L, 10L), (1L, 11L), (2L, 12L), (3L, 13L))
+            .toDF("old_id", "new_id")
+          graft.operators.Ids.resetIndexFromMapping(ds, mapping,
+            removeUnmapped = true).annotations.queryExecution.executedPlan.toString
+        })
+      for ((name, plan) <- plans) {
+        assert(!plan.contains("BroadcastHashJoin"),
+          s"$name still forces a broadcast over threshold:\n$plan")
+        assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+          s"$name FK join did not degrade to a shuffle join:\n$plan")
+      }
+      // resetIndex's id-map join lives inside a zipWithIndex RDD lineage so
+      // its plan string can't be asserted — but the whole operator must
+      // still EXECUTE (degrade, not throw) with the hint suppressed
+      val reset = graft.operators.Ids.resetIndex(ds)
+      assert(reset.annotations.count() == 6 && reset.images.count() == 4)
+    } finally {
+      spark.conf.unset("graft.broadcast.maxBytes")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+    // and with defaults restored the same dimension join is hinted again
+    val planDefault =
+      tinyDataset().withSplitPropagated.annotations.queryExecution.executedPlan.toString
+    assert(planDefault.contains("BroadcastHashJoin"),
+      s"small dimension side lost its broadcast hint:\n$planDefault")
+  }
 }
 
 class BucketedJoinSpec extends SparkFunSuite {
