@@ -7,10 +7,15 @@ import org.apache.spark.sql.functions._
 
 /** Correctness-gate queries for the training-data-pipeline operators:
   * dedup family, similarity search, text analysis, event-time windows.
-  * xxhash64-based signatures (MinHash/SimHash/LSH) are not reproducible in
-  * DuckDB → one-row aggregate outputs with rows-only checks, semantics
-  * locked in LlmSpec; everything md5/arithmetic-based gets a full oracle.
-  */
+  * EVERY gate here (and across the engine — see COVERAGE.md /
+  * graft.Counts) carries a FULL DuckDB oracle: rows + schema + value
+  * hash; none is a weaker rows-only check. The xxhash64-based signature
+  * families (MinHash/SimHash/LSH) are gated on hash-INDEPENDENT outputs:
+  * the banded candidates are verified against exact Jaccard before
+  * emission, so the gate result is the deterministic verified pair/cluster
+  * set, oracled by exhaustive all-pairs SQL (plus the planted-duplicate
+  * corpus construction below, which pins banding recall — see the
+  * data-regeneration caveat on [[docsWithDups]]). */
 object LlmQueries extends graft.QueryModule {
   type Q = (SparkSession, String) => DataFrame
 
