@@ -41,7 +41,8 @@ object SparkEntry {
     _root_.graft.queries.CurationQueries,
     _root_.graft.queries.CorpusRetrievalQueries,
     _root_.graft.queries.PipelineQueries,
-    _root_.graft.queries.DetectionPipelineQueries
+    _root_.graft.queries.DetectionPipelineQueries,
+    _root_.graft.queries.RetrievalPipelineQueries
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

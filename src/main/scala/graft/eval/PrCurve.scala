@@ -117,9 +117,25 @@ object PrCurve {
   /** Compute PR curves per group. `results` must carry `groundtruth`
     * (boolean), `iou`, `confidence` plus the group columns. The group key is
     * string-concatenated for the typed kernel and re-joined to the original
-    * group columns afterwards (distinct group table is small). */
+    * group columns afterwards (distinct group table is small).
+    *
+    * SCALE BOUND (named, per stage): the only per-group-serial work is the
+    * finishing kernel and the AP window, and BOTH are bounded by the number
+    * of DISTINCT confidence values in the group (+4 padding points), never
+    * by its raw result rows — the confidence-desc sweep itself is the
+    * distributed (key, confidence) hash aggregate. So the per-task ceiling
+    * is `max_g |distinct confidences in g|`. For detectors emitting
+    * quantized scores that is already a constant; for CONTINUOUS scores it
+    * degenerates to the group's row count at web scale — one popular
+    * category = one fat kernel task. `confidenceDecimals` is the lever:
+    * rounding scores to `d` decimals before the compression caps the bound
+    * at 10^d + 1 bins per group REGARDLESS of corpus size (pycocotools
+    * quantizes the other side of the same trade at 101 recall bins; with
+    * the default 101-bin reindex, d ≥ 3 is visually indistinguishable).
+    * Default None = exact semantics — the oracle gates run exact. */
   def compute(results: DataFrame, groupCols: Seq[String], minIou: Double = 0.0,
-      reindexBins: Option[Array[Double]] = Some(defaultBins)): DataFrame = {
+      reindexBins: Option[Array[Double]] = Some(defaultBins),
+      confidenceDecimals: Option[Int] = None): DataFrame = {
     val spark = results.sparkSession
     import spark.implicits._
     val sep = "\u0001" // non-printable separator so distinct tuples never collapse
@@ -135,7 +151,8 @@ object PrCurve {
         keyCol.as("key"),
         col("groundtruth").cast("boolean").as("groundtruth"),
         col("iou").cast("double").as("iou"),
-        col("confidence").cast("double").as("confidence"))
+        confidenceDecimals.foldLeft(col("confidence").cast("double"))(
+          (c, d) => round(c, d)).as("confidence"))
       .groupBy(col("key"), col("confidence"))
       .agg(
         sum(when(col("groundtruth") && col("iou") > lit(minIou), 1L).otherwise(0L)).as("tp"),

@@ -283,6 +283,36 @@ object Pq {
         transform(sort_array(collect_list(struct(col("dim"), col("mx")))),
           s => s.getField("mx")).as("__maxs"))
 
+  /** Materialize a [[sqStats]] result to a LITERAL one-row frame: run the
+    * O(n·dim) stats scan exactly once (one `head()` action) and rebuild the
+    * (__mins, __maxs) arrays as literals. The frame [[sqStats]] returns is
+    * lazy — a serving path that reuses it across query batches (or a timed
+    * harness that reuses it across reps) would silently re-run the full
+    * posexplode + groupBy per action; this pins the amortized-once cost
+    * where it belongs. The literal frame broadcasts exactly like the lazy
+    * one in [[sqEncode]]/[[sqTopK]]. */
+  def sqStatsMaterialized(spark: org.apache.spark.sql.SparkSession,
+      stats: DataFrame): DataFrame = {
+    val r = stats.head()
+    spark.range(1).select(
+      typedLit(r.getSeq[Double](0)).as("__mins"),
+      typedLit(r.getSeq[Double](1)).as("__maxs"))
+  }
+
+  /** Per-query probe list: the ids of the `nprobe` centroids nearest to
+    * `queryVec`, as a pure column expression over the driver-side literal
+    * `cells` (no shuffle, no join — centroid tables are tiny by IVF
+    * construction). Shared by [[ivfSqTopK]], [[ivfSqTopKFromStore]], and
+    * the scale harness's scored-pair decomposition so the timed query and
+    * its counters derive the probe set from ONE definition. */
+  def probedCells(queryVec: Column, cells: Seq[Array[Double]],
+      nprobe: Int): Column = {
+    val cellRank = array(cells.zipWithIndex.map { case (cent, ci) =>
+      struct(l2sq(queryVec, cent).as("d"), lit(ci).as("c"))
+    }: _*)
+    slice(transform(array_sort(cellRank), s => s.getField("c")), 1, nprobe)
+  }
+
   /** Affine int8 scalar quantization (the FAISS `SQ8` baseline — 4× less
     * compression than PQ at m=4 but with NO training and near-exact
     * recall): `code_d = clamp(⌊(x_d − min_d)/(max_d − min_d) · 256⌋, 0,
@@ -365,11 +395,7 @@ object Pq {
     require(nprobe > 0 && nprobe <= cells.size,
       s"nprobe $nprobe out of range 1..${cells.size}")
     val qv = col(queryVecCol).cast("array<double>")
-    val cellRank = array(cells.zipWithIndex.map { case (cent, ci) =>
-      struct(l2sq(qv, cent).as("d"), lit(ci).as("c"))
-    }: _*)
-    val probed = slice(transform(array_sort(cellRank), s => s.getField("c")),
-      1, nprobe)
+    val probed = probedCells(qv, cells, nprobe)
     val q = broadcast(queries.filter(col(queryVecCol).isNotNull)
       .select(col(queryIdCol), qv.as("__qv"), explode(probed).as("cell_id")))
     val dequant = transform(col("sq_codes"), (c, i) => {
@@ -424,11 +450,7 @@ object Pq {
     require(nprobe > 0 && nprobe <= cells.size,
       s"nprobe $nprobe out of range 1..${cells.size}")
     val qv = col(queryVecCol).cast("array<double>")
-    val cellRank = array(cells.zipWithIndex.map { case (cent, ci) =>
-      struct(l2sq(qv, cent).as("d"), lit(ci).as("c"))
-    }: _*)
-    val probed = slice(transform(array_sort(cellRank), s => s.getField("c")),
-      1, nprobe)
+    val probed = probedCells(qv, cells, nprobe)
     val q = broadcast(queries.filter(col(queryVecCol).isNotNull)
       .select(col(queryIdCol), qv.as("__qv"), explode(probed).as("cell_id")))
     // the UNION of all queries' probe lists prunes the scan statically
@@ -451,6 +473,28 @@ object Pq {
       .select(col(queryIdCol), col(idCol), round(dist, 6).as("sq_dist"))
     graft.operators.TopK.topKPerQuery(scored, queryIdCol,
       Seq(col("sq_dist").asc, col(idCol).asc), k)
+  }
+
+  /** Mean recall@k of an approximate top-k ranking against the exact one:
+    * per query, |approx ∩ exact| / |exact| over rows with rank ≤ k, then
+    * averaged across the queries present in `exact`. Both inputs are
+    * ranked frames as produced by [[sqTopK]]/[[ivfSqTopK]]/[[adcTopK]]
+    * (columns `queryIdCol`, `idCol`, `rank`). Queries the approximate
+    * side missed entirely count as recall 0 — absence is a miss, not a
+    * skip. One aggregate action; the joins are (query, id)-keyed
+    * hash joins over ≤ k·|queries| rows per side, so the evaluation
+    * cost is bounded by the result size, never the corpus. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int,
+      queryIdCol: String = "query_id", idCol: String = "vec_id"): Double = {
+    require(k > 0, s"k must be positive: $k")
+    val a = approx.filter(col("rank") <= k).select(col(queryIdCol), col(idCol))
+    val e = exact.filter(col("rank") <= k).select(col(queryIdCol), col(idCol))
+    val hits = e.join(a, Seq(queryIdCol, idCol), "left_semi")
+      .groupBy(col(queryIdCol)).agg(count(lit(1)).as("__hits"))
+    e.groupBy(col(queryIdCol)).agg(count(lit(1)).as("__n"))
+      .join(hits, Seq(queryIdCol), "left")
+      .agg(avg(coalesce(col("__hits"), lit(0L)).cast("double") / col("__n")))
+      .head().getDouble(0)
   }
 
   /** Seeded per-subspace KMeans codebooks (the classic PQ training):

@@ -28,6 +28,13 @@ object SkewJoin {
     * want spread. Map-typed columns are excluded from the default salt
     * input (`xxhash64` rejects `MapType` at analysis); explicitly passing
     * a map column in `saltCols` still fails fast with Spark's own error. */
+  /** The deterministic salt assignment [[saltedJoin]] applies to the fact
+    * side — exposed so harness decompositions (per-(key, salt) volume
+    * counters) derive the spread from the SAME expression the join uses
+    * and cannot drift from it. */
+  def saltExpr(saltInput: Seq[Column], salts: Int): Column =
+    pmod(xxhash64(saltInput: _*), lit(salts)).cast("int")
+
   def saltedJoin(fact: DataFrame, dim: DataFrame,
       factKey: String, dimKey: String, salts: Int = 8,
       joinType: String = "inner", saltCols: Seq[String] = Nil): DataFrame = {
@@ -53,8 +60,7 @@ object SkewJoin {
       "saltedJoin: no hashable fact columns for the default salt; pass saltCols")
     val saltInput = (if (saltCols.nonEmpty) saltCols else defaultSaltCols)
       .map(c => col(s"`$c`"))
-    val salted = fact.withColumn("__salt",
-      pmod(xxhash64(saltInput: _*), lit(salts)).cast("int"))
+    val salted = fact.withColumn("__salt", saltExpr(saltInput, salts))
     // spread the dim BEFORE replicating: the explode multiplies each scan
     // partition `salts`-fold, and a dim read in few file splits would do
     // all of that in one or two tasks (measured: a 1.5M-row dim in one

@@ -6,6 +6,29 @@ import org.apache.spark.sql.functions._
 class PqSpec extends SparkFunSuite {
   import spark.implicits._
 
+  /** Assert the store scan's PartitionFilters bracket carries a pushed
+    * `cell_id IN/INSET (…)` listing exactly the probe union — NOT just
+    * that a "PartitionFilters:" segment exists (FileSourceScanExec prints
+    * one for ANY partitioned scan, and cell_id appears as the join key
+    * regardless, so a deleted pruning filter would sail through the weaker
+    * check). `queries`/`cells`/`nprobe` must match the from-store call. */
+  private def assertCellPruned(plan: String,
+      queries: org.apache.spark.sql.DataFrame,
+      cells: Seq[Array[Double]], nprobe: Int): Unit = {
+    val expected = queries.select(explode(Pq.probedCells(
+        col("embedding").cast("array<double>"), cells, nprobe)).as("c"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    assert(expected.length < cells.size,
+      "fixture degenerate: probe union covers every cell — pruning unobservable")
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findAllIn(plan)
+      .find(_.contains("cell_id")).getOrElse("")
+    assert(pf.contains(" IN ") || pf.contains("INSET"),
+      s"no pushed cell_id membership filter on the store scan:\n$plan")
+    expected.foreach(c => assert(
+      ("(?<![0-9])" + c + "(?![0-9])").r.findFirstIn(pf).isDefined,
+      s"probed cell $c missing from partition filter `$pf`"))
+  }
+
   // 4-dim vectors, m=2 subspaces of 2 dims; hand-picked codebooks
   private val codebooks: Seq[Seq[Array[Double]]] = Seq(
     Seq(Array(0.0, 0.0), Array(10.0, 10.0)),
@@ -150,9 +173,8 @@ class PqSpec extends SparkFunSuite {
       .orderBy("query_id", "rank").collect().toSeq
       == direct.orderBy("query_id", "rank").collect().toSeq)
     // the scan lists ONLY the probed cells' partitions
-    val plan = fromStore.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("cell_id"),
-      s"no partition filter on the store scan:\n$plan")
+    assertCellPruned(fromStore.queryExecution.executedPlan.toString,
+      queries, cells, nprobe = 2)
   }
 
   test("SQ8: codes in range, constant dims to 0, null vectors null") {
@@ -267,8 +289,63 @@ class PqSpec extends SparkFunSuite {
     assert(fromStore.select("query_id", "vec_id", "sq_dist", "rank")
       .orderBy("query_id", "rank").collect().toSeq
       == direct.orderBy("query_id", "rank").collect().toSeq)
-    val plan = fromStore.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("cell_id"),
-      s"no partition filter on the store scan:\n$plan")
+    assertCellPruned(fromStore.queryExecution.executedPlan.toString,
+      queries, cells, nprobe = 2)
+  }
+
+  test("recallAtK: perfect self-recall, partial overlap, missing query = 0") {
+    val exact = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2),
+      (3L, 30L, 1)).toDF("query_id", "vec_id", "rank")
+    assert(Pq.recallAtK(exact, exact, 3) == 1.0)
+    // q1 hits 2/3, q2 hits 1/2 (21 replaced), q3 missed entirely → 0
+    val approx = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 99L, 3),
+      (2L, 20L, 1), (2L, 98L, 2)).toDF("query_id", "vec_id", "rank")
+    val r = Pq.recallAtK(approx, exact, 3)
+    assert(math.abs(r - (2.0 / 3 + 0.5 + 0.0) / 3) < 1e-12, r.toString)
+    // rank truncation: rows past k on either side are invisible
+    val deep = approx.unionByName(Seq((3L, 30L, 4)).toDF("query_id", "vec_id", "rank"))
+    assert(Pq.recallAtK(deep, exact, 3) == r)
+  }
+
+  test("IVF-SQ8 recall floor: >= 0.9 at nprobe=8 on clustered data, monotone in nprobe") {
+    // 16 clusters of 6 points strung along a line (spacing 3.0 >> noise
+    // 0.1): the exact top-10 of any member spans its own cluster (6) plus
+    // its NEIGHBOR clusters (4 more) — so recall at small nprobe is a real
+    // function of the probe RANKING, not trivially 1.0 from the own-cell
+    // guarantee. A regression in cell assignment or probe ordering drops
+    // the floor; nprobe = ncells must recover the brute ranking exactly.
+    val nClusters = 16; val perCluster = 6; val dim = 16
+    val corpus = (0 until nClusters).flatMap { j =>
+      (0 until perCluster).map { m =>
+        val id = (j * perCluster + m).toLong
+        val v = Array.tabulate(dim) { t =>
+          val noise = (((id * 31 + t * 17) % 7).toDouble - 3) * 0.1 / 3
+          (if (t == 0) 3.0 * j else 0.0) + noise
+        }
+        (id, v.map(_.toFloat))
+      }
+    }.toDF("vec_id", "embedding")
+    val cells = (0 until nClusters)
+      .map(j => Array.tabulate(dim)(t => if (t == 0) 3.0 * j else 0.0))
+    val stats = Pq.sqStats(corpus)
+    val enc = Pq.assignCells(Pq.sqEncode(corpus, stats), cells)
+    val queries = corpus.filter(col("vec_id") % perCluster === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val exact = Pq.sqTopK(enc, queries, stats, k = 10)
+    val recalls = Seq(1, 4, 8, nClusters).map { np =>
+      np -> Pq.recallAtK(
+        Pq.ivfSqTopK(enc, queries, stats, cells, nprobe = np, k = 10),
+        exact, 10)
+    }.toMap
+    assert(recalls(8) >= 0.9, s"recall@10 floor broken: $recalls")
+    assert(recalls(nClusters) == 1.0, s"nprobe=all not exact: $recalls")
+    assert(recalls(1) <= recalls(4) + 1e-9 && recalls(4) <= recalls(8) + 1e-9,
+      s"recall not monotone in nprobe: $recalls")
+    // the small-nprobe face must actually be lossy here — otherwise the
+    // floor asserts nothing about the probe ranking
+    assert(recalls(1) < 0.9, s"fixture degenerate (nprobe=1 too easy): $recalls")
   }
 }
