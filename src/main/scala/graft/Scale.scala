@@ -935,7 +935,12 @@ object Scale {
     // hard-negative mining off the fused shortlist. The decompose pins
     // the decontam stage's effect (plants MUST die at every scale
     // factor) so a silent no-op decontam is visible without the oracle.
-    Probe("retrieval_e2e", gateSkew = true, q = (s, d) =>
+    // allowBnlj: the dense stage is DELIBERATELY the brute-force face
+    // (broadcast query-side cross join — the same contract as the
+    // brute_topk/sq8_topk probes); the serving-scale alternative is the
+    // IVF family, probed separately. The one-row BM25 stats frames also
+    // ride as benign broadcast cross joins.
+    Probe("retrieval_e2e", gateSkew = true, allowBnlj = true, q = (s, d) =>
       graft.queries.RetrievalPipelineQueries.retrievalChain(s, d)
         .groupBy(col("hard_negative"))
         .agg(count(lit(1)).as("n"),
