@@ -455,6 +455,73 @@ object Scale {
       out.annotations.agg(max(col("id")).as("max_ann_id"),
         max(col("image_id")).as("max_img_id"), count(lit(1)).as("n"))
     }),
+    // the DEGRADED (post-broadcast) FK-join path, measured: the same
+    // split-propagation → cap → invalid-filter pipeline every dataset
+    // operator rides, with the broadcast guard's ceiling forced to 0 AND
+    // auto-broadcast off — the plan a 1000-executor cluster actually runs
+    // once the images dimension outgrows the 8 GB BroadcastExchange limit.
+    // PlanSpec locks the degradation semantics at tiny scale (no throw, no
+    // BroadcastHashJoin); this probe prices the resulting SMJ path and
+    // puts it under the straggler gate. Decompose pins the plan shape
+    // structurally: zero broadcast-hash-join nodes, at least one
+    // shuffle-join node, at both scale factors.
+    Probe("fk_join_degraded", gateSkew = true,
+      conf = Map("graft.broadcast.maxBytes" -> "0",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+      q = (s, d) => fkPipelineDegraded(s, d)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("box_width") * col("box_height")), 4).as("area")),
+      decompose = Some((s, d) => {
+        val plan = fkPipelineDegraded(s, d)
+          .queryExecution.executedPlan.toString
+        def count(node: String): Long =
+          node.r.findAllMatchIn(plan).size.toLong
+        Map("bhj_nodes" -> count("BroadcastHashJoin"),
+          "shuffle_join_nodes" ->
+            (count("SortMergeJoin") + count("ShuffledHashJoin")))
+      })),
+    // the shuffle-FREE answer past broadcast: the same FK join over
+    // BUCKETED tables (images bucketed by id, annotations by image_id,
+    // same bucket count) — the co-located layout SCALE.md names as the
+    // 100-TB routing once the dimension no longer broadcasts. Setup
+    // (untimed — the layout is a stored artifact, like the dedup/IVF
+    // stores) writes the bucketed tables; the timed run joins and
+    // aggregates ON THE BUCKET KEY, so the whole pipeline is
+    // exchange-free. Decompose counts the surviving shuffle exchanges
+    // (must be 0) against an unbucketed replica (≥1).
+    Probe("fk_join_bucketed", gateSkew = true,
+      conf = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+      setup = Some((s, d) => graft.io.BucketedIO.writeBucketed(
+        Tables.datasetView(s, d), bucketedName(d), buckets = 32)),
+      q = (s, d) => {
+        val ds = graft.io.BucketedIO.readBucketed(s, bucketedName(d),
+          Tables.viewLabelMap)
+        ds.annotations.join(ds.images.select(col("id").as("image_id"),
+          col("height")), Seq("image_id"))
+          .groupBy(col("image_id"))
+          .agg(count(lit(1)).as("n_annots"),
+            max(col("height")).as("height"))
+          .agg(count(lit(1)).as("n_images"), sum(col("n_annots")).as("n"),
+            max(col("height")).as("max_h"))
+      },
+      decompose = Some((s, d) => {
+        val ds = graft.io.BucketedIO.readBucketed(s, bucketedName(d),
+          Tables.viewLabelMap)
+        def exchanges(df: org.apache.spark.sql.DataFrame): Long =
+          "Exchange hashpartitioning".r.findAllMatchIn(
+            df.queryExecution.executedPlan.toString).size.toLong
+        val bucketed = ds.annotations.join(
+          ds.images.select(col("id").as("image_id"), col("height")),
+          Seq("image_id"))
+          .groupBy(col("image_id")).agg(count(lit(1)).as("n"))
+        val flat = Tables.annotationsView(s, d).join(
+          Tables.imagesView(s, d).select(col("id").as("image_id"),
+            col("height")), Seq("image_id"))
+          .groupBy(col("image_id")).agg(count(lit(1)).as("n"))
+        Map("exchanges_bucketed" -> exchanges(bucketed),
+          "exchanges_unbucketed" -> exchanges(flat))
+      })),
     // two-phase balanced split at scale: distributed atomize (contraction
     // CC over the keep-separate column) + distributed per-atom histograms,
     // then the greedy assigner over a BOUNDED atom set (20k atoms at every
@@ -873,12 +940,36 @@ object Scale {
           val exact = graft.llm.Pq.sqTopK(enc, queries, stats, k = 10)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
-            Seq(1, 4, 8).filter(_ <= cells.size).map { np =>
+            val fixed = Seq(1, 4, 8).filter(_ <= cells.size).map { np =>
               val appr = graft.llm.Pq.ivfSqTopK(enc, queries, stats,
                 cells, nprobe = np, k = 10)
               s"recall10_pm_nprobe$np" ->
                 math.round(graft.llm.Pq.recallAtK(appr, exact, 10) * 1000)
-            }.toMap + ("ncells" -> cells.size.toLong)
+            }.toMap
+            // the fixed-FRACTION face — the serving rule the fixed-nprobe
+            // decay motivates (SCALE.md round 12): hold the probed share
+            // of cells (~1/6, sf0.1's nprobe=8-at-45-cells operating
+            // point) as ncells grows √n, so recall stays ~flat across
+            // scale while scored pairs still grow ~√n per query. This row
+            // MEASURES the rule instead of stating it in prose.
+            val fracNp = math.min(cells.size,
+              math.max(1, math.round(cells.size / 6.0).toInt))
+            val apprF = graft.llm.Pq.ivfSqTopK(enc, queries, stats,
+              cells, nprobe = fracNp, k = 10)
+            val probedF = graft.llm.Pq.probedCells(
+              col("embedding").cast("array<double>"), cells, fracNp)
+            val hist = enc.filter(col("cell_id").isNotNull)
+              .groupBy("cell_id").agg(count(lit(1)).as("csz"))
+            val pairsF = queries
+              .select(col("query_id"), explode(probedF).as("cell_id"))
+              .join(hist, Seq("cell_id"))
+              .agg(coalesce(sum(col("csz")), lit(0L))).head().getLong(0)
+            fixed ++ Map(
+              "ncells" -> cells.size.toLong,
+              "nprobe_frac" -> fracNp.toLong,
+              "recall10_pm_nprobe_frac" ->
+                math.round(graft.llm.Pq.recallAtK(apprF, exact, 10) * 1000),
+              "pairs_pruned_frac" -> pairsF)
           } finally exact.unpersist()
         } finally enc.unpersist()
       })),
@@ -947,15 +1038,19 @@ object Scale {
           round(sum(col("rrf_score")), 6).as("rrf_sum")),
       decompose = Some((s, d) => {
         val docs = Tables.documents(s, d).select("doc_id", "text")
+        graft.queries.Plants.requireNaturalIdsBelowFloor(
+          docs, "doc_id", "retrieval_e2e decompose")
         val evalDocs = docs.filter(col("doc_id") % 50 === 0)
         val plants = evalDocs.orderBy("doc_id").limit(20)
-          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("doc_id",
+            col("doc_id") + graft.queries.Plants.IdFloor)
         val train = docs.filter(col("doc_id") % 50 =!= 0).unionByName(plants)
         val clean = graft.llm.Corpus.decontaminate(train, evalDocs,
           minShare = 0.5)
         val nTrain = train.count()
         val nClean = clean.count()
-        val plantsAlive = clean.filter(col("doc_id") >= 1000000L).count()
+        val plantsAlive = clean
+          .filter(col("doc_id") >= graft.queries.Plants.IdFloor).count()
         Map("train_docs" -> nTrain, "clean_docs" -> nClean,
           "dropped_docs" -> (nTrain - nClean),
           "plants_alive" -> plantsAlive)
@@ -1014,6 +1109,23 @@ object Scale {
   /** The IVF-SQ8 probe's nprobe — ONE constant shared by the timed query
     * and the scored-pair decomposition so they cannot drift apart. */
   private val sqIvfNprobe = 4
+
+  /** The FK-dimension pipeline the fk_join_degraded probe times: split
+    * propagation + box capping + invalid-annotation filtering over the
+    * TPC-H-ish dataset view — three images-side joins per the operators'
+    * own construction, degraded to shuffle joins by the probe's conf
+    * (ceiling 0, auto-broadcast off). Built fresh per call so the hint
+    * decision is taken INSIDE the probe's conf window. */
+  private def fkPipelineDegraded(s: SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.operators.Locators.removeInvalidAnnotations(
+      graft.functions.Bbox.capBoxes(
+        Tables.datasetView(s, d).withSplitPropagated)).annotations
+
+  /** Catalog table prefix for the fk_join_bucketed probe — per scale dir,
+    * so the sf0.1 and sf1 layouts never collide. */
+  private def bucketedName(d: String): String =
+    "graft_scale_bkt_" + d.replaceAll("[^A-Za-z0-9]", "_")
 
   /** UNTIMED once-per-dir build of the IVF-SQ8 serving state (shared by
     * the sq8_ivf_topk and sq8_ivf_recall probes): quantization stats

@@ -63,12 +63,21 @@ class DetectionEvaluator(
   }
 
   /** PR curves + AP per category (compute_precision_recall,
-    * detection_evaluator.py:382-682) for one model. */
+    * detection_evaluator.py:382-682) for one model.
+    *
+    * `confidenceDecimals` is the web-scale task-skew lever plumbed from
+    * [[PrCurve.compute]]: the kernel's per-group cost is bounded by the
+    * number of DISTINCT confidences in the group, and continuous scores
+    * make that bound the group's row count. Rounding to `d` decimals caps
+    * it at 10^d + 1 regardless of group size. Default `None` preserves the
+    * reference-parity semantics exactly. */
   def precisionRecall(model: String, minIou: Double = 0.0,
-      reindexBins: Option[Array[Double]] = Some(PrCurve.defaultBins))
+      reindexBins: Option[Array[Double]] = Some(PrCurve.defaultBins),
+      confidenceDecimals: Option[Int] = None)
       : (DataFrame, DataFrame) = {
     val res = results(model)
-    val pr = PrCurve.compute(res, Seq("category_id"), minIou, reindexBins)
+    val pr = PrCurve.compute(res, Seq("category_id"), minIou, reindexBins,
+      confidenceDecimals)
       .withColumn("model", lit(model))
       .withColumn("category_str",
         GraftDataset.labelMapColumn(labelMap, col("category_id")))
@@ -111,7 +120,8 @@ class DetectionEvaluator(
   def precisionRecallGrouped(model: String,
       groups: Seq[graft.operators.Grouper.GroupSpec],
       minIou: Double = 0.0,
-      reindexBins: Option[Array[Double]] = Some(PrCurve.defaultBins))
+      reindexBins: Option[Array[Double]] = Some(PrCurve.defaultBins),
+      confidenceDecimals: Option[Int] = None)
       : (DataFrame, DataFrame) = {
     import graft.operators.Grouper
     val m = matches(model, 0.0, categoryAgnostic = false).toDF()
@@ -151,7 +161,8 @@ class DetectionEvaluator(
         coalesce(col("confidence"), lit(0.0)).as("confidence")) ++
         groupCols.map(c => col(s"`$c`"))): _*)
     val results = gtRows.unionByName(fpRows)
-    val pr = PrCurve.compute(results, groupCols, minIou, reindexBins)
+    val pr = PrCurve.compute(results, groupCols, minIou, reindexBins,
+      confidenceDecimals)
       .withColumn("model", lit(model))
     val renamed = groups.foldLeft(pr)((d, g) =>
       d.withColumnRenamed(s"__group_${g.name}", g.name))
@@ -167,11 +178,12 @@ class DetectionEvaluator(
   def precisionRecallAll(
       models: Seq[String] = Nil,
       ious: Seq[Double] = Seq(0.0),
-      reindexBins: Option[Array[Double]] = Some(PrCurve.defaultBins))
+      reindexBins: Option[Array[Double]] = Some(PrCurve.defaultBins),
+      confidenceDecimals: Option[Int] = None)
       : (DataFrame, DataFrame) = {
     val ms = if (models.nonEmpty) models else predictions.keys.toSeq.sorted
     val results = for (m <- ms; iou <- ious) yield {
-      val (pr, ap) = precisionRecall(m, iou, reindexBins)
+      val (pr, ap) = precisionRecall(m, iou, reindexBins, confidenceDecimals)
       (pr, ap.withColumn("iou_threshold", lit(iou)))
     }
     (results.map(_._1).reduce(_ unionByName _),

@@ -48,7 +48,12 @@ object Corpus {
         explode(graft.functions.GraftFunctions.wordShingles(df.sparkSession,
           split(lower(trim(col(textCol))), "\\s+"), shingleN, distinct = true))
           .as("s"))
-    def hint(df: DataFrame): DataFrame = if (broadcastTest) broadcast(df) else df
+    // size-guarded: the test side is small by contract (eval slices are),
+    // but it GROWS with the corpus — past the guard's ceiling the hint is
+    // dropped and the shingle join degrades to a shuffle instead of
+    // throwing at the BroadcastExchange limit
+    def hint(df: DataFrame): DataFrame =
+      if (broadcastTest) graft.model.GraftDataset.broadcastIfSmall(df) else df
     val testSh = shingled(test, "test_id")
     val testSizes = testSh.groupBy("test_id")
       .agg(count(lit(1)).as("n_test_shingles"))
@@ -72,7 +77,12 @@ object Corpus {
     val bad = contaminationPairs(train, test, idCol, textCol, shingleN, broadcastTest)
       .filter(col("test_share") >= minShare)
       .select(col("train_id").as(idCol)).distinct()
-    train.join(broadcast(bad), Seq(idCol), "left_anti")
+    // estimator: `bad` is join-derived, and the default stats visitor
+    // estimates a join as the PRODUCT of its inputs — the train-id
+    // projection is the honest upper bound (bad ⊆ train ids; an
+    // over-estimate only costs the hint, never correctness)
+    train.join(graft.model.GraftDataset.broadcastIfSmall(bad,
+      estimator = train.select(col(idCol))), Seq(idCol), "left_anti")
   }
 
   /** TF-IDF sparse-cosine retrieval — the vector-space-model face of the
@@ -114,11 +124,18 @@ object Corpus {
       .select(col(queryIdCol), col("term"), (col("tf") * idf).as("wq"))
     val nq = wq.groupBy(col(queryIdCol))
       .agg(sqrt(sum(col("wq") * col("wq"))).as("nq"))
-    val scored = wd.join(broadcast(wq), Seq("term"))
+    // estimators: wq/nq are join-derived (product-of-inputs default
+    // stats); qtf bounds both — |wq| = |qtf| rows, |nq| ≤ |qtf| rows —
+    // so the guard tracks the QUERY volume, dropping the hints exactly
+    // when the query set itself outgrows broadcast
+    val scored = wd
+      .join(graft.model.GraftDataset.broadcastIfSmall(wq, estimator = qtf),
+        Seq("term"))
       .groupBy(col(queryIdCol), col(idCol))
       .agg(sum(col("wq") * col("wd")).as("__dot"))
       .join(nd, Seq(idCol))
-      .join(broadcast(nq), Seq(queryIdCol))
+      .join(graft.model.GraftDataset.broadcastIfSmall(nq, estimator = qtf),
+        Seq(queryIdCol))
       .select(col(queryIdCol), col(idCol),
         round(col("__dot") / (col("nq") * col("nd")), 6).as("score"))
     graft.operators.TopK.topKPerQuery(scored, queryIdCol,
@@ -192,7 +209,8 @@ object Corpus {
         explode(array_distinct(split(lower(trim(col(queryTextCol))), "\\s+")))
           .as("term"))
       .filter(length(col("term")) > 0)
-    val contrib = tf.join(broadcast(qterms), Seq("term"))
+    val contrib = tf
+      .join(graft.model.GraftDataset.broadcastIfSmall(qterms), Seq("term"))
       .join(dft, Seq("term"))
       .join(dl, Seq(idCol))
       .crossJoin(broadcast(stats))

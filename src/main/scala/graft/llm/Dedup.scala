@@ -410,8 +410,10 @@ object Dedup {
     * signatures, banding, and the two writes touch only `docs`; the
     * existing store is never read. Ids must stay unique across all
     * batches ([[crossCorpusNearDupsFromStore]]'s contract); parameters
-    * (k/bands/shingleN/nParts) MUST match the original write — the store
-    * records no metadata, so a mismatch silently mis-prunes. */
+    * (k/bands/shingleN/nParts) MUST match the original write, and the
+    * `_meta.json` sidecar the writer lays down ENFORCES it: an append
+    * with mismatched parameters (or against a store with no sidecar)
+    * fails loudly instead of silently mis-pruning every later probe. */
   def appendMinHashStore(docs: DataFrame, path: String,
       textCol: String = "text", idCol: String = "doc_id",
       k: Int = 32, bands: Int = 8, shingleN: Int = 3, nParts: Int = 64,
@@ -423,6 +425,31 @@ object Dedup {
       textCol: String, idCol: String, k: Int, bands: Int, shingleN: Int,
       nParts: Int, storage: StorageLevel, mode: String): Unit = {
     require(nParts > 0, s"nParts must be positive: $nParts")
+    // metadata sidecar: overwrite records the layout parameters; append
+    // require-matches them — k/bands/shingleN/nParts are baked into the
+    // partition directories and signature widths, so a mismatched append
+    // would interleave incompatible postings and every later probe would
+    // silently mis-prune (read the wrong pb/ib partitions)
+    val meta = StoreMeta(k, bands, shingleN, nParts)
+    val existing = readStoreMeta(docs.sparkSession, path)
+    if (mode == "append") existing match {
+      case Some(m) => require(m == meta,
+        s"minhash store append: parameters $meta do not match the store's " +
+          s"$m under $path — appending would silently " +
+          "mis-prune every later probe")
+      case None =>
+        // appending into an EMPTY path bootstraps the store (the streaming
+        // ingest shape: every foreachBatch appends, including the first);
+        // a POPULATED store without a sidecar predates it — refuse rather
+        // than guess its layout parameters
+        val post = new org.apache.hadoop.fs.Path(path, "postings")
+        val fs = post.getFileSystem(
+          docs.sparkSession.sessionState.newHadoopConf())
+        require(!fs.exists(post),
+          s"minhash store append: no _meta.json under $path but the store " +
+            "has postings — it predates the metadata sidecar; rebuild it " +
+            "with writeMinHashStore")
+    }
     val base = minHashBase(docs, textCol, idCol, k, shingleN).persist(storage)
     try {
       // co-locate each store partition into ONE write task before the
@@ -441,7 +468,59 @@ object Dedup {
         .repartition(nParts, col("ib"))
         .write.mode(mode).partitionBy("ib")
         .parquet(path + "/payload")
+      if (mode != "append" || existing.isEmpty)
+        writeStoreMeta(docs.sparkSession, path, meta)
     } finally base.unpersist()
+  }
+
+  /** The layout parameters a MinHash serving store is written with —
+    * persisted as `_meta.json` next to `postings/`/`payload/` so append
+    * and probe can verify compatibility instead of silently mis-pruning. */
+  private[llm] case class StoreMeta(k: Int, bands: Int, shingleN: Int,
+      nParts: Int)
+
+  private def storeMetaPath(path: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(path, "_meta.json")
+
+  /** Write the sidecar through the Hadoop FS API — the store path may be
+    * any Spark-reachable filesystem (HDFS/S3/local), not just java.nio. */
+  private def writeStoreMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, m: StoreMeta): Unit = {
+    val p = storeMetaPath(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    val json =
+      s"""{"k":${m.k},"bands":${m.bands},"shingleN":${m.shingleN},""" +
+        s""""nParts":${m.nParts}}"""
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read the sidecar; `None` when absent (a store written before the
+    * sidecar existed). The four-int JSON is parsed by regex — no JSON
+    * library in the engine's dependency surface. */
+  private[llm] def readStoreMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[StoreMeta] = {
+    val p = storeMetaPath(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](4096)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    def field(name: String): Int = {
+      val m = ("\"" + name + "\"\\s*:\\s*(-?\\d+)").r
+        .findFirstMatchIn(text)
+      require(m.nonEmpty, s"minhash store _meta.json under $path is " +
+        s"malformed: missing field '$name' in: $text")
+      m.get.group(1).toInt
+    }
+    Some(StoreMeta(field("k"), field("bands"), field("shingleN"),
+      field("nParts")))
   }
 
   /** The band-key → partition assignment shared by store write and probe
@@ -471,6 +550,18 @@ object Dedup {
       shingleN: Int = 3, maxBucketSize: Int = 256, nParts: Int = 64,
       storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val spark = newDocs.sparkSession
+    // probe-side parameter check against the writer's sidecar: a probe
+    // with the wrong k/bands/shingleN/nParts derives different pb/ib
+    // partition assignments and band keys than the store's layout —
+    // candidates are silently missed, never visibly wrong. Absent sidecar
+    // (a pre-sidecar store) degrades to the caller's responsibility.
+    readStoreMeta(spark, path).foreach { m =>
+      val probe = StoreMeta(k, bands, shingleN, nParts)
+      require(m == probe,
+        s"minhash store probe: parameters $probe do not match the store's " +
+          s"$m under $path — the pruned partition reads would silently " +
+          "miss candidates")
+    }
     val baseN = minHashBase(newDocs, textCol, idCol, k, shingleN).persist(storage)
     val bandedN = minHashBanded(baseN, k, bands)
     val pbs = bandedN.select(storePb(nParts).as("pb")).distinct()

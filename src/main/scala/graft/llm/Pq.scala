@@ -80,7 +80,8 @@ object Pq {
     }: _*)
     // vector-less queries have no distances to tabulate (the outer array()
     // is non-null even when every cell is — filter on the source column)
-    val q = broadcast(queries.filter(col(queryVecCol).isNotNull)
+    val q = graft.model.GraftDataset.broadcastIfSmall(
+      queries.filter(col(queryVecCol).isNotNull)
       .select(col(queryIdCol), qtab.as("__pq_tab")))
     val adist = (0 until m).map { j =>
       element_at(element_at(col("__pq_tab"), j + 1),
@@ -124,7 +125,8 @@ object Pq {
       idCol, queryIdCol, queryVecCol)
       .select(col(queryIdCol), col(idCol))
     val raw = corpus.select(col(idCol), col(corpusVecCol).as("__rr_cv"))
-    val qv = broadcast(queries.filter(col(queryVecCol).isNotNull)
+    val qv = graft.model.GraftDataset.broadcastIfSmall(
+      queries.filter(col(queryVecCol).isNotNull)
       .select(col(queryIdCol), col(queryVecCol).cast("array<double>").as("__rr_qv")))
     val exact = raw.join(broadcast(cand), Seq(idCol))
       .join(qv, Seq(queryIdCol))
@@ -186,7 +188,8 @@ object Pq {
     }: _*)
     val probed = slice(transform(array_sort(cellRank), s => s.getField("c")),
       1, nprobe)
-    val q = broadcast(queries.filter(col(queryVecCol).isNotNull)
+    val q = graft.model.GraftDataset.broadcastIfSmall(
+      queries.filter(col(queryVecCol).isNotNull)
       .select(col(queryIdCol), qtab.as("__pq_tab"),
         explode(probed).as("cell_id")))
     val adist = (0 until m).map { j =>
@@ -248,7 +251,8 @@ object Pq {
     }: _*)
     val probed = slice(transform(array_sort(cellRank), s => s.getField("c")),
       1, nprobe)
-    val q = broadcast(queries.filter(col(queryVecCol).isNotNull)
+    val q = graft.model.GraftDataset.broadcastIfSmall(
+      queries.filter(col(queryVecCol).isNotNull)
       .select(col(queryIdCol), qtab.as("__pq_tab"),
         explode(probed).as("cell_id")))
     // the UNION of all queries' probe lists prunes the scan statically;
@@ -349,7 +353,8 @@ object Pq {
       idCol: String = "vec_id", queryIdCol: String = "query_id",
       queryVecCol: String = "embedding"): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    val q = broadcast(queries.filter(col(queryVecCol).isNotNull)
+    val q = graft.model.GraftDataset.broadcastIfSmall(
+      queries.filter(col(queryVecCol).isNotNull)
       .select(col(queryIdCol),
         col(queryVecCol).cast("array<double>").as("__qv")))
     val dequant = transform(col("sq_codes"), (c, i) => {
@@ -396,7 +401,8 @@ object Pq {
       s"nprobe $nprobe out of range 1..${cells.size}")
     val qv = col(queryVecCol).cast("array<double>")
     val probed = probedCells(qv, cells, nprobe)
-    val q = broadcast(queries.filter(col(queryVecCol).isNotNull)
+    val q = graft.model.GraftDataset.broadcastIfSmall(
+      queries.filter(col(queryVecCol).isNotNull)
       .select(col(queryIdCol), qv.as("__qv"), explode(probed).as("cell_id")))
     val dequant = transform(col("sq_codes"), (c, i) => {
       val mn = element_at(col("__mins"), i + 1)
@@ -451,7 +457,8 @@ object Pq {
       s"nprobe $nprobe out of range 1..${cells.size}")
     val qv = col(queryVecCol).cast("array<double>")
     val probed = probedCells(qv, cells, nprobe)
-    val q = broadcast(queries.filter(col(queryVecCol).isNotNull)
+    val q = graft.model.GraftDataset.broadcastIfSmall(
+      queries.filter(col(queryVecCol).isNotNull)
       .select(col(queryIdCol), qv.as("__qv"), explode(probed).as("cell_id")))
     // the UNION of all queries' probe lists prunes the scan statically
     val allProbed = queries.filter(col(queryVecCol).isNotNull)

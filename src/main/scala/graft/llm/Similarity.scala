@@ -116,7 +116,11 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
       vecCol: String = "embedding", idCol: String = "vec_id",
       roundTo: Int = -1): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    // size-guarded hint: under the documented queries ≪ corpus contract
+    // this broadcasts as before; a corpus-sized query set degrades to a
+    // shuffled plan instead of throwing at the BroadcastExchange limit
+    val q = graft.model.GraftDataset.broadcastIfSmall(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     // fused native expression (bit-identical to `cosine`, one codegen loop)
     val cosExpr0 = graft.functions.GraftFunctions.cosine(
@@ -145,8 +149,9 @@ object Similarity {
       labelCol: String = "label", vecCol: String = "embedding",
       idCol: String = "vec_id", roundTo: Int = -1): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    val a = broadcast(anchors.select(col(idCol).as("anchor_id"),
-      col(labelCol).as("anchor_label"), col(vecCol).as("av")))
+    val a = graft.model.GraftDataset.broadcastIfSmall(
+      anchors.select(col(idCol).as("anchor_id"),
+        col(labelCol).as("anchor_label"), col(vecCol).as("av")))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(labelCol).as("neighbor_label"), col(vecCol).as("cv"))
     val cos0 = graft.functions.GraftFunctions.cosine(
@@ -206,7 +211,8 @@ object Similarity {
   def semanticContamination(train: DataFrame, holdout: DataFrame,
       threshold: Double, vecCol: String = "embedding",
       idCol: String = "vec_id", roundTo: Int = 6): DataFrame = {
-    val h = broadcast(holdout.select(col(vecCol).as("__hv")))
+    val h = graft.model.GraftDataset.broadcastIfSmall(
+      holdout.select(col(vecCol).as("__hv")))
     val cos = graft.functions.GraftFunctions.cosine(
       train.sparkSession, col("__tv"), col("__hv"))
     train.select(col(idCol), col(vecCol).as("__tv"))
@@ -292,8 +298,9 @@ object Similarity {
       .hyperplaneSig(corpus.sparkSession, _: Column, planes)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       sigOf(col(vecCol)).as("sig"))
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      sigOf(col(vecCol)).as("sig")))
+    val q = graft.model.GraftDataset.broadcastIfSmall(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        sigOf(col(vecCol)).as("sig")))
     val scored = c.join(q, Seq("sig"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),

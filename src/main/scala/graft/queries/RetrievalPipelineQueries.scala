@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   * q72 decontam, q131 hard negatives). One chain, one DuckDB oracle:
   *
   *   1. corpus split: eval slice (doc_id % 50 = 0) vs train, PLUS 20
-  *      planted exact copies of eval docs inside train (ids +1,000,000) —
-  *      the contamination the decontam stage exists to catch;
+  *      planted exact copies of eval docs inside train (ids offset by
+  *      [[Plants.IdFloor]], natural-id collision guarded) — the
+  *      contamination the decontam stage exists to catch;
   *   2. GPT-3-style n-gram decontamination of train against eval
   *      (word-3-shingle share ≥ 0.5 → dropped). Load-bearing by
   *      construction: the plants change BM25's df/avgdl corpus statistics
@@ -38,11 +39,18 @@ object RetrievalPipelineQueries extends graft.QueryModule {
     * harness runs it as the `retrieval_e2e` probe). */
   def retrievalChain(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
+    // natural ids must sit below the shared planted-id floor (q195's rule):
+    // a natural doc_id inside the offset space would be indistinguishable
+    // from a plant — duplicate train ids, a wrong plants-die reading — and
+    // the DuckDB oracle mirrors the collision, so the gate would stay
+    // green while corrupt. Fail loudly instead (Plants.IdFloor is shared
+    // with the q195 intake chain's guard).
+    Plants.requireNaturalIdsBelowFloor(docs, "doc_id", "retrieval_e2e")
     val evalDocs = docs.filter(col("doc_id") % 50 === 0)
     // 20 planted exact eval copies inside train: contamination that MUST
     // die at stage 2 (exact copy → shingle share 1.0 ≥ 0.5)
     val plants = evalDocs.orderBy("doc_id").limit(20)
-      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("doc_id", col("doc_id") + Plants.IdFloor)
     val train = docs.filter(col("doc_id") % 50 =!= 0).unionByName(plants)
     val clean = Corpus.decontaminate(train, evalDocs, minShare = 0.5)
 
@@ -68,18 +76,30 @@ object RetrievalPipelineQueries extends graft.QueryModule {
     // stage 6: label + embedding joins, hard-negative flag, per-query
     // cosine rank of the hard negatives. The window is partitioned by
     // query over ≤ 10·|queries| rows — bounded by the fused shortlist,
-    // never the corpus.
+    // never the corpus. The query-side lookups are RESTRICTED to query
+    // rows first (join key is query_id, so only vec_id % 100 = 7 rows can
+    // ever match — result-identical by construction) and their hints
+    // routed through the size-guarded broadcastIfSmall: a forced hint on
+    // a corpus-sized projection is honored unconditionally and throws at
+    // the 8 GB / 512M-row BroadcastExchange limit, the exact failure the
+    // FK-dimension sites were cured of in round 12. The doc-side lookups
+    // stay un-hinted — the planner shuffles them on doc_id and AQE may
+    // still broadcast the shortlist side from runtime stats.
     val lab = embs.select(col("vec_id"), col("label").cast("long").as("label"))
+    val qRows = embs.filter(col("vec_id") % 100 === 7)
     val withMeta = fused
-      .join(broadcast(lab.select(col("vec_id").as("query_id"),
-        col("label").as("query_label"))), Seq("query_id"), "left")
+      .join(graft.model.GraftDataset.broadcastIfSmall(
+        qRows.select(col("vec_id").as("query_id"),
+          col("label").cast("long").as("query_label"))),
+        Seq("query_id"), "left")
       .join(lab.select(col("vec_id").as("doc_id"),
         col("label").as("neighbor_label")), Seq("doc_id"), "left")
     val isHn = col("query_label").isNotNull && col("neighbor_label").isNotNull &&
       col("query_label") =!= col("neighbor_label")
     val hn = withMeta.filter(isHn)
-      .join(broadcast(embs.select(col("vec_id").as("query_id"),
-        col("embedding").as("__qv"))), Seq("query_id"))
+      .join(graft.model.GraftDataset.broadcastIfSmall(
+        qRows.select(col("vec_id").as("query_id"),
+          col("embedding").as("__qv"))), Seq("query_id"))
       .join(embs.select(col("vec_id").as("doc_id"),
         col("embedding").as("__dv")), Seq("doc_id"))
       .select(col("query_id"), col("doc_id"),
@@ -111,7 +131,7 @@ object RetrievalPipelineQueries extends graft.QueryModule {
       """WITH evaldocs AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
         |plants AS (
-        |  SELECT doc_id + 1000000 AS doc_id, text FROM
+        |  SELECT doc_id + 2000000 AS doc_id, text FROM
         |    (SELECT * FROM evaldocs ORDER BY doc_id LIMIT 20)),
         |train AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0

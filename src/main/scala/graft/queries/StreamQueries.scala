@@ -120,9 +120,10 @@ object StreamQueries extends graft.QueryModule {
         .createTempDirectory("graft_ingest_store").toString
       val ck = java.nio.file.Files
         .createTempDirectory("graft_ingest_ck").toString
-      // nParts sized to the gate corpus (must match between append and
-      // probe — the store records no metadata); 64 dirs × 2 appends of a
-      // 300-doc batch is all file-system overhead, no pruning benefit
+      // nParts sized to the gate corpus (the _meta.json sidecar the first
+      // append bootstraps enforces the match on every later append/probe);
+      // 64 dirs × 2 appends of a 300-doc batch is all file-system
+      // overhead, no pruning benefit
       val np = 8
       val q = s.readStream.schema(refSide.schema)
         .option("maxFilesPerTrigger", 1).parquet(srcDir)
@@ -273,11 +274,9 @@ object StreamQueries extends graft.QueryModule {
       // every NATURAL doc_id sits below the smallest offset — a collision
       // would violate the MinHash store's unique-id contract and silently
       // change survivor sets. Fail loudly instead of corrupting when the
-      // corpus outgrows the scheme (regenerate the offsets then).
-      val maxNat = docs.agg(max(col("doc_id"))).head().getLong(0)
-      require(maxNat < 2000000L,
-        s"stream_intake: natural doc_id $maxNat collides with the planted-id " +
-          "offset space (+2000000..); raise the offsets in chain AND oracle")
+      // corpus outgrows the scheme (regenerate the offsets then). Shared
+      // guard (Plants) — empty-table-safe, same floor as q197's plants.
+      Plants.requireNaturalIdsBelowFloor(docs, "doc_id", "stream_intake")
       val ref = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
       val aNat = docs.filter(pmod(col("doc_id"), lit(6)) === 0)
       val refLow = ref.orderBy("doc_id").limit(10)
@@ -316,14 +315,18 @@ object StreamQueries extends graft.QueryModule {
       aFiles.foreach(_.setLastModified(t0 - 120000))
       batchB.coalesce(1).write.mode("append").parquet(srcDir)
       (parts() -- aFiles).foreach(_.setLastModified(t0 - 60000))
-      // store dir DETERMINISTIC per input dir and overwritten by
-      // writeMinHashStore below: repeated invocations (bench reps, the
+      // store dir DETERMINISTIC per (session, input dir) and overwritten
+      // by writeMinHashStore below: repeated invocations (bench reps, the
       // partition-invariance sweep) reuse one directory instead of leaking
-      // a fresh tree per run. It must outlive this call — the returned
-      // frame reads it lazily — so it is not deleted here; src/checkpoint
-      // are consumed by awaitTermination and removed in the finally.
+      // a fresh tree per run, while the applicationId suffix keeps two
+      // CONCURRENT sessions running the chain on the same dataset from
+      // overwriting each other's store mid-run (the returned frame reads
+      // it lazily). It must outlive this call, so it is not deleted here;
+      // src/checkpoint are consumed by awaitTermination and removed in
+      // the finally.
       val storeDir = "/tmp/graft_intake_store_" +
-        d.replaceAll("[^A-Za-z0-9.]", "_")
+        s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9.]", "_") +
+        "_" + d.replaceAll("[^A-Za-z0-9.]", "_")
       val ck = java.nio.file.Files
         .createTempDirectory("graft_intake_ck").toString
       val np = 8

@@ -313,6 +313,37 @@ class PlanSpec extends SparkFunSuite {
     assert(planDefault.contains("BroadcastHashJoin"),
       s"small dimension side lost its broadcast hint:\n$planDefault")
   }
+
+  test("q197 chain: over-threshold, no stage force-broadcasts a corpus-derived side") {
+    // the round-12 weak: the hard-negative stage broadcast FULL-embeddings
+    // projections (query-label and query-vector lookups) — corpus-sized
+    // build sides that throw past the 8 GB BroadcastExchange limit. Every
+    // hint in the chain (stage-6 lookups, BM25 query frames, decontam's
+    // dropped-id anti-join, the dense query side) must now route through
+    // the size guard: with the ceiling at 0 and auto-broadcast off, the
+    // whole chain must plan ZERO BroadcastHashJoin — equi-joins degrade to
+    // shuffle joins; the documented brute dense face becomes a cartesian,
+    // which is its honest unhinted shape.
+    spark.conf.set("graft.broadcast.maxBytes", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = graft.queries.RetrievalPipelineQueries
+        .retrievalChain(spark, d).queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"a chain stage still forces a broadcast over threshold:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"chain joins did not degrade to shuffle joins:\n$plan")
+    } finally {
+      spark.conf.unset("graft.broadcast.maxBytes")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+    // at defaults the guarded hints are live again (the shortlist-side
+    // metadata lookups and query frames broadcast as before)
+    val planDefault = graft.queries.RetrievalPipelineQueries
+      .retrievalChain(spark, d).queryExecution.executedPlan.toString
+    assert(planDefault.contains("BroadcastHashJoin"),
+      s"default-scale chain lost its broadcast hints:\n$planDefault")
+  }
 }
 
 class BucketedJoinSpec extends SparkFunSuite {
