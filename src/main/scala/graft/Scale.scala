@@ -973,6 +973,73 @@ object Scale {
           } finally exact.unpersist()
         } finally enc.unpersist()
       })),
+    // MEASURED IVFADC recall — the PQ-family sibling of sq8_ivf_recall,
+    // with the extra face the SQ8 counters cannot see: CODEBOOK loss.
+    // SQ8 quantizes per-dimension (tiny, corpus-derived error); PQ
+    // replaces each 16-dim subvector by one of 16 centroids, so even the
+    // FULL un-pruned ADC scan ranks differently from the exact L2 order.
+    // The decompose therefore reports two loss axes separately:
+    //   - recall10_pm_nprobe{1,4,8} / _frac: ivfAdcTopK vs the FULL ADC
+    //     scan — pure cell-PRUNING loss at serving nprobe (the axis the
+    //     fixed-fraction rule governs, comparable 1:1 with the SQ8 rows);
+    //   - recall10_pm_adcfull_vs_exact: the full ADC scan vs the exact
+    //     brute L2 ranking — pure QUANTIZATION loss, nprobe-independent;
+    //   - recall10_pm_ivf8_vs_exact: the end-to-end serving operating
+    //     point (both losses composed) against ground truth.
+    // Timed path: the nprobe=8 cell-partitioned store probe (the q138
+    // operator at production geometry). Same isotropic-fixture caveat as
+    // sq8_ivf_recall: these counters pin the trade-off curve and catch
+    // regressions, not a >0.9 absolute floor (that lives in PqSpec on
+    // clustered data).
+    Probe("ivfadc_recall", gateSkew = true, allowBnlj = true,
+      setup = Some(ensureAdcIvfStore),
+      q = (s, d) => {
+        val (cbs, cells, dir) = adcIvfMemo(d)
+        val embs = Tables.embeddings(s, d).select("vec_id", "embedding")
+        val queries = embs.filter(pmod(col("vec_id"), lit(211)) === 0)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        graft.llm.Pq.ivfAdcTopKFromStore(s, dir, queries, cbs, cells,
+          nprobe = math.min(8, cells.size), k = 10)
+      }, decompose = Some((s, d) => {
+        val (cbs, cells, _) = adcIvfMemo(d)
+        val embs = Tables.embeddings(s, d).select("vec_id", "embedding")
+        val enc = graft.llm.Pq.assignCells(
+          graft.llm.Pq.encode(embs, cbs), cells)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val queries = embs.filter(pmod(col("vec_id"), lit(211)) === 0)
+            .select(col("vec_id").as("query_id"), col("embedding"))
+          val adcFull = graft.llm.Pq.adcTopK(enc, queries, cbs, k = 10)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val fixed = Seq(1, 4, 8).filter(_ <= cells.size).map { np =>
+              val appr = graft.llm.Pq.ivfAdcTopK(enc, queries, cbs,
+                cells, nprobe = np, k = 10)
+              s"recall10_pm_nprobe$np" ->
+                math.round(graft.llm.Pq.recallAtK(appr, adcFull, 10) * 1000)
+            }.toMap
+            val fracNp = math.min(cells.size,
+              math.max(1, math.round(cells.size / 6.0).toInt))
+            val apprF = graft.llm.Pq.ivfAdcTopK(enc, queries, cbs,
+              cells, nprobe = fracNp, k = 10)
+            val exact = exactL2TopK(embs, queries, 10)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              val ivf8 = graft.llm.Pq.ivfAdcTopK(enc, queries, cbs,
+                cells, nprobe = math.min(8, cells.size), k = 10)
+              fixed ++ Map(
+                "ncells" -> cells.size.toLong,
+                "nprobe_frac" -> fracNp.toLong,
+                "recall10_pm_nprobe_frac" ->
+                  math.round(graft.llm.Pq.recallAtK(apprF, adcFull, 10) * 1000),
+                "recall10_pm_adcfull_vs_exact" ->
+                  math.round(graft.llm.Pq.recallAtK(adcFull, exact, 10) * 1000),
+                "recall10_pm_ivf8_vs_exact" ->
+                  math.round(graft.llm.Pq.recallAtK(ivf8, exact, 10) * 1000))
+            } finally exact.unpersist()
+          } finally adcFull.unpersist()
+        } finally enc.unpersist()
+      })),
     // the FULL corpus-build chain (q192): wrap → extract → clean → quality
     // → minhash clusters → paragraph dedup → span excision → SemDeDup →
     // decontaminate → holdout → mixture → pack → shard — fourteen stages,
@@ -1059,6 +1126,42 @@ object Scale {
       graft.queries.StreamQueries.streamIntakeChain(s, d)
         .groupBy(floor(col("doc_id") / 1000000L).as("origin"))
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))),
+    // the STREAMING retrieval loop (q199, round 14): two live drops
+    // decontaminated per-batch against the static eval holdout, BM25 over
+    // the accumulated survivors. Batch-INDEPENDENT by design (no
+    // cross-batch state beyond the append), so the decompose re-derives
+    // the clean set over the drop union with the library operator and
+    // pins the plants-die invariant (both plant families carry offset
+    // ids ≥ IdFloor — alive must be 0 at every scale factor).
+    // allowBnlj: BM25's one-row corpus-stats frame rides as the benign
+    // single-row broadcast cross join (the retrieval_e2e convention)
+    Probe("stream_retrieval_e2e", gateSkew = true, allowBnlj = true,
+      q = (s, d) =>
+      graft.queries.StreamQueries.streamRetrievalChain(s, d)
+        .groupBy(floor(col("doc_id") / 1000000L).as("origin"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("score")), 6).as("score_sum")),
+      decompose = Some((s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val evalDocs = docs.filter(col("doc_id") % 100 === 7)
+        val plantsA = evalDocs.select(
+          (col("doc_id") + graft.queries.Plants.IdFloor).as("doc_id"),
+          col("text"))
+        val plantsB = evalDocs.select(
+          (col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" qqretrpad")).as("text"))
+        val union = docs.filter(col("doc_id") % 100 =!= 7)
+          .unionByName(plantsA).unionByName(plantsB)
+        val clean = graft.llm.Corpus.decontaminate(union, evalDocs,
+          minShare = 0.2)
+        val nUnion = union.count()
+        val nClean = clean.count()
+        val plantsAlive = clean
+          .filter(col("doc_id") >= graft.queries.Plants.IdFloor).count()
+        Map("drop_docs" -> nUnion, "clean_docs" -> nClean,
+          "dropped_docs" -> (nUnion - nClean),
+          "plants_alive" -> plantsAlive)
+      })),
     // host-graph PageRank at probe scale (~2 edges per document over ~1k
     // hosts): the timed run is the library loop; the decomposition
     // measures TOTAL SHUFFLE-READ RECORDS for the library loop (deduped
@@ -1143,9 +1246,56 @@ object Scale {
         graft.llm.Pq.sqEncode(embs, stats), cells)
       val dir = "/tmp/graft_scale_sqivf_" +
         d.replaceAll("[^A-Za-z0-9.]", "_")
-      graft.llm.Pq.writeSqCellPartitioned(enc, dir)
+      graft.llm.Pq.writeSqCellPartitioned(enc, dir, stats, cells)
       sqIvfMemo(d) = (stats, cells, dir)
     }
+  }
+
+  /** Per-dir memo for the ivfadc_recall probe's stored index (codebooks,
+    * literal cells, store path) — built once in the untimed setup. */
+  private val adcIvfMemo = scala.collection.mutable
+    .Map[String, (Seq[Seq[Array[Double]]], Seq[Array[Double]], String)]()
+
+  /** UNTIMED once-per-dir build of the IVFADC serving state: m=4
+    * subspaces, 16 deterministic centroids per subspace (slices of the 16
+    * lowest-id embeddings — the q121 codebook recipe at production
+    * centroid count), the shared ~√n coarse cells, and the
+    * cell-partitioned store. */
+  private def ensureAdcIvfStore(s: SparkSession, d: String): Unit = {
+    if (!adcIvfMemo.contains(d)) {
+      val embs = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val cells = ivfProbeCells(s, d)
+      val cents = embs.orderBy("vec_id").limit(16).select("embedding")
+        .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val m = 4
+      val dsub = cents.head.length / m
+      val cbs = (0 until m).map(j =>
+        cents.map(c => c.slice(j * dsub, (j + 1) * dsub)).toSeq)
+      val enc = graft.llm.Pq.assignCells(graft.llm.Pq.encode(embs, cbs), cells)
+      val dir = "/tmp/graft_scale_adcivf_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.llm.Pq.writeCellPartitioned(enc, dir, cbs, cells)
+      adcIvfMemo(d) = (cbs, cells, dir)
+    }
+  }
+
+  /** Exact brute-force L2 top-k (round-6 distance, id tiebreak) — the
+    * ground-truth ranking the ADC recall counters compare against. Only
+    * run UNTIMED inside decompositions: it scores |corpus|·|queries|
+    * pairs by design. */
+  private def exactL2TopK(embs: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val qv = broadcast(queries.select(col("query_id"),
+      col("embedding").cast("array<double>").as("__qv")))
+    val scored = embs.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("__cv"))
+      .crossJoin(qv)
+      .select(col("query_id"), col("vec_id"),
+        round(aggregate(zip_with(col("__qv"), col("__cv"),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x), 6)
+          .as("d"))
+    graft.operators.TopK.topKPerQuery(scored, "query_id",
+      Seq(col("d").asc, col("vec_id").asc), k)
   }
 
   /** Coarse cells for the IVF scale probe: the ~√n lowest-id embeddings

@@ -432,6 +432,12 @@ object Dedup {
     // silently mis-prune (read the wrong pb/ib partitions)
     val meta = StoreMeta(k, bands, shingleN, nParts)
     val existing = readStoreMeta(docs.sparkSession, path)
+    // the sidecar is written BEFORE any data lands: a crash mid-write can
+    // strand partial data, but never a populated store with no sidecar
+    // (which would permanently refuse appends); and the bootstrap write is
+    // CREATE-EXCLUSIVE, so two concurrent bootstraps (or an append racing
+    // an overwrite) fail loudly on the second create instead of
+    // interleaving stores with conflicting parameters
     if (mode == "append") existing match {
       case Some(m) => require(m == meta,
         s"minhash store append: parameters $meta do not match the store's " +
@@ -449,7 +455,8 @@ object Dedup {
           s"minhash store append: no _meta.json under $path but the store " +
             "has postings — it predates the metadata sidecar; rebuild it " +
             "with writeMinHashStore")
-    }
+        writeStoreMeta(docs.sparkSession, path, meta, overwrite = false)
+    } else writeStoreMeta(docs.sparkSession, path, meta, overwrite = true)
     val base = minHashBase(docs, textCol, idCol, k, shingleN).persist(storage)
     try {
       // co-locate each store partition into ONE write task before the
@@ -468,8 +475,6 @@ object Dedup {
         .repartition(nParts, col("ib"))
         .write.mode(mode).partitionBy("ib")
         .parquet(path + "/payload")
-      if (mode != "append" || existing.isEmpty)
-        writeStoreMeta(docs.sparkSession, path, meta)
     } finally base.unpersist()
   }
 
@@ -483,12 +488,15 @@ object Dedup {
     new org.apache.hadoop.fs.Path(path, "_meta.json")
 
   /** Write the sidecar through the Hadoop FS API — the store path may be
-    * any Spark-reachable filesystem (HDFS/S3/local), not just java.nio. */
+    * any Spark-reachable filesystem (HDFS/S3/local), not just java.nio.
+    * `overwrite = false` is the bootstrap path: create-EXCLUSIVE, so a
+    * concurrent bootstrap of the same store fails loudly here instead of
+    * both writers interleaving data under conflicting parameters. */
   private def writeStoreMeta(spark: org.apache.spark.sql.SparkSession,
-      path: String, m: StoreMeta): Unit = {
+      path: String, m: StoreMeta, overwrite: Boolean): Unit = {
     val p = storeMetaPath(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
+    val out = fs.create(p, overwrite)
     val json =
       s"""{"k":${m.k},"bands":${m.bands},"shingleN":${m.shingleN},""" +
         s""""nParts":${m.nParts}}"""
@@ -1873,12 +1881,22 @@ object Dedup {
     val clear = batch.filter(!might)
     val cand = batch.filter(might).withColumn("__bc_fp", fp)
     val candFps = cand.select("__bc_fp").distinct()
+    // both back-broadcasts are bounded by the BATCH (candFps ⊆ batch
+    // fingerprints; confirmed ⊆ candFps) — the operator's whole design —
+    // but the hints are size-GUARDED so a pathologically large batch
+    // degrades to shuffle joins instead of throwing at the
+    // BroadcastExchange limit. `confirmed` is join-derived (its default
+    // stats are the product of ref × candFps), so it carries the honest
+    // candFps bound as its estimator; candFps itself is filter-derived
+    // (stats ≈ the batch projection) and needs none.
+    val candFpsB = graft.model.GraftDataset.broadcastIfSmall(candFps)
     val confirmed = ref
       .select(TextAnalysis.fingerprint(col(textCol)).as("__bc_fp"))
-      .join(broadcast(candFps), Seq("__bc_fp"), "left_semi")
+      .join(candFpsB, Seq("__bc_fp"), "left_semi")
       .distinct()
     clear.unionByName(
-      cand.join(broadcast(confirmed), Seq("__bc_fp"), "left_anti")
+      cand.join(graft.model.GraftDataset.broadcastIfSmall(confirmed,
+          estimator = candFps), Seq("__bc_fp"), "left_anti")
         .drop("__bc_fp"))
   }
 

@@ -128,7 +128,21 @@ object Pq {
     val qv = graft.model.GraftDataset.broadcastIfSmall(
       queries.filter(col(queryVecCol).isNotNull)
       .select(col(queryIdCol), col(queryVecCol).cast("array<double>").as("__rr_qv")))
-    val exact = raw.join(broadcast(cand), Seq(idCol))
+    // the shortlist is join-derived (top-k over a join), so its default
+    // plan stats are the product of the inputs — the honest upper bound is
+    // the cross join |queries| × shortlist, which is EXACTLY the row count
+    // adcTopK returns at most (shortlist ids per query, two id-width
+    // columns). The guard drops the hint precisely when the query set
+    // itself outgrows broadcast, where the rest of the chain already
+    // degrades (qv above) — a raw hint here would throw at the
+    // BroadcastExchange limit while every other stage shuffles gracefully.
+    val candEst = queries.filter(col(queryVecCol).isNotNull)
+      .select(col(queryIdCol))
+      .crossJoin(corpus.sparkSession.range(shortlist.toLong)
+        .select(col("id").as(idCol)))
+    val exact = raw.join(
+        graft.model.GraftDataset.broadcastIfSmall(cand, estimator = candEst),
+        Seq(idCol))
       .join(qv, Seq(queryIdCol))
       .select(col(queryIdCol), col(idCol),
         round(graft.functions.GraftFunctions.cosine(corpus.sparkSession,
@@ -202,6 +216,147 @@ object Pq {
       Seq(col("adist").asc, col(idCol).asc), k)
   }
 
+  // ---- serving-store layout contract (`_meta.json` sidecar) -------------
+
+  /** The layout contract of a cell-partitioned serving store: which
+    * quantizer family wrote it, the vector dimensionality, and digests of
+    * the coarse centroids and the quantizer parameters (PQ codebooks / SQ8
+    * stats). Probe-time `cells`/`codebooks`/`stats` are caller arguments;
+    * probing with centroids that differ from write-time assigns different
+    * cells — partition pruning silently reads the wrong directories
+    * (candidates missed, never visibly wrong) — and mismatched quantizer
+    * parameters silently mis-decode every distance. The sidecar makes both
+    * mismatches fail loudly (the [[graft.llm.Dedup]] MinHash-store
+    * discipline applied to the ANN stores). */
+  private[llm] case class PqStoreMeta(kind: String, dim: Int, ncells: Int,
+      cellsDigest: String, quantDigest: String, keepVectors: Boolean)
+
+  /** MD5 over the IEEE-754 bit patterns of a double stream — an exact,
+    * order-sensitive fingerprint of centroid/codebook/stats arrays (no
+    * rounding: the contract is bit-identity with the write-time values,
+    * anything else re-assigns cells). */
+  private[llm] def doublesDigest(xs: Iterator[Double]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(8)
+    xs.foreach { x =>
+      buf.clear()
+      buf.putLong(java.lang.Double.doubleToLongBits(x))
+      md.update(buf.array())
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private[llm] def cellsDigest(cells: Seq[Array[Double]]): String =
+    doublesDigest(cells.iterator.flatMap(_.iterator))
+
+  private[llm] def codebooksDigest(cbs: Seq[Seq[Array[Double]]]): String =
+    doublesDigest(cbs.iterator.flatMap(_.iterator).flatMap(_.iterator))
+
+  /** Digest of an [[sqStats]]-shaped one-row (__mins, __maxs) frame. One
+    * `head()` action — pass a [[sqStatsMaterialized]] literal frame on
+    * serving paths so this never re-runs the O(n·dim) stats scan. */
+  private[llm] def statsDigest(stats: DataFrame): (Int, String) = {
+    val r = stats.head()
+    val mins = r.getSeq[Double](0)
+    val maxs = r.getSeq[Double](1)
+    (mins.length, doublesDigest((mins ++ maxs).iterator))
+  }
+
+  private def pqStoreMetaPath(path: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(path, "_meta.json")
+
+  /** Write the sidecar through the Hadoop FS API (the store may live on
+    * HDFS/S3/local). Unlike the Dedup store (whose append path writes its
+    * sidecar first), these stores are overwrite-only, so the write order
+    * is delete-stale-sidecar → data → new sidecar: the parquet overwrite
+    * clears the partition directories but PRESERVES `_`-prefixed files
+    * (they're metadata to the file index), so without the explicit delete
+    * a crash mid-write would leave the PREVIOUS store's sidecar describing
+    * half-written new data — the exact silent mismatch the sidecar exists
+    * to catch. With it, every crash window leaves a sidecar-LESS store
+    * (the next probe runs the documented pre-sidecar degrade, the next
+    * write replaces everything); the sidecar only ever describes a store
+    * whose data write committed. */
+  private def deletePqStoreMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val p = pqStoreMetaPath(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, false): Unit
+  }
+
+  private def writePqStoreMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, m: PqStoreMeta): Unit = {
+    val p = pqStoreMetaPath(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    val json =
+      s"""{"kind":"${m.kind}","dim":${m.dim},"ncells":${m.ncells},""" +
+        s""""cellsDigest":"${m.cellsDigest}",""" +
+        s""""quantDigest":"${m.quantDigest}",""" +
+        s""""keepVectors":${m.keepVectors}}"""
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read the sidecar; `None` when absent (a store written before the
+    * sidecar existed — the probe then runs on the caller's parameters
+    * alone, the documented pre-sidecar degrade). Regex-parsed — no JSON
+    * library in the engine's dependency surface. */
+  private[llm] def readPqStoreMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[PqStoreMeta] = {
+    val p = pqStoreMetaPath(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](4096)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    def str(name: String): String = {
+      val m = ("\"" + name + "\"\\s*:\\s*\"([^\"]*)\"").r.findFirstMatchIn(text)
+      require(m.nonEmpty, s"ANN store _meta.json under $path is malformed: " +
+        s"missing field '$name' in: $text")
+      m.get.group(1)
+    }
+    def num(name: String): Int = {
+      val m = ("\"" + name + "\"\\s*:\\s*(-?\\d+)").r.findFirstMatchIn(text)
+      require(m.nonEmpty, s"ANN store _meta.json under $path is malformed: " +
+        s"missing field '$name' in: $text")
+      m.get.group(1).toInt
+    }
+    def bool(name: String): Boolean = {
+      val m = ("\"" + name + "\"\\s*:\\s*(true|false)").r.findFirstMatchIn(text)
+      require(m.nonEmpty, s"ANN store _meta.json under $path is malformed: " +
+        s"missing field '$name' in: $text")
+      m.get.group(1).toBoolean
+    }
+    Some(PqStoreMeta(str("kind"), num("dim"), num("ncells"),
+      str("cellsDigest"), str("quantDigest"), bool("keepVectors")))
+  }
+
+  /** Probe-side contract check: when the store carries a sidecar, the
+    * probe's quantizer family, dimensionality, centroids, and quantizer
+    * parameters must be bit-identical to write-time — anything else
+    * silently mis-prunes partitions (wrong cell directories read) or
+    * mis-decodes every distance. `keepVectors` is a storage detail, not a
+    * probe argument, so it is not compared. */
+  private def requirePqStoreMatches(spark: org.apache.spark.sql.SparkSession,
+      path: String, kind: String, dim: Int, ncells: Int,
+      cellsDig: String, quantDig: String): Unit =
+    readPqStoreMeta(spark, path).foreach { m =>
+      require(m.kind == kind && m.dim == dim && m.ncells == ncells &&
+        m.cellsDigest == cellsDig && m.quantDigest == quantDig,
+        s"ANN store probe under $path: the probe's parameters (kind=$kind, " +
+          s"dim=$dim, ncells=$ncells, cells=$cellsDig, quant=$quantDig) do " +
+          s"not match the store's sidecar $m — mismatched centroids " +
+          "silently mis-prune cell directories and mismatched quantizer " +
+          "parameters silently mis-decode distances; probe with the " +
+          "write-time parameters or rebuild the store")
+    }
+
   /** Materialize an encoded+cell-assigned corpus ([[encode]] +
     * [[assignCells]]) as parquet PARTITIONED BY `cell_id` — the storage
     * layout the IVFADC doc prescribes at 100 TB: each coarse cell is its
@@ -209,15 +364,31 @@ object Pq {
     * scan that never opens the other ~99% of files. The vector column is
     * dropped by default (`keepVectors = false`): the ADC scan needs only
     * (id, pq_codes) — m bytes a vector — which is the whole point of PQ;
-    * keep vectors only if exact re-ranking reads the store too. */
+    * keep vectors only if exact re-ranking reads the store too.
+    *
+    * `codebooks`/`cells` must be the SAME values `encoded` was built with:
+    * they are fingerprinted into a `_meta.json` sidecar that
+    * [[ivfAdcTopKFromStore]] require-matches, so a probe with drifted
+    * centroids or retrained codebooks fails loudly instead of silently
+    * reading the wrong cell directories. */
   def writeCellPartitioned(encoded: DataFrame, path: String,
+      codebooks: Seq[Seq[Array[Double]]], cells: Seq[Array[Double]],
       keepVectors: Boolean = false, vecCol: String = "embedding"): Unit = {
     require(encoded.columns.contains("cell_id"), "run assignCells first")
     require(encoded.columns.contains("pq_codes"), "run encode first")
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty codebooks")
+    val dim = codebooks.length * codebooks.head.head.length
+    require(cells.nonEmpty && cells.head.length == dim,
+      s"cells dimension ${cells.headOption.map(_.length)} does not match " +
+        s"the codebooks' m·dsub = $dim")
+    deletePqStoreMeta(encoded.sparkSession, path)
     val slim = if (keepVectors) encoded else encoded.drop(vecCol)
     // null cells (null vectors) have nothing to serve — drop at write
     slim.filter(col("cell_id").isNotNull)
       .write.mode("overwrite").partitionBy("cell_id").parquet(path)
+    writePqStoreMeta(encoded.sparkSession, path,
+      PqStoreMeta("pq", dim, cells.size, cellsDigest(cells),
+        codebooksDigest(codebooks), keepVectors))
   }
 
   /** [[ivfAdcTopK]] against a [[writeCellPartitioned]] store: the probed
@@ -231,7 +402,13 @@ object Pq {
     * possible; the per-query distance tables still broadcast and the
     * final rank is the two-phase [[graft.operators.TopK.topKPerQuery]].
     * Results are EXACTLY [[ivfAdcTopK]]'s for the same (codebooks,
-    * cells, nprobe, k). */
+    * cells, nprobe, k).
+    *
+    * The store's `_meta.json` sidecar is require-matched against the
+    * probe's (codebooks, cells): drifted centroids or retrained codebooks
+    * fail loudly instead of silently mis-pruning / mis-decoding. A store
+    * with no sidecar predates the contract and runs on the caller's
+    * parameters alone. */
   def ivfAdcTopKFromStore(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame,
       codebooks: Seq[Seq[Array[Double]]], cells: Seq[Array[Double]],
@@ -242,6 +419,8 @@ object Pq {
       s"nprobe $nprobe out of range 1..${cells.size}")
     val m = codebooks.length
     val dsub = codebooks.head.head.length
+    requirePqStoreMatches(spark, path, "pq", m * dsub, cells.size,
+      cellsDigest(cells), codebooksDigest(codebooks))
     val qv = col(queryVecCol).cast("array<double>")
     val qtab = array(codebooks.zipWithIndex.map { case (cb, j) =>
       array(cb.map(cent => l2sq(subspace(qv, j, dsub), cent)): _*)
@@ -427,14 +606,32 @@ object Pq {
     * serving layout where the quantization cost is paid ONCE and every
     * probe is a partition-pruned scan of (id, sq_codes) rows. Vectors are
     * dropped by default ([[sqTopK]]'s asymmetric scan needs only the
-    * codes); keep them only if an exact re-rank reads the store too. */
+    * codes); keep them only if an exact re-rank reads the store too.
+    *
+    * `stats`/`cells` must be the SAME values `encoded` was built with:
+    * they are fingerprinted into a `_meta.json` sidecar that
+    * [[ivfSqTopKFromStore]] require-matches, so a probe with drifted
+    * centroids or re-derived stats fails loudly instead of silently
+    * mis-pruning directories / mis-dequantizing every distance. The
+    * digest costs one `head()` of `stats` — pass a
+    * [[sqStatsMaterialized]] literal frame so it never re-runs the
+    * O(n·dim) stats scan. */
   def writeSqCellPartitioned(encoded: DataFrame, path: String,
+      stats: DataFrame, cells: Seq[Array[Double]],
       keepVectors: Boolean = false, vecCol: String = "embedding"): Unit = {
     require(encoded.columns.contains("cell_id"), "run assignCells first")
     require(encoded.columns.contains("sq_codes"), "run sqEncode first")
+    val (dim, quantDig) = statsDigest(stats)
+    require(cells.nonEmpty && cells.head.length == dim,
+      s"cells dimension ${cells.headOption.map(_.length)} does not match " +
+        s"the stats dimension $dim")
+    deletePqStoreMeta(encoded.sparkSession, path)
     val slim = if (keepVectors) encoded else encoded.drop(vecCol)
     slim.filter(col("cell_id").isNotNull)
       .write.mode("overwrite").partitionBy("cell_id").parquet(path)
+    writePqStoreMeta(encoded.sparkSession, path,
+      PqStoreMeta("sq8", dim, cells.size, cellsDigest(cells), quantDig,
+        keepVectors))
   }
 
   /** [[ivfSqTopK]] against a [[writeSqCellPartitioned]] store: the
@@ -446,7 +643,14 @@ object Pq {
     * `nprobe = cells.size` that is the plain [[sqTopK]] scan through the
     * write→read roundtrip. The recurring cost is the QUERY side — the
     * quantize/assign/write build is the amortized once-per-corpus cost
-    * this layout exists to hoist out of the serving loop. */
+    * this layout exists to hoist out of the serving loop.
+    *
+    * The store's `_meta.json` sidecar is require-matched against the
+    * probe's (stats, cells): drifted centroids or re-derived stats fail
+    * loudly instead of silently mis-pruning / mis-dequantizing. The check
+    * costs one `head()` of `stats` — pass a [[sqStatsMaterialized]]
+    * literal frame on serving paths. A store with no sidecar predates the
+    * contract and runs on the caller's parameters alone. */
   def ivfSqTopKFromStore(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, stats: DataFrame,
       cells: Seq[Array[Double]], nprobe: Int, k: Int,
@@ -455,6 +659,11 @@ object Pq {
     require(k > 0, s"k must be positive: $k")
     require(nprobe > 0 && nprobe <= cells.size,
       s"nprobe $nprobe out of range 1..${cells.size}")
+    if (readPqStoreMeta(spark, path).nonEmpty) {
+      val (dim, quantDig) = statsDigest(stats)
+      requirePqStoreMatches(spark, path, "sq8", dim, cells.size,
+        cellsDigest(cells), quantDig)
+    }
     val qv = col(queryVecCol).cast("array<double>")
     val probed = probedCells(qv, cells, nprobe)
     val q = graft.model.GraftDataset.broadcastIfSmall(

@@ -199,14 +199,25 @@ object GraftDataset {
     * Pass a separate `estimator` when `df`'s lineage goes through an RDD
     * (e.g. [[zipDenseIds]]): `LogicalRDD` reports the unknown-size sentinel
     * (`spark.sql.defaultSizeInBytes` = Long.MaxValue), which would always
-    * suppress the hint even for a 1000-row map. The estimator must have the
-    * same row count and row width as `df` (e.g. an equivalently-shaped
-    * projection of the frame the RDD was derived from); over-estimates only
-    * cost the hint, never correctness. */
+    * suppress the hint even for a 1000-row map. The estimator must bound
+    * `df` from ABOVE — at least its row count and at least its row width
+    * (e.g. an equivalently-shaped projection of the frame the RDD was
+    * derived from, or a cross join whose product-of-inputs stats equal the
+    * row bound); over-estimates only cost the hint, never correctness,
+    * but an UNDER-estimate silently keeps a hint that can throw at the
+    * BroadcastExchange hard limit. Row counts can't be checked without a
+    * job, but width can: the guard requires the estimator to carry at
+    * least `df`'s column count, which catches the classic mistake of
+    * estimating a wide frame with a narrow key projection. */
   def broadcastIfSmall(df: DataFrame, estimator: DataFrame = null): DataFrame = {
     val maxBytes = df.sparkSession.conf.getOption("graft.broadcast.maxBytes")
       .map(_.toLong).getOrElse(BroadcastDimMaxBytes)
     val est = Option(estimator).getOrElse(df)
+    require(est.columns.length >= df.columns.length,
+      s"broadcastIfSmall estimator is narrower than the frame it bounds " +
+        s"(${est.columns.length} vs ${df.columns.length} columns) — a " +
+        "narrow estimator under-counts bytes and silently keeps a hint " +
+        "that can throw at the BroadcastExchange limit")
     if (est.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(maxBytes))
       broadcast(df)
     else df

@@ -241,7 +241,7 @@ object CorpusRetrievalQueries extends graft.QueryModule {
         graft.llm.Pq.encode(embs, codebooks), cells)
       val dir = java.nio.file.Files.createTempDirectory("graft_ivf_store")
         .toString
-      graft.llm.Pq.writeCellPartitioned(enc, dir)
+      graft.llm.Pq.writeCellPartitioned(enc, dir, codebooks, cells)
       val queries = embs.filter(col("vec_id") % 100 === 7)
         .select(col("vec_id").as("query_id"), col("embedding"))
       graft.llm.Pq.ivfAdcTopKFromStore(s, dir, queries, codebooks, cells,
@@ -279,13 +279,17 @@ object CorpusRetrievalQueries extends graft.QueryModule {
     // in PqSpec.
     "q196_ivfsq_store" -> ((s, d) => {
       val embs = Tables.embeddings(s, d).select("vec_id", "embedding")
-      val stats = graft.llm.Pq.sqStats(embs)
+      // materialized literal stats: the sidecar digests cost one head()
+      // each on write and probe — with the lazy frame that would re-run
+      // the O(n·dim) stats scan twice ON TOP of the two the write and
+      // probe plans already embed; the literal pins it to one scan total
+      val stats = graft.llm.Pq.sqStatsMaterialized(s, graft.llm.Pq.sqStats(embs))
       val cells = pqCells(s, d)
       val enc = graft.llm.Pq.assignCells(
         graft.llm.Pq.sqEncode(embs, stats), cells)
       val dir = java.nio.file.Files.createTempDirectory("graft_sqivf_store")
         .toString
-      graft.llm.Pq.writeSqCellPartitioned(enc, dir)
+      graft.llm.Pq.writeSqCellPartitioned(enc, dir, stats, cells)
       val queries = embs.filter(col("vec_id") % 100 === 7)
         .select(col("vec_id").as("query_id"), col("embedding"))
       graft.llm.Pq.ivfSqTopKFromStore(s, dir, queries, stats, cells,

@@ -354,6 +354,30 @@ object IoQueries extends graft.QueryModule {
       graft.io.CsvIO.fromCsv(s, dir, hostile.schema)
     }),
 
+    // the stored-layout FK-join face (the bucketed sibling of the AQE +
+    // broadcast row in SURVEY §4.2): persist the dataset view as BUCKETED
+    // tables — images by id, annotations by image_id, same bucket count —
+    // reload through the catalog, and run the FK join + per-image
+    // aggregate ON the bucket key. This is the 100-TB routing once the
+    // dimension side no longer broadcasts: both the join and the
+    // aggregation ride the stored layout with ZERO shuffle exchanges
+    // (plan-locked in BucketedJoinSpec; measured 0-vs-2 exchanges by the
+    // fk_join_bucketed scale probe). The layout must be result-INVISIBLE:
+    // the oracle is the plain unbucketed join over the same views.
+    "q198_bucketed_fk_join" -> ((s, d) => {
+      val ds = Tables.datasetView(s, d)
+      val name = "graft_gate_bkt_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      graft.io.BucketedIO.writeBucketed(ds, name, buckets = 8)
+      val back = graft.io.BucketedIO.readBucketed(s, name, Tables.viewLabelMap)
+      back.annotations.select("image_id", "box_width", "box_height")
+        .join(back.images.select(col("id").as("image_id"), col("split"),
+          col("height")), Seq("image_id"))
+        .groupBy(col("image_id"), col("split"))
+        .agg(count(lit(1)).as("n_annots"),
+          round(sum(col("box_width") * col("box_height")), 4).as("area"),
+          max(col("height")).as("max_h"))
+    }),
+
     "q56_parquet_roundtrip" -> ((s, d) => {
       val ds = subset(s, d)
       val dir = tmp("graft_pq_rt")
@@ -429,6 +453,14 @@ object IoQueries extends graft.QueryModule {
          |FROM annotations a JOIN images i ON a.image_id = i.id
          |WHERE i.split = 'P' AND i.id % 10 = 0
          |GROUP BY a.category_id""".stripMargin),
+
+    "q198_bucketed_fk_join" -> (
+      s"""$viewCte
+         |SELECT a.image_id, i.split, count(*) AS n_annots,
+         |       round(sum(a.box_width * a.box_height), 4) AS area,
+         |       max(i.height) AS max_h
+         |FROM annotations a JOIN images i ON a.image_id = i.id
+         |GROUP BY 1, 2""".stripMargin),
 
     "q49_caipy_roundtrip" -> annAggSql(100),
     "q50_darknet_roundtrip" -> annAggSql(50),

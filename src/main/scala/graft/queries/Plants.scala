@@ -20,10 +20,13 @@ object Plants {
 
   /** Assert every natural id in `docs` sits below [[IdFloor]]; returns the
     * observed max. Empty tables fail with an explicit message instead of
-    * the bare NPE `Row.getLong` would throw on the null max. */
+    * the bare NPE `Row.getLong` would throw on the null max. The max is
+    * cast to long IN the aggregation so an int32-typed id column (an
+    * int32 parquet doc_id) reports the intended collision/empty message
+    * instead of a ClassCastException on the read-back. */
   def requireNaturalIdsBelowFloor(docs: DataFrame, idCol: String,
       what: String): Long = {
-    val r = docs.agg(max(col(idCol))).head()
+    val r = docs.agg(max(col(idCol).cast("long"))).head()
     require(!r.isNullAt(0),
       s"$what: documents table is empty — nothing to plant against")
     val maxNat = r.getLong(0)

@@ -13,6 +13,29 @@ import org.apache.spark.sql.functions._
 object StreamQueries extends graft.QueryModule {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Delete `dir` recursively when the JVM exits. The intake store dir
+    * must outlive its building call (the returned frame reads it lazily)
+    * and is keyed per (applicationId, dataset) for concurrent-session
+    * isolation — which would otherwise leak one never-deleted /tmp tree
+    * per session. One hook for all registrations; re-registering the same
+    * dir (bench reps reuse it) is a set no-op. */
+  private val exitDeleteDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val exitHookInstalled =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def deleteOnJvmExit(dir: String): Unit = {
+    if (exitHookInstalled.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        exitDeleteDirs.forEach { p =>
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(): Unit
+          }
+          rm(new java.io.File(p))
+        }))
+    exitDeleteDirs.add(dir): Unit
+  }
+
   val defs: Map[String, Q] = Map(
     // sliding 2h/1h window aggregate (batch mode of windowedAggregate)
     "q39_sliding_window" -> ((s, d) => {
@@ -261,7 +284,19 @@ object StreamQueries extends graft.QueryModule {
     // documents, rejected ONLY if A's survivors really landed in the
     // store. Output = final store membership (ref ∪ S1 ∪ S2); ONE DuckDB
     // statement re-derives the whole sequential pipeline.
-    "q195_stream_intake_e2e" -> ((s, d) => streamIntakeChain(s, d))
+    "q195_stream_intake_e2e" -> ((s, d) => streamIntakeChain(s, d)),
+
+    // the STREAMING face of the retrieval family (q197 is batch-only):
+    // eval-set decontamination of LIVE document drops against a STATIC
+    // holdout, then BM25 retrieval of the holdout's queries over the
+    // accumulated clean corpus. Each drop carries planted contamination
+    // (full and one-word-padded copies of the eval docs at offset ids) —
+    // the plants MUST die inside their own batch's decontam pass, and the
+    // batches are INDEPENDENT by design (decontam is per-doc against the
+    // static eval set — no cross-batch state beyond the append), which is
+    // exactly what makes the live-drop shape horizontally scalable. ONE
+    // DuckDB statement re-derives the whole thing over the drop union.
+    "q199_stream_decontam_retrieval" -> ((s, d) => streamRetrievalChain(s, d))
   )
 
   /** The q195 chain as a callable (the q192/q193 pattern — the scale
@@ -321,12 +356,14 @@ object StreamQueries extends graft.QueryModule {
       // a fresh tree per run, while the applicationId suffix keeps two
       // CONCURRENT sessions running the chain on the same dataset from
       // overwriting each other's store mid-run (the returned frame reads
-      // it lazily). It must outlive this call, so it is not deleted here;
-      // src/checkpoint are consumed by awaitTermination and removed in
-      // the finally.
+      // it lazily). It must outlive this call, so it is not deleted here —
+      // a JVM shutdown hook reclaims it so per-session isolation does not
+      // become an unbounded /tmp leak; src/checkpoint are consumed by
+      // awaitTermination and removed in the finally.
       val storeDir = "/tmp/graft_intake_store_" +
         s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9.]", "_") +
         "_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      deleteOnJvmExit(storeDir)
       val ck = java.nio.file.Files
         .createTempDirectory("graft_intake_ck").toString
       val np = 8
@@ -388,6 +425,85 @@ object StreamQueries extends graft.QueryModule {
       }
       s.read.parquet(storeDir + "/payload")
         .select(col("id").cast("long").as("doc_id"))
+  }
+
+  /** The q199 chain as a callable (the scale harness runs it as the
+    * `stream_retrieval_e2e` probe): STREAMING eval-set decontamination +
+    * retrieval over the accumulated clean corpus.
+    *
+    * Shape: the eval holdout (doc_id % 100 = 7) is STATIC — its shingle
+    * index broadcasts into every batch (the
+    * [[graft.llm.Corpus.decontaminate]] size-guarded hint). Train docs
+    * arrive as two file drops (even ids / odd ids), each carrying planted
+    * contamination: drop 1 has FULL copies of every eval doc at
+    * +[[Plants.IdFloor]], drop 2 one-word-padded copies at +3M (shingle
+    * share vs their source eval doc = 1.0 — both families must die in
+    * their own batch). Survivors append to the clean store; after the
+    * stream, the holdout's first-6-words queries run BM25 top-10 against
+    * the accumulated corpus (the q117 conventions: round-6 score, doc-id
+    * tiebreak).
+    *
+    * Batch INDEPENDENCE is the design point: decontamination is per-doc
+    * against a static index, so drops commute — at 100 TB/day the loop
+    * shards horizontally with no cross-batch coordination (contrast the
+    * q195 intake chain, where the store append is sequential state). The
+    * clean store dir is deterministic per (applicationId, dataset), reset
+    * at chain start, and reclaimed by the JVM-exit hook. */
+  def streamRetrievalChain(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    Plants.requireNaturalIdsBelowFloor(docs, "doc_id", "q199 chain")
+    val evalDocs = docs.filter(col("doc_id") % 100 === 7)
+    val train = docs.filter(col("doc_id") % 100 =!= 7)
+    val batchA = train.filter(col("doc_id") % 2 === 0)
+      .unionByName(evalDocs.select(
+        (col("doc_id") + Plants.IdFloor).as("doc_id"), col("text")))
+    val batchB = train.filter(col("doc_id") % 2 =!= 0)
+      .unionByName(evalDocs.select(
+        (col("doc_id") + 3000000L).as("doc_id"),
+        concat(col("text"), lit(" qqretrpad")).as("text")))
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_retr_src").toString
+    def parts(): Set[java.io.File] = new java.io.File(srcDir).listFiles()
+      .filter(_.getName.startsWith("part-")).toSet
+    val t0 = System.currentTimeMillis()
+    batchA.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val aFiles = parts()
+    aFiles.foreach(_.setLastModified(t0 - 120000))
+    batchB.coalesce(1).write.mode("append").parquet(srcDir)
+    (parts() -- aFiles).foreach(_.setLastModified(t0 - 60000))
+    // clean-store dir: deterministic per (session, dataset) like the q195
+    // intake store — reset up front so bench reps don't accumulate stale
+    // survivors, reclaimed at JVM exit (the returned frame reads it
+    // lazily, so it must outlive this call)
+    val cleanDir = "/tmp/graft_retr_clean_" +
+      s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9.]", "_") +
+      "_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+    deleteOnJvmExit(cleanDir)
+    graft.IoUtil.rmTree(cleanDir)
+    val ck = java.nio.file.Files
+      .createTempDirectory("graft_retr_ck").toString
+    val q = s.readStream.schema(batchA.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.llm.Corpus.decontaminate(batch, evalDocs, minShare = 0.2)
+          .write.mode("append").parquet(cleanDir)
+        ()
+      }
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally {
+      graft.IoUtil.rmTree(srcDir); graft.IoUtil.rmTree(ck)
+    }
+    val clean = s.read.parquet(cleanDir)
+    val queries = evalDocs.select(col("doc_id").as("query_id"),
+      array_join(slice(split(lower(trim(col("text"))), "\\s+"), 1, 6), " ")
+        .as("query"))
+    graft.llm.Corpus.bm25TopK(clean, queries, k = 10)
+      .select(col("query_id"), col("doc_id"), col("score"),
+        col("rank").cast("long").as("rank"))
   }
 
   val oracles: Map[String, String] = Map(
@@ -500,6 +616,76 @@ object StreamQueries extends graft.QueryModule {
         |SELECT doc_id FROM ref
         |UNION ALL SELECT doc_id FROM s1
         |UNION ALL SELECT doc_id FROM s2""".stripMargin,
+
+    // the whole streaming retrieval loop in ONE statement: drop
+    // construction (train halves + two plant families), per-doc n-gram
+    // decontamination against the static eval set (batch-independent, so
+    // the union replays the stream exactly), then the q117 BM25 kernel
+    // over the accumulated clean corpus with the eval set's first-6-words
+    // queries
+    "q199_stream_decontam_retrieval" ->
+      """WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 = 7),
+        |train AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 <> 7),
+        |corpus0 AS (
+        |  SELECT doc_id, text FROM train
+        |  UNION ALL SELECT doc_id + 2000000, text FROM ev
+        |  UNION ALL SELECT doc_id + 3000000, text || ' qqretrpad' FROM ev),
+        |shc AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(range(1, len(t) - 1),
+        |                             i -> array_to_string(t[i:i+2], ' '))
+        |    END)) AS s
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(lower(trim(text)), '\s+') AS t
+        |        FROM corpus0)),
+        |she AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_transform(range(1, len(t) - 1),
+        |                             i -> array_to_string(t[i:i+2], ' '))
+        |    END)) AS s
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(lower(trim(text)), '\s+') AS t
+        |        FROM ev)),
+        |tsize AS (SELECT doc_id AS test_id, count(*) AS n_test
+        |          FROM she GROUP BY 1),
+        |bad AS (
+        |  SELECT DISTINCT c.doc_id
+        |  FROM shc c JOIN she e ON c.s = e.s
+        |  JOIN tsize ON tsize.test_id = e.doc_id
+        |  GROUP BY c.doc_id, e.doc_id, n_test
+        |  HAVING CAST(count(*) AS DOUBLE) / n_test >= 0.2),
+        |clean AS (SELECT doc_id, text FROM corpus0
+        |          WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+        |toks AS (
+        |  SELECT doc_id,
+        |         unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM clean),
+        |t AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_len FROM dl),
+        |q AS (SELECT doc_id AS query_id,
+        |        unnest(list_distinct(
+        |          (string_split_regex(lower(trim(text)), '\s+'))[1:6])) AS term
+        |      FROM ev),
+        |qq AS (SELECT query_id, term FROM q WHERE length(term) > 0),
+        |c AS (SELECT qq.query_id, tf.doc_id,
+        |        ln(1 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+        |          * tf.tf * 2.2
+        |          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+        |               / (CAST(s.tot_len AS DOUBLE) / s.n_docs))) AS contrib
+        |      FROM tf JOIN qq USING (term) JOIN dft USING (term)
+        |      JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s),
+        |sc AS (SELECT query_id, doc_id, round(sum(contrib), 6) AS score
+        |       FROM c GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                   ORDER BY score DESC, doc_id) AS rank
+        |      FROM sc)
+        |SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 10""".stripMargin,
 
     // identical ground truth to q108 (LlmQueries) on purpose: the batch
     // crossCorpusNearDups and the stream-static index matcher are two

@@ -344,6 +344,30 @@ class PlanSpec extends SparkFunSuite {
     assert(planDefault.contains("BroadcastHashJoin"),
       s"default-scale chain lost its broadcast hints:\n$planDefault")
   }
+
+  test("q172 chain: over-threshold, the ADC shortlist hint degrades with the rest") {
+    // the round-13 residual: adcRerankTopK raw-broadcast its shortlist —
+    // the one hint k× LARGER in rows than the query frames the guard
+    // refuses first, and an explicit hint is honored unconditionally. The
+    // whole two-stage gate must now plan zero BroadcastHashJoin over
+    // threshold (the unhinted ADC scan degrades to its honest cartesian).
+    spark.conf.set("graft.broadcast.maxBytes", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = SparkEntry.queries("q172_adc_rerank")(spark, d)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"a q172 stage still forces a broadcast over threshold:\n$plan")
+    } finally {
+      spark.conf.unset("graft.broadcast.maxBytes")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+    // at defaults both the shortlist join and the query-vector lookup are
+    // broadcast hash joins again
+    val planDefault = planOf("q172_adc_rerank")
+    assert(planDefault.contains("BroadcastHashJoin"),
+      s"default-scale q172 lost its broadcast hints:\n$planDefault")
+  }
 }
 
 class BucketedJoinSpec extends SparkFunSuite {
@@ -363,5 +387,28 @@ class BucketedJoinSpec extends SparkFunSuite {
         s"bucketed join still shuffles:\n$plan")
       assert(joined.count() == 6)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("q198 gate: the whole bucketed write→join→agg pipeline plans zero shuffle exchanges") {
+    val d = "/root/testdata/sf0.001"
+    // with broadcast off the join must ride the bucket layout; the
+    // per-image aggregation inherits the same partitioning, so the whole
+    // read side is exchange-FREE (the stored-layout answer the
+    // fk_join_bucketed scale probe measures at 0-vs-2 exchanges)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q198_bucketed_fk_join")(spark, d)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed gate still shuffles:\n$plan")
+      assert(df.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    // at defaults too: even a broadcast join keeps the bucketed streamed
+    // side's partitioning, so the aggregation still needs no exchange
+    val planDefault = SparkEntry.queries("q198_bucketed_fk_join")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!planDefault.contains("Exchange hashpartitioning"),
+      s"default-conf bucketed gate shuffles:\n$planDefault")
   }
 }

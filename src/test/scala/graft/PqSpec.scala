@@ -157,7 +157,7 @@ class PqSpec extends SparkFunSuite {
       Seq(Array.tabulate(2)(x => j * 2.0 + x), Array.tabulate(2)(x => 20.0 - j - x)))
     val enc = Pq.assignCells(Pq.encode(embs, cbs), cells)
     val dir = java.nio.file.Files.createTempDirectory("pqstore").toString
-    Pq.writeCellPartitioned(enc, dir)
+    Pq.writeCellPartitioned(enc, dir, cbs, cells)
     // one directory per non-empty cell; no vector column in the files
     val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
       .map(_.getName).filter(_.startsWith("cell_id=")).sorted
@@ -275,7 +275,7 @@ class PqSpec extends SparkFunSuite {
     val stats = Pq.sqStats(embs)
     val enc = Pq.assignCells(Pq.sqEncode(embs, stats), cells)
     val dir = java.nio.file.Files.createTempDirectory("sqstore").toString
-    Pq.writeSqCellPartitioned(enc, dir)
+    Pq.writeSqCellPartitioned(enc, dir, stats, cells)
     val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
       .map(_.getName).filter(_.startsWith("cell_id=")).sorted
     assert(dirs.nonEmpty && dirs.forall(_.matches("cell_id=\\d+")))
@@ -347,5 +347,92 @@ class PqSpec extends SparkFunSuite {
     // the small-nprobe face must actually be lossy here — otherwise the
     // floor asserts nothing about the probe ranking
     assert(recalls(1) < 0.9, s"fixture degenerate (nprobe=1 too easy): $recalls")
+  }
+
+  test("ANN store sidecar: parameter mismatch fails loudly; match and pre-sidecar stores probe") {
+    import spark.implicits._
+    val embs = (0L until 80L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 5 + d * 11) % 23).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cells = (0 until 4).map(c =>
+      Array.tabulate(8)(d => (c * 6 + d).toDouble)).toSeq
+    val cbs = (0 until 4).map(j =>
+      Seq(Array.tabulate(2)(x => j * 2.0 + x), Array.tabulate(2)(x => 20.0 - j - x)))
+    val queries = embs.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    // ---- PQ store ----
+    val enc = Pq.assignCells(Pq.encode(embs, cbs), cells)
+    val dir = java.nio.file.Files.createTempDirectory("pqmeta").toString
+    Pq.writeCellPartitioned(enc, dir, cbs, cells)
+    assert(new java.io.File(dir, "_meta.json").isFile)
+    // matching probe passes
+    assert(Pq.ivfAdcTopKFromStore(spark, dir, queries, cbs, cells,
+      nprobe = 2, k = 3).count() > 0)
+    // drifted centroids (bit-different values, same geometry) — the
+    // silent-mis-prune case the sidecar exists to catch
+    val drifted = cells.map(_.map(_ + 1e-9))
+    val e1 = intercept[IllegalArgumentException] {
+      Pq.ivfAdcTopKFromStore(spark, dir, queries, cbs, drifted,
+        nprobe = 2, k = 3)
+    }
+    assert(e1.getMessage.contains("mis-prune"))
+    // retrained codebooks — the silent-mis-decode case
+    val retrained = cbs.map(_.map(_.map(_ + 1e-9)))
+    intercept[IllegalArgumentException] {
+      Pq.ivfAdcTopKFromStore(spark, dir, queries, retrained, cells,
+        nprobe = 2, k = 3)
+    }
+    // ---- SQ store (and the cross-family kind check) ----
+    val stats = Pq.sqStatsMaterialized(spark, Pq.sqStats(embs))
+    val sqEnc = Pq.assignCells(Pq.sqEncode(embs, stats), cells)
+    val sqDir = java.nio.file.Files.createTempDirectory("sqmeta").toString
+    Pq.writeSqCellPartitioned(sqEnc, sqDir, stats, cells)
+    assert(Pq.ivfSqTopKFromStore(spark, sqDir, queries, stats, cells,
+      nprobe = 2, k = 3).count() > 0)
+    // re-derived stats (a different corpus snapshot) mis-dequantize
+    val badStats = spark.range(1).select(
+      typedLit(Array.tabulate(8)(_ => -1.0).toSeq).as("__mins"),
+      typedLit(Array.tabulate(8)(_ => 99.0).toSeq).as("__maxs"))
+    intercept[IllegalArgumentException] {
+      Pq.ivfSqTopKFromStore(spark, sqDir, queries, badStats, cells,
+        nprobe = 2, k = 3)
+    }
+    // probing a PQ store through the SQ path trips the kind/quant check
+    intercept[IllegalArgumentException] {
+      Pq.ivfSqTopKFromStore(spark, dir, queries, stats, cells,
+        nprobe = 2, k = 3)
+    }
+    // a pre-sidecar store (no _meta.json) degrades to caller discipline
+    assert(new java.io.File(sqDir, "_meta.json").delete())
+    assert(Pq.ivfSqTopKFromStore(spark, sqDir, queries, stats, cells,
+      nprobe = 2, k = 3).count() > 0)
+  }
+
+  test("ANN store crash mid-overwrite never leaves a STALE sidecar over new data") {
+    import spark.implicits._
+    val cells = (0 until 2).map(c => Array.tabulate(4)(_ => c * 5.0)).toSeq
+    val cbs = (0 until 2).map(_ =>
+      Seq(Array(0.0, 0.0), Array(1.0, 1.0)))
+    val embs = Seq((0L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("pqcrash").toString
+    // a healthy v1 store with its sidecar...
+    Pq.writeCellPartitioned(Pq.assignCells(Pq.encode(embs, cbs), cells),
+      dir, cbs, cells)
+    assert(new java.io.File(dir, "_meta.json").isFile)
+    // ...then a RE-write with retrained codebooks that crashes at write
+    // time. The parquet overwrite clears the directory (v1 sidecar
+    // included) and the new sidecar only lands after a successful write —
+    // so the crash leaves NO sidecar (probes degrade, the next write
+    // replaces everything), never v1's contract describing v2's partial
+    // data, and never v2's contract over an incomplete store.
+    val retrained = cbs.map(_.map(_.map(_ + 0.5)))
+    val poisoned = Pq.assignCells(Pq.encode(embs, retrained), cells)
+      .withColumn("pq_codes",
+        when(expr("raise_error('boom') is null"), col("pq_codes")))
+    intercept[Exception] {
+      Pq.writeCellPartitioned(poisoned, dir, retrained, cells)
+    }
+    assert(!new java.io.File(dir, "_meta.json").exists(),
+      "crashed overwrite left a sidecar describing an incomplete store")
   }
 }
