@@ -637,11 +637,35 @@ object Dedup {
       if (restrictRefBuckets)
         bandedRef.join(bandedNew.select(col("bk")).distinct(), Seq("bk"), "left_semi")
       else bandedRef
+    // slim ((bk, nn, nr) per shared bucket) and consumed by the probe AND
+    // (on the guarded path) both tagged joins — persist so the probe's
+    // materialization is reused instead of re-aggregated
     val occ = bandedNew.groupBy(col("bk")).agg(count(lit(1)).as("__nn"))
       .join(refShared.groupBy(col("bk")).agg(count(lit(1)).as("__nr")), Seq("bk"))
+      .persist(storage)
+    // OCCUPANCY PROBE (one slim driver aggregate — #shared-buckets rows
+    // in, one row out): when NO bucket's cross product exceeds the cap,
+    // the refine/star machinery below is provably a no-op (both `!safe`
+    // branches empty, keyed ≡ the banding frames, sub ≡ 0), yet its plan
+    // still costs two extra occupancy shuffles, four persists and the
+    // union scaffolding on EVERY call. Skew is the exception, not the
+    // rule — probe first and take the direct bucket-equi-join when the
+    // data is clean (the inner equi-join drops one-sided buckets exactly
+    // like the occupancy inner join did); the guarded path below runs
+    // unchanged (and row-identically) the moment any bucket is oversized.
+    val maxProd = occ.agg(max(col("__nn") * col("__nr"))).collect()
+      .headOption.filter(!_.isNullAt(0)).map(_.getLong(0)).getOrElse(0L)
+    if (maxProd <= maxBucketSize.toLong * maxBucketSize) {
+      val out = bandedNew.select(col("id").as("new_id"), col("bk"))
+        .join(refShared.select(col("id").as("ref_id"), col("bk")), Seq("bk"))
+        .select("new_id", "ref_id").localCheckpoint()
+      occ.unpersist()
+      return out
+    }
     val tagN = bandedNew.join(occ, Seq("bk")).persist(storage)
     val tagR = refShared.join(occ, Seq("bk")).persist(storage)
-    val guardCaches = scala.collection.mutable.ListBuffer[DataFrame](tagN, tagR)
+    val guardCaches =
+      scala.collection.mutable.ListBuffer[DataFrame](occ, tagN, tagR)
     try {
       val safe = col("__nn") * col("__nr") <= capSq
       // both sides derive the refine width from the same (nn, nr) pair the
@@ -1259,17 +1283,61 @@ object Dedup {
   private def guardedBandPairs(banded: DataFrame,
       maxBucketSize: Int, refineBits: Int,
       storage: StorageLevel, broadcastOcc: Boolean): DataFrame = {
+    // slim ((bk, n) per bucket); persisted so the probe's materialization
+    // is reused by the (rare) very-many-oversized-buckets fallback below
     val occ = banded.groupBy(col("bk")).agg(count(lit(1)).as("__n"))
-    // slim (id + key numerics) and consumed by three branches — fence it so
-    // the occupancy join runs once, not once per consumer
-    val tagged = banded
-      .join(if (broadcastOcc) broadcast(occ) else occ, Seq("bk"))
       .persist(storage)
+    // OCCUPANCY PROBE (same rationale as [[guardedCrossBandPairs]]'s):
+    // collect the OVERSIZED bucket set itself — bounded at 4096 rows, so
+    // the driver transfer is a few hundred KB worst case, and skew is the
+    // exception so it is usually EMPTY. Three regimes:
+    //   * empty — the refine/star machinery is a provable no-op (both
+    //     `__n > cap` branches empty, sub ≡ 0): the direct bucket
+    //     self-join is row-identical and sheds the occupancy join, the
+    //     level-2 shuffle, two persists and the union scaffolding;
+    //   * ≤ 4096 oversized buckets — the guarded machinery runs, but the
+    //     occupancy SHUFFLE join is replaced by a broadcast tag of the
+    //     collected set (a self groupBy covers every bucket, so tagging
+    //     with null-__n-means-safe is row-identical to the inner join) —
+    //     the probe pays for itself;
+    //   * more — adversarial occupancy; fall back to the original
+    //     shuffle-join machinery, verbatim.
+    val oversized = occ.filter(col("__n") > maxBucketSize)
+      .limit(4097).collect()
+    if (oversized.isEmpty) {
+      // banded is a cheap projection over the callers' persisted base —
+      // recomputing it on each side beats persisting a third frame
+      val out = banded.select(col("id").as("id_a"), col("bk"))
+        .join(banded.select(col("id").as("id_b"), col("bk")), Seq("bk"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").localCheckpoint()
+      occ.unpersist()
+      return out
+    }
+    val useBroadcastTag = oversized.length <= 4096
+    // slim (id + key numerics) and consumed by three branches — fence it so
+    // the occupancy tag runs once, not once per consumer
+    val tagged = (
+      if (useBroadcastTag) {
+        val spark = banded.sparkSession
+        val oversDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(oversized.toIndexedSeq, 1),
+          occ.schema)
+        occ.unpersist()
+        banded.join(broadcast(oversDf), Seq("bk"), "left_outer")
+      } else
+        banded.join(if (broadcastOcc) broadcast(occ) else occ, Seq("bk"))
+      ).persist(storage)
     val guardCaches = scala.collection.mutable.ListBuffer[DataFrame](tagged)
+    if (!useBroadcastTag) guardCaches += occ
     try {
-      val direct = tagged.filter(col("__n") <= maxBucketSize)
+      // under the broadcast tag, safe buckets carry a NULL __n
+      val safe =
+        if (useBroadcastTag) col("__n").isNull
+        else col("__n") <= maxBucketSize
+      val direct = tagged.filter(safe)
         .select(col("id"), struct(col("bk"), lit(0L).as("sub")).as("k"))
-      val refined = tagged.filter(col("__n") > maxBucketSize)
+      val refined = tagged.filter(!safe)
         .select(col("id"), struct(col("bk"),
           adaptiveSub(col("sub"), col("__n"), maxBucketSize, refineBits)
             .as("sub")).as("k"))

@@ -384,13 +384,21 @@ object StreamQueries extends graft.QueryModule {
           val cachedBefore = s.sparkContext.getPersistentRDDs.keySet
           try {
             val s1 = graft.llm.Dedup.exactDedup(batch)
+            // s2 is re-consumed by THREE downstream stages (near-dup CC,
+            // keep-representatives, and through s2b the store probe and
+            // append) — without the persist each one re-runs the batch
+            // scan + exact dedup + bloom anti-join lineage from scratch
+            // (guide §5: cache exactly the reused frame; the scoped
+            // teardown in the finally below releases it with the rest)
             val s2 = graft.llm.Dedup.bloomCrossDedup(s1, ref, bloom)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             // within-batch NEAR-dup pass (exact fp can't see reworded
             // copies): transitive CC over verified pairs, keep the min-id
             // representative — the drop is deduped before it ever touches
             // the store
             val s2b = graft.llm.Dedup.keepClusterRepresentatives(s2,
               graft.llm.Dedup.nearDupClusters(s2, threshold = 0.7))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             val matched = graft.llm.Dedup.crossCorpusNearDupsFromStore(
               s2b, storeDir, threshold = 0.7, nParts = np)
               .select(col("new_id").as("doc_id")).distinct()
