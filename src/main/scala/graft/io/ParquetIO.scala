@@ -148,10 +148,19 @@ object BucketedIO {
           .foreach(java.nio.file.Files.deleteIfExists(_))
       }
     }
-    ds.images.write.format("parquet")
+    // co-locate each bucket into ONE write task before the bucketed write
+    // (the writeMinHashStore discipline): without it every input task
+    // writes a sliver into every bucket — tasks × buckets tiny files per
+    // table — and the join-side reads pay the small-file tax forever.
+    // repartition's hash partitioning and Spark's bucket-id hash are the
+    // same Murmur3 function, so the exchange lands each bucket whole in
+    // one task → one well-sized file per bucket.
+    ds.images.repartition(buckets, ds.images("id"))
+      .write.format("parquet")
       .bucketBy(buckets, "id").sortBy("id")
       .mode("overwrite").saveAsTable(s"${name}_images")
-    ds.annotations.write.format("parquet")
+    ds.annotations.repartition(buckets, ds.annotations("image_id"))
+      .write.format("parquet")
       .bucketBy(buckets, "image_id").sortBy("image_id")
       .mode("overwrite").saveAsTable(s"${name}_annotations")
   }

@@ -98,20 +98,32 @@ object DetectionPipelineQueries extends graft.QueryModule {
     val grouped = filtered.copy(images = filtered.images
       .withColumn("customer_group", (col("id") % 100).cast("string"))
       .withColumn("split", pre))
-    val splitDs = graft.split.Splitter.split(grouped, seed = 42,
+    val splitDs0 = graft.split.Splitter.split(grouped, seed = 42,
       Seq("train", "valid"), Seq(0.8, 0.2),
       keepSeparate = Seq("customer_group"))
+    // FENCE the split images once: consumed by the split-count report AND
+    // (through withSplitPropagated) the whole evaluation side
+    val splitDs = splitDs0.copy(images = splitDs0.images.localCheckpoint())
     val splitCounts = splitDs.images
       .groupBy(col("customer_group"), col("split"))
       .agg(count(lit(1)).as("n"))
       .select(lit("split_count").as("metric"), col("customer_group").as("k1"),
         col("split").as("k2"), col("n").cast("double").as("v"))
-    // evaluation runs on the VALID side (split propagated onto annotations)
+    // evaluation runs on the VALID side (split propagated onto annotations).
+    // FENCE (the q192 stage-fencing discipline, guide §1.2 "don't compute
+    // things twice"): gt and the valid images fan out into SIX downstream
+    // report branches (both models' predictions, the matcher, the
+    // evaluator's PR/AP and confusion runs, the area report) that the
+    // final union would otherwise each re-derive through ingest →
+    // validate → remap → cap → filter → split — the checkpoint runs that
+    // chain ONCE and hands every branch a materialized leaf (it also
+    // keeps the final plan linear instead of six copies of the chain).
     val valid = graft.operators.Locators.getSplit(
       splitDs.withSplitPropagated, Some("valid"))
+    val validImages = valid.images.localCheckpoint()
     val gt = valid.annotations.select(col("id"), col("image_id"),
       col("category_id"), col("box_x_min"), col("box_y_min"),
-      col("box_width"), col("box_height"))
+      col("box_width"), col("box_height")).localCheckpoint()
     // stage 7: MODEL PREDICTIONS from the surviving gt — model "m" (shifted
     // boxes, same label: matching/PR analytics), model "m2" (exact boxes,
     // flipped label: confusion analytics), shared far-offset false preds
@@ -139,7 +151,7 @@ object DetectionPipelineQueries extends graft.QueryModule {
       .select(lit("n_matches").as("metric"),
         concat(lit("cat_"), col("category_id")).as("k1"), lit("").as("k2"),
         col("n").cast("double").as("v"))
-    val ev = new graft.eval.DetectionEvaluator(valid.images, gt,
+    val ev = new graft.eval.DetectionEvaluator(validImages, gt,
       Map("m" -> mPreds, "m2" -> m2Preds), remapped.labelMap)
     val (_, ap) = ev.precisionRecall("m", minIou = 0.5)
     val apRows = ap.select(lit("ap").as("metric"), col("category_str").as("k1"),

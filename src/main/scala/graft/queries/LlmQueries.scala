@@ -426,8 +426,13 @@ object LlmQueries extends graft.QueryModule {
       val refSide = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
       val dir = java.nio.file.Files.createTempDirectory("graft_mh_store")
         .toString
-      Dedup.writeMinHashStore(refSide, dir)
-      Dedup.crossCorpusNearDupsFromStore(newSide, dir, threshold = 0.7)
+      // nParts sized to the gate corpus (the q182 rule: 64 hash dirs for a
+      // ~3K-doc reference is pure file-system overhead with no pruning
+      // benefit; layout params don't change results — the sidecar pins
+      // write/probe agreement). Production sizing note: OPTIMIZATION_r14.md.
+      Dedup.writeMinHashStore(refSide, dir, nParts = 8)
+      Dedup.crossCorpusNearDupsFromStore(newSide, dir, threshold = 0.7,
+          nParts = 8)
         .select(col("new_id"), col("ref_id"),
           round(col("jaccard"), 6).as("jaccard"))
     }),
@@ -445,9 +450,13 @@ object LlmQueries extends graft.QueryModule {
       val refSide = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
       val dir = java.nio.file.Files.createTempDirectory("graft_mh_store_a")
         .toString
-      Dedup.writeMinHashStore(refSide.filter(col("doc_id") % 2 === 0), dir)
-      Dedup.appendMinHashStore(refSide.filter(col("doc_id") % 2 =!= 0), dir)
-      Dedup.crossCorpusNearDupsFromStore(newSide, dir, threshold = 0.7)
+      // gate-corpus nParts sizing, as in q146 (identical answers either way)
+      Dedup.writeMinHashStore(refSide.filter(col("doc_id") % 2 === 0), dir,
+        nParts = 8)
+      Dedup.appendMinHashStore(refSide.filter(col("doc_id") % 2 =!= 0), dir,
+        nParts = 8)
+      Dedup.crossCorpusNearDupsFromStore(newSide, dir, threshold = 0.7,
+          nParts = 8)
         .select(col("new_id"), col("ref_id"),
           round(col("jaccard"), 6).as("jaccard"))
     }),

@@ -131,8 +131,11 @@ object PipelineQueries extends graft.QueryModule {
           .otherwise(col("vec_id")).as("__key"))
       .join(lookup, col("__key") === col("__src_id"))
       .select(col("vec_id"), col("__src_emb").as("embedding"))
+    // consumed TWICE (semanticDedup and the kept-anti-join) — persist so
+    // the embFab self-join + afterSpan restriction runs once per action
     val corpusVec = afterSpan.select(col("doc_id").as("vec_id"))
       .join(embFab, Seq("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keptVec = Dedup.semanticDedup(corpusVec,
       LlmQueries.semCentroids(s, d), threshold = 0.95, maxBucketSize = 1024)
     val semDropped = corpusVec.select("vec_id")
