@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// No "[success] Total time: ..." trailer after a runMain's stdout: the
+// bench/driver contract is that graft.Bench's one-line JSON is the LAST
+// line of stdout, and sbt's success banner printed after the forked
+// program's output defeated the driver's tail parse two rounds running
+// (BENCH_r13/BENCH_r14 parsed:null).
+Global / showSuccess := false
+// Inherit the forked program's stdout/stderr directly instead of routing
+// them through sbt's logger: the logger prefixes every forked-stdout line
+// with "[info] ", so the bench's one-line JSON was never parseable as a
+// bare JSON line no matter what printed after it.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

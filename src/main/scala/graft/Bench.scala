@@ -124,12 +124,15 @@ object Bench {
     val resultsMedian = names.map { n =>
       n -> (if (passes.exists(_(n) < 0)) -1.0 else median(passes.map(_(n))))
     }
-    // 4-decimal formatting keeps the one-line JSON short enough for the
-    // driver's stdout tail window (full double reprs pushed q01–q29 out of
-    // the captured tail in round 4). Locale.ROOT: a comma-decimal default
-    // locale would emit corrupt JSON via the locale-sensitive formatter.
+    // 3-decimal formatting (4-decimal through r14) keeps the one-line JSON
+    // as short as the contract allows for the driver's stdout tail window
+    // (full double reprs pushed q01–q29 out of the captured tail in round
+    // 4; BENCH_r13/r14 both came back parsed:null against a ~2000-char
+    // tail). Locale.ROOT: a comma-decimal default locale would emit
+    // corrupt JSON via the locale-sensitive formatter. 1 ms resolution
+    // loses nothing: scheduler jitter alone is larger.
     def num(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     // any failure invalidates the headline total: summing -1 sentinels
@@ -144,8 +147,13 @@ object Bench {
     val repTotals = passes
       .map(p => if (p.values.exists(_ < 0)) -1.0 else p.values.sum)
       .map(num).mkString("[", ",", "]")
-    val failJson = failures.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // omitted entirely when no rep failed (the normal case): every byte of
+    // the one-line JSON competes with per-query entries for the driver's
+    // finite stdout tail window
+    val failJson =
+      if (failures.isEmpty) ""
+      else failures.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString(""","failed_reps":{""", ",", "}")
     // measurement-dispersion guard (round-5 post-mortem: rep totals spanning
     // 157→280s within one run made the cross-round comparison meaningless):
     // report max/min of the healthy rep totals and flag > 1.3x so a noisy
@@ -162,7 +170,7 @@ object Bench {
       if (dispersion > 1.3)
         f""","warn":"rep dispersion ${dispersion}%.2fx > 1.3x - machine noise dominated this run; per-query MIN headline is the robust statistic""""
       else ""
-    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","stat":"per-query min over $reps reps","value_median":${num(totalMedian)},"queries":$qs,"sf":"$sfDir","reps":$reps,"rep_totals":$repTotals,"dispersion":${num(dispersion)},"failed_reps":$failJson$warn}"""
+    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","stat":"per-query min over $reps reps","value_median":${num(totalMedian)},"queries":$qs,"sf":"$sfDir","reps":$reps,"rep_totals":$repTotals,"dispersion":${num(dispersion)}$failJson$warn}"""
     // durable copy: the driver's stdout tail window is finite, a file isn't —
     // it additionally carries every query's per-rep times for dispersion
     // forensics (too wide for the one-line stdout contract)

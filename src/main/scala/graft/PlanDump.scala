@@ -29,6 +29,11 @@ object PlanDump {
 
     val names = {
       val all = SparkEntry.queries.keys.toSeq.sorted
+      // a typo'd query name must fail loudly, not silently produce no file
+      // (a before/after plan comparison would quietly skip that gate)
+      val unknown = args.drop(2).filterNot(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"unknown queries: ${unknown.mkString(", ")}")
       if (args.length > 2) all.filter(args.drop(2).contains) else all
     }
     names.foreach { n =>

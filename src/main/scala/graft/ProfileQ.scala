@@ -78,6 +78,12 @@ object ProfileQ {
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
+      // the listener bus is asynchronous: drain briefly so the last job's
+      // onJobEnd/onStageCompleted land before the listener detaches
+      // (otherwise the final rows print end=0 / negative jobWall)
+      val drainDeadline = System.nanoTime() + 2L * 1000 * 1000 * 1000
+      while (jobs.values.exists(_.end == 0L) && System.nanoTime() < drainDeadline)
+        Thread.sleep(50)
       spark.sparkContext.removeSparkListener(listener)
       resetStorage()
       println(f"%n=== $qname rep $r wall $wall%.3f s, ${jobs.size} jobs ===")
@@ -85,15 +91,18 @@ object ProfileQ {
         f"${"taskTime"}%9s ${"shufR"}%8s ${"shufW"}%8s ${"input"}%9s  desc")
       var prevEnd = 0L
       jobs.values.toSeq.sortBy(_.start).foreach { j =>
-        val w = (j.end - j.start) / 1e3
-        val gap = if (prevEnd == 0) 0.0 else (j.start - prevEnd) / 1e3
-        prevEnd = j.end
+        // a job whose end event never arrived (bus drain timed out) must
+        // not print a negative wall — label it instead
+        val w = if (j.end == 0L) Double.NaN else (j.end - j.start) / 1e3
+        val gap = if (prevEnd == 0 || j.end == 0L) 0.0 else (j.start - prevEnd) / 1e3
+        if (j.end != 0L) prevEnd = j.end
         def mb(b: Long) = f"${b / 1e6}%.1fM"
         println(f"$w%8.3f $gap%7.3f ${j.stages}%4d ${j.tasks}%6d " +
           f"${j.taskTimeMs / 1e3}%9.3f ${mb(j.shuffleReadB)}%8s " +
           f"${mb(j.shuffleWriteB)}%8s ${mb(j.inputB)}%9s  ${j.desc.take(70)}")
       }
-      val jobSum = jobs.values.map(j => (j.end - j.start) / 1e3).sum
+      val jobSum = jobs.values.filter(_.end != 0L)
+        .map(j => (j.end - j.start) / 1e3).sum
       println(f"job wall sum $jobSum%.3f s (driver gaps = ${wall - jobSum}%.3f s)")
     }
     spark.stop()

@@ -178,7 +178,14 @@ object Dedup {
     *      is far below threshold (kills the quadratic bucket noise a
     *      self-similar corpus produces, at 32 compares/pair)
     *   3. attach shingle sets only for survivors → exact Jaccard ≥ threshold
-    * No cross join anywhere; array payloads touch only candidate pairs. */
+    * No cross join anywhere; array payloads touch only candidate pairs.
+    *
+    * PARTIALLY EAGER (as are [[embeddingNearDups]], [[crossCorpusNearDups]]
+    * and the store/index probes): building the returned frame runs the
+    * occupancy probe of [[guardedBandPairs]] — one bounded driver
+    * aggregate over the banding frame — at DataFrame-CONSTRUCTION time, so
+    * plan-only callers (explain tooling, plan-lock tests) execute real
+    * jobs before any action of their own. */
   def minHashNearDups(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", k: Int = 32, bands: Int = 8,
       threshold: Double = 0.7, shingleN: Int = 3,

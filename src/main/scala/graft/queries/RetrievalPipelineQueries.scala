@@ -36,7 +36,17 @@ object RetrievalPipelineQueries extends graft.QueryModule {
   type Q = (SparkSession, String) => DataFrame
 
   /** The q197 chain as a callable (the q192/q193/q195 pattern — the scale
-    * harness runs it as the `retrieval_e2e` probe). */
+    * harness runs it as the `retrieval_e2e` probe).
+    *
+    * Cache contract (caller-owned release, as in
+    * [[graft.llm.Dedup.crossCorpusNearDupsFromStore]]): the returned frame
+    * lazily persists two interior frames (`clean`, `withMeta`) the first
+    * time it is materialized — they are NOT unpersisted here, because the
+    * returned plan still references them. A long-lived session invoking
+    * this chain repeatedly must release them between invocations
+    * (`spark.catalog.clearCache()` or unpersist of the frames it no longer
+    * holds), exactly as the bench's between-query reset does — otherwise
+    * executor storage accumulates per call. */
   def retrievalChain(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     // natural ids must sit below the shared planted-id floor (q195's rule):
