@@ -18,13 +18,22 @@ object ProfileQ {
     val qname = args(1)
     val reps = if (args.length > 2) args(2).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // measurement-only conf overrides (semicolon-separated k=v), so §9
+    // session-config candidates can be A/B'd per gate WITHOUT touching the
+    // bench harness: SPARK_GRAFT_EXTRA_CONF="spark.sql.join.preferSortMergeJoin=false"
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      if (kv.contains("=")) {
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      }
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     case class JobRec(id: Int, var desc: String, start: Long,

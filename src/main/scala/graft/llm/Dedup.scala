@@ -556,14 +556,18 @@ object Dedup {
     * to [[crossCorpusNearDups]] over the same corpora (spec-asserted).
     *
     * Two driver actions compute the pruning sets — both bounded by
-    * `nParts` values, never by data volume. Returned frame's caches are
-    * caller-owned (clear the catalog after materializing, as the gates
-    * do). */
+    * `nParts` values, never by data volume — and each is ADAPTIVE: it is
+    * skipped (the scan stays unpruned, results identical) when the target
+    * directory is smaller than `pruneMinBytes`, where the blocking
+    * round-trip costs more than the scan it would save. Returned frame's
+    * caches are caller-owned (clear the catalog after materializing, as
+    * the gates do). */
   def crossCorpusNearDupsFromStore(newDocs: DataFrame, path: String,
       textCol: String = "text", idCol: String = "doc_id",
       k: Int = 32, bands: Int = 8, threshold: Double = 0.7,
       shingleN: Int = 3, maxBucketSize: Int = 256, nParts: Int = 64,
-      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      pruneMinBytes: Long = 64L << 20): DataFrame = {
     val spark = newDocs.sparkSession
     // probe-side parameter check against the writer's sidecar: a probe
     // with the wrong k/bands/shingleN/nParts derives different pb/ib
@@ -579,22 +583,47 @@ object Dedup {
     }
     val baseN = minHashBase(newDocs, textCol, idCol, k, shingleN).persist(storage)
     val bandedN = minHashBanded(baseN, k, bands)
-    val pbs = bandedN.select(storePb(nParts).as("pb")).distinct()
-      .collect().map(_.getLong(0))
     val empty = newDocs.select(col(idCol).as("new_id"),
       col(idCol).as("ref_id"), lit(0.0).as("jaccard")).limit(0)
-    if (pbs.isEmpty) return empty
-    val postings = spark.read.parquet(path + "/postings")
-      .filter(col("pb").isin(pbs: _*))
-    val pairs = guardedCrossBandPairs(bandedN,
+    // ADAPTIVE pruning (derived from the store's actual size, not a
+    // constant tuned to either the gate corpus or the cluster): each
+    // pruning set costs one BLOCKING driver round-trip — a distinct + a
+    // collect, and for the payload set a persist of the whole candidate
+    // frame so its materialization is not paid twice. That planning tax
+    // (~0.1–0.3 s per probe) only buys anything when the partitions it
+    // prunes cost MORE to scan, so probe the directory's byte size (one
+    // filesystem metadata call, no job) and skip the prune below
+    // `pruneMinBytes` (default 64 MB ≈ the break-even scan cost; the
+    // 100-TB store is far past it, so the production path is unchanged).
+    // Skipping a prune only widens the scan — results are identical.
+    def dirBytes(sub: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(path, sub)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    }
+    val postingsAll = spark.read.parquet(path + "/postings")
+    val postings =
+      if (dirBytes("postings") < pruneMinBytes) postingsAll
+      else {
+        val pbs = bandedN.select(storePb(nParts).as("pb")).distinct()
+          .collect().map(_.getLong(0))
+        if (pbs.isEmpty) return empty
+        postingsAll.filter(col("pb").isin(pbs: _*))
+      }
+    val pairsBase = guardedCrossBandPairs(bandedN,
         postings.select(col("id"), col("bk"), col("sub")),
         maxBucketSize, refineBits = 16, storage)
-      .dropDuplicates("new_id", "ref_id").persist(storage)
-    val ibs = pairs.select(storeIb(col("ref_id"), nParts).as("ib")).distinct()
-      .collect().map(_.getLong(0))
-    if (ibs.isEmpty) return empty
-    val payload = spark.read.parquet(path + "/payload")
-      .filter(col("ib").isin(ibs: _*))
+      .dropDuplicates("new_id", "ref_id")
+    val payloadAll = spark.read.parquet(path + "/payload")
+    val (pairs, payload) =
+      if (dirBytes("payload") < pruneMinBytes) (pairsBase, payloadAll)
+      else {
+        val p = pairsBase.persist(storage)
+        val ibs = p.select(storeIb(col("ref_id"), nParts).as("ib")).distinct()
+          .collect().map(_.getLong(0))
+        if (ibs.isEmpty) return empty
+        (p, payloadAll.filter(col("ib").isin(ibs: _*)))
+      }
     val estFiltered = pairs
       .join(baseN.select(col("id").as("new_id"), col("sig").as("sig_a")), Seq("new_id"))
       .join(payload.select(col("id").as("ref_id"), col("sig").as("sig_b")), Seq("ref_id"))
@@ -988,11 +1017,15 @@ object Dedup {
     * Jaccard verification on the sorted arrays, which is the final
     * authority.
     *
-    * Plan shape (100-TB): one explode + vocab-sized df groupBy, one
+    * Plan shape (100-TB): ONE explode with document frequency attached by
+    * a window count on the same `w` exchange (the groupBy+join form paid
+    * a second corpus tokenization and a third exchange), one
     * corpus-shuffle regroup to attach the canonical order, an ids-only
     * prefix self-join (wide arrays stay OFF the exploded join — the
-    * [[minHashNearDups]] staging), payload re-attachment only for
-    * surviving candidates. NO occupancy cap: exactness forbids dropping
+    * [[minHashNearDups]] staging) with the PPJoin POSITION filter pruning
+    * candidates the remaining-overlap bound already refutes, payload
+    * re-attachment only for surviving candidates, and a union-free verify
+    * (|∪| = n_a + n_b − |∩|). NO occupancy cap: exactness forbids dropping
     * candidates, and none is needed — candidate volume is Σ_prefix-token
     * df², driven by the rare end of the vocabulary; a degenerate corpus
     * (thousands of identical docs) produces quadratic OUTPUT, so its
@@ -1006,8 +1039,15 @@ object Dedup {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1]: $threshold")
     val el = sets.select(col("id"), explode(col("t")).as("w"))
-    val dfreq = el.groupBy("w").agg(count(lit(1)).as("__df"))
-    val sorted = el.join(dfreq, Seq("w"))
+    // document frequency attached by a WINDOW count over the exploded
+    // frame instead of a groupBy + join back: the join form tokenized and
+    // exploded the corpus TWICE (once into the df aggregate, once into the
+    // join probe) and paid a third exchange to marry them — the window
+    // form is one explode, one exchange on `w`, same counts (guide §2.4:
+    // two operations keyed the same way share one exchange).
+    val sorted = el
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("w"))))
       .groupBy("id")
       .agg(array_sort(collect_list(struct(col("__df"), col("w")))).as("__sw"))
       .select(col("id"),
@@ -1016,19 +1056,51 @@ object Dedup {
       .persist(storage)
     val plen = col("n") -
       ceil(col("n") * lit(threshold) - lit(1e-9)).cast("int") + 1
+    // the join key is the 64-bit HASH of the prefix token, not the string:
+    // a hot prefix token's bucket iterates millions of matches (measured:
+    // three df≈3800 tokens produce 94% of 22.5M raw matches at sf0.1),
+    // and long-compare beats string-compare per iteration. A hash
+    // collision can only ADD a candidate pair, which exact verification
+    // rejects — completeness is untouched.
     val pre = sorted.select(col("id"), col("n"),
-      explode(slice(col("t"), lit(1), plen)).as("w"))
+      posexplode(slice(col("t"), lit(1), plen))).toDF("id", "n", "p", "w0")
+      .select(col("id"), col("n"), col("p"), xxhash64(col("w0")).as("w"))
+    // PPJoin position filter (exactness preserved): J ≥ t forces overlap
+    // O ≥ ⌈t/(1+t)·(n_a+n_b)⌉, and for the FIRST shared token (both
+    // arrays carry the same global canonical order, so every other shared
+    // token sits after it in BOTH) the overlap is bounded by
+    // 1 + min(remaining_a, remaining_b). A qualifying pair's first-match
+    // row always passes, so the pair survives into dropDuplicates; rows
+    // the filter drops could only ever re-propose a pair whose bound
+    // proves J < t. The ceil is epsilon-biased DOWN (weaker filter — extra
+    // candidates, never a dropped pair). Both this and the length filter
+    // sit INSIDE the join condition, not in a Filter above it: the
+    // codegen'd hash join then evaluates them on the matched attribute
+    // pair and never constructs output rows for the ~80% of matches they
+    // refute (guide §1.2 step 2, per-task work).
+    val minOv = ceil((col("a.n") + col("b.n")).cast("double")
+      * lit(threshold / (1.0 + threshold)) - lit(1e-9))
     val cand = pre.as("a").join(pre.as("b"),
-        col("a.w") === col("b.w") && col("a.id") < col("b.id"))
-      .filter(greatest(col("a.n"), col("b.n")).cast("double") * lit(threshold)
-        <= least(col("a.n"), col("b.n")).cast("double") + lit(1e-9))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        col("a.w") === col("b.w") && col("a.id") < col("b.id") &&
+        (greatest(col("a.n"), col("b.n")).cast("double") * lit(threshold)
+          <= least(col("a.n"), col("b.n")).cast("double") + lit(1e-9)) &&
+        (lit(1) + least(col("a.n") - col("a.p") - 1,
+          col("b.n") - col("b.p") - 1) >= minOv))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("__na"), col("b.n").as("__nb"))
       .dropDuplicates("id_a", "id_b")
+    // |a ∪ b| = n_a + n_b − |a ∩ b| (both arrays are distinct-element):
+    // one array_intersect per surviving pair instead of intersect + union —
+    // the verify stage is the dominant CPU of the whole join (measured
+    // 57 s task time of a 3.5 s query at sf0.1), so halving its array
+    // traffic is the §1.2 "per-task work" lever.
+    val inter = size(array_intersect(col("__ta"), col("__tb"))).cast("double")
+    val uni = (col("__na") + col("__nb")).cast("double") - inter
     cand
       .join(sorted.select(col("id").as("id_a"), col("t").as("__ta")), Seq("id_a"))
       .join(sorted.select(col("id").as("id_b"), col("t").as("__tb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        jaccard(col("__ta"), col("__tb")).as("jaccard"))
+        when(uni === 0, 0.0).otherwise(inter / uni).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -1911,10 +1983,19 @@ object Dedup {
     * explicitly so the build hash (`putString`) provably matches the probe
     * ([[graft.functions.BloomMightContain]] calls `mightContainString`). */
   def buildFingerprintBloom(ref: DataFrame, textCol: String = "text",
-      expectedItems: Long = 1L << 20, fpp: Double = 0.01): Array[Byte] = {
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01,
+      refFps: DataFrame = null): Array[Byte] = {
     val spark = ref.sparkSession
     import spark.implicits._
-    val fps = ref.select(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    // `refFps` (optional): a single-column frame of the SAME fingerprints
+    // this builder would derive from `ref` — callers that also verify
+    // batches against the reference ([[bloomCrossDedup]]) compute the
+    // projection once, persist it, and hand it to both, instead of paying
+    // the normalize+md5 scan of the reference per consumer (measured: the
+    // q195 intake chain evaluated it 3x per run).
+    val fps = Option(refFps)
+      .map(_.toDF("fp").select(col("fp").cast("string")))
+      .getOrElse(ref.select(TextAnalysis.fingerprint(col(textCol)).as("fp")))
       .as[String]
     val merged = fps.rdd.treeAggregate(
       org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp))(
@@ -1943,7 +2024,8 @@ object Dedup {
     * anti-join the candidates stream through. Batch scans twice — persist
     * it first if the source is expensive. */
   def bloomCrossDedup(batch: DataFrame, ref: DataFrame, bloom: Array[Byte],
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      refFps: DataFrame = null): DataFrame = {
     val spark = batch.sparkSession
     val fp = TextAnalysis.fingerprint(col(textCol))
     // null text → null fingerprint → null probe; a null key can't equal
@@ -1965,8 +2047,15 @@ object Dedup {
     // candFps bound as its estimator; candFps itself is filter-derived
     // (stats ≈ the batch projection) and needs none.
     val candFpsB = graft.model.GraftDataset.broadcastIfSmall(candFps)
-    val confirmed = ref
-      .select(TextAnalysis.fingerprint(col(textCol)).as("__bc_fp"))
+    // `refFps` (optional): the reference's fingerprint projection,
+    // precomputed and persisted by the caller — a repeated-batch loop
+    // (the q195 intake chain) otherwise re-normalizes and re-hashes the
+    // whole reference on EVERY batch. Must be exactly
+    // `ref.select(fingerprint(textCol))`; semantics are unchanged.
+    val confirmed = Option(refFps)
+      .map(_.toDF("__bc_fp"))
+      .getOrElse(ref
+        .select(TextAnalysis.fingerprint(col(textCol)).as("__bc_fp")))
       .join(candFpsB, Seq("__bc_fp"), "left_semi")
       .distinct()
     clear.unionByName(

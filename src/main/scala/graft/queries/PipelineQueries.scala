@@ -63,10 +63,16 @@ object PipelineQueries extends graft.QueryModule {
     * (doc_id, source, format, n_tokens, stream_start, pack_id,
     * epoch_rank, shard). */
   def corpusBuildChain(s: SparkSession, d: String): DataFrame = {
+    // stage labels (guide §1.5): the chain's eager points (checkpoints,
+    // occupancy probes, CC iterations) surface as dozens of anonymous jobs
+    // in the UI/profiler — label them so per-stage cost is attributable
+    def mark(stage: String): Unit =
+      s.sparkContext.setJobDescription(s"q192 $stage")
     val shuffleP = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val docs = Tables.documents(s, d).select("doc_id", "source", "text")
       .repartition(shuffleP) // single-row-group scan artifact (q130's note)
     // stage 0: format wrap (q167's mixed-corpus shape) + 16 exact copies
+    mark("s0 format-wrap")
     val wrapped = docs.withColumn("text",
       when(col("doc_id") % 3 === 0,
         concat(lit("<html><body><p>"), col("text"),
@@ -78,6 +84,7 @@ object PipelineQueries extends graft.QueryModule {
       .withColumn("doc_id", col("doc_id") + 2000000L)
     val corpus0 = wrapped.unionByName(copies)
     // stage 1: detect + route through the format's extractor
+    mark("s1 extract-route")
     val extracted = Curation.extractTextAuto(corpus0)
     // stage 2: linify + the q115 line plants + span/boiler plants, all
     // keyed on the CONTENT identity (doc_id % 2000000) so copies
@@ -85,25 +92,36 @@ object PipelineQueries extends graft.QueryModule {
     val fk = pmod(col("doc_id"), lit(2000000L))
     val linified = extracted.withColumn("text",
       regexp_replace(col("text"), "((\\S+ ){9}\\S+) ", "$1\n"))
+    // the q115 line plants AND the span plant in ONE split→transform→join
+    // pass (they were two: each split the text, transformed every line and
+    // re-joined — a full extra pass over every document's lines for a
+    // prepend on line 1, guide §1.2 "don't compute things twice"). The
+    // fusion is exact: fab1 preserved line count, so spanPlanted's line-1
+    // prepend composes as a prefix on the same (l, i) — string-identical
+    // to the two-pass result, and the DuckDB oracle (two CTEs) agrees.
     val fab1 = linified.withColumn("text",
       array_join(transform(split(col("text"), "\n"), (l, i) =>
-        concat(l,
+        concat(
+          when(fk % 9 === 0 && i === 1, lit(spanSeg + " ")).otherwise(lit("")),
+          l,
           when((fk * 7 + i) % 13 === 0, lit(" javascript")).otherwise(lit("")),
           when((fk + i) % 4 =!= 0, lit(".")).otherwise(lit("")))), "\n"))
-    val spanPlanted = fab1.withColumn("text",
-      array_join(transform(split(col("text"), "\n"), (l, i) =>
-        when(fk % 9 === 0 && i === 1,
-          concat(lit(spanSeg + " "), l)).otherwise(l)), "\n"))
-    val planted = spanPlanted.withColumn("text",
+    val planted = fab1.withColumn("text",
       when(fk % 7 === 0, concat(lit(boilerLine + "\n"), col("text")))
         .otherwise(col("text")))
     // stage 3: C4 line cleaning — checkpoint fences the interpreted
     // higher-order lambdas from re-running per downstream signal (the
     // q123 lesson)
+    mark("s3 c4-clean checkpoint")
     val cleaned = Curation.c4Clean(planted).localCheckpoint()
-    // stage 4: Gopher quality (q123's post-clean thresholds)
+    // stage 4: Gopher quality (q123's post-clean thresholds). Fenced like
+    // cleaned: the rules' token-stat struct is evaluated over every doc by
+    // EVERY consumer of `quality` otherwise — the minhash base
+    // materialization, the CC id frame, and the keep-representatives join
+    // each re-ran the filter over the cleaned checkpoint (profiled: the
+    // s5/s7 segments carry it 3x, guide §1.2 "don't compute things twice")
     val quality = cleaned.filter(TextAnalysis.gopherRules(col("text"),
-      minWords = 30, minStopHits = 1).getField("keep"))
+      minWords = 30, minStopHits = 1).getField("keep")).localCheckpoint()
     // stage 5: doc-level near-dedup FIRST (see composition-order note).
     // Threshold 0.8, not 0.7: the oracle verifies pairs EXHAUSTIVELY while
     // the engine uses 8x4 banding, so the threshold must sit inside an
@@ -113,11 +131,13 @@ object PipelineQueries extends graft.QueryModule {
     // planted copies); at j = 0.7 banding recall is only 0.889, so a 0.7
     // threshold makes the gate a coin flip - 0.8 lands in the (0.7, 1.0)
     // gap, where every pair above it has recall 1.
+    mark("s5 minhash-neardup")
     val clusters = Dedup.nearDupClusters(quality, threshold = 0.8)
     val afterMinhash = Dedup.keepClusterRepresentatives(quality, clusters)
     // stage 6: corpus-frequency paragraph (line) dedup
     val afterPara = Dedup.removeRepeatedParagraphs(afterMinhash)
     // stage 7: duplicated 10-token span excision
+    mark("s7 span-excision checkpoint")
     val afterSpan = Dedup.cutDuplicatedSpans(afterPara, n = 10)
       .localCheckpoint()
     // stage 8: SemDeDup over the embedding column (vec_id = doc_id);
@@ -136,6 +156,7 @@ object PipelineQueries extends graft.QueryModule {
     val corpusVec = afterSpan.select(col("doc_id").as("vec_id"))
       .join(embFab, Seq("vec_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    mark("s8 semantic-dedup")
     val keptVec = Dedup.semanticDedup(corpusVec,
       LlmQueries.semCentroids(s, d), threshold = 0.95, maxBucketSize = 1024)
     val semDropped = corpusVec.select("vec_id")
@@ -146,6 +167,7 @@ object PipelineQueries extends graft.QueryModule {
     // same crawl (raw %101 docs re-minted) — the guaranteed-leak shape
     val test = Tables.documents(s, d).filter(col("doc_id") % 101 === 0)
       .select((col("doc_id") + 9000000L).as("doc_id"), col("text"))
+    mark("s9-13 decontam..shard (final action)")
     val afterDecon = Corpus.decontaminate(afterSem, test, minShare = 0.2)
     // stage 10: leakage-safe group holdout, keep the train side
     val withGrp = afterDecon.withColumn("grp",

@@ -368,8 +368,17 @@ object StreamQueries extends graft.QueryModule {
         .createTempDirectory("graft_intake_ck").toString
       val np = 8
       graft.llm.Dedup.writeMinHashStore(ref, storeDir, nParts = np)
+      // the reference's fingerprint projection is consumed by the bloom
+      // build AND by every batch's verify semi-join — compute the
+      // normalize+md5 scan once and persist it for the whole stream
+      // (chain-level cache: the per-batch scoped teardown below leaves it
+      // alone; the stream teardown releases it, keeping the chain
+      // cache-flat — nothing after awaitTermination reads it)
+      val refFps = ref
+        .select(graft.llm.TextAnalysis.fingerprint(col("text")).as("__bc_fp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bloom = graft.llm.Dedup.buildFingerprintBloom(ref,
-        expectedItems = 100000, fpp = 0.01)
+        expectedItems = 100000, fpp = 0.01, refFps = refFps)
       val q = s.readStream.schema(batchA.schema)
         .option("maxFilesPerTrigger", 1).parquet(srcDir)
         .writeStream
@@ -390,7 +399,8 @@ object StreamQueries extends graft.QueryModule {
             // scan + exact dedup + bloom anti-join lineage from scratch
             // (guide §5: cache exactly the reused frame; the scoped
             // teardown in the finally below releases it with the rest)
-            val s2 = graft.llm.Dedup.bloomCrossDedup(s1, ref, bloom)
+            val s2 = graft.llm.Dedup.bloomCrossDedup(s1, ref, bloom,
+                refFps = refFps)
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             // within-batch NEAR-dup pass (exact fp can't see reworded
             // copies): transitive CC over verified pairs, keep the min-id
@@ -419,9 +429,12 @@ object StreamQueries extends graft.QueryModule {
         .start()
       try q.awaitTermination()
       finally {
-        // the stream is done: the drop staging area and the checkpoint are
-        // single-use — remove them (the invariance sweep invokes this chain
-        // once per partition setting and would otherwise leak both per run)
+        // the stream is done: release the stream-lifetime fingerprint
+        // cache (its only consumers were the batches), and the drop
+        // staging area and the checkpoint are single-use — remove them
+        // (the invariance sweep invokes this chain once per partition
+        // setting and would otherwise leak both per run)
+        refFps.unpersist(blocking = false)
         def rmTree(p: String): Unit = {
           import scala.jdk.CollectionConverters._
           val root = java.nio.file.Paths.get(p)
@@ -460,7 +473,13 @@ object StreamQueries extends graft.QueryModule {
   def streamRetrievalChain(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     Plants.requireNaturalIdsBelowFloor(docs, "doc_id", "q199 chain")
+    // chain-level cache (the q195 refFps discipline): the static holdout
+    // is re-derived from the documents scan by every batch's decontam
+    // pass AND the final query projection — persist it once for the
+    // stream; the bench's between-query reset (or the owning session)
+    // reclaims it
     val evalDocs = docs.filter(col("doc_id") % 100 === 7)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val train = docs.filter(col("doc_id") % 100 =!= 7)
     val batchA = train.filter(col("doc_id") % 2 === 0)
       .unionByName(evalDocs.select(
@@ -494,8 +513,15 @@ object StreamQueries extends graft.QueryModule {
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        graft.llm.Corpus.decontaminate(batch, evalDocs, minShare = 0.2)
+        // the batch is consumed twice inside decontaminate (the shingle
+        // explode that derives the contaminated-id set, then the anti-join
+        // output side) — persist for the batch's scope so the micro-batch
+        // source is read once (q195's scoped-persist discipline)
+        val b = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try graft.llm.Corpus.decontaminate(b, evalDocs, minShare = 0.2)
           .write.mode("append").parquet(cleanDir)
+        finally b.unpersist(blocking = false)
         ()
       }
       .option("checkpointLocation", ck)
