@@ -32,6 +32,20 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // Whole-stage-codegen class cache (STATIC conf, must be set at
+      // session build). The Spark default (100 entries) is smaller than
+      // ONE run of the heavier gates (q195 alone compiles 313 sources), so
+      // in a many-query session every rep of every query recompiles all of
+      // its codegen units from scratch — measured r15: ~0.4–0.5 s of
+      // Janino compile blocking PER STAGE, all task slots waiting; 196-gate
+      // A/B at sf0.1: suite 264 → 171 s (geomean 1.45). Not a local[32]
+      // twiddle: the cache is core-count- and data-scale-independent — any
+      // long-lived session with repeating plan shapes (micro-batch
+      // streaming, scheduled pipelines, a bench's reps) thrashes it the
+      // same way. Parameterised; 8192 comfortably holds the suite's ~5k
+      // stable sources at ~tens of MB of class/source retention.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -1460,6 +1460,12 @@ object Scale {
       // generator's ≤64k-row row groups give local[32] real scan
       // parallelism at every scale factor.
       .config("spark.sql.files.maxPartitionBytes", String.valueOf(4 * 1024 * 1024))
+      // match the bench session's codegen-class cache (Bench.scala has the
+      // full rationale): the probes rerun the same chains across scale
+      // factors, exactly the repeating-plan-shape regime the 100-entry
+      // default thrashes
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -303,6 +303,12 @@ object StreamQueries extends graft.QueryModule {
     * harness runs it as the `stream_intake_e2e` probe). Returns the final
     * store membership (ref ∪ S1 ∪ S2) as one `doc_id` column. */
   def streamIntakeChain(s: SparkSession, d: String): DataFrame = {
+      // stage labels (guide §1.5, the q192 discipline): the chain's eager
+      // points (store writes, bloom build, per-batch dedup stages) surface
+      // as ~130 anonymous jobs in the profiler — label them so per-stage
+      // cost stays attributable
+      def mark(stage: String): Unit =
+        s.sparkContext.setJobDescription(s"q195 $stage")
       val docs = Tables.documents(s, d).select("doc_id", "text")
       // the planted-copy id offsets (+2M..+7M below, mirrored literally in
       // the DuckDB oracle and in the scale probe's origin bucketing) assume
@@ -345,9 +351,11 @@ object StreamQueries extends graft.QueryModule {
       def parts(): Set[java.io.File] = new java.io.File(srcDir).listFiles()
         .filter(_.getName.startsWith("part-")).toSet
       val t0 = System.currentTimeMillis()
+      mark("stage drop A")
       batchA.coalesce(1).write.mode("overwrite").parquet(srcDir)
       val aFiles = parts()
       aFiles.foreach(_.setLastModified(t0 - 120000))
+      mark("stage drop B")
       batchB.coalesce(1).write.mode("append").parquet(srcDir)
       (parts() -- aFiles).foreach(_.setLastModified(t0 - 60000))
       // store dir DETERMINISTIC per (session, input dir) and overwritten
@@ -367,6 +375,7 @@ object StreamQueries extends graft.QueryModule {
       val ck = java.nio.file.Files
         .createTempDirectory("graft_intake_ck").toString
       val np = 8
+      mark("ref store write")
       graft.llm.Dedup.writeMinHashStore(ref, storeDir, nParts = np)
       // the reference's fingerprint projection is consumed by the bloom
       // build AND by every batch's verify semi-join — compute the
@@ -377,6 +386,7 @@ object StreamQueries extends graft.QueryModule {
       val refFps = ref
         .select(graft.llm.TextAnalysis.fingerprint(col("text")).as("__bc_fp"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      mark("ref bloom build")
       val bloom = graft.llm.Dedup.buildFingerprintBloom(ref,
         expectedItems = 100000, fpp = 0.01, refFps = refFps)
       val q = s.readStream.schema(batchA.schema)
@@ -392,6 +402,7 @@ object StreamQueries extends graft.QueryModule {
           // daily-drop template, so it must leave foreign caches alone.
           val cachedBefore = s.sparkContext.getPersistentRDDs.keySet
           try {
+            mark("batch exact+bloom dedup")
             val s1 = graft.llm.Dedup.exactDedup(batch)
             // s2 is re-consumed by THREE downstream stages (near-dup CC,
             // keep-representatives, and through s2b the store probe and
@@ -406,17 +417,21 @@ object StreamQueries extends graft.QueryModule {
             // copies): transitive CC over verified pairs, keep the min-id
             // representative — the drop is deduped before it ever touches
             // the store
+            mark("batch within-near-dup CC")
             val s2b = graft.llm.Dedup.keepClusterRepresentatives(s2,
               graft.llm.Dedup.nearDupClusters(s2, threshold = 0.7))
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            mark("batch store probe")
             val matched = graft.llm.Dedup.crossCorpusNearDupsFromStore(
               s2b, storeDir, threshold = 0.7, nParts = np)
               .select(col("new_id").as("doc_id")).distinct()
             // fence: materialize the survivors BEFORE the append so the
             // store read (matched) can never race the store write — the
             // q192 stage-fencing discipline
+            mark("batch survivor fence")
             val s3 = s2b.join(matched, Seq("doc_id"), "left_anti")
               .localCheckpoint()
+            mark("batch store append")
             graft.llm.Dedup.appendMinHashStore(s3, storeDir, nParts = np)
           } finally {
             s.sparkContext.getPersistentRDDs
