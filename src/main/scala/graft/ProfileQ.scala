@@ -111,6 +111,31 @@ object ProfileQ {
       }
     }
 
+    // PROFILEQ_CG_DUMP=<dir>: snapshot the codegen class cache's key set
+    // around each rep and dump the sources that were NEWLY compiled in
+    // reps after the first — the direct way to see WHICH generated
+    // sources are cache-unstable (recompiled every rep) and diff why.
+    // Reflection over Spark's CodeGenerator cache: measurement tooling
+    // only, never in a query path.
+    val cgDumpDir = sys.env.get("PROFILEQ_CG_DUMP")
+    def cgCacheKeys(): Set[AnyRef] = cgDumpDir.map { _ =>
+      try {
+        val cg = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+        val f = cg.getClass.getDeclaredFields.find(_.getName.endsWith("cache")).get
+        f.setAccessible(true)
+        val cache = f.get(cg)
+        val asMap = cache.getClass.getMethods.find(_.getName == "asMap").get
+        val m = asMap.invoke(cache).asInstanceOf[java.util.Map[AnyRef, AnyRef]]
+        Set.from(scala.jdk.CollectionConverters.SetHasAsScala(m.keySet()).asScala)
+      } catch { case e: Throwable =>
+        System.err.println(s"[profileq] cg cache reflection failed: $e"); Set.empty[AnyRef]
+      }
+    }.getOrElse(Set.empty)
+    def cgBody(key: AnyRef): String =
+      try key.getClass.getMethods.find(_.getName == "body")
+        .map(_.invoke(key).asInstanceOf[String]).getOrElse(key.toString)
+      catch { case _: Throwable => key.toString }
+
     val fn = SparkEntry.queries(qname)
     def resetStorage(): Unit = {
       spark.catalog.clearCache()
@@ -129,6 +154,7 @@ object ProfileQ {
       val (cgN0, cgT0) = (cg.METRIC_COMPILATION_TIME.getCount,
         cg.METRIC_COMPILATION_TIME.getSnapshot.getMean *
           cg.METRIC_COMPILATION_TIME.getCount)
+      val cgKeys0 = cgCacheKeys()
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
@@ -136,6 +162,20 @@ object ProfileQ {
       val cgT1 = cg.METRIC_COMPILATION_TIME.getSnapshot.getMean * cgN1
       println(f"codegen compiles this rep: ${cgN1 - cgN0} " +
         f"(~${(cgT1 - cgT0) / 1e3}%.1f s compile time)")
+      cgDumpDir.foreach { dir =>
+        val fresh = (cgCacheKeys() -- cgKeys0).toSeq
+        println(s"codegen cache: ${fresh.size} sources newly cached in rep $r")
+        // the warm pass pre-fills the stable set, so EVERY rep's inserts
+        // are per-rep-unique sources; dumping all reps gives rep-N vs
+        // rep-N+1 twins to diff for the varying token
+        new java.io.File(dir).mkdirs()
+        fresh.zipWithIndex.foreach { case (k, i) =>
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(f"$dir/rep${r}_src$i%03d.java"), cgBody(k))
+        }
+        if (fresh.nonEmpty)
+          println(s"codegen cache: rep-$r unstable sources dumped to $dir")
+      }
       // the listener bus is asynchronous: drain briefly so the last job's
       // onJobEnd/onStageCompleted land before the listener detaches
       // (otherwise the final rows print end=0 / negative jobWall)

@@ -651,12 +651,25 @@ object Dedup {
       Seq(idCol), "left_anti")
 
   /** [[guardedBandPairs]]'s cross-join sibling over two banding frames
-    * `(id, bk, sub)`. Only buckets present on BOTH sides survive the
-    * occupancy join; the safety predicate bounds the cross PRODUCT, and
-    * star repair pairs new members against the min-id ref member. */
-  private def guardedCrossBandPairs(bandedNew: DataFrame, bandedRef: DataFrame,
+    * `(id, bk, sub)`. Only buckets present on BOTH sides can produce
+    * pairs; the safety predicate bounds the cross PRODUCT, and star
+    * repair pairs new members against the min-id ref member.
+    *
+    * Same three probe regimes as the self form (`broadcastTagMax` is the
+    * self form's hard-coded 4096, parameterised here so the spec can
+    * force the fallback and assert row identity): no unsafe bucket →
+    * direct bucket equi-join; ≤ `broadcastTagMax` unsafe buckets → the
+    * occupancy SHUFFLE joins are replaced by a broadcast tag of the
+    * collected unsafe set (left_outer, null-`__nn` = safe) — row-identical
+    * to the inner occupancy join because every output pair needs an
+    * equi-match on `k` from both sides, so the one-sided-bucket rows the
+    * inner join dropped can never pair, and every UNSAFE bucket is shared
+    * by construction (`__nn·__nr > cap²` needs both sides non-empty);
+    * more → the original shuffle-join machinery, verbatim. */
+  private[llm] def guardedCrossBandPairs(bandedNew: DataFrame, bandedRef: DataFrame,
       maxBucketSize: Int, refineBits: Int,
-      storage: StorageLevel, restrictRefBuckets: Boolean = true): DataFrame = {
+      storage: StorageLevel, restrictRefBuckets: Boolean = true,
+      broadcastTagMax: Int = 4096): DataFrame = {
     val capSq = lit(maxBucketSize.toLong * maxBucketSize)
     // restrict the REF side to buckets the new batch actually occupies
     // BEFORE any ref-side aggregation: for the production shape (tiny
@@ -679,31 +692,57 @@ object Dedup {
     val occ = bandedNew.groupBy(col("bk")).agg(count(lit(1)).as("__nn"))
       .join(refShared.groupBy(col("bk")).agg(count(lit(1)).as("__nr")), Seq("bk"))
       .persist(storage)
-    // OCCUPANCY PROBE (one slim driver aggregate — #shared-buckets rows
-    // in, one row out): when NO bucket's cross product exceeds the cap,
-    // the refine/star machinery below is provably a no-op (both `!safe`
-    // branches empty, keyed ≡ the banding frames, sub ≡ 0), yet its plan
-    // still costs two extra occupancy shuffles, four persists and the
-    // union scaffolding on EVERY call. Skew is the exception, not the
-    // rule — probe first and take the direct bucket-equi-join when the
-    // data is clean (the inner equi-join drops one-sided buckets exactly
-    // like the occupancy inner join did); the guarded path below runs
-    // unchanged (and row-identically) the moment any bucket is oversized.
-    val maxProd = occ.agg(max(col("__nn") * col("__nr"))).collect()
-      .headOption.filter(!_.isNullAt(0)).map(_.getLong(0)).getOrElse(0L)
-    if (maxProd <= maxBucketSize.toLong * maxBucketSize) {
+    // OCCUPANCY PROBE (same rationale as [[guardedBandPairs]]'s): collect
+    // the UNSAFE bucket set itself — bounded at broadcastTagMax+1 rows,
+    // usually EMPTY (skew is the exception). When NO bucket's cross
+    // product exceeds the cap, the refine/star machinery below is
+    // provably a no-op (both `!safe` branches empty, keyed ≡ the banding
+    // frames, sub ≡ 0), yet its plan still costs two extra occupancy
+    // shuffles, four persists and the union scaffolding on EVERY call —
+    // take the direct bucket-equi-join instead (the inner equi-join drops
+    // one-sided buckets exactly like the occupancy inner join did); the
+    // guarded path below runs unchanged (and row-identically) the moment
+    // any bucket is oversized.
+    val unsafeBuckets = occ
+      .filter(col("__nn") * col("__nr") > capSq)
+      .limit(broadcastTagMax + 1).collect()
+    if (unsafeBuckets.isEmpty) {
       val out = bandedNew.select(col("id").as("new_id"), col("bk"))
         .join(refShared.select(col("id").as("ref_id"), col("bk")), Seq("bk"))
         .select("new_id", "ref_id").localCheckpoint()
       occ.unpersist()
       return out
     }
-    val tagN = bandedNew.join(occ, Seq("bk")).persist(storage)
-    val tagR = refShared.join(occ, Seq("bk")).persist(storage)
+    // ≤ broadcastTagMax oversized buckets: tag both full-width banding
+    // frames with a BROADCAST of the collected unsafe set instead of
+    // shuffling them against the occupancy frame (the self form's middle
+    // regime — the probe pays for itself). Safe buckets carry null counts
+    // under the left_outer; one-sided buckets ride through the direct
+    // branch and die in the final equi-join on k (see scaladoc). Worse
+    // than that is adversarial occupancy: the shuffle-join machinery,
+    // verbatim.
+    val useBroadcastTag = unsafeBuckets.length <= broadcastTagMax
+    val (tagN, tagR) =
+      if (useBroadcastTag) {
+        val spark = bandedNew.sparkSession
+        val unsafeDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(unsafeBuckets.toIndexedSeq, 1),
+          occ.schema)
+        occ.unpersist()
+        (bandedNew.join(broadcast(unsafeDf), Seq("bk"), "left_outer")
+            .persist(storage),
+          refShared.join(broadcast(unsafeDf), Seq("bk"), "left_outer")
+            .persist(storage))
+      } else
+        (bandedNew.join(occ, Seq("bk")).persist(storage),
+          refShared.join(occ, Seq("bk")).persist(storage))
     val guardCaches =
-      scala.collection.mutable.ListBuffer[DataFrame](occ, tagN, tagR)
+      scala.collection.mutable.ListBuffer[DataFrame](tagN, tagR)
+    if (!useBroadcastTag) guardCaches += occ
     try {
-      val safe = col("__nn") * col("__nr") <= capSq
+      val safe =
+        if (useBroadcastTag) col("__nn").isNull
+        else col("__nn") * col("__nr") <= capSq
       // both sides derive the refine width from the same (nn, nr) pair the
       // occupancy join attached, so the adaptive mask is identical and the
       // sub-keys align across sides
