@@ -46,6 +46,23 @@ object Bench {
       // stable sources at ~tens of MB of class/source retention.
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
+      // Session-artifact isolation (STATIC conf, session-creation only;
+      // Spark 4 default true) keys every stream RUN to a fresh isolated
+      // ExecutorClassLoader via the cloned session's artifact state — and
+      // the codegen class cache is keyed by (classloader, source), so each
+      // streaming query start recompiles every codegen unit it executes
+      // even when the source text is cached (measured r15 via the ProfileQ
+      // cache dump: 81/81 of q195's per-rep compiles were
+      // classloader-churn misses of PREVIOUSLY CACHED text, 0 new sources;
+      // conf off → 0 compiles, ~2.1 s/rep of Janino time gone plus the
+      // per-stage task-slot blocking it caused). This engine adds no
+      // session artifacts (no addArtifact/ADD JAR anywhere), so isolation
+      // protects nothing here; results are bit-identical (classloaders,
+      // not plans — zero plan changes by construction). Parameterised for
+      // deployments that DO add per-session artifacts and want isolation
+      // back at the cost of per-stream-start recompilation.
+      .config("spark.sql.artifact.isolation.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_ISOLATION", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

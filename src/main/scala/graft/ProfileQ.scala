@@ -28,6 +28,11 @@ object ProfileQ {
       // full rationale) so profiles attribute data work, not cache thrash
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
+      // match the bench session (Bench.scala has the full rationale): with
+      // isolation on, every streaming-query start keys a fresh executor
+      // classloader and recompiles all its codegen units
+      .config("spark.sql.artifact.isolation.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_ISOLATION", "false"))
     // measurement-only conf overrides (semicolon-separated k=v), so §9
     // session-config candidates can be A/B'd per gate WITHOUT touching the
     // bench harness: SPARK_GRAFT_EXTRA_CONF="spark.sql.join.preferSortMergeJoin=false"
@@ -118,23 +123,41 @@ object ProfileQ {
     // Reflection over Spark's CodeGenerator cache: measurement tooling
     // only, never in a query path.
     val cgDumpDir = sys.env.get("PROFILEQ_CG_DUMP")
-    def cgCacheKeys(): Set[AnyRef] = cgDumpDir.map { _ =>
+    // Spark 4.1 keys the codegen cache by (HashableWeakReference(context
+    // classloader), CodeAndComment): the same source text compiled under a
+    // different classloader object is a MISS. Unwrap CodeGenerator.cache
+    // (NonFateSharingLoadingCache -> shaded-guava Cache -> asMap) and keep
+    // (classloader-ref, source) so misses can be attributed to classloader
+    // churn vs genuinely new source text.
+    def cgCacheKeys(): Set[(AnyRef, String)] = cgDumpDir.map { _ =>
       try {
         val cg = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
         val f = cg.getClass.getDeclaredFields.find(_.getName.endsWith("cache")).get
         f.setAccessible(true)
-        val cache = f.get(cg)
-        val asMap = cache.getClass.getMethods.find(_.getName == "asMap").get
-        val m = asMap.invoke(cache).asInstanceOf[java.util.Map[AnyRef, AnyRef]]
+        val outer = f.get(cg)
+        // NonFateSharingLoadingCache.cache() -> org.sparkproject.guava Cache
+        val inner = outer.getClass.getMethods.find(m =>
+          m.getName == "cache" && m.getParameterCount == 0).get.invoke(outer)
+        val asMap = inner.getClass.getMethods.find(_.getName == "asMap").get
+        asMap.setAccessible(true)
+        val m = asMap.invoke(inner).asInstanceOf[java.util.Map[AnyRef, AnyRef]]
         Set.from(scala.jdk.CollectionConverters.SetHasAsScala(m.keySet()).asScala)
+          .map {
+            case t: Tuple2[_, _] =>
+              val clRef = t._1.asInstanceOf[AnyRef]
+              val cl = clRef.getClass.getMethods.find(_.getName == "get")
+                .map(_.invoke(clRef)).orNull
+              val code = t._2.asInstanceOf[AnyRef]
+              val body = code.getClass.getMethods.find(_.getName == "body")
+                .map(_.invoke(code).asInstanceOf[String]).getOrElse(code.toString)
+              (cl, body)
+            case k => (null, k.toString)
+          }
       } catch { case e: Throwable =>
-        System.err.println(s"[profileq] cg cache reflection failed: $e"); Set.empty[AnyRef]
+        System.err.println(s"[profileq] cg cache reflection failed: $e")
+        Set.empty[(AnyRef, String)]
       }
     }.getOrElse(Set.empty)
-    def cgBody(key: AnyRef): String =
-      try key.getClass.getMethods.find(_.getName == "body")
-        .map(_.invoke(key).asInstanceOf[String]).getOrElse(key.toString)
-      catch { case _: Throwable => key.toString }
 
     val fn = SparkEntry.queries(qname)
     def resetStorage(): Unit = {
@@ -164,17 +187,28 @@ object ProfileQ {
         f"(~${(cgT1 - cgT0) / 1e3}%.1f s compile time)")
       cgDumpDir.foreach { dir =>
         val fresh = (cgCacheKeys() -- cgKeys0).toSeq
-        println(s"codegen cache: ${fresh.size} sources newly cached in rep $r")
+        val oldBodies = cgKeys0.map(_._2)
+        // a fresh key whose SOURCE TEXT already sat in the cache under a
+        // different classloader is a classloader-churn miss, not a new plan
+        val (clChurn, newText) = fresh.partition(k => oldBodies.contains(k._2))
+        val loaders = fresh.map(k => Option(k._1)
+          .map(cl => cl.getClass.getSimpleName + "@" +
+            Integer.toHexString(System.identityHashCode(cl))).getOrElse("null"))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        println(s"codegen cache: ${fresh.size} sources newly cached in rep $r " +
+          s"(${clChurn.size} classloader-churn misses of PREVIOUSLY CACHED " +
+          s"text, ${newText.size} genuinely new sources); fresh-key " +
+          s"loaders: $loaders")
         // the warm pass pre-fills the stable set, so EVERY rep's inserts
         // are per-rep-unique sources; dumping all reps gives rep-N vs
         // rep-N+1 twins to diff for the varying token
         new java.io.File(dir).mkdirs()
-        fresh.zipWithIndex.foreach { case (k, i) =>
+        newText.zipWithIndex.foreach { case (k, i) =>
           java.nio.file.Files.writeString(
-            java.nio.file.Paths.get(f"$dir/rep${r}_src$i%03d.java"), cgBody(k))
+            java.nio.file.Paths.get(f"$dir/rep${r}_src$i%03d.java"), k._2)
         }
-        if (fresh.nonEmpty)
-          println(s"codegen cache: rep-$r unstable sources dumped to $dir")
+        if (newText.nonEmpty)
+          println(s"codegen cache: rep-$r new-text sources dumped to $dir")
       }
       // the listener bus is asynchronous: drain briefly so the last job's
       // onJobEnd/onStageCompleted land before the listener detaches

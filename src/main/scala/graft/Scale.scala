@@ -1466,6 +1466,11 @@ object Scale {
       // default thrashes
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
+      // match the bench session (Bench.scala has the full rationale): with
+      // isolation on, every streaming-query start keys a fresh executor
+      // classloader and recompiles all its codegen units
+      .config("spark.sql.artifact.isolation.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_ISOLATION", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
